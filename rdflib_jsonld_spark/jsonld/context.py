@@ -1,0 +1,487 @@
+"""Active-context processing: term definitions, IRI expansion & compaction.
+
+Parity map (SURVEY.md §2.C):
+  C1 load/merge/null-reset/cycle-detect  — [v0.5.0] context.py Context.load/
+     _prep_sources/_fetch_context (~L120-230); [spec] JLD-API §6.1.
+  C2 term definitions                    — [v0.5.0] context.py _read_term/
+     add_term (~L230-330); [spec] JLD-API §6.2.
+  C3 IRI expansion                       — [v0.5.0] context.py resolve_iri/
+     expand/_rec_expand (~L330-420); [spec] JLD-API §6.3.
+  C4 IRI compaction                      — [v0.5.0] context.py shrink_iri/
+     to_symbol/find_term (~L420-500); [spec] JLD-API §6.4.
+  C5 scoped contexts (@propagate)        — [v0.5.0] context.py subcontext/
+     get_context_for_term (~L60-120); [spec] JSON-LD 1.1 §4.1.8-4.1.9.
+  C6 default @language/@direction        — [v0.5.0] context.py language attr.
+
+Remote contexts are resolved from an in-memory *registry* dict instead of
+HTTP (semantic narrowing documented in SURVEY.md §7: no per-row network at
+scale; A7/C1). Everything here is pure and picklable so a resolved Context
+can be broadcast to executors (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit
+
+from . import keys
+from .errors import ContextNotAvailable, InvalidContext, RecursiveContextInclusion
+
+
+class _Undef:
+    """Sentinel distinguishing 'not set' from explicit null in term defs."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "UNDEF"
+
+
+UNDEF = _Undef()
+
+
+class Term:
+    """A term definition ([spec] JLD-API §6.2; [v0.5.0] context.py Term).
+
+    ``type``/``language`` use UNDEF for "inherit default"; explicit JSON
+    ``null`` becomes Python ``None`` (meaning "suppress default").
+    """
+
+    __slots__ = (
+        "name", "id", "type", "container", "language", "direction",
+        "reverse", "prefix", "protected", "context", "propagate",
+    )
+
+    def __init__(self, name, id=None, type=UNDEF, container=None,
+                 language=UNDEF, direction=UNDEF, reverse=False,
+                 prefix=False, protected=False, context=UNDEF,
+                 propagate=True):
+        self.name = name
+        self.id = id
+        self.type = type
+        self.container = container or set()
+        self.language = language
+        self.direction = direction
+        self.reverse = reverse
+        self.prefix = prefix
+        self.protected = protected
+        self.context = context  # property-scoped context ([spec] 1.1 §4.1.9)
+        self.propagate = propagate
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Term({self.name!r} -> {self.id!r})"
+
+
+def _has_scheme(value: str) -> bool:
+    """True if ``value`` looks like an absolute IRI or CURIE (has a scheme
+    part before ':' that is not a relative-path segment)."""
+    i = value.find(":")
+    if i <= 0:
+        return False
+    head = value[:i]
+    return all(c.isalnum() or c in "+-._" for c in head)
+
+
+def norm_url(base: str | None, url: str) -> str:
+    """RFC-3986 join+normalize of ``url`` against ``base``.
+
+    Parity: [v0.5.0] util.py norm_url (~L35-55), SURVEY.md §2.A6. Built on
+    urllib.parse (public stdlib) rather than hand-rolled path merging.
+    """
+    if not base:
+        return url
+    if url.startswith("#") or url == "":
+        # Fragment-only / empty references resolve against the full base.
+        return urljoin(base, url) if base else url
+    joined = urljoin(base, url)
+    return joined
+
+
+def split_iri(iri: str) -> tuple[str, str | None]:
+    """Split an IRI at the last ``#``, ``/`` or ``:`` into (namespace, name).
+
+    Parity: [v0.5.0] util.py split_iri (~L5-15), SURVEY.md §2.A8. Used for
+    prefix discovery in auto-compaction (E4).
+    """
+    for sep in ("#", "/"):
+        i = iri.rfind(sep)
+        if i > -1 and i < len(iri) - 1:
+            return iri[: i + 1], iri[i + 1:]
+    i = iri.rfind(":")
+    if i > -1:
+        return iri[: i + 1], iri[i + 1:]
+    return iri, None
+
+
+class Context:
+    """Resolved active context; immutable-by-convention and picklable.
+
+    Instances are resolved once on the driver and broadcast to executors
+    (SURVEY.md §1.2 '@context → broadcast dict'). All lookups are O(1) dict
+    probes, mirroring the reference's only optimization ([v0.5.0], SURVEY.md
+    §4.1: term-lookup dicts).
+    """
+
+    def __init__(self, base: str | None = None, registry: dict | None = None):
+        self.base = base
+        self.doc_base = base
+        self.vocab: str | None = None
+        self.language: str | None = None
+        self.direction: str | None = None
+        self.version: float = 1.1
+        self.terms: dict[str, Term] = {}
+        self.aliases: dict[str, str] = {}  # keyword -> list of aliases
+        self.alias_of: dict[str, str] = {}  # alias term -> keyword
+        self.propagate = True
+        # Offline replacement for remote fetch: IRI -> parsed context value.
+        self.registry = registry or {}
+        self._rev_terms: dict | None = None  # compaction index cache (C4)
+
+    # -- C1: context processing ------------------------------------------
+
+    def load(self, source, remote_chain: frozenset = frozenset()) -> "Context":
+        """Process a local context (value of ``@context``) and return a NEW
+        Context — the original is never mutated so scoped contexts (C5) can
+        branch. [spec] JLD-API §6.1; [v0.5.0] context.py load (~L120-230).
+        """
+        sources = source if isinstance(source, list) else [source]
+        ctx = self._copy()
+        for src in sources:
+            ctx._load_one(src, remote_chain)
+        ctx._rev_terms = None
+        return ctx
+
+    def _copy(self) -> "Context":
+        new = Context.__new__(Context)
+        new.base = self.base
+        new.doc_base = self.doc_base
+        new.vocab = self.vocab
+        new.language = self.language
+        new.direction = self.direction
+        new.version = self.version
+        new.terms = dict(self.terms)
+        new.aliases = dict(self.aliases)
+        new.alias_of = dict(self.alias_of)
+        new.propagate = self.propagate
+        new.registry = self.registry
+        new._rev_terms = None
+        return new
+
+    def _load_one(self, src, remote_chain: frozenset) -> None:
+        if src is None:
+            # null resets to the initial context ([spec] §6.1 step 5.1).
+            base, registry = self.doc_base, self.registry
+            self.__init__(base=base, registry=registry)
+            return
+        if isinstance(src, str):
+            iri = norm_url(self.base, src)
+            if iri in remote_chain:
+                raise RecursiveContextInclusion(iri)
+            if iri not in self.registry:
+                raise ContextNotAvailable(iri)
+            fetched = self.registry[iri]
+            if isinstance(fetched, dict) and keys.CONTEXT in fetched:
+                fetched = fetched[keys.CONTEXT]
+            inner = fetched if isinstance(fetched, list) else [fetched]
+            for item in inner:
+                self._load_one(item, remote_chain | {iri})
+            return
+        if not isinstance(src, dict):
+            raise InvalidContext(repr(src))
+
+        if keys.IMPORT in src:  # [spec] 1.1 §6.1 step 5.6
+            imp = src[keys.IMPORT]
+            iri = norm_url(self.base, imp)
+            if iri not in self.registry:
+                raise ContextNotAvailable(iri)
+            merged = dict(self.registry[iri].get(keys.CONTEXT, self.registry[iri]))
+            merged.update({k: v for k, v in src.items() if k != keys.IMPORT})
+            src = merged
+
+        if keys.VERSION in src:
+            self.version = float(src[keys.VERSION])
+        if keys.BASE in src:
+            b = src[keys.BASE]
+            self.base = norm_url(self.base, b) if b else None
+        if keys.VOCAB in src:
+            v = src[keys.VOCAB]
+            if v is None:
+                self.vocab = None
+            else:
+                # @vocab may itself be a term/CURIE/relative ([spec] §6.1 5.8)
+                self.vocab = self.expand_iri(v, vocab=True) if v else self.base
+        if keys.LANG in src:
+            lang = src[keys.LANG]
+            self.language = lang.lower() if isinstance(lang, str) else None
+        if keys.DIRECTION in src:
+            self.direction = src[keys.DIRECTION]
+        if keys.PROPAGATE in src:
+            self.propagate = bool(src[keys.PROPAGATE])
+
+        protected_default = bool(src.get(keys.PROTECTED, False))
+        handled = {keys.BASE, keys.VOCAB, keys.LANG, keys.DIRECTION,
+                   keys.VERSION, keys.PROPAGATE, keys.PROTECTED, keys.IMPORT}
+        # Two passes so CURIE prefixes defined later in the same context
+        # still resolve ([spec] §6.2 recursion via 'dependencies'): first
+        # register raw ids, then build full Terms.
+        pending = {k: v for k, v in src.items() if k not in handled}
+        for name, dfn in pending.items():
+            self._read_term(src, name, dfn, protected_default)
+
+    # -- C2: term definitions --------------------------------------------
+
+    def _read_term(self, local_src: dict, name: str, dfn,
+                   protected_default: bool = False) -> None:
+        """Create one term definition. [spec] JLD-API §6.2;
+        [v0.5.0] context.py _read_term/add_term (~L230-330)."""
+        if name in keys.KEYWORDS:
+            return
+        if dfn is None or (isinstance(dfn, dict) and dfn.get(keys.ID, UNDEF) is None):
+            # null term: explicitly decouple from @vocab ([spec] §6.2 step 3)
+            self.terms[name] = Term(name, id=None)
+            self.alias_of.pop(name, None)
+            return
+        if isinstance(dfn, str):
+            if dfn in keys.KEYWORDS:  # keyword alias ([spec] §6.2 step 14)
+                self.alias_of[name] = dfn
+                self.aliases[dfn] = name
+                return
+            iri = self._expand_term_iri(local_src, dfn)
+            self.terms[name] = Term(
+                name, id=iri,
+                prefix=_is_prefix_like(name, iri),
+            )
+            return
+        if not isinstance(dfn, dict):
+            raise InvalidContext(f"{name}: {dfn!r}")
+
+        rev = False
+        if keys.REV in dfn:
+            iri = self._expand_term_iri(local_src, dfn[keys.REV])
+            rev = True
+        elif keys.ID in dfn:
+            idval = dfn[keys.ID]
+            if idval in keys.KEYWORDS and idval != keys.TYPE:
+                self.alias_of[name] = idval
+                self.aliases[idval] = name
+                return
+            iri = self._expand_term_iri(local_src, idval)
+        else:
+            # No @id: simple term whose IRI comes from @vocab or, if the
+            # name is itself CURIE-shaped, from the prefix ([spec] §6.2 18).
+            if ":" in name:
+                iri = self._expand_term_iri(local_src, name)
+            elif self.vocab:
+                iri = self.vocab + name
+            else:
+                iri = None
+
+        container = dfn.get(keys.CONTAINER)
+        if container is None:
+            cset = set()
+        elif isinstance(container, list):
+            cset = set(container)
+        else:
+            cset = {container}
+
+        typ = UNDEF
+        if keys.TYPE in dfn:
+            t = dfn[keys.TYPE]
+            if t in (keys.ID, keys.VOCAB, keys.JSON, keys.NONE):
+                typ = t
+            else:
+                typ = self._expand_term_iri(local_src, t)
+
+        lang = UNDEF
+        if keys.LANG in dfn:
+            raw = dfn[keys.LANG]
+            lang = raw.lower() if isinstance(raw, str) else None
+
+        direction = UNDEF
+        if keys.DIRECTION in dfn:
+            direction = dfn[keys.DIRECTION]
+
+        self.terms[name] = Term(
+            name, id=iri, type=typ, container=cset, language=lang,
+            direction=direction, reverse=rev,
+            prefix=bool(dfn.get(keys.PREFIX, _is_prefix_like(name, iri))),
+            protected=bool(dfn.get(keys.PROTECTED, protected_default)),
+            context=dfn.get(keys.CONTEXT, UNDEF),
+            propagate=bool(dfn.get(keys.PROPAGATE, True)),
+        )
+
+    def _expand_term_iri(self, local_src: dict, value: str) -> str | None:
+        """Expand an IRI inside a term definition, allowing forward
+        references to prefixes defined in the same local context."""
+        if value in keys.KEYWORDS:
+            return value
+        if not isinstance(value, str):
+            return None
+        if value.startswith("_:"):
+            return value
+        if ":" in value and _has_scheme(value):
+            prefix, suffix = value.split(":", 1)
+            if not suffix.startswith("//"):
+                resolved = self._resolve_prefix(local_src, prefix)
+                if resolved:
+                    return resolved + suffix
+            return value
+        if value in local_src or value in self.terms:
+            resolved = self._resolve_prefix(local_src, value)
+            if resolved:
+                return resolved
+        if self.vocab:
+            return self.vocab + value
+        return value
+
+    def _resolve_prefix(self, local_src: dict, prefix: str) -> str | None:
+        term = self.terms.get(prefix)
+        if term is not None and term.id and prefix not in local_src:
+            return term.id
+        raw = local_src.get(prefix)
+        if isinstance(raw, str):
+            return self._expand_term_iri(local_src, raw)
+        if isinstance(raw, dict) and isinstance(raw.get(keys.ID), str):
+            return self._expand_term_iri(local_src, raw[keys.ID])
+        if term is not None and term.id:
+            return term.id
+        return None
+
+    # -- C5: scoped contexts ----------------------------------------------
+
+    def subcontext_for_term(self, term_name: str, remote_chain=frozenset()) -> "Context":
+        """Property-scoped context ([spec] 1.1 §4.1.9)."""
+        term = self.terms.get(term_name)
+        if term is None or term.context is UNDEF:
+            return self
+        return self.load(term.context, remote_chain)
+
+    def subcontext_for_type(self, type_iri_terms) -> "Context":
+        """Type-scoped context: applied for each of the node's @type terms
+        in lexicographic order ([spec] 1.1 §4.1.8 / JLD-API §7 step 9)."""
+        ctx = self
+        for tname in sorted(type_iri_terms):
+            term = ctx.terms.get(tname)
+            if term is not None and term.context is not UNDEF:
+                ctx = ctx.load(term.context)
+        return ctx
+
+    # -- keyword aliases ----------------------------------------------------
+
+    def expand_key(self, key: str) -> str | None:
+        """Map a node key to a keyword (via alias) or an IRI; None if the
+        key does not expand (B2: such keys are dropped)."""
+        if key in keys.KEYWORDS:
+            return key
+        kw = self.alias_of.get(key)
+        if kw is not None:
+            return kw
+        return self.expand_iri(key, vocab=True)
+
+    # -- C3: IRI expansion --------------------------------------------------
+
+    def expand_iri(self, value, vocab: bool = False) -> str | None:
+        """Term/CURIE/relative-IRI → absolute IRI ([spec] JLD-API §6.3;
+        [v0.5.0] context.py resolve_iri/_rec_expand ~L330-420).
+
+        ``vocab=True`` for predicate/type position (term map + @vocab apply);
+        ``vocab=False`` for @id position (document-relative).
+        """
+        if not isinstance(value, str):
+            return None
+        if value in keys.KEYWORDS:
+            return value
+        if value.startswith("_:"):
+            return value
+        if vocab:
+            term = self.terms.get(value)
+            if term is not None:
+                return term.id  # may be None (explicitly decoupled term)
+        if ":" in value and _has_scheme(value):
+            prefix, suffix = value.split(":", 1)
+            if not suffix.startswith("//"):
+                pterm = self.terms.get(prefix)
+                if pterm is not None and pterm.id and pterm.prefix:
+                    return pterm.id + suffix
+            return value  # absolute IRI
+        if vocab and self.vocab:
+            return self.vocab + value
+        if not vocab and self.base:
+            return norm_url(self.base, value)
+        if vocab:
+            return None  # not IRI-mapped and no @vocab → dropped (B2)
+        return value
+
+    # -- C4: IRI compaction ---------------------------------------------------
+
+    def _reverse_index(self):
+        if self._rev_terms is None:
+            exact: dict[str, str] = {}
+            prefixes: list[tuple[str, str]] = []
+            for name, term in self.terms.items():
+                if not term.id or term.reverse:
+                    continue
+                # plain terms (no type/container baggage) win exact matches
+                if term.id not in exact or (term.type is UNDEF and not term.container):
+                    if term.id not in exact or _plainer(term, self.terms.get(exact[term.id])):
+                        exact[term.id] = name
+                if term.prefix:
+                    prefixes.append((term.id, name))
+            prefixes.sort(key=lambda kv: -len(kv[0]))  # longest prefix wins
+            self._rev_terms = (exact, prefixes)
+        return self._rev_terms
+
+    def shrink_iri(self, iri: str) -> str:
+        """IRI → shortest symbol: exact term > CURIE > @vocab-relative >
+        absolute. [spec] JLD-API §6.4; [v0.5.0] context.py shrink_iri/
+        to_symbol (~L420-500)."""
+        exact, prefixes = self._reverse_index()
+        name = exact.get(iri)
+        if name is not None:
+            return name
+        for pid, pname in prefixes:
+            if iri.startswith(pid) and len(iri) > len(pid):
+                return f"{pname}:{iri[len(pid):]}"
+        if self.vocab and iri.startswith(self.vocab) and len(iri) > len(self.vocab):
+            return iri[len(self.vocab):]
+        return iri
+
+    def alias(self, keyword: str) -> str:
+        """The document-facing spelling of a keyword (honors aliases)."""
+        return self.aliases.get(keyword, keyword)
+
+    def find_term(self, iri: str, container: str | None = None,
+                  type_: object = UNDEF, language: object = UNDEF):
+        """Most specific term for (iri, container/type/language) — used by
+        compaction to pick coercing terms. [v0.5.0] context.py find_term."""
+        best = None
+        for term in self.terms.values():
+            if term.id != iri or term.reverse:
+                continue
+            if container and container not in term.container:
+                continue
+            if not container and term.container:
+                continue
+            if type_ is not UNDEF and term.type != type_:
+                continue
+            if language is not UNDEF and term.language != language:
+                continue
+            if best is None or len(term.name) < len(best.name):
+                best = term
+        return best
+
+
+def _plainer(a: Term, b: Term | None) -> bool:
+    if b is None:
+        return True
+    return (a.type is UNDEF and not a.container) and not (
+        b.type is UNDEF and not b.container)
+
+
+def _is_prefix_like(name: str, iri: str | None) -> bool:
+    """Simple string terms ending in a gen-delim act as prefixes
+    ([spec] 1.1 §6.2 step 20: 'simple term' prefix rule)."""
+    return bool(iri) and ":" not in name and iri[-1] in ":/?#[]@;,="
+
+
+def _initial_urlsplit_check(value: str) -> bool:  # pragma: no cover
+    return bool(urlsplit(value).scheme)

@@ -1,0 +1,40 @@
+"""JSON-LD processing errors.
+
+Parity: [v0.5.0] rdflib_jsonld/errors.py (~10 LoC; SURVEY.md §2.C1) and
+[spec] JLD-API §8 (error codes). Only the codes the pipeline can actually
+raise offline are modeled.
+"""
+
+
+class JsonLdError(Exception):
+    """Base class; ``code`` mirrors the spec's error-code strings."""
+
+    code = "processing error"
+
+
+class RecursiveContextInclusion(JsonLdError):
+    # [spec] JLD-API §6.1 step 3.2.2 ("recursive context inclusion");
+    # reference raised the same condition from context loading
+    # ([v0.5.0] errors.py RECURSIVE_CONTEXT_INCLUSION, SURVEY.md §2.C1).
+    code = "recursive context inclusion"
+
+
+class InvalidContext(JsonLdError):
+    code = "invalid local context"
+
+
+class ContextNotAvailable(JsonLdError):
+    """Remote context IRI not found in the offline registry.
+
+    Replaces the reference's HTTP fetch ([v0.5.0] context.py _fetch_context)
+    — at 10^12-row scale there is no per-row network; contexts must be
+    pre-registered (SURVEY.md §2.A7/C1).
+    """
+
+    code = "loading remote context failed"
+
+
+class InvalidListOfLists(JsonLdError):
+    # [v0.5.0] parser.py to_rdf(allow_lists_of_lists=...) gate; [spec]
+    # JSON-LD 1.0 toRdf ("list of lists" error).
+    code = "list of lists"

@@ -1,0 +1,321 @@
+"""RDF quads → JSON-LD tree (the "from-rdf" / serialize algorithm) with
+optional compaction.
+
+Parity map (SURVEY.md §2.E, §3.2):
+  E1 subject grouping   — [v0.5.0] serializer.py node-map build (~L110-180);
+     [spec] JLD-API §10.5 Serialize RDF as JSON-LD.
+  E2 predicate grouping + use_rdf_type — [v0.5.0] serializer.py (~L180-240).
+  E3 list reassembly    — [v0.5.0] serializer.py (~L240-300).
+  E4 auto_compact       — [v0.5.0] serializer.py (~L60-75); golden output
+     [checkout] docs/jsonld-serializer.rst:28-39.
+  C4 IRI compaction     — context.shrink_iri.
+
+Signature parity: [v0.5.0] serializer.py from_rdf(graph, context_data,
+base, use_native_types, use_rdf_type, auto_compact, startnode, index)
+(~L40-70; [checkout] docs/jsonld-serializer.rst:49).
+
+The same function body runs per-(graph, subject-partition) inside
+``groupBy().applyInPandas`` in the Spark sink stage (SURVEY.md §2.J
+compact_nodes) — this module stays Spark-free.
+"""
+
+from __future__ import annotations
+
+from . import keys
+from .context import Context, split_iri
+from .tordf import BNODE, IRI, LIT
+
+
+def _native(lex: str, dt: str):
+    try:
+        if dt == keys.XSD_INTEGER:
+            return int(lex)
+        if dt == keys.XSD_BOOLEAN:
+            return lex == "true"
+        if dt == keys.XSD_DOUBLE:
+            return float(lex)
+    except ValueError:
+        pass
+    return None
+
+
+def _term_key(t: tuple) -> str:
+    return f"_:{t[1]}" if t[0] == BNODE else t[1]
+
+
+def from_rdf(quads, context_data=None, base=None, use_native_types=False,
+             use_rdf_type=False, auto_compact=False, registry=None):
+    """Quad tuples → JSON-LD object tree (compacted iff a context applies).
+
+    Returns ``{"@context": ..., "@graph": [...]}`` when a context is in
+    play, else a plain list of expanded node objects (top-level array form,
+    matching the reference's default [checkout] README.md:49-63 which shows
+    expanded output with full IRIs when no context is passed).
+    """
+    if auto_compact and context_data is None:
+        context_data = derive_context(quads)
+    ctx = Context(base=base, registry=registry)
+    compact = context_data is not None
+    if compact:
+        ctx = ctx.load(context_data)
+
+    # ---- E3: detect well-formed rdf lists --------------------------------
+    firsts: dict[tuple, list] = {}
+    rests: dict[tuple, list] = {}
+    other_out: dict[tuple, int] = {}
+    refs: dict[tuple, int] = {}
+    for g, s, p, o in quads:
+        skey = (g, s)
+        if p == (IRI, keys.RDF_FIRST):
+            firsts.setdefault(skey, []).append(o)
+        elif p == (IRI, keys.RDF_REST):
+            rests.setdefault(skey, []).append(o)
+        else:
+            other_out[skey] = other_out.get(skey, 0) + 1
+        if o[0] == BNODE:
+            refs[(g, o)] = refs.get((g, o), 0) + 1
+
+    def is_list_node(g, t):
+        k = (g, t)
+        return (t[0] == BNODE and len(firsts.get(k, [])) == 1
+                and len(rests.get(k, [])) == 1 and other_out.get(k, 0) == 0
+                and refs.get(k, 0) == 1)
+
+    list_member: set = set()
+    list_chains: dict[tuple, list] = {}  # (g, head) -> [object terms]
+    for g, s, p, o in quads:
+        if p != (IRI, keys.RDF_REST) or not is_list_node(g, s):
+            continue
+        if o != (IRI, keys.RDF_NIL) and is_list_node(g, o):
+            continue  # only chain tails start reconstruction below
+    # walk chains from heads: heads are list nodes not pointed to by a rest
+    rest_src = {}
+    for g, s, p, o in quads:
+        if p == (IRI, keys.RDF_REST) and is_list_node(g, s):
+            rest_src[(g, o)] = s
+    heads = [k for k in firsts
+             if is_list_node(*k) and not (
+                 k in rest_src and is_list_node(k[0], rest_src[k]))]
+    for g, head in [k for k in heads]:
+        chain, cur, ok = [], (g, head), True
+        seen = set()
+        while True:
+            if cur in seen or not is_list_node(*cur):
+                ok = False
+                break
+            seen.add(cur)
+            chain.append(cur)
+            nxt = rests[cur][0]
+            if nxt == (IRI, keys.RDF_NIL):
+                break
+            cur = (g, nxt)
+        if ok:
+            list_chains[(g, head)] = [firsts[c][0] for c in chain]
+            list_member.update(chain)
+
+    # ---- E1/E2: node map --------------------------------------------------
+    nodes: dict[tuple, dict] = {}   # (g, subject term) -> node object
+    graph_of: dict[tuple, str | None] = {}
+    for g, s, p, o in quads:
+        skey = (g, s)
+        if skey in list_member:
+            continue
+        node = nodes.get(skey)
+        if node is None:
+            node = {keys.ID: _term_key(s)}
+            nodes[skey] = node
+            graph_of[skey] = g
+        if p == (IRI, keys.RDF_TYPE) and o[0] != LIT and not use_rdf_type:
+            node.setdefault(keys.TYPE, []).append(
+                _compact_iri(ctx, _term_key(o)) if compact else _term_key(o))
+            continue
+        pred = _term_key(p)
+        obj = _object_repr(g, o, ctx, compact, use_native_types, list_chains,
+                           nodes, graph_of)
+        node.setdefault(("pred", pred), []).append(obj)
+
+    # ---- assemble tree ----------------------------------------------------
+    out_nodes = []
+    # named graphs: nodes whose g is not None hang under their graph node
+    by_graph: dict = {}
+    for (g, s), node in nodes.items():
+        by_graph.setdefault(g, []).append(((g, s), node))
+
+    def finalize(node, skey):
+        res = {}
+        nid = node[keys.ID]
+        res[ctx.alias(keys.ID) if compact else keys.ID] = (
+            _compact_id(ctx, nid) if compact else nid)
+        if keys.TYPE in node:
+            tvals = node[keys.TYPE]
+            tkey = ctx.alias(keys.TYPE) if compact else keys.TYPE
+            res[tkey] = tvals[0] if compact and len(tvals) == 1 else tvals
+        for k, vals in node.items():
+            if not isinstance(k, tuple) or k[0] != "pred":
+                continue
+            iri = k[1]
+            if compact:
+                tname, packed = _compact_values(ctx, iri, vals)
+                res[tname] = packed
+            else:
+                res[iri] = vals
+        return res
+
+    default_nodes = by_graph.get(None, [])
+    named = {g: members for g, members in by_graph.items() if g is not None}
+
+    finals = {}
+    for g, members in by_graph.items():
+        for skey, node in members:
+            finals[skey] = finalize(node, skey)
+
+    # attach named graphs under their naming node (if present in default)
+    result_list = []
+    default_ids = {nodes[skey][keys.ID]: skey for skey, _ in default_nodes}
+    consumed = set()
+    for g, members in named.items():
+        gid = _term_key(g)
+        gkey = ctx.alias(keys.GRAPH) if compact else keys.GRAPH
+        children = [finals[skey] for skey, _ in members]
+        if gid in default_ids:
+            finals[default_ids[gid]][gkey] = children
+        else:
+            idkey = ctx.alias(keys.ID) if compact else keys.ID
+            result_list.append({
+                idkey: _compact_id(ctx, gid) if compact else gid,
+                gkey: children})
+        consumed.add(g)
+
+    result_list = [finals[skey] for skey, _ in default_nodes] + result_list
+
+    if compact:
+        ctx_out = context_data
+        body = result_list[0] if len(result_list) == 1 else {
+            ctx.alias(keys.GRAPH): result_list}
+        if isinstance(body, dict):
+            out = {keys.CONTEXT: ctx_out}
+            out.update(body)
+            return out
+        return {keys.CONTEXT: ctx_out, ctx.alias(keys.GRAPH): body}
+    return result_list
+
+
+def _object_repr(g, o, ctx, compact, use_native_types, list_chains,
+                 nodes, graph_of):
+    if (g, o) in list_chains if o[0] == BNODE else False:
+        members = list_chains[(g, o)]
+        return {keys.LIST: [
+            _object_repr(g, m, ctx, compact, use_native_types, list_chains,
+                         nodes, graph_of) for m in members]}
+    if o[0] == LIT:
+        _, lex, dt, lang = o
+        if lang:
+            return {keys.VALUE: lex, keys.LANG: lang}
+        if dt == keys.XSD_STRING or dt is None:
+            return {keys.VALUE: lex}
+        if use_native_types:
+            nat = _native(lex, dt)
+            if nat is not None:
+                return {keys.VALUE: nat}
+        dtv = _compact_iri(ctx, dt) if compact else dt
+        return {keys.VALUE: lex, keys.TYPE: dtv}
+    return {keys.ID: _term_key(o)}
+
+
+def _compact_iri(ctx: Context, iri: str) -> str:
+    if iri.startswith("_:"):
+        return iri
+    return ctx.shrink_iri(iri)
+
+
+def _compact_id(ctx: Context, iri: str) -> str:
+    if iri.startswith("_:"):
+        return iri
+    shrunk = ctx.shrink_iri(iri)
+    # @id position never @vocab-compacts to a bare word that's not a term
+    return shrunk
+
+
+def _compact_values(ctx: Context, pred_iri: str, vals: list):
+    """Pick the best term for a predicate and value-compact accordingly
+    (inverse of D8; [spec] JLD-API §6.4/§8 Compaction)."""
+    tname = ctx.shrink_iri(pred_iri)
+    term = ctx.terms.get(tname)
+    out = []
+    for v in vals:
+        out.append(_compact_one(ctx, term, v))
+    if term is not None and keys.LIST in term.container and len(out) == 1 \
+            and isinstance(out[0], dict) and keys.LIST in out[0]:
+        return tname, out[0][keys.LIST]
+    if term is not None and keys.SET in term.container:
+        return tname, out
+    if len(out) == 1:
+        return tname, out[0]
+    return tname, out
+
+
+def _compact_one(ctx: Context, term, v):
+    from .context import UNDEF
+    if isinstance(v, dict) and keys.LIST in v:
+        inner = [_compact_one(ctx, term, x) for x in v[keys.LIST]]
+        if term is not None and keys.LIST in term.container:
+            return {keys.LIST: inner}
+        return {ctx.alias(keys.LIST): inner}
+    if isinstance(v, dict) and keys.VALUE in v:
+        val = v[keys.VALUE]
+        lang = v.get(keys.LANG)
+        typ = v.get(keys.TYPE)
+        t_type = term.type if term is not None and term.type is not UNDEF else None
+        t_lang = term.language if term is not None and term.language is not UNDEF \
+            else ctx.language
+        if typ is not None:
+            if t_type == typ or (t_type and ctx.shrink_iri(t_type) == typ):
+                return val
+            return {ctx.alias(keys.VALUE): val, ctx.alias(keys.TYPE): typ}
+        if lang is not None:
+            if t_lang and t_lang.lower() == lang.lower():
+                return val
+            return {ctx.alias(keys.VALUE): val, ctx.alias(keys.LANG): lang}
+        if isinstance(val, str) and t_lang:
+            # a plain string under a language default must stay an object
+            return {ctx.alias(keys.VALUE): val, ctx.alias(keys.LANG): None} \
+                if False else {ctx.alias(keys.VALUE): val}
+        return val
+    if isinstance(v, dict) and keys.ID in v and len(v) == 1:
+        t_type = term.type if term is not None and term.type is not UNDEF else None
+        cid = _compact_id(ctx, v[keys.ID])
+        if t_type == keys.ID:
+            return cid
+        return {ctx.alias(keys.ID): cid}
+    return v
+
+
+def derive_context(quads) -> dict:
+    """E4 auto_compact: derive prefix map from predicate/type namespaces
+    ([v0.5.0] serializer.py ~L60-75; golden shape
+    [checkout] docs/jsonld-serializer.rst:28-39)."""
+    namespaces = {}
+    for g, s, p, o in quads:
+        iris = [p[1]] if p[0] == IRI else []
+        if p == (IRI, keys.RDF_TYPE) and o[0] == IRI:
+            iris.append(o[1])
+        for iri in iris:
+            ns, name = split_iri(iri)
+            if name:
+                namespaces[ns] = None
+    well_known = {
+        keys.RDF_NS: "rdf",
+        keys.XSD_NS: "xsd",
+        "http://purl.org/dc/terms/": "dcterms",
+        "http://www.w3.org/2000/01/rdf-schema#": "rdfs",
+        "http://xmlns.com/foaf/0.1/": "foaf",
+        "http://schema.org/": "schema",
+    }
+    ctx, n = {}, 0
+    for ns in sorted(namespaces):
+        if ns in well_known:
+            ctx[well_known[ns]] = ns
+        else:
+            ctx[f"ns{n}"] = ns
+            n += 1
+    return ctx

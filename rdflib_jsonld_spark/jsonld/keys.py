@@ -1,0 +1,54 @@
+"""JSON-LD keyword constants.
+
+Parity: [v0.5.0] rdflib_jsonld/keys.py (~25 LoC of constants; SURVEY.md §1.1)
+and [spec] JSON-LD 1.1 §1.7 (syntax tokens and keywords).
+"""
+
+BASE = "@base"
+CONTAINER = "@container"
+CONTEXT = "@context"
+DIRECTION = "@direction"
+GRAPH = "@graph"
+ID = "@id"
+IMPORT = "@import"
+INCLUDED = "@included"
+INDEX = "@index"
+JSON = "@json"
+LANG = "@language"
+LIST = "@list"
+NEST = "@nest"
+NONE = "@none"
+PREFIX = "@prefix"
+PROPAGATE = "@propagate"
+PROTECTED = "@protected"
+REV = "@reverse"
+SET = "@set"
+TYPE = "@type"
+VALUE = "@value"
+VERSION = "@version"
+VOCAB = "@vocab"
+
+#: Every keyword recognized by the processor ([spec] JSON-LD 1.1 §1.7).
+KEYWORDS = {
+    BASE, CONTAINER, CONTEXT, DIRECTION, GRAPH, ID, IMPORT, INCLUDED, INDEX,
+    JSON, LANG, LIST, NEST, NONE, PREFIX, PROPAGATE, PROTECTED, REV, SET,
+    TYPE, VALUE, VERSION, VOCAB,
+}
+
+# Well-known IRIs used by the to-rdf / from-rdf algorithms
+# ([spec] RDF 1.1 Concepts §5, JLD-API §10).
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+RDF_JSON = RDF_NS + "JSON"
+RDF_LANGSTRING = RDF_NS + "langString"
+
+XSD_STRING = XSD_NS + "string"
+XSD_BOOLEAN = XSD_NS + "boolean"
+XSD_INTEGER = XSD_NS + "integer"
+XSD_DOUBLE = XSD_NS + "double"
+XSD_DECIMAL = XSD_NS + "decimal"

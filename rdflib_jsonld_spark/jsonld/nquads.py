@@ -1,0 +1,122 @@
+"""N-Quads serialization + a small parser for golden fixtures.
+
+The reference's test suite compared emitted triples against ``.nq`` golden
+files ([v0.5.0] test/test_testsuite.py, SURVEY.md §5.1); this module gives
+the rebuild the same round-trip: quad tuples ↔ N-Quads lines per
+[spec] RDF 1.1 N-Quads (W3C Rec 2014-02-25).
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import keys
+from .tordf import BNODE, IRI, LIT
+
+_ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+_UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+
+
+def _escape(s: str) -> str:
+    return "".join(_ESCAPES.get(c, c) for c in s)
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            pair = s[i:i + 2]
+            if pair in _UNESCAPES:
+                out.append(_UNESCAPES[pair])
+                i += 2
+                continue
+            if pair == "\\u":
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            if pair == "\\U":
+                out.append(chr(int(s[i + 2:i + 10], 16)))
+                i += 10
+                continue
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def term_to_nq(t: tuple) -> str:
+    kind = t[0]
+    if kind == IRI:
+        return f"<{t[1]}>"
+    if kind == BNODE:
+        return f"_:{t[1]}"
+    _, lex, dt, lang = t
+    base = f'"{_escape(lex)}"'
+    if lang:
+        return f"{base}@{lang}"
+    if dt and dt != keys.XSD_STRING:
+        return f"{base}^^<{dt}>"
+    return base
+
+
+def quad_to_nq(q: tuple) -> str:
+    g, s, p, o = q
+    parts = [term_to_nq(s), term_to_nq(p), term_to_nq(o)]
+    if g is not None:
+        parts.append(term_to_nq(g))
+    return " ".join(parts) + " ."
+
+
+def serialize(quads) -> str:
+    return "\n".join(sorted(quad_to_nq(q) for q in quads)) + "\n" if quads else ""
+
+
+_TERM_RE = re.compile(
+    r"""\s*(?:
+        <(?P<iri>[^>]*)>
+      | _:(?P<bnode>\S+)
+      | "(?P<lit>(?:[^"\\]|\\.)*)"
+        (?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[A-Za-z0-9-]+))?
+    )""",
+    re.VERBOSE,
+)
+
+
+def parse_term(text: str, pos: int = 0):
+    m = _TERM_RE.match(text, pos)
+    if not m:
+        raise ValueError(f"bad N-Quads term at {pos}: {text[pos:pos+40]!r}")
+    if m.group("iri") is not None:
+        return (IRI, _unescape(m.group("iri"))), m.end()
+    if m.group("bnode") is not None:
+        return (BNODE, m.group("bnode")), m.end()
+    lex = _unescape(m.group("lit"))
+    dt, lang = m.group("dt"), m.group("lang")
+    if lang:
+        return (LIT, lex, keys.RDF_LANGSTRING, lang.lower()), m.end()
+    return (LIT, lex, dt or keys.XSD_STRING, None), m.end()
+
+
+def parse_line(line: str):
+    """One N-Quads statement → quad tuple (graph=None for triples)."""
+    line = line.strip()
+    if not line or line.startswith("#"):
+        return None
+    s, pos = parse_term(line)
+    p, pos = parse_term(line, pos)
+    o, pos = parse_term(line, pos)
+    rest = line[pos:].strip()
+    g = None
+    if rest and rest != ".":
+        g, pos2 = parse_term(line[pos:])
+    return (g, s, p, o)
+
+
+def parse(text_or_lines) -> list:
+    lines = text_or_lines.splitlines() if isinstance(text_or_lines, str) \
+        else text_or_lines
+    out = []
+    for ln in lines:
+        q = parse_line(ln)
+        if q is not None:
+            out.append(q)
+    return out

@@ -1,0 +1,495 @@
+"""JSON-LD document → RDF quads (the "to-rdf" / deserialize algorithm).
+
+Single-pass recursive walk of the raw JSON tree with the active context —
+the same architecture the reference used ([v0.5.0] parser.py Parser.parse →
+_add_to_graph → _key_to_graph → _to_object/_add_list, ~L120-480; SURVEY.md
+§2.D, §3.1) rather than spec-style expand-then-deserialize, because it is a
+pure function over one document and therefore embarrassingly parallel inside
+an Arrow-batched UDF.
+
+Term encoding (plain tuples — picklable, Arrow-friendly):
+    ("iri", value)                      IRI
+    ("bnode", label)                    blank node (label WITHOUT "_:")
+    ("lit", lexical, datatype, lang)    literal
+
+Quad: ``(graph_term_or_None, s_term, p_term, o_term)``; ``None`` graph =
+default graph (SURVEY.md §1.2).
+
+Deterministic blank nodes: labels are ``{prefix}{n}`` in first-allocation
+order per document, replacing rdflib's process-global uuid counter
+([v0.5.0] parser.py BNode use, D11) — a documented semantic deviation that
+preserves RDF graph isomorphism (SURVEY.md §4.3.1) and is what makes the
+pipeline distributable and resumable.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from . import keys
+from .context import Context, UNDEF
+from .errors import InvalidListOfLists
+
+IRI = "iri"
+BNODE = "bnode"
+LIT = "lit"
+
+
+class _State:
+    """Per-document mutable state: bnode allocation + label map.
+
+    Parity: [v0.5.0] parser.py node_id_map (~L160-200, D11) — a document-
+    local map so ``"@id": "_:b0"`` reuses one bnode per document.
+    """
+
+    __slots__ = ("counter", "id_map", "prefix", "quads", "generalized", "allow_ll")
+
+    def __init__(self, prefix: str, generalized: bool, allow_ll: bool):
+        self.counter = 0
+        self.id_map: dict[str, str] = {}
+        self.prefix = prefix
+        self.quads: list = []
+        self.generalized = generalized
+        self.allow_ll = allow_ll
+
+    def fresh_bnode(self) -> tuple:
+        label = f"{self.prefix}{self.counter}"
+        self.counter += 1
+        return (BNODE, label)
+
+    def bnode_for(self, doc_label: str) -> tuple:
+        got = self.id_map.get(doc_label)
+        if got is None:
+            got = f"{self.prefix}{self.counter}"
+            self.counter += 1
+            self.id_map[doc_label] = got
+        return (BNODE, got)
+
+
+def to_rdf(data, context_data=None, base: str | None = None,
+           generalized_rdf: bool = False, allow_lists_of_lists: bool = True,
+           registry: dict | None = None, bnode_prefix: str = "b") -> list:
+    """Parsed JSON value → list of quads.
+
+    Signature parity: [v0.5.0] parser.py to_rdf(data, dataset, base,
+    context_data, version, generalized_rdf, allow_lists_of_lists)
+    (~L100-120; [checkout] docs/jsonld-parser.rst:50 documents the public
+    function). ``dataset`` is replaced by the returned quad list;
+    ``registry`` replaces remote-context HTTP fetch (SURVEY.md §2.A7).
+    """
+    ctx = Context(base=base, registry=registry)
+    if context_data is not None:
+        ctx = ctx.load(context_data)
+    state = _State(bnode_prefix, generalized_rdf, allow_lists_of_lists)
+
+    # Top-level dispatch: array | @graph wrapper | single node
+    # ([v0.5.0] parser.py Parser.parse ~L120-160, D1).
+    nodes = data if isinstance(data, list) else [data]
+    for node in nodes:
+        if isinstance(node, dict):
+            _add_to_graph(node, None, ctx, state, topmost=True)
+
+    if not generalized_rdf:
+        # Drop triples with bnode predicates ([spec] JLD-API §10.1; D10).
+        state.quads = [q for q in state.quads if q[2][0] != BNODE]
+    return state.quads
+
+
+def _node_keyword_map(node: dict, ctx: Context) -> dict:
+    """Expand every key once; returns {raw_key: expanded(None|kw|iri)}."""
+    return {k: ctx.expand_key(k) for k in node}
+
+
+def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
+                  topmost: bool = False):
+    """Node object → subject term; emits quads. [v0.5.0] parser.py
+    _add_to_graph (~L160-200, D2) + _key_to_graph (~L200-330, B1/D3-D6)."""
+    if not isinstance(node, dict):
+        return None
+    if keys.CONTEXT in node:
+        ctx = ctx.load(node[keys.CONTEXT])
+
+    kmap = _node_keyword_map(node, ctx)
+
+    # Type-scoped contexts ([spec] 1.1 §4.1.8, C5): collect raw @type terms.
+    type_key = next((k for k, e in kmap.items() if e == keys.TYPE), None)
+    if type_key is not None:
+        raw_types = node[type_key]
+        raw_types = raw_types if isinstance(raw_types, list) else [raw_types]
+        str_types = [t for t in raw_types if isinstance(t, str)]
+        ctx = ctx.subcontext_for_type(str_types)
+        kmap = _node_keyword_map(node, ctx)
+
+    # A bare top-level {"@graph": [...]} (no @id) targets the default graph
+    # ([v0.5.0] parser.py D1/D3 dispatch).
+    only_graph = topmost and not any(
+        e for e in kmap.values() if e not in (keys.GRAPH, keys.CONTEXT, None))
+
+    # Subject: @id → IRI/bnode, else fresh bnode (D2).
+    subj = None
+    id_key = next((k for k, e in kmap.items() if e == keys.ID), None)
+    if id_key is not None and isinstance(node[id_key], str):
+        subj = _to_rdf_id(node[id_key], ctx, state)
+    if subj is None and not only_graph:
+        subj = state.fresh_bnode()
+
+    has_real_keys = False
+
+    for key, expanded in kmap.items():
+        value = node[key]
+        if expanded in (None, keys.CONTEXT, keys.ID, keys.INDEX, keys.VALUE,
+                        keys.LANG, keys.DIRECTION, keys.NONE):
+            continue  # B1: skip handled / non-semantic / unmapped keys
+
+        if expanded == keys.TYPE:
+            for t in _as_list(value):
+                t_iri = ctx.expand_iri(t, vocab=True) if isinstance(t, str) else None
+                if t_iri is None or t_iri in keys.KEYWORDS:
+                    continue
+                obj = _iri_or_bnode(t_iri, state)
+                _emit(state, graph, subj, (IRI, keys.RDF_TYPE), obj)
+                has_real_keys = True
+            continue
+
+        if expanded == keys.GRAPH:
+            # Nested @graph under a node with @id → named-graph quads (D3).
+            target = None if only_graph else subj
+            for item in _as_list(value):
+                if isinstance(item, dict):
+                    _add_to_graph(item, target, ctx, state)
+            has_real_keys = True
+            continue
+
+        if expanded == keys.INCLUDED:  # [spec] 1.1 §9.13: sibling nodes
+            for item in _as_list(value):
+                if isinstance(item, dict):
+                    _add_to_graph(item, graph, ctx, state)
+            has_real_keys = True
+            continue
+
+        if expanded == keys.NEST:  # [spec] 1.1 §9.10: transparent nesting
+            for item in _as_list(value):
+                if isinstance(item, dict):
+                    _nest_into(item, subj, graph, ctx, state)
+            has_real_keys = True
+            continue
+
+        if expanded == keys.REV:
+            # {"@reverse": {p: [o...]}} → (o, p, s) (D4).
+            if isinstance(value, dict):
+                for rk, rv in value.items():
+                    p_iri = ctx.expand_iri(rk, vocab=True)
+                    if p_iri is None or p_iri in keys.KEYWORDS:
+                        continue
+                    pred = _iri_or_bnode(p_iri, state)
+                    for v in _as_list(rv):
+                        obj = _to_object(v, ctx.terms.get(rk), ctx, state, graph)
+                        if obj is not None and obj[0] != LIT:
+                            _emit(state, graph, obj, pred, subj)
+                            has_real_keys = True
+            continue
+
+        if expanded in keys.KEYWORDS:
+            continue
+
+        # --- regular predicate ---
+        term = ctx.terms.get(key)
+        sub_ctx = ctx.subcontext_for_term(key)  # property-scoped (C5)
+        pred = _iri_or_bnode(expanded, state)
+
+        if term is not None and term.reverse:  # reverse term (D4)
+            for v in _as_list(value):
+                obj = _to_object(v, term, sub_ctx, state, graph)
+                if obj is not None and obj[0] != LIT:
+                    _emit(state, graph, obj, pred, subj)
+                    has_real_keys = True
+            continue
+
+        container = term.container if term is not None else set()
+
+        if keys.LANG in container and isinstance(value, dict):
+            # language map (D6): {"en": "x", "de": ["y"]}
+            for lang, vals in value.items():
+                for v in _as_list(vals):
+                    if not isinstance(v, str):
+                        continue
+                    tag = None if lang == keys.NONE or lang == ctx.alias(keys.NONE) \
+                        else lang.lower()
+                    dt = keys.RDF_LANGSTRING if tag else keys.XSD_STRING
+                    _emit(state, graph, subj, pred, (LIT, v, dt, tag))
+                    has_real_keys = True
+            continue
+
+        if (keys.INDEX in container or keys.ID in container
+                or keys.TYPE in container) and isinstance(value, dict):
+            # index/id/type maps: keys non-semantic for @index (D5); for
+            # @id/@type maps the key becomes the node's @id/@type.
+            for mkey, vals in value.items():
+                for v in _as_list(vals):
+                    v2 = v
+                    if keys.ID in container and isinstance(v, dict) and keys.ID not in v \
+                            and mkey != keys.NONE:
+                        v2 = dict(v)
+                        v2[keys.ID] = mkey
+                    elif keys.TYPE in container and isinstance(v, dict) and mkey != keys.NONE:
+                        v2 = dict(v)
+                        v2[keys.TYPE] = _as_list(v.get(keys.TYPE, [])) + [mkey] \
+                            if keys.TYPE in v else mkey
+                    obj = _to_object(v2, term, sub_ctx, state, graph)
+                    if obj is not None:
+                        _emit(state, graph, subj, pred, obj)
+                        has_real_keys = True
+            continue
+
+        if keys.LIST in container and not _is_list_object(value):
+            # term-level @container:@list wraps the value array (D7)
+            head = _add_list(_as_list(value), term, sub_ctx, state, graph)
+            _emit(state, graph, subj, pred, head)
+            has_real_keys = True
+            continue
+
+        if keys.GRAPH in container:
+            # @container:@graph ([spec] 1.1 §9.11): each value is a graph.
+            for v in _as_list(value):
+                if isinstance(v, dict):
+                    gterm = state.fresh_bnode()
+                    inner = v.get(keys.GRAPH, v)
+                    for item in _as_list(inner):
+                        if isinstance(item, dict):
+                            _add_to_graph(item, gterm, sub_ctx, state)
+                    _emit(state, graph, subj, pred, gterm)
+                    has_real_keys = True
+            continue
+
+        for v in _as_list(value):
+            obj = _to_object(v, term, sub_ctx, state, graph)
+            if obj is not None:
+                _emit(state, graph, subj, pred, obj)
+                has_real_keys = True
+
+    # Free-floating value check (B3): a node with only @id emits nothing by
+    # itself — quads come from its uses. That matches set semantics.
+    return subj
+
+
+def _nest_into(nested: dict, subj, graph, ctx: Context, state: _State) -> None:
+    """@nest: properties of the nested map attach to the outer subject."""
+    fake = dict(nested)
+    # Reuse _add_to_graph machinery by forcing the outer subject: emit via a
+    # temporary node that has the outer @id. Bnode subjects round-trip
+    # through the id_map.
+    if subj[0] == BNODE:
+        label = f"_:__nest_{subj[1]}"
+        state.id_map[label] = subj[1]
+        fake[keys.ID] = label
+    else:
+        fake[keys.ID] = subj[1]
+    _add_to_graph(fake, graph, ctx, state)
+
+
+def _emit(state: _State, graph, s, p, o) -> None:
+    state.quads.append((graph, s, p, o))
+
+
+def _as_list(v) -> list:
+    if isinstance(v, list):
+        return v
+    if isinstance(v, dict) and keys.SET in v:
+        inner = v[keys.SET]
+        return inner if isinstance(inner, list) else [inner]
+    return [v]
+
+
+def _is_list_object(v) -> bool:
+    return isinstance(v, dict) and keys.LIST in v
+
+
+def _iri_or_bnode(iri: str, state: _State) -> tuple:
+    if iri.startswith("_:"):
+        return state.bnode_for(iri)
+    return (IRI, iri)
+
+
+def _to_rdf_id(value: str, ctx: Context, state: _State):
+    """@id value → subject/object term ([v0.5.0] parser.py _to_rdf_id, D9)."""
+    if value.startswith("_:"):
+        return state.bnode_for(value)
+    iri = ctx.expand_iri(value, vocab=False)
+    if iri is None or iri in keys.KEYWORDS:
+        return None
+    if iri.startswith("_:"):
+        return state.bnode_for(iri)
+    return (IRI, iri)
+
+
+def _add_list(values: list, term, ctx: Context, state: _State, graph,
+              in_list: bool = False) -> tuple:
+    """Ordered array → rdf:first/rest/nil bnode chain ([v0.5.0] parser.py
+    _add_list ~L330-380, D7; [spec] JLD-API §10.4 List Conversion).
+
+    Order source of truth is ARRAY POSITION — the chain is built in one
+    pass inside the UDF, never from row order (SURVEY.md §7 hard parts).
+    """
+    if in_list and not state.allow_ll:
+        raise InvalidListOfLists(repr(values))
+    items = []
+    for v in values:
+        if isinstance(v, list) or _is_list_object(v):
+            inner = v if isinstance(v, list) else _as_list(v.get(keys.LIST, []))
+            items.append(_add_list(inner, term, ctx, state, graph, in_list=True))
+        else:
+            obj = _to_object(v, term, ctx, state, graph, in_list=True)
+            if obj is not None:
+                items.append(obj)
+    if not items:
+        return (IRI, keys.RDF_NIL)
+    bnodes = [state.fresh_bnode() for _ in items]
+    for i, (bn, obj) in enumerate(zip(bnodes, items)):
+        _emit(state, graph, bn, (IRI, keys.RDF_FIRST), obj)
+        rest = bnodes[i + 1] if i + 1 < len(bnodes) else (IRI, keys.RDF_NIL)
+        _emit(state, graph, bn, (IRI, keys.RDF_REST), rest)
+    return bnodes[0]
+
+
+def canonical_double(v: float) -> str:
+    """XSD canonical lexical form of xsd:double ([spec] JLD-API §10.6
+    'Data Round Tripping' / XSD 1.1 §3.3.5.2): mantissa in [1,10) with a
+    mandatory fractional digit, 'E', exponent without leading zeros.
+    P/R-sensitive detail (SURVEY.md §7 hard parts / H3)."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "INF" if v > 0 else "-INF"
+    if v == 0:
+        return "-0.0E0" if math.copysign(1.0, v) < 0 else "0.0E0"
+    mantissa, exp = f"{v:1.15E}".split("E")
+    mantissa = mantissa.rstrip("0")
+    if mantissa.endswith("."):
+        mantissa += "0"
+    return f"{mantissa}E{int(exp)}"
+
+
+def canonical_json(v) -> str:
+    """Canonical JSON for rdf:JSON literals ([spec] JSON-LD 1.1 §10.6 step
+    10 → JCS-style: sorted keys, minimal separators, UTF-8)."""
+    return json.dumps(v, sort_keys=True, separators=(",", ":"),
+                      ensure_ascii=False)
+
+
+def _to_object(v, term, ctx: Context, state: _State, graph,
+               in_list: bool = False):
+    """Value → RDF term; recurses for node objects. [v0.5.0] parser.py
+    _to_object (~L380-450, D8); [spec] JLD-API §10.6 Object to RDF."""
+    if v is None:
+        return None  # B3: null values dropped
+
+    t_type = term.type if term is not None and term.type is not UNDEF else None
+
+    # @json-typed term: whole value becomes one rdf:JSON literal.
+    if t_type == keys.JSON:
+        return (LIT, canonical_json(v), keys.RDF_JSON, None)
+
+    if isinstance(v, dict):
+        if keys.CONTEXT in v:
+            ctx = ctx.load(v[keys.CONTEXT])
+        kmap = {k: ctx.expand_key(k) for k in v}
+        val_key = next((k for k, e in kmap.items() if e == keys.VALUE), None)
+        if val_key is not None:
+            return _value_object_to_term(v, kmap, val_key, term, ctx)
+        if _is_list_object(v) or any(e == keys.LIST for e in kmap.values()):
+            lkey = next(k for k, e in kmap.items() if e == keys.LIST)
+            return _add_list(_as_list(v[lkey]), term, ctx, state, graph,
+                             in_list=in_list)
+        # Node object / node reference → recurse in the same graph (D2).
+        return _add_to_graph(v, graph, ctx, state)
+
+    if isinstance(v, str):
+        if t_type == keys.ID:
+            return _to_rdf_id(v, ctx, state)
+        if t_type == keys.VOCAB:
+            iri = ctx.expand_iri(v, vocab=True)
+            if iri is None:
+                return None
+            return _iri_or_bnode(iri, state)
+        if t_type == keys.NONE or t_type is None:
+            lang = None
+            if term is not None and term.language is not UNDEF:
+                lang = term.language
+            elif ctx.language:
+                lang = ctx.language
+            if lang:
+                return (LIT, v, keys.RDF_LANGSTRING, lang)
+            return (LIT, v, keys.XSD_STRING, None)
+        return (LIT, v, t_type, None)  # datatype coercion
+
+    # Native JSON scalars → canonical XSD lexicals ([spec] §10.6 steps 5-7).
+    if isinstance(v, bool):
+        dt = t_type if t_type and not t_type.startswith("@") else keys.XSD_BOOLEAN
+        return (LIT, "true" if v else "false", dt, None)
+    if isinstance(v, int):
+        dt = t_type if t_type and not t_type.startswith("@") else keys.XSD_INTEGER
+        lex = canonical_double(float(v)) if dt == keys.XSD_DOUBLE else str(v)
+        return (LIT, lex, dt, None)
+    if isinstance(v, float):
+        if v.is_integer() and t_type == keys.XSD_INTEGER:
+            return (LIT, str(int(v)), keys.XSD_INTEGER, None)
+        dt = t_type if t_type and not t_type.startswith("@") else keys.XSD_DOUBLE
+        return (LIT, canonical_double(v), dt, None)
+    return None
+
+
+def _value_object_to_term(v: dict, kmap: dict, val_key: str, term, ctx: Context):
+    """{"@value": ...} → literal ([spec] JLD-API §10.6 steps 8-13)."""
+    value = v[val_key]
+    if value is None:
+        return None  # B3
+    type_key = next((k for k, e in kmap.items() if e == keys.TYPE), None)
+    lang_key = next((k for k, e in kmap.items() if e == keys.LANG), None)
+
+    if type_key is not None and v[type_key] == keys.JSON:
+        return (LIT, canonical_json(value), keys.RDF_JSON, None)
+
+    explicit_type = None
+    if type_key is not None and isinstance(v[type_key], str):
+        explicit_type = ctx.expand_iri(v[type_key], vocab=True)
+
+    if lang_key is not None:
+        lang = v[lang_key]
+        if lang is None:
+            return (LIT, _native_lex(value)[0], _native_lex(value)[1], None) \
+                if not isinstance(value, str) else (LIT, value, keys.XSD_STRING, None)
+        if isinstance(value, str):
+            return (LIT, value, keys.RDF_LANGSTRING, lang.lower())
+
+    if explicit_type:
+        lex = value if isinstance(value, str) else _native_lex(value, explicit_type)[0]
+        return (LIT, lex, explicit_type, None)
+
+    if isinstance(value, str):
+        lang = None
+        if term is not None and term.language is not UNDEF:
+            lang = term.language
+        elif ctx.language:
+            lang = ctx.language
+        if lang:
+            return (LIT, value, keys.RDF_LANGSTRING, lang)
+        return (LIT, value, keys.XSD_STRING, None)
+
+    lex, dt = _native_lex(value)
+    return (LIT, lex, dt, None)
+
+
+def _native_lex(value, force_dt: str | None = None) -> tuple[str, str]:
+    """Native scalar → (canonical lexical, default datatype)."""
+    if isinstance(value, bool):
+        return ("true" if value else "false"), (force_dt or keys.XSD_BOOLEAN)
+    if isinstance(value, int):
+        if force_dt == keys.XSD_DOUBLE:
+            return canonical_double(float(value)), force_dt
+        return str(value), (force_dt or keys.XSD_INTEGER)
+    if isinstance(value, float):
+        if force_dt == keys.XSD_INTEGER and value.is_integer():
+            return str(int(value)), force_dt
+        return canonical_double(value), (force_dt or keys.XSD_DOUBLE)
+    return str(value), (force_dt or keys.XSD_STRING)
