@@ -69,7 +69,8 @@ class _State:
 
 def to_rdf(data, context_data=None, base: str | None = None,
            generalized_rdf: bool = False, allow_lists_of_lists: bool = True,
-           registry: dict | None = None, bnode_prefix: str = "b") -> list:
+           registry: dict | None = None, bnode_prefix: str = "b",
+           ctx: Context | None = None) -> list:
     """Parsed JSON value → list of quads.
 
     Signature parity: [v0.5.0] parser.py to_rdf(data, dataset, base,
@@ -77,10 +78,13 @@ def to_rdf(data, context_data=None, base: str | None = None,
     (~L100-120; [checkout] docs/jsonld-parser.rst:50 documents the public
     function). ``dataset`` is replaced by the returned quad list;
     ``registry`` replaces remote-context HTTP fetch (SURVEY.md §2.A7).
+    ``ctx`` short-circuits context resolution with a pre-resolved (e.g.
+    broadcast) Context — the per-executor fast path (SURVEY.md §1.2).
     """
-    ctx = Context(base=base, registry=registry)
-    if context_data is not None:
-        ctx = ctx.load(context_data)
+    if ctx is None:
+        ctx = Context(base=base, registry=registry)
+        if context_data is not None:
+            ctx = ctx.load(context_data)
     state = _State(bnode_prefix, generalized_rdf, allow_lists_of_lists)
 
     # Top-level dispatch: array | @graph wrapper | single node
