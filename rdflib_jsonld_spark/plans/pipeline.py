@@ -1,0 +1,56 @@
+"""The north-star KG-construction pipeline, end to end (SURVEY.md §3.4).
+
+    transcripts(conv_id, turn_idx, role, text, tool, ts)
+      → [narrow]  fused extract+expand (mapInPandas; ctx broadcast)
+      → [shuffle] graph-set dedup (G4)
+      → [shuffle] blocking + sameAs edges → large/small-star CC (F1/F2)
+      → [bcast]   canonical rewrite (F3)
+      → [shuffle] write bucket(s)-partitioned quad table (M4)
+
+All per-turn work is shuffle-free until linking; the canonical map is
+broadcast (entities ≪ quads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rdflib_jsonld_spark.operators.expand import (
+    dedup_quads, expand_transcripts)
+from rdflib_jsonld_spark.operators.linking import (
+    canonical_mapping, canonicalize_quads, entity_mention_counts)
+
+
+def build_session(master: str = "local[*]", app: str = "kg-pipeline",
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    """Session defaults tuned for the pipeline: AQE on (skew join +
+    coalesce), Arrow on (vectorized Python exchange)."""
+    b = (
+        SparkSession.builder.master(master).appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def construct_graph(transcripts: DataFrame) -> dict[str, DataFrame]:
+    """Full pipeline; returns the intermediate + final DataFrames so
+    callers (tests, bench, driver contract) can pick their stage."""
+    quads_raw = expand_transcripts(transcripts)
+    quads = dedup_quads(quads_raw)
+    mapping = canonical_mapping(quads)
+    canon = canonicalize_quads(quads, mapping)
+    counts = entity_mention_counts(quads, mapping)
+    return {
+        "quads_raw": quads_raw,
+        "quads": quads,
+        "mapping": mapping,
+        "canonical_quads": canon,
+        "entity_counts": counts,
+    }

@@ -1,0 +1,110 @@
+"""Entity linking: CC correctness on adversarial shapes + gold-cluster
+recovery from the synthetic corpus (SURVEY.md §2.F2/F3, FIXTURES.md §5)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from rdflib_jsonld_spark.operators.expand import expand_transcripts
+from rdflib_jsonld_spark.operators.linking import (
+    canonical_mapping, canonicalize_quads, connected_components,
+    entity_mention_counts, mention_edges, normalize_surface)
+from rdflib_jsonld_spark.sources import transcripts as tr
+from rdflib_jsonld_spark.sources.registry import KG
+
+
+def _cc(spark, pairs):
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    rows = connected_components(e).collect()
+    comp = {}
+    for r in rows:
+        comp[r.node] = r.root
+    return comp
+
+
+def test_cc_chain(spark):
+    # 12-node chain — needs multiple star rounds
+    pairs = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(11)]
+    comp = _cc(spark, pairs)
+    assert set(comp.values()) == {"n00"}
+    assert all(comp[f"n{i:02d}"] == "n00" for i in range(1, 12))
+
+
+def test_cc_two_components_and_clique(spark):
+    pairs = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),  # clique
+             ("b1", "b2"),
+             ("c1", "c2"), ("c2", "c3"), ("c3", "c4"), ("c1", "c4")]  # cycle
+    comp = _cc(spark, pairs)
+    assert comp["a2"] == comp["a3"] == "a1"
+    assert comp["b2"] == "b1"
+    assert comp["c2"] == comp["c3"] == comp["c4"] == "c1"
+
+
+def test_cc_star_hot_node(spark):
+    # skew: one hub connected to 200 leaves
+    pairs = [("hub", f"leaf{i:03d}") for i in range(200)]
+    comp = _cc(spark, pairs)
+    assert set(comp.values()) == {"hub"}
+    assert len(comp) == 200
+
+
+def test_normalize_surface(spark):
+    df = spark.createDataFrame(
+        [("Quantum Systems 0",), ("quantum-systems-0",),
+         ("QUANTUM SYSTEMS 0",), ("quantum systems 0 inc",)], ["s"])
+    vals = {r[0] for r in df.select(normalize_surface(F.col("s"))).collect()}
+    assert vals == {"quantum systems 0"}
+
+
+def test_gold_cluster_recovery(spark):
+    """CC over sameAs + surface-block edges must recover the generator's
+    gold clustering alias → kge:e/{i}/a0 (FIXTURES.md §5)."""
+    df = tr.transcripts_df(spark, n_convs=80, seed=42, partitions=8)
+    quads = expand_transcripts(df).cache()
+    mapping = canonical_mapping(quads)
+    alias_re = re.compile(re.escape(KG) + r"e/(\d+)/a(\d+)$")
+    bad = []
+    rows = mapping.collect()
+    seen_entities = set()
+    for r in rows:
+        m = alias_re.match(r.node)
+        if not m:
+            continue
+        ent = m.group(1)
+        seen_entities.add(ent)
+        if r.root != f"{KG}e/{ent}/a0":
+            bad.append((r.node, r.root))
+    assert not bad, bad[:10]
+    assert len(seen_entities) > 20  # corpus covered a spread of entities
+    # aliases j>0 actually occurred (CC had real work)
+    assert any(alias_re.match(r.node).group(2) != "0"
+               for r in rows if alias_re.match(r.node))
+    quads.unpersist()
+
+
+def test_canonicalize_and_counts(spark):
+    df = tr.transcripts_df(spark, n_convs=40, seed=42, partitions=4)
+    quads = expand_transcripts(df).cache()
+    mapping = canonical_mapping(quads).cache()
+    canon = canonicalize_quads(quads, mapping)
+    # after rewrite, no subject/object alias with j>0 remains
+    alias_pat = re.escape(KG) + r"e/\d+/a[1-9]"
+    assert canon.where(F.col("s").rlike(alias_pat)).count() == 0
+    assert canon.where((F.col("o_kind") == "iri")
+                       & F.col("o_value").rlike(alias_pat)).count() == 0
+    # salted counts equal naive counts
+    counts = entity_mention_counts(quads, mapping)
+    naive = (
+        canonicalize_quads(quads, mapping)
+        .where((F.col("p") == f"{KG}vocab#about") & (F.col("o_kind") == "iri"))
+        .groupBy(F.col("o_value").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    got = {(r.canonical_id, r.n_mentions) for r in counts.collect()}
+    want = {(r.canonical_id, r.n_mentions) for r in naive.collect()}
+    assert got == want
+    # zipf: entity 0 is the hot head
+    top = max(got, key=lambda t: t[1])
+    assert top[0] == f"{KG}e/0/a0"
+    mapping.unpersist()
+    quads.unpersist()
