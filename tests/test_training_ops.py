@@ -1,0 +1,160 @@
+"""Training-data operators: dedup tiers, similarity, text stats,
+multimodal plumbing — tested on /root/testdata sf0.001 + synthetic edges."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rdflib_jsonld_spark.operators import dedup, multimodal, similarity
+from rdflib_jsonld_spark.operators.textstats import (
+    with_fingerprint, with_lang_id, with_quality_score, with_token_counts)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_counts(docs):
+    out = with_token_counts(docs).select("doc_id", "n_ws_tokens",
+                                         "n_bpe_tokens").collect()
+    by_id = {r.doc_id: r for r in out}
+    sample = docs.where(F.col("doc_id") == 0).collect()[0]
+    assert by_id[0].n_ws_tokens == len(sample.text.split())
+    assert all(r.n_bpe_tokens >= r.n_ws_tokens for r in out)
+
+
+def test_quality_score_bounds(docs):
+    out = with_quality_score(docs)
+    row = out.agg(F.min("quality_score"), F.max("quality_score")).collect()[0]
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+    # word-salad corpus: long docs should score well
+    good = out.where((F.col("n_chars") > 200)).agg(
+        F.avg("quality_score")).collect()[0][0]
+    assert good >= 0.6
+
+
+def test_fingerprint_exact_dedup(spark, docs):
+    # plant exact duplicates: copy 5 docs with new ids
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dups = docs.unionByName(dup)
+    groups = dedup.exact_dedup_groups(with_dups)
+    got = {tuple(sorted(r.member_ids)) for r in groups.collect()}
+    assert len(got) == 5
+    assert all(b == a + 1_000_000 for a, b in got)
+    kept = dedup.exact_dedup(with_dups)
+    assert kept.count() == docs.count()
+    assert kept.where(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # plant near-duplicates: append a short suffix to 5 docs
+    near = (docs.limit(5)
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail"))))
+    with_dups = docs.limit(200).unionByName(near)
+    pairs = dedup.minhash_lsh_pairs(with_dups, jaccard_threshold=0.6)
+    rows = pairs.collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    planted = {(i, i + 2_000_000) for i in range(5)}
+    assert planted <= got, f"missing: {planted - got}"
+    # precision vs the exact metric: every reported pair must have true
+    # char-shingle jaccard near its estimate (the word-salad corpus has
+    # genuine near-dups — tiny vocabulary — so we verify against ground
+    # truth, not corpus intuition)
+    texts = {r.doc_id: r.text for r in with_dups.collect()}
+    for r in rows[:20]:
+        a = set(dedup._char_shingles(texts[r.id_a], 5).tolist())
+        b = set(dedup._char_shingles(texts[r.id_b], 5).tolist())
+        true_j = len(a & b) / len(a | b)
+        assert true_j >= 0.45, (r.id_a, r.id_b, true_j, r.est_jaccard)
+
+
+def test_simhash_near_dups(spark, docs):
+    near = (docs.limit(3)
+            .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" q"))))
+    with_dups = docs.limit(150).unionByName(near)
+    pairs = dedup.simhash_pairs(with_dups, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 3_000_000) for i in range(3)}
+    assert planted <= got
+
+
+def test_ngram_jaccard(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    q = list(map(float, rows[0].embedding))
+    qv = np.array(q)
+    sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = np.argsort(-sims)[:5]
+    want = [rows[i].vec_id for i in order]
+    got = [r.vec_id for r in
+           similarity.brute_force_topk(emb, q, k=5).collect()]
+    assert got == want
+    assert got[0] == rows[0].vec_id  # self-match first
+
+
+def test_ann_topk_recall(emb):
+    rows = emb.limit(1).collect()
+    q = list(map(float, rows[0].embedding))
+    exact = {r.vec_id for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    approx = {r.vec_id for r in
+              similarity.ann_topk(emb, q, k=5, n_bits=8).collect()}
+    # ANN must at least find the query itself + reasonable overlap
+    assert rows[0].vec_id in approx
+    assert len(exact & approx) >= 2
+
+
+def test_pairwise_topk_shapes(emb):
+    queries = emb.limit(3)
+    out = similarity.pairwise_topk(emb.limit(100), queries, k=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    assert all(1 <= r.rank <= 4 for r in rows)
+
+
+def test_lang_id(spark):
+    rows = [(1, "the cat and the dog went to the house of friends"),
+            (2, "der hund und die katze gingen in das schöne haus"),
+            (3, "le chien et le chat sont entrés dans la maison que"),
+            (4, "这是一个中文句子，我们在这里写了很多中文字。")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.pred_lang for r in with_lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "zh"
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synthetic_media_df(spark, n=30)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    dims = {r.kind: len(r.feature) for r in rows}
+    assert dims == {"image": 192, "audio": 64, "video": 256}
+    # deterministic: same payload → same features
+    again = {r.media_id: r.feature for r in
+             multimodal.extract_features(media).collect()}
+    first = {r.media_id: r.feature for r in rows}
+    assert again == first
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    per_vid = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] == 5 for r in per_vid)  # 5000ms / 1000ms
