@@ -207,9 +207,9 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
         id_col, "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
     ).withColumn(
+        # shiftrightunsigned needs a column shift → SQL expr form
         "band_key",
-        F.shiftrightunsigned(F.col("simhash"), F.col("band_idx") * 16)
-        .bitwiseAND(F.lit(0xFFFF)),
+        F.expr("shiftrightunsigned(simhash, band_idx * 16) & 65535"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -79,13 +79,21 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 1234) -> np.ndarray:
     return rng.normal(size=(n_bits, dim)).astype(np.float64)
 
 
-def lsh_bucket_signatures(embeddings: DataFrame, dim: int, n_bits: int = 16,
-                          seed: int = 1234, id_col: str = "vec_id",
+def lsh_bucket_signatures(embeddings: DataFrame, dim: int, n_bits: int = 12,
+                          n_tables: int = 8, seed: int = 1234,
+                          id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
-    """(id, bucket:long) — random-hyperplane (sign) LSH, one numpy pass."""
-    planes = _hyperplanes(dim, n_bits, seed)
+    """(id, table, bucket) — multi-table random-hyperplane LSH, one numpy
+    pass. Multiple independent tables trade space for recall (union of
+    per-table buckets), the standard sign-LSH construction (Charikar '02 /
+    Indyk-Motwani — public). Recall is data-dependent: high on clustered
+    embeddings, inherently poor on isotropic-random ones (no locality to
+    hash — verified by the clustered-vs-uniform tests)."""
+    planes = [_hyperplanes(dim, n_bits, seed + 7919 * t)
+              for t in range(n_tables)]
     schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
+        T.StructField("table", T.IntegerType(), False),
         T.StructField("bucket", T.LongType(), False),
     ])
 
@@ -95,25 +103,45 @@ def lsh_bucket_signatures(embeddings: DataFrame, dim: int, n_bits: int = 16,
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if mat.size == 0:
                 continue
-            signs = (mat @ planes.T) > 0
-            buckets = (signs.astype(np.uint64) * weights).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].values,
-                                "bucket": buckets.astype(np.int64)})
+            frames = []
+            for t, pl in enumerate(planes):
+                signs = (mat @ pl.T) > 0
+                buckets = (signs.astype(np.uint64) * weights).sum(axis=1)
+                frames.append(pd.DataFrame({
+                    id_col: pdf[id_col].values,
+                    "table": np.int32(t),
+                    "bucket": buckets.astype(np.int64)}))
+            yield pd.concat(frames, ignore_index=True)
 
     return embeddings.select(id_col, vec_col).mapInPandas(gen, schema=schema)
 
 
-def ann_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
-             n_bits: int = 12, seed: int = 1234, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """ANN: restrict exact scoring to the query's LSH bucket (plus exact
-    rescore). Falls back to brute force if the bucket is tiny."""
+def query_buckets(qvec: list[float], n_bits: int = 12, n_tables: int = 8,
+                  seed: int = 1234) -> list[tuple[int, int]]:
+    """(table, bucket) keys for a query vector — same planes as above."""
     dim = len(qvec)
-    sigs = lsh_bucket_signatures(embeddings, dim, n_bits, seed, id_col, vec_col)
-    planes = _hyperplanes(dim, n_bits, seed)
-    qsigns = (planes @ np.asarray(qvec, dtype=np.float64)) > 0
-    qbucket = int((qsigns.astype(np.uint64)
-                   * (1 << np.arange(n_bits, dtype=np.uint64))).sum())
-    cand_ids = sigs.where(F.col("bucket") == qbucket).select(id_col)
+    qv = np.asarray(qvec, dtype=np.float64)
+    weights = (1 << np.arange(n_bits, dtype=np.uint64))
+    out = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_bits, seed + 7919 * t)
+        signs = (planes @ qv) > 0
+        out.append((t, int((signs.astype(np.uint64) * weights).sum())))
+    return out
+
+
+def ann_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
+             n_bits: int = 12, n_tables: int = 8, seed: int = 1234,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: exact rescoring restricted to the union of the query's buckets
+    across tables — candidate count ≈ n_tables · n / 2^n_bits, tunable."""
+    sigs = lsh_bucket_signatures(embeddings, len(qvec), n_bits, n_tables,
+                                 seed, id_col, vec_col)
+    qb = query_buckets(qvec, n_bits, n_tables, seed)
+    cond = None
+    for t, b in qb:
+        c = (F.col("table") == t) & (F.col("bucket") == b)
+        cond = c if cond is None else (cond | c)
+    cand_ids = sigs.where(cond).select(id_col).distinct()
     cands = embeddings.join(cand_ids, id_col, "left_semi")
     return brute_force_topk(cands, qvec, k, id_col, vec_col)
