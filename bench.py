@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners:
+- kg_pipeline_documents : full expand→link→canonicalize on the documents
+  bridge (the north-star path).
+- kg_expand_synthetic   : transcript expansion throughput on the synthetic
+  generator corpus (turns/sec reported in extras.turns_per_sec).
+- tpch q1/q3/q5, minhash near-dup, embedding top-k: operator breadth.
+
+Scaling (N vs 4N executors proxy): tools/bench_scaling.py runs the same
+expansion job at local[8] and local[32] and records efficiency in
+BENCH_SCALING.json / BASELINE.md (driver instruction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+
+    from rdflib_jsonld_spark.plans.pipeline import build_session
+    import __spark_entry__ as em
+    from rdflib_jsonld_spark.operators.expand import expand_transcripts
+    from rdflib_jsonld_spark.sources import transcripts as tr
+
+    spark = build_session(f"local[{cpus}]", "bench",
+                          shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # -- KG pipeline over the sf documents bridge --------------------------
+    timed("kg_pipeline_documents",
+          lambda: em.q_kg_entity_counts_documents(spark, sf_dir).collect())
+
+    # -- transcript expansion throughput (synthetic corpus, parquet-backed)
+    with tempfile.TemporaryDirectory() as td:
+        tpath = os.path.join(td, "transcripts")
+        tr.write_transcripts(spark, tpath, n_convs=n_convs, seed=42,
+                             partitions=cpus * 2)
+        tdf = tr.read_transcripts(spark, tpath)
+        n_turns = tdf.count()
+
+        def run_expand():
+            return expand_transcripts(tdf).count()
+
+        n_quads = timed("kg_expand_synthetic", run_expand)
+        extras["turns_per_sec"] = round(n_turns / timings["kg_expand_synthetic"], 1)
+        extras["n_turns"] = n_turns
+        extras["n_quads"] = n_quads
+
+    # -- operator breadth ----------------------------------------------------
+    timed("tpch_q1", lambda: em.q_tpch_q1_pricing_summary(spark, sf_dir).collect())
+    timed("tpch_q3", lambda: em.q_tpch_q3_shipping_priority(spark, sf_dir).collect())
+    timed("tpch_q5", lambda: em.q_tpch_q5_local_supplier(spark, sf_dir).collect())
+    timed("minhash_near_dups",
+          lambda: em.q_doc_minhash_near_dups(spark, sf_dir).collect())
+    timed("emb_topk_cosine", lambda: em.q_emb_topk_cosine(spark, sf_dir).collect())
+    timed("events_sessionize",
+          lambda: em.q_events_sessionize(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kg_pipeline_e2e_plus_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "extras": extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
