@@ -100,16 +100,53 @@ def _small_star(e: DataFrame) -> DataFrame:
             .distinct())
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def _driver_union_find(rows) -> list[tuple[str, str]]:
+    """Union-find with path compression for small edge sets."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst in rows:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # root = lexicographic min, matching the star algorithm
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = set(parent)
+    for src, dst in rows:
+        nodes.add(src)
+        nodes.add(dst)
+    return [(n, find(n)) for n in sorted(nodes) if find(n) != n]
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         driver_threshold: int = 200_000) -> DataFrame:
     """(src, dst) undirected edges → (node, root) with root = component min.
 
-    Alternates large-star/small-star until the edge set reaches a fixpoint
-    (checksum + count compare — one cheap agg per round). localCheckpoint
-    per round cuts lineage so plans stay O(1) deep (SURVEY.md §2.F2).
+    Adaptive strategy (the GraphFrames-style switch): below
+    ``driver_threshold`` edges, collect and run union-find on the driver —
+    O(E α(E)) beats ~10 shuffle rounds by two orders of magnitude for the
+    post-blocking entity graph, which is tiny relative to the quad table
+    even at 10^12 turns (|entities| ≪ |mentions|). Above it, alternate
+    large-star/small-star (Kiveris et al.) until the edge set reaches a
+    fixpoint (checksum + count compare). localCheckpoint per round cuts
+    lineage so plans stay O(1) deep (SURVEY.md §2.F2).
     """
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    if not e.head(1):
+    n_edges = e.count()
+    if n_edges == 0:
         return e.select(F.col("src").alias("node"), F.col("dst").alias("root"))
+    if n_edges <= driver_threshold:
+        spark = edges.sparkSession
+        pairs = _driver_union_find(
+            [(r.src, r.dst) for r in e.collect()])
+        return spark.createDataFrame(pairs, ["node", "root"])
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -1,0 +1,82 @@
+"""Incremental KG construction over a transcript stream (SURVEY.md §2.I).
+
+The reference is strictly batch (one document per parse() call —
+[checkout] docs/jsonld-parser.rst:13-14); streaming is a pipeline
+extension: the SAME narrow expand stage (mapInPandas over the broadcast
+context) runs under Structured Streaming, so batch and streaming share one
+code path — the idiomatic Spark unification.
+
+- ``stream_expand``: readStream(parquet dir) → expand → append-mode parquet
+  sink with checkpointed offsets (exactly-once per file; restart-safe —
+  the streaming twin of the batch ResumableQuadWriter).
+- ``stream_turn_rates``: watermarked sliding-window turn counts per role —
+  the late-data-tolerant aggregation pattern (10-minute watermark bounds
+  state).
+
+``availableNow`` triggers make both testable offline: each run drains
+exactly the files not yet recorded in the checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rdflib_jsonld_spark.operators.expand import expand_transcripts
+from rdflib_jsonld_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, input_path: str,
+                           max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(input_path)
+
+
+def stream_expand(spark: SparkSession, input_path: str, output_path: str,
+                  checkpoint_path: str, await_termination: bool = True):
+    """Incrementally expand new transcript files into the quad table."""
+    stream = read_transcript_stream(spark, input_path)
+    quads = expand_transcripts(stream)
+    q = (quads.writeStream
+         .format("parquet")
+         .option("path", output_path)
+         .option("checkpointLocation", checkpoint_path)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def stream_turn_rates(transcripts: DataFrame,
+                      window: str = "1 hour",
+                      slide: str | None = None,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked (sliding-)window turn counts per role — late rows beyond
+    the watermark are dropped, bounding state (the standard pattern)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (transcripts
+            .withWatermark("ts", watermark)
+            .groupBy(win.alias("w"), "role")
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "role", "n_turns"))
+
+
+def run_turn_rates(spark: SparkSession, input_path: str, output_path: str,
+                   checkpoint_path: str, await_termination: bool = True):
+    stream = read_transcript_stream(spark, input_path)
+    rates = stream_turn_rates(stream)
+    q = (rates.writeStream
+         .format("parquet")
+         .option("path", output_path)
+         .option("checkpointLocation", checkpoint_path)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -14,12 +14,14 @@ from rdflib_jsonld_spark.sources.registry import KG
 
 
 def _cc(spark, pairs):
+    """Run BOTH CC paths (driver union-find and distributed star) and
+    assert they agree before returning the mapping."""
     e = spark.createDataFrame(pairs, ["src", "dst"])
-    rows = connected_components(e).collect()
-    comp = {}
-    for r in rows:
-        comp[r.node] = r.root
-    return comp
+    fast = {(r.node, r.root) for r in connected_components(e).collect()}
+    dist = {(r.node, r.root) for r in
+            connected_components(e, driver_threshold=0).collect()}
+    assert fast == dist, (sorted(fast - dist)[:5], sorted(dist - fast)[:5])
+    return dict(fast)
 
 
 def test_cc_chain(spark):

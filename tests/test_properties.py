@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis; SURVEY.md §5.2.4): random JSON-LD
+documents closed over the supported keyword surface, checked for
+- determinism (same quads twice),
+- JSON round-trip stability (dumps/loads doesn't change output),
+- serializer round-trip: to_rdf(from_rdf(q)) isomorphic to q.
+"""
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from rdflib_jsonld_spark.jsonld import from_rdf, to_rdf
+from rdflib_jsonld_spark.jsonld.compare import isomorphic
+
+EX = "http://example.org/"
+
+CTX = {
+    "ex": EX,
+    "name": f"{EX}name",
+    "knows": {"@id": f"{EX}knows", "@type": "@id"},
+    "items": {"@id": f"{EX}items", "@container": "@list"},
+    "label": {"@id": f"{EX}label", "@container": "@language"},
+    "score": {"@id": f"{EX}score", "@type": "http://www.w3.org/2001/XMLSchema#double"},
+}
+
+simple_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                           max_codepoint=0x24F),
+    min_size=0, max_size=12)
+
+scalar = st.one_of(
+    simple_text,
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+
+iri_local = st.integers(min_value=0, max_value=30).map(lambda i: f"ex:n{i}")
+
+
+def node_objects(depth: int):
+    if depth <= 0:
+        return st.fixed_dictionaries({"@id": iri_local})
+    child = node_objects(depth - 1)
+    value = st.one_of(
+        scalar,
+        child,
+        st.lists(scalar, max_size=3),
+        st.fixed_dictionaries({"@value": simple_text,
+                               "@language": st.sampled_from(["en", "de", "fr"])}),
+    )
+    return st.fixed_dictionaries(
+        {"@id": iri_local},
+        optional={
+            "@type": st.sampled_from(["ex:T1", "ex:T2"]),
+            "name": simple_text,
+            "knows": st.one_of(iri_local, child),
+            "items": st.lists(scalar, max_size=4),
+            "label": st.dictionaries(st.sampled_from(["en", "de"]),
+                                     simple_text, max_size=2),
+            "score": st.one_of(st.integers(-1000, 1000),
+                               st.floats(allow_nan=False, allow_infinity=False,
+                                         width=32)),
+            "ex:other": st.one_of(scalar, st.lists(scalar, max_size=2)),
+        })
+
+
+documents = node_objects(2).map(lambda n: {"@context": CTX, **n})
+
+
+@given(documents)
+@settings(max_examples=60, deadline=None)
+def test_tordf_deterministic(doc):
+    assert to_rdf(doc) == to_rdf(doc)
+
+
+@given(documents)
+@settings(max_examples=60, deadline=None)
+def test_tordf_json_stable(doc):
+    rt = json.loads(json.dumps(doc))
+    assert to_rdf(doc) == to_rdf(rt)
+
+
+@given(documents)
+@settings(max_examples=60, deadline=None)
+def test_serializer_roundtrip(doc):
+    quads = to_rdf(doc)
+    tree = from_rdf(quads)
+    again = to_rdf(tree)
+    assert isomorphic(quads, again), (
+        doc, sorted(map(str, quads)), sorted(map(str, again)))

@@ -1,0 +1,96 @@
+"""Serializer (from-rdf) round-trip: expand → serialize → re-expand must be
+isomorphic per document (SURVEY.md §7 M5 exit criterion), plus pure-core
+compaction goldens from the checkout doctests."""
+
+import json
+
+from rdflib_jsonld_spark.jsonld import from_rdf, to_rdf
+from rdflib_jsonld_spark.jsonld.compare import isomorphic
+from rdflib_jsonld_spark.operators.expand import expand_transcripts
+from rdflib_jsonld_spark.operators.serialize import (
+    row_to_quad, serialize_documents)
+from rdflib_jsonld_spark.sources import transcripts as tr
+
+DC = "http://purl.org/dc/terms/"
+EX = "http://example.org/"
+
+
+def test_fromrdf_checkout_doctest_compacted():
+    """[checkout] README.md:49-77 shape: @vocab+@language context folds a
+    tagged literal back to a bare string."""
+    quads = to_rdf({"@context": {"@vocab": DC, "@language": "en"},
+                    "@id": f"{EX}about", "title": "Someone's Homepage"})
+    tree = from_rdf(quads, context_data={"@vocab": DC, "@language": "en"})
+    assert tree["@id"] == f"{EX}about"
+    assert tree["title"] == "Someone's Homepage"
+    rt = to_rdf(tree)
+    assert isomorphic(quads, rt)
+
+
+def test_fromrdf_expanded_default():
+    quads = to_rdf({"@context": {"ex": EX}, "@id": f"{EX}s",
+                    "ex:p": [1, "x"], "@type": "ex:T"})
+    tree = from_rdf(quads)
+    assert isinstance(tree, list) and len(tree) == 1
+    node = tree[0]
+    assert node["@id"] == f"{EX}s"
+    assert node["@type"] == [f"{EX}T"]
+    assert isomorphic(to_rdf(tree), quads)
+
+
+def test_fromrdf_list_reassembly():
+    doc = {"@context": {"ex": EX}, "@id": f"{EX}s",
+           "ex:items": {"@list": ["a", "b", "c"]}}
+    quads = to_rdf(doc)
+    tree = from_rdf(quads)
+    (node,) = tree
+    val = node[f"{EX}items"]
+    assert val == [{"@list": [{"@value": "a"}, {"@value": "b"},
+                              {"@value": "c"}]}]
+    assert isomorphic(to_rdf(tree), quads)
+
+
+def test_fromrdf_named_graph_roundtrip():
+    doc = {"@context": {"ex": EX}, "@id": f"{EX}g1", "ex:label": "G",
+           "@graph": [{"@id": "ex:s", "ex:p": "v"}]}
+    quads = to_rdf(doc)
+    tree = from_rdf(quads)
+    assert isomorphic(to_rdf(tree), quads)
+
+
+def test_fromrdf_native_types():
+    quads = to_rdf({"@context": {"ex": EX}, "@id": f"{EX}s",
+                    "ex:i": 42, "ex:b": True})
+    tree = from_rdf(quads, use_native_types=True)
+    (node,) = tree
+    vals = {k: v for k, v in node.items() if k.startswith(EX)}
+    assert {"@value": 42} in vals[f"{EX}i"]
+    assert {"@value": True} in vals[f"{EX}b"]
+    assert isomorphic(to_rdf(tree), quads)
+
+
+def test_auto_compact_derives_prefixes():
+    quads = to_rdf({"@context": {"dc": DC}, "@id": f"{EX}about",
+                    "dc:title": "T"})
+    tree = from_rdf(quads, auto_compact=True)
+    assert tree["@context"].get("dcterms") == DC
+    assert tree["dcterms:title"] == "T"
+
+
+def test_spark_serialize_roundtrip(spark):
+    """Distributed round-trip: expand N convs, serialize per document,
+    re-expand each emitted JSON-LD doc, compare quad multisets."""
+    df = tr.transcripts_df(spark, n_convs=20, seed=42, partitions=4)
+    quads = expand_transcripts(df).cache()
+    docs = serialize_documents(quads).collect()
+    assert len(docs) > 0
+    originals = {}
+    for r in quads.collect():
+        originals.setdefault((r.conv_id, r.turn_idx), []).append(row_to_quad(r))
+    assert set(originals) == {(d.conv_id, d.turn_idx) for d in docs}
+    for d in docs:
+        tree = json.loads(d.jsonld)
+        rt = to_rdf(tree)
+        assert isomorphic(rt, originals[(d.conv_id, d.turn_idx)]), \
+            (d.conv_id, d.turn_idx)
+    quads.unpersist()

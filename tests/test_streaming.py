@@ -1,0 +1,54 @@
+"""Structured Streaming: incremental expansion equals batch expansion;
+checkpoint makes re-runs incremental; watermarked window agg runs."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from rdflib_jsonld_spark.operators.expand import expand_transcripts
+from rdflib_jsonld_spark.sources import transcripts as tr
+from rdflib_jsonld_spark.streaming.incremental import (
+    run_turn_rates, stream_expand)
+
+
+def _write_batch(spark, path, lo, hi):
+    (tr.transcripts_df(spark, n_convs=hi, seed=42, partitions=2)
+     .where(F.col("conv_id") >= f"conv_{lo:08d}")
+     .write.mode("append").parquet(path))
+
+
+def test_stream_expand_matches_batch_and_is_incremental(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, inp, 0, 10)
+    stream_expand(spark, inp, out, ckpt)
+    got1 = spark.read.parquet(out)
+    want1 = expand_transcripts(spark.read.parquet(inp))
+    assert got1.count() == want1.count()
+
+    n_files_1 = len(glob.glob(f"{out}/*.parquet"))
+
+    # append a second batch of NEW conversations; only they get processed
+    _write_batch(spark, inp, 10, 18)
+    stream_expand(spark, inp, out, ckpt)
+    got2 = spark.read.parquet(out)
+    want2 = expand_transcripts(spark.read.parquet(inp))
+    assert got2.count() == want2.count()
+    assert {tuple(r) for r in got2.collect()} \
+        == {tuple(r) for r in want2.collect()}
+    assert len(glob.glob(f"{out}/*.parquet")) > n_files_1
+
+
+def test_stream_turn_rates(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, inp, 0, 10)
+    run_turn_rates(spark, inp, out, ckpt)
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert {r.role for r in rows} <= {"user", "assistant", "tool"}
+    assert all(r.n_turns > 0 for r in rows)
