@@ -68,6 +68,30 @@ def q_kg_predicate_counts_documents(spark, sf_dir) -> DataFrame:
             .orderBy("p"))
 
 
+def q_kg_quad_stats_documents(spark, sf_dir) -> DataFrame:
+    """E5 stats over the documents-bridge quad table — fully predictable
+    from doc_id arithmetic (subjects = mention nodes + sameAs chain
+    subjects), so count_distinct gets a real oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    quads_raw = expand_transcripts(documents_as_transcripts(docs))
+    return quads_raw.agg(
+        F.count(F.lit(1)).alias("n_quads"),
+        F.countDistinct("s").alias("n_subjects"),
+        F.countDistinct("p").alias("n_predicates"))
+
+
+def q_kg_serialized_documents(spark, sf_dir) -> DataFrame:
+    """A3/A4 serializer surface: expand a deterministic synthetic corpus,
+    re-serialize per document (from-rdf), report sizes."""
+    from rdflib_jsonld_spark.operators.serialize import serialize_documents
+    t = tr.transcripts_df(spark, n_convs=60, seed=42)
+    quads = expand_transcripts(t)
+    return (serialize_documents(quads)
+            .select("conv_id", "turn_idx", "n_quads",
+                    F.length("jsonld").alias("n_chars"))
+            .orderBy("conv_id", "turn_idx"))
+
+
 def q_kg_top_predicates_transcripts(spark, sf_dir) -> DataFrame:
     # synthetic generator corpus (sf_dir-independent, deterministic seed)
     t = tr.transcripts_df(spark, n_convs=150, seed=42)
@@ -145,6 +169,26 @@ def q_tpch_q5_local_supplier(spark, sf_dir) -> DataFrame:
                            * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+def q_tpch_q6_forecast_revenue(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows")))
+
+
+def q_lineitem_cube(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag", "l_linestatus"))
 
 
 def q_orders_rank_window(spark, sf_dir) -> DataFrame:
@@ -306,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG pipeline (SURVEY §2 A/C/D + F linking)
         "kg_entity_counts_documents": q_kg_entity_counts_documents,
         "kg_predicate_counts_documents": q_kg_predicate_counts_documents,
+        "kg_quad_stats_documents": q_kg_quad_stats_documents,
+        "kg_serialized_documents": q_kg_serialized_documents,
         "kg_top_predicates_transcripts": q_kg_top_predicates_transcripts,
         "kg_canonical_mapping_transcripts": q_kg_canonical_mapping_transcripts,
         "kg_sameas_edges_transcripts": q_kg_sameas_edges_transcripts,
@@ -313,6 +359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "lineitem_cube": q_lineitem_cube,
         "orders_rank_window": q_orders_rank_window,
         "events_sessionize": q_events_sessionize,
         "events_json_stats": q_events_json_stats,
@@ -362,6 +410,21 @@ def oracle_sql() -> dict[str, str]:
                                sum(j)::BIGINT FROM d)
             ORDER BY p
         """,
+        "kg_quad_stats_documents": """
+            WITH d AS (
+              SELECT doc_id % 500 AS e,
+                     doc_id % (1 + (doc_id % 500) % 3) AS j
+              FROM documents),
+            links AS (
+              SELECT DISTINCT e, m
+              FROM d, unnest(generate_series(1, j)) AS t(m)
+              WHERE j >= 1)
+            SELECT ((SELECT 5 * count(*) FROM documents)
+                    + (SELECT coalesce(sum(j), 0) FROM d))::BIGINT AS n_quads,
+                   ((SELECT count(*) FROM documents)
+                    + (SELECT count(*) FROM links))::BIGINT AS n_subjects,
+                   6::BIGINT AS n_predicates
+        """,
         # --- relational -----------------------------------------------------
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -403,6 +466,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= timestamp '1996-01-01'
+              AND l_shipdate <  timestamp '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "lineitem_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
         "orders_rank_window": """
             SELECT o_custkey, o_orderkey, rn FROM (

@@ -1,74 +1,121 @@
 """Two-parallelism scaling measurement (north_rule: throughput scaling
 efficiency ≥0.8 from N to 4N executors; sandbox proxy per driver
-instruction: local[8] vs local[32] on identical input + code).
+instruction: same job, same input, N vs 4N cores).
+
+Methodology — faithful executor proxy:
+- An N-core cluster owns N cores TOTAL (JVM task threads + Python workers
+  share them). Running local[8] unpinned on a 32-core box hands the
+  baseline 4× spare cores and understates scaling. Each level therefore
+  runs in a subprocess pinned with ``taskset -c 0..N-1`` to exactly N
+  cores — local[N] on N cores vs local[4N] on 4N cores.
+- Identical parquet input (256 files, one read split per file via
+  maxPartitionBytes/openCostInBytes) and identical code.
+- Full untimed warm-up pass (Python worker pool + JIT), then best-of-2
+  timed runs of the narrow expand stage that dominates the pipeline.
 
 Writes BENCH_SCALING.json and prints the table for BASELINE.md.
-
-Method:
-- materialize the deterministic synthetic transcript table once (64 parquet
-  files so both runs see the same 64 input splits),
-- per parallelism level: fresh SparkSession, warm-up job (JVM + Python
-  worker pool spin-up excluded from timing), then time
-  expand_transcripts(...).count() — the narrow per-turn path that dominates
-  the pipeline,
-- efficiency = (throughput_32 / throughput_8) / 4.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from rdflib_jsonld_spark.operators.expand import expand_transcripts  # noqa: E402
-from rdflib_jsonld_spark.plans.pipeline import build_session  # noqa: E402
-from rdflib_jsonld_spark.sources import transcripts as tr  # noqa: E402
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def run_level(cpus: int, tpath: str) -> dict:
+    """One measurement at `cpus` cores (call inside a pinned subprocess)."""
+    from rdflib_jsonld_spark.operators.expand import expand_transcripts
+    from rdflib_jsonld_spark.plans.pipeline import build_session
+    from rdflib_jsonld_spark.sources import transcripts as tr
+
     spark = build_session(f"local[{cpus}]", f"scaling-{cpus}",
                           shuffle_partitions=max(cpus, 16))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
     spark.sparkContext.setLogLevel("ERROR")
     tdf = tr.read_transcripts(spark, tpath)
     n_turns = tdf.count()
-    # warm-up: spin up Python worker pool + JIT on a small slice
-    expand_transcripts(tdf.limit(2000)).count()
-    t0 = time.time()
-    n_quads = expand_transcripts(tdf).count()
-    dt = time.time() - t0
+    expand_transcripts(tdf).count()  # warm-up, untimed
+    best, n_quads = None, 0
+    for _ in range(2):
+        t0 = time.time()
+        n_quads = expand_transcripts(tdf).count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
     spark.stop()
     return {"cpus": cpus, "n_turns": n_turns, "n_quads": n_quads,
-            "seconds": round(dt, 2),
-            "turns_per_sec": round(n_turns / dt, 1)}
+            "seconds": round(best, 2),
+            "turns_per_sec": round(n_turns / best, 1)}
+
+
+def run_pinned(cpus: int, tpath: str) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--level",
+           str(cpus), tpath]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_SCALING.json")
-    import tempfile
+    if len(sys.argv) > 1 and sys.argv[1] == "--level":
+        print(json.dumps(run_level(int(sys.argv[2]), sys.argv[3])))
+        return
+
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
+    low_cpus = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "8"))
+    high_cpus = 4 * low_cpus
+    out_path = os.path.join(REPO, "BENCH_SCALING.json")
+
+    from rdflib_jsonld_spark.plans.pipeline import build_session
+    from rdflib_jsonld_spark.sources import transcripts as tr
+
     with tempfile.TemporaryDirectory() as td:
         tpath = os.path.join(td, "transcripts")
         gen = build_session("local[32]", "scaling-gen")
         gen.sparkContext.setLogLevel("ERROR")
         tr.write_transcripts(gen, tpath, n_convs=n_convs, seed=42,
-                             partitions=64)
+                             partitions=256)
         gen.stop()
 
-        low = run_level(8, tpath)
-        high = run_level(32, tpath)
+        low = run_pinned(low_cpus, tpath)
+        high = run_pinned(high_cpus, tpath)
 
     eff = (high["turns_per_sec"] / low["turns_per_sec"]) / 4.0
+
+    # Hardware ceiling: the SAME kernel without Spark (multiprocessing,
+    # pinned). On one shared-memory socket the memory system caps scaling
+    # for any implementation; independent cluster nodes don't share a bus.
+    kernel = json.loads(subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "kernel_ceiling.py"),
+         "20000"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout.strip().splitlines()[-1])
+    ceiling = kernel["kernel_scaling_efficiency"]
+
     result = {
         "low": low, "high": high,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "meets_target": eff >= 0.8,
-        "method": "identical parquet input (64 splits), identical code; "
-                  "local[8] vs local[32] as N vs 4N executor proxy",
+        "kernel_ceiling_no_spark": kernel,
+        "efficiency_vs_hardware_ceiling": round(eff / ceiling, 3),
+        "method": "taskset-pinned local[N] on N cores vs local[4N] on 4N "
+                  "cores (executor proxy); identical parquet input "
+                  "(256 splits), identical code; warm pool, best of 2. "
+                  "kernel_ceiling = same expansion kernel, no Spark, "
+                  "multiprocessing on the same pinned cores — the single-"
+                  "box memory-bandwidth ceiling the proxy cannot exceed.",
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)

@@ -1,0 +1,98 @@
+"""spark-submit entrypoint for the KG-construction pipeline (north_rule:
+"launched via spark-submit --py-files across multi-executor clusters").
+
+Package the library and submit:
+
+    cd /root/repo && zip -r /tmp/kgp.zip rdflib_jsonld_spark
+    spark-submit --py-files /tmp/kgp.zip tools/run_pipeline.py \
+        --input synthetic:2000 --output /tmp/kg_out --slices 8
+
+Stages (SURVEY.md §3.4): resumable expansion (per-slice lineage markers) →
+linking (adaptive CC) → canonical rewrite → bucket(s)-partitioned graph
+table + JSON metrics. Re-running with the same --output resumes: completed
+slices are skipped via their lineage markers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="transcripts parquet path, 'synthetic:N' convs, or "
+                         "'documents:<sf_dir>' for the testdata bridge")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--slices", type=int, default=8)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--master", default=None,
+                    help="override master (default: from spark-submit)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from rdflib_jsonld_spark.operators.expand import (
+        dedup_quads, expand_transcripts)
+    from rdflib_jsonld_spark.operators.linking import (
+        canonical_mapping, canonicalize_quads, entity_mention_counts)
+    from rdflib_jsonld_spark.sources.quads_io import (
+        ResumableQuadWriter, write_quads)
+    from rdflib_jsonld_spark.sources import transcripts as tr
+
+    builder = (SparkSession.builder.appName("kg-pipeline")
+               .config("spark.sql.adaptive.enabled", "true")
+               .config("spark.sql.adaptive.skewJoin.enabled", "true")
+               .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+               .config("spark.sql.session.timeZone", "UTC"))
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.input.startswith("synthetic:"):
+        n = int(args.input.split(":", 1)[1])
+        transcripts = tr.transcripts_df(spark, n_convs=n, seed=42)
+    elif args.input.startswith("documents:"):
+        from rdflib_jsonld_spark.sources.doc_transcripts import (
+            documents_as_transcripts)
+        sf_dir = args.input.split(":", 1)[1]
+        transcripts = documents_as_transcripts(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    else:
+        transcripts = tr.read_transcripts(spark, args.input)
+
+    # stage 1: resumable expansion with per-slice lineage
+    writer = ResumableQuadWriter(spark, args.output, n_slices=args.slices)
+    summary = writer.run(transcripts, expand_transcripts)
+    quads = dedup_quads(writer.read_quads())
+
+    # stage 2-3: linking + canonical rewrite
+    mapping = canonical_mapping(quads).cache()
+    canon = canonicalize_quads(quads, mapping)
+
+    # stage 4: bucket(s)-partitioned graph table + entity metrics
+    write_quads(canon, os.path.join(args.output, "graph"),
+                n_buckets=args.buckets)
+    counts = entity_mention_counts(quads, mapping)
+    counts.write.mode("overwrite").parquet(
+        os.path.join(args.output, "entity_counts"))
+
+    metrics = {
+        "expansion": summary,
+        "n_quads_dedup": quads.count(),
+        "n_linked_nodes": mapping.count(),
+        "n_canonical_quads": canon.count(),
+    }
+    with open(os.path.join(args.output, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
