@@ -23,7 +23,8 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+    out = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 def main():
