@@ -332,6 +332,18 @@ def q_emb_ann_topk(spark, sf_dir) -> DataFrame:
     return similarity.ann_topk(emb, qvec, k=10, n_bits=8, n_tables=8)
 
 
+def q_emb_near_dup_pairs(spark, sf_dir) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = (emb.where(F.col("vec_id") < 8)
+               .withColumn("vec_id", F.col("vec_id") + 5_000_000)
+               .withColumn("embedding",
+                           F.transform("embedding",
+                                       lambda x: x + F.lit(0.0005))))
+    both = emb.unionByName(planted)
+    return (similarity.embedding_near_dup_pairs(both, threshold=0.98)
+            .orderBy("id_a", "id_b"))
+
+
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
     media = multimodal.synthetic_media_df(spark, n=48)
     feats = multimodal.extract_features(media)
@@ -376,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_norm_by_label": q_emb_norm_by_label,
         "emb_ann_topk": q_emb_ann_topk,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -130,6 +130,39 @@ def query_buckets(qvec: list[float], n_bits: int = 12, n_tables: int = 8,
     return out
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                             n_bits: int = 10, n_tables: int = 6,
+                             seed: int = 1234, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold):
+    multi-table sign-LSH buckets generate candidates (equi-join on
+    (table, bucket) — never O(n²)), exact cosine verifies JVM-side."""
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).head()
+    sigs = lsh_bucket_signatures(embeddings, int(dim_row["d"]), n_bits,
+                                 n_tables, seed, id_col, vec_col)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (a.join(b, ["table", "bucket"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ea = embeddings.select(F.col(id_col).alias("id_a"),
+                           F.col(vec_col).alias("vec_a"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("vec_b"))
+    dot = F.aggregate(F.zip_with("vec_a", "vec_b",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
+            .withColumn("cosine", F.round(
+                dot / (norm(F.col("vec_a")) * norm(F.col("vec_b"))), 6))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def ann_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
              n_bits: int = 12, n_tables: int = 8, seed: int = 1234,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -144,6 +144,28 @@ def test_ann_topk_runs_on_sf_embeddings(emb):
     assert rows[0].vec_id in approx  # query always lands in its own bucket
 
 
+def test_embedding_near_dup_pairs(spark, emb):
+    # plant near-identical vectors: tiny perturbation of 4 existing rows
+    base = emb.limit(4).collect()
+    planted = [(r.vec_id + 5_000_000,
+                [float(x) + 0.0005 for x in r.embedding], r.label)
+               for r in base]
+    extra = spark.createDataFrame(planted, ["vec_id", "embedding", "label"])
+    both = emb.limit(400).unionByName(extra)
+    pairs = similarity.embedding_near_dup_pairs(both, threshold=0.98)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {(r.vec_id, r.vec_id + 5_000_000) for r in base}
+    assert want <= got
+    # verify precision against brute-force ground truth
+    import itertools
+    rows = both.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for a, b in itertools.islice(got, 20):
+        va, vb = vecs[a], vecs[b]
+        cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert cos >= 0.98 - 1e-9
+
+
 def test_pairwise_topk_shapes(emb):
     queries = emb.limit(3)
     out = similarity.pairwise_topk(emb.limit(100), queries, k=4)
