@@ -49,7 +49,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _kg_entity_counts_documents(spark, sf_dir, limit=50) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    # persist the quad table: linking + counting each trigger actions, and
+    # recomputing the Python expansion per action would dominate (at real
+    # scale this is the materialized Iceberg quad table, see run_pipeline)
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
     mapping = canonical_mapping(quads)
     counts = entity_mention_counts(quads, mapping)
     return (counts.orderBy(F.desc("n_mentions"), F.asc("canonical_id"))

@@ -139,13 +139,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     lineage so plans stay O(1) deep (SURVEY.md §2.F2).
     """
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    n_edges = e.count()
-    if n_edges == 0:
+    # one-action probe: limit(T+1) returns the FULL edge set iff it fits
+    # under the threshold — avoids a separate count() pass over the
+    # (potentially expensive, e.g. freshly-expanded) edge plan.
+    probe = e.limit(driver_threshold + 1).collect()
+    if not probe:
         return e.select(F.col("src").alias("node"), F.col("dst").alias("root"))
-    if n_edges <= driver_threshold:
+    if len(probe) <= driver_threshold:
         spark = edges.sparkSession
-        pairs = _driver_union_find(
-            [(r.src, r.dst) for r in e.collect()])
+        pairs = _driver_union_find([(r.src, r.dst) for r in probe])
         return spark.createDataFrame(pairs, ["node", "root"])
     prev_sig = None
     for _ in range(max_iter):

@@ -43,7 +43,9 @@ def construct_graph(transcripts: DataFrame) -> dict[str, DataFrame]:
     """Full pipeline; returns the intermediate + final DataFrames so
     callers (tests, bench, driver contract) can pick their stage."""
     quads_raw = expand_transcripts(transcripts)
-    quads = dedup_quads(quads_raw)
+    # persisted: every downstream stage (CC, rewrite, counts) actions it;
+    # the production path materializes this table instead (run_pipeline)
+    quads = dedup_quads(quads_raw).persist()
     mapping = canonical_mapping(quads)
     canon = canonicalize_quads(quads, mapping)
     counts = entity_mention_counts(quads, mapping)
