@@ -213,6 +213,14 @@ def _object_repr(g, o, ctx, compact, use_native_types, list_chains,
             return {keys.VALUE: lex, keys.LANG: lang}
         if dt == keys.XSD_STRING or dt is None:
             return {keys.VALUE: lex}
+        if dt == keys.RDF_JSON:
+            # rdf:JSON literal → parsed JSON value with "@type": "@json"
+            # ([spec] JLD-API §10.5 step on JSON literals)
+            import json as _json
+            try:
+                return {keys.VALUE: _json.loads(lex), keys.TYPE: keys.JSON}
+            except ValueError:
+                pass
         if use_native_types:
             nat = _native(lex, dt)
             if nat is not None:
@@ -277,9 +285,9 @@ def _compact_one(ctx: Context, term, v):
                 return val
             return {ctx.alias(keys.VALUE): val, ctx.alias(keys.LANG): lang}
         if isinstance(val, str) and t_lang:
-            # a plain string under a language default must stay an object
-            return {ctx.alias(keys.VALUE): val, ctx.alias(keys.LANG): None} \
-                if False else {ctx.alias(keys.VALUE): val}
+            # a plain (untagged) string under a language default must stay
+            # a value object, else re-expansion would add the default tag
+            return {ctx.alias(keys.VALUE): val}
         return val
     if isinstance(v, dict) and keys.ID in v and len(v) == 1:
         t_type = term.type if term is not None and term.type is not UNDEF else None

@@ -130,6 +130,70 @@ def query_buckets(qvec: list[float], n_bits: int = 12, n_tables: int = 8,
     return out
 
 
+def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
+                  sample_n: int = 4096, iters: int = 12, seed: int = 7,
+                  vec_col: str = "embedding") -> np.ndarray:
+    """IVF coarse quantizer: seeded Lloyd k-means on a driver-side sample
+    (centroids are a tiny broadcastable model; the sample is bounded, so
+    this is O(1) in corpus size — the standard IVF training shape)."""
+    sample = np.array(
+        [r[0] for r in embeddings.select(vec_col).limit(sample_n).collect()],
+        dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                              replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assignments(embeddings: DataFrame, centroids: np.ndarray,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster) — one numpy pass; centroids ship inside the closure
+    (equivalent to a broadcast: KBs, not data)."""
+    cents = centroids.copy()
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("cluster", T.IntegerType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "cluster": d.argmin(axis=1).astype(np.int32)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
+             n_clusters: int = 16, n_probe: int = 4, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN: exact scoring restricted to the n_probe clusters nearest
+    the query. Recall/latency tunes with n_probe; candidates ≈
+    n·n_probe/n_clusters."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_clusters, seed=seed,
+                                  vec_col=vec_col)
+    assigns = ivf_assignments(embeddings, centroids, id_col, vec_col)
+    q = np.asarray(qvec, dtype=np.float64)
+    order = (((centroids - q[None, :]) ** 2).sum(axis=1)).argsort()[:n_probe]
+    cand_ids = assigns.where(
+        F.col("cluster").isin([int(c) for c in order])).select(id_col)
+    cands = embeddings.join(cand_ids, id_col, "left_semi")
+    return brute_force_topk(cands, qvec, k, id_col, vec_col)
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              n_bits: int = 10, n_tables: int = 6,
                              seed: int = 1234, id_col: str = "vec_id",

@@ -69,6 +69,18 @@ def test_fromrdf_native_types():
     assert isomorphic(to_rdf(tree), quads)
 
 
+def test_fromrdf_json_literal_roundtrip():
+    doc = {"@context": {"meta": {"@id": f"{EX}meta", "@type": "@json"}},
+           "@id": f"{EX}s", "meta": {"b": [1, True], "a": "x"}}
+    quads = to_rdf(doc)
+    tree = from_rdf(quads)
+    (node,) = tree
+    val = node[f"{EX}meta"][0]
+    assert val["@type"] == "@json"
+    assert val["@value"] == {"a": "x", "b": [1, True]}
+    assert isomorphic(to_rdf(tree), quads)
+
+
 def test_auto_compact_derives_prefixes():
     quads = to_rdf({"@context": {"dc": DC}, "@id": f"{EX}about",
                     "dc:title": "T"})

@@ -136,6 +136,24 @@ def test_ann_topk_recall_clustered(spark):
     assert rows[5][0] in approx
 
 
+def test_ivf_topk_recall_clustered(spark):
+    rng = np.random.RandomState(1)
+    centers = rng.normal(size=(12, 24))
+    rows, vid = [], 0
+    for c in range(12):
+        for _ in range(40):
+            v = centers[c] + 0.1 * rng.normal(size=24)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = rows[7][1]
+    exact = [r.vec_id for r in similarity.brute_force_topk(df, q, k=5).collect()]
+    approx = [r.vec_id for r in
+              similarity.ivf_topk(df, q, k=5, n_clusters=12, n_probe=3).collect()]
+    assert len(set(exact) & set(approx)) >= 4
+    assert rows[7][0] in approx
+
+
 def test_ann_topk_runs_on_sf_embeddings(emb):
     rows = emb.limit(1).collect()
     q = list(map(float, rows[0].embedding))
