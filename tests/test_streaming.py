@@ -41,6 +41,32 @@ def test_stream_expand_matches_batch_and_is_incremental(spark, tmp_path):
     assert len(glob.glob(f"{out}/*.parquet")) > n_files_1
 
 
+def test_stateful_conversation_progress(spark, tmp_path):
+    from rdflib_jsonld_spark.streaming.stateful import (
+        run_conversation_progress)
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, inp, 0, 6)
+    run_conversation_progress(spark, inp, out, ckpt)
+    got = {r.conv_id: r for r in spark.read.parquet(out).collect()}
+    regen = {f"conv_{i:08d}": tr.generate_conv(42, i) for i in range(6)}
+    assert set(got) == set(regen)
+    for cid, rows in regen.items():
+        assert got[cid].n_turns == len(rows)
+        assert got[cid].max_turn_idx == len(rows) - 1
+        assert not got[cid].has_gap
+        want_blocks = sum(r["text"].count("```ld") for r in rows)
+        assert got[cid].n_blocks == want_blocks
+    # second batch: state carries across micro-batch runs via checkpoint
+    _write_batch(spark, inp, 6, 9)
+    run_conversation_progress(spark, inp, out, ckpt)
+    latest = {}
+    for r in spark.read.parquet(out).orderBy("n_turns").collect():
+        latest[r.conv_id] = r
+    assert len(latest) == 9
+
+
 def test_stream_turn_rates(spark, tmp_path):
     inp = str(tmp_path / "in")
     out = str(tmp_path / "out")
