@@ -249,6 +249,16 @@ def _compact_values(ctx: Context, pred_iri: str, vals: list):
     (inverse of D8; [spec] JLD-API §6.4/§8 Compaction)."""
     tname = ctx.shrink_iri(pred_iri)
     term = ctx.terms.get(tname)
+    if term is not None and keys.LANG in term.container and all(
+            isinstance(v, dict) and keys.VALUE in v and keys.LANG in v
+            for v in vals):
+        # language-map reconstruction (inverse of D6)
+        lmap: dict[str, list] = {}
+        for v in vals:
+            lmap.setdefault(v[keys.LANG], []).append(v[keys.VALUE])
+        packed = {lang: (vs[0] if len(vs) == 1 else sorted(vs))
+                  for lang, vs in lmap.items()}
+        return tname, packed
     out = []
     for v in vals:
         out.append(_compact_one(ctx, term, v))

@@ -70,7 +70,7 @@ class _State:
 def to_rdf(data, context_data=None, base: str | None = None,
            generalized_rdf: bool = False, allow_lists_of_lists: bool = True,
            registry: dict | None = None, bnode_prefix: str = "b",
-           ctx: Context | None = None) -> list:
+           ctx: Context | None = None, version: float | None = None) -> list:
     """Parsed JSON value → list of quads.
 
     Signature parity: [v0.5.0] parser.py to_rdf(data, dataset, base,
@@ -83,6 +83,8 @@ def to_rdf(data, context_data=None, base: str | None = None,
     """
     if ctx is None:
         ctx = Context(base=base, registry=registry)
+        if version is not None:  # signature parity: [v0.5.0] to_rdf(version)
+            ctx.version = float(version)
         if context_data is not None:
             ctx = ctx.load(context_data)
     state = _State(bnode_prefix, generalized_rdf, allow_lists_of_lists)

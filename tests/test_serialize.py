@@ -69,6 +69,16 @@ def test_fromrdf_native_types():
     assert isomorphic(to_rdf(tree), quads)
 
 
+def test_fromrdf_language_map_reconstruction():
+    ctx = {"label": {"@id": f"{EX}label", "@container": "@language"}}
+    doc = {"@context": ctx, "@id": f"{EX}s",
+           "label": {"en": "hello", "de": ["hallo", "tag"]}}
+    quads = to_rdf(doc)
+    tree = from_rdf(quads, context_data=ctx)
+    assert tree["label"] == {"en": "hello", "de": ["hallo", "tag"]}
+    assert isomorphic(to_rdf(tree), quads)
+
+
 def test_fromrdf_json_literal_roundtrip():
     doc = {"@context": {"meta": {"@id": f"{EX}meta", "@type": "@json"}},
            "@id": f"{EX}s", "meta": {"b": [1, True], "a": "x"}}
