@@ -84,6 +84,35 @@ def test_gold_cluster_recovery(spark):
     quads.unpersist()
 
 
+def test_pipeline_partition_independence(spark):
+    """Full pipeline (expand→link→canonical counts) yields identical
+    results regardless of input partitioning (SURVEY.md §5.2.4)."""
+    import __spark_entry__ as em
+
+    def run(partitions):
+        df = tr.transcripts_df(spark, n_convs=30, seed=42,
+                               partitions=partitions)
+        quads = expand_transcripts(df)
+        from rdflib_jsonld_spark.operators.expand import dedup_quads
+        q = dedup_quads(quads).persist()
+        mapping = canonical_mapping(q)
+        counts = entity_mention_counts(q, mapping)
+        out = {(r.canonical_id, r.n_mentions) for r in counts.collect()}
+        q.unpersist()
+        return out
+
+    assert run(3) == run(13)
+
+
+def test_canonicalize_broadcast_plan(spark):
+    """F3 rewrite must broadcast the canonical map (entities ≪ quads)."""
+    quads = expand_transcripts(tr.transcripts_df(spark, 5, partitions=2))
+    mapping = spark.createDataFrame([("a", "b")], ["node", "root"])
+    plan = canonicalize_quads(quads, mapping)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_canonicalize_and_counts(spark):
     df = tr.transcripts_df(spark, n_convs=40, seed=42, partitions=4)
     quads = expand_transcripts(df).cache()
