@@ -38,6 +38,11 @@ def main() -> None:
 
     spark = build_session(f"local[{cpus}]", "bench",
                           shuffle_partitions=max(cpus, 16))
+    # sandbox corpora are small files: force one scan split per file so
+    # the Python expansion stage actually gets `cpus` concurrent tasks
+    # (at real scale the default 128 MB split target is correct)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

@@ -19,7 +19,7 @@ itself adds no Python cost at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .registry import CONTEXT_V1_IRI, KG
 from .transcripts import _W1, _W2, FENCE_CLOSE, FENCE_OPEN
@@ -79,13 +79,25 @@ def documents_as_transcripts(docs: DataFrame) -> DataFrame:
         F.lit(CONTEXT_V1_IRI), mention_id, variant, alias, turn_iri, chain,
     )
 
-    w = W.partitionBy("source").orderBy("doc_id")
-    return docs.select(
+    out = docs.select(
         F.col("source").alias("conv_id"),
-        (F.row_number().over(w) - 1).alias("turn_idx"),
+        # doc_id IS the turn index: unique per conv by construction, and
+        # avoiding a row_number() window kills a whole shuffle (a window
+        # partitioned by the low-cardinality `source` would also funnel
+        # the corpus through ≤|sources| skewed reducers at scale)
+        F.col("doc_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         F.concat(F.col("text"), F.lit(" " + FENCE_OPEN), doc_json,
                  F.lit(FENCE_CLOSE)).alias("text"),
         F.lit(None).cast("string").alias("tool"),
         F.to_timestamp(F.lit("2024-01-01")).alias("ts"),
     )
+    # the sandbox table is a single parquet file → one scan split; the
+    # downstream expansion is CPU-bound Python, so spread it across the
+    # cluster (tiny shuffle ≪ parallel speedup; real corpora arrive in
+    # thousands of splits and skip this)
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n_parts:
+        out = out.repartition(n_parts)
+    return out
