@@ -96,6 +96,23 @@ def q_kg_serialized_documents(spark, sf_dir) -> DataFrame:
             .orderBy("conv_id", "turn_idx"))
 
 
+def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
+    """BGP matching over the constructed graph: mentions typed Mention
+    with an about edge, counted per (pre-canonicalization) entity alias —
+    predictable from doc_id arithmetic → full SQL oracle."""
+    from rdflib_jsonld_spark.operators.bgp import match_bgp
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    vocab = KG + "vocab#"
+    res = match_bgp(quads, [
+        ("?m", vocab + "about", "?e"),
+        ("?m", rdf_type, vocab + "Mention"),
+    ])
+    return (res.groupBy("e").agg(F.count(F.lit(1)).alias("n_mentions"))
+            .orderBy("e"))
+
+
 def q_kg_top_predicates_transcripts(spark, sf_dir) -> DataFrame:
     # synthetic generator corpus (sf_dir-independent, deterministic seed)
     t = tr.transcripts_df(spark, n_convs=150, seed=42)
@@ -367,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_counts_documents": q_kg_entity_counts_documents,
         "kg_predicate_counts_documents": q_kg_predicate_counts_documents,
         "kg_quad_stats_documents": q_kg_quad_stats_documents,
+        "kg_bgp_mention_counts": q_kg_bgp_mention_counts,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_top_predicates_transcripts": q_kg_top_predicates_transcripts,
         "kg_canonical_mapping_transcripts": q_kg_canonical_mapping_transcripts,
@@ -441,6 +459,14 @@ def oracle_sql() -> dict[str, str]:
                    ((SELECT count(*) FROM documents)
                     + (SELECT count(*) FROM links))::BIGINT AS n_subjects,
                    6::BIGINT AS n_predicates
+        """,
+        "kg_bgp_mention_counts": f"""
+            SELECT '{KG}e/' || (doc_id % 500)::varchar || '/a'
+                     || (doc_id % (1 + (doc_id % 500) % 3))::varchar AS e,
+                   count(*) AS n_mentions
+            FROM documents
+            GROUP BY 1
+            ORDER BY e
         """,
         # --- relational -----------------------------------------------------
         "tpch_q1_pricing_summary": """

@@ -1,0 +1,73 @@
+"""Basic graph pattern (BGP) matching over the quad table.
+
+rdflib users query constructed graphs with triple patterns (
+``graph.triples((s, p, o))`` / SPARQL BGPs — the rdflib surface the
+reference plugs into). The Spark-native equivalent: each pattern is a
+filtered projection of the quad table; shared variables become equi-join
+keys; Catalyst orders the joins and AQE picks broadcast/skew strategies.
+
+Pattern syntax: a 3-tuple of strings; ``?name`` marks a variable,
+anything else is a constant (IRI or plain-literal lexical). Example:
+
+    match_bgp(quads, [
+        ("?m", VOCAB + "about",   "?e"),
+        ("?m", VOCAB + "surface", "?s"),
+    ])  →  DataFrame(m, e, s)
+
+Scale notes: each pattern scans the (bucketed, predicate-filterable) quad
+table with its constants pushed down; the join graph is left-deep in
+list order — put the most selective pattern first, exactly like a triple
+store. Variables bind the string form of terms (bnodes keep ``_:``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _is_var(x: str) -> bool:
+    return isinstance(x, str) and x.startswith("?")
+
+
+def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str) -> tuple:
+    df = quads
+    cols = {}
+    if _is_var(s):
+        cols[s[1:]] = "s"
+    else:
+        df = df.where(F.col("s") == s)
+    if _is_var(p):
+        cols[p[1:]] = "p"
+    else:
+        df = df.where(F.col("p") == p)
+    if _is_var(o):
+        cols[o[1:]] = "o_value"
+    else:
+        df = df.where(F.col("o_value") == o)
+    proj = [F.col(src).alias(var) for var, src in cols.items()]
+    if not proj:  # all-constant pattern: existence check → empty-schema row
+        proj = [F.lit(1).alias(f"_exists_{i}")]
+    return df.select(*proj), set(cols)
+
+
+def match_bgp(quads: DataFrame, patterns: list[tuple[str, str, str]],
+              distinct: bool = True) -> DataFrame:
+    """Join all patterns on shared variables; returns one column per
+    variable (SPARQL SELECT * semantics over a BGP, set results)."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    acc = None
+    bound: set[str] = set()
+    for i, (s, p, o) in enumerate(patterns):
+        df, vars_i = _pattern_df(quads, i, s, p, o)
+        if acc is None:
+            acc, bound = df, vars_i
+            continue
+        shared = sorted(bound & vars_i)
+        if shared:
+            acc = acc.join(df, on=shared, how="inner")
+        else:
+            acc = acc.crossJoin(df)  # disconnected pattern groups
+        bound |= vars_i
+    acc = acc.select(*sorted(bound)) if bound else acc
+    return acc.distinct() if distinct else acc

@@ -1,0 +1,64 @@
+"""BGP matching over constructed quad tables."""
+
+from pyspark.sql import functions as F
+
+from rdflib_jsonld_spark.operators.bgp import match_bgp
+from rdflib_jsonld_spark.operators.expand import (
+    QUAD_SCHEMA, dedup_quads, expand_transcripts)
+from rdflib_jsonld_spark.sources import transcripts as tr
+from rdflib_jsonld_spark.sources.registry import KG, OWL_SAMEAS, VOCAB
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _quads(spark, rows):
+    full = [(None, s, s.startswith("_:"), p, k, o, None, None, "c", 0)
+            for s, p, o, k in rows]
+    return spark.createDataFrame(full, schema=QUAD_SCHEMA)
+
+
+def test_chain_pattern(spark):
+    q = _quads(spark, [
+        ("e:a", "e:knows", "e:b", "iri"),
+        ("e:b", "e:knows", "e:c", "iri"),
+        ("e:c", "e:knows", "e:a", "iri"),
+        ("e:a", "e:name", "alice", "literal"),
+    ])
+    fof = match_bgp(q, [("?x", "e:knows", "?y"), ("?y", "e:knows", "?z")])
+    got = {(r.x, r.y, r.z) for r in fof.collect()}
+    assert ("e:a", "e:b", "e:c") in got and len(got) == 3
+    named = match_bgp(q, [("?x", "e:knows", "?y"), ("?x", "e:name", "?n")])
+    assert {(r.x, r.n) for r in named.collect()} == {("e:a", "alice")}
+
+
+def test_constant_subject_and_object(spark):
+    q = _quads(spark, [
+        ("e:a", "e:p", "v1", "literal"),
+        ("e:b", "e:p", "v1", "literal"),
+        ("e:a", "e:q", "v2", "literal"),
+    ])
+    got = {r.s for r in
+           match_bgp(q, [("?s", "e:p", "v1")]).collect()}
+    assert got == {"e:a", "e:b"}
+    preds = {r.p for r in match_bgp(q, [("e:a", "?p", "?v")]).collect()}
+    assert preds == {"e:p", "e:q"}
+
+
+def test_bgp_on_pipeline_output(spark):
+    quads = dedup_quads(expand_transcripts(
+        tr.transcripts_df(spark, n_convs=25, seed=42, partitions=4))).cache()
+    # mentions of entities that have an explicit sameAs assertion
+    res = match_bgp(quads, [
+        ("?m", VOCAB + "about", "?e"),
+        ("?e", OWL_SAMEAS, "?canon"),
+        ("?m", RDF_TYPE, VOCAB + "Mention"),
+    ])
+    rows = res.collect()
+    assert rows
+    assert all(r.m.startswith(KG + "m/") for r in rows)
+    assert all(r.e.startswith(KG + "e/") for r in rows)
+    # cross-check one binding against direct filters
+    direct = (quads.where((F.col("p") == OWL_SAMEAS)).select("s").distinct())
+    with_sameas = {r.s for r in direct.collect()}
+    assert {r.e for r in rows} <= with_sameas
+    quads.unpersist()
