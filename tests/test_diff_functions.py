@@ -50,8 +50,9 @@ def test_graph_diff_and_pr(spark):
     quads.unpersist()
 
 
-def test_write_quads_bucket_layout(spark, tmp_path):
-    from rdflib_jsonld_spark.sources.quads_io import write_quads
+def test_write_quads_bucket_layout_and_pruned_lookup(spark, tmp_path):
+    from rdflib_jsonld_spark.sources.quads_io import (
+        lookup_subjects, write_quads)
     import glob
     quads = expand_transcripts(tr.transcripts_df(spark, 6, partitions=2))
     out = str(tmp_path / "graph")
@@ -65,3 +66,16 @@ def test_write_quads_bucket_layout(spark, tmp_path):
              .agg(F.countDistinct("s_bucket").alias("nb"))
              .where(F.col("nb") > 1).count())
     assert multi == 0
+    # point lookup: results match a naive filter, and the plan prunes on
+    # the partition column
+    subj = back.select("s").where(~F.col("s").startswith("_:")) \
+        .distinct().limit(2)
+    subjects = [r.s for r in subj.collect()]
+    got = lookup_subjects(spark, out, subjects, n_buckets=8)
+    want = back.where(F.col("s").isin(subjects))
+    assert {tuple(r) for r in got.collect()} \
+        == {tuple(r) for r in want.collect()}
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = got._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters: [" in plan and "s_bucket" in plan
