@@ -234,6 +234,20 @@ def q_events_sessionize(spark, sf_dir) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_events_hourly_windows(spark, sf_dir) -> DataFrame:
+    """Tumbling-window aggregation (the batch face of the streaming
+    windowed agg, G1/I): F.window is epoch-aligned, so hourly buckets
+    equal date_trunc('hour') — which is the DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour")
+    return (ev.groupBy(w.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").cast("timestamp_ntz")
+                    .alias("window_start"), "event_type", "n", "sum_value")
+            .orderBy("window_start", "event_type"))
+
+
 def q_events_json_stats(spark, sf_dir) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -397,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_cube": q_lineitem_cube,
         "orders_rank_window": q_orders_rank_window,
         "events_sessionize": q_events_sessionize,
+        "events_hourly_windows": q_events_hourly_windows,
         "events_json_stats": q_events_json_stats,
         "customers_with_orders_semijoin": q_customers_with_orders_semijoin,
         "returnflag_set_ops": q_returnflag_set_ops,
@@ -550,6 +565,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             GROUP BY user_id
             ORDER BY user_id
+        """,
+        "events_hourly_windows": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY window_start, event_type
         """,
         "events_json_stats": """
             SELECT event_type,

@@ -227,6 +227,86 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "hamming"))
 
 
+def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03 —
+    the MOSS algorithm, public): rolling k-gram hashes, min per sliding
+    window of ``window`` hashes, rightmost-min tie-break → a guaranteed
+    ⌈(n-k+1)/window⌉-dense fingerprint set that survives insertions and
+    reordering of surrounding text. Returns (id, fp) rows — overlap
+    detection is then a groupBy/join on fp (compact 8-byte shuffle keys).
+    """
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("fp", T.LongType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                h = _char_shingles_ordered(text or "", k)
+                if h.size == 0:
+                    continue
+                n = h.size
+                if n <= window:
+                    sel = {int(h.min())}
+                else:
+                    # sliding-window minimum via stride trick
+                    idx = np.arange(window)[None, :] + \
+                        np.arange(n - window + 1)[:, None]
+                    wins = h[idx]
+                    # rightmost minimum per window (winnowing tie rule)
+                    rev = wins[:, ::-1]
+                    pos = window - 1 - rev.argmin(axis=1)
+                    sel = set(wins[np.arange(len(wins)), pos].tolist())
+                for fp in sel:
+                    ids.append(did)
+                    fps.append(np.int64(np.uint64(fp)).item())
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def _char_shingles_ordered(text: str, k: int) -> np.ndarray:
+    """Rolling k-gram hashes in document order (NOT deduped — winnowing
+    needs positions)."""
+    b = " ".join(text.lower().split()).encode("utf-8", "ignore")
+    if len(b) < k:
+        b = b.ljust(k, b"_")
+    n = len(b) - k + 1
+    arr = np.frombuffer(b, dtype=np.uint8)
+    h = np.zeros(n, dtype=np.uint64)
+    FNV_PRIME = np.uint64(0x100000001B3)
+    for i in range(k):
+        h = (h ^ arr[i:n + i].astype(np.uint64)) * FNV_PRIME & np.uint64(_MASK)
+    return h
+
+
+def winnowing_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 8,
+                            window: int = 4,
+                            min_shared: int = 5) -> DataFrame:
+    """Document pairs sharing ≥ min_shared winnowing fingerprints (the
+    plagiarism/boilerplate-overlap detector). Skew note: boilerplate
+    fingerprints shared by thousands of docs would explode the fp join —
+    drop fps with document-frequency above a cap first (standard stop-
+    fingerprint trick)."""
+    fps = winnowing_fingerprints(docs, id_col, text_col, k, window)
+    df_cap = 100
+    rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= df_cap).select("fp"))
+    fps = fps.join(rare, "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, "fp")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5) -> DataFrame:

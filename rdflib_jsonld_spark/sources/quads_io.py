@@ -104,6 +104,15 @@ class ResumableQuadWriter:
             part = sliced.where(F.col("_slice") == i).drop("_slice")
             rows_in = part.count()
             quads = expand_fn(part)
+            n_errors = 0
+            if "_kg_errors" in quads.columns:
+                # expand_with_metrics path: error-sentinel rows carry parse
+                # failure counts; record them in lineage, keep data clean
+                err_row = quads.where(F.col("s") == "_:error") \
+                    .agg(F.sum("_kg_errors").alias("n")).collect()[0]
+                n_errors = int(err_row["n"] or 0)
+                quads = quads.where(F.col("s") != "_:error") \
+                    .drop("_kg_errors")
             slice_path = os.path.join(self.data_dir, f"slice={i}")
             quads.write.mode("overwrite").parquet(slice_path)
             written = self.spark.read.parquet(slice_path)
@@ -111,6 +120,7 @@ class ResumableQuadWriter:
                 "slice": i,
                 "rows_in": rows_in,
                 "quads_out": written.count(),
+                "n_parse_errors": n_errors,
                 "checksum": quad_checksum(written),
             }
             # marker LAST → crash before this line re-runs the slice
@@ -122,13 +132,15 @@ class ResumableQuadWriter:
         return self.summary()
 
     def summary(self) -> dict:
-        out = {"slices": [], "quads_out": 0, "rows_in": 0}
+        out = {"slices": [], "quads_out": 0, "rows_in": 0,
+               "n_parse_errors": 0}
         for i in sorted(self.done_slices()):
             with open(self._marker(i)) as f:
                 m = json.load(f)
             out["slices"].append(m)
             out["quads_out"] += m["quads_out"]
             out["rows_in"] += m["rows_in"]
+            out["n_parse_errors"] += m.get("n_parse_errors", 0)
         return out
 
     def read_quads(self) -> DataFrame:

@@ -89,6 +89,23 @@ def test_simhash_near_dups(spark, docs):
     assert planted <= got
 
 
+def test_winnowing_overlap(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, "alpha beta " + shared + " gamma delta"),
+            (2, "totally different prefix " + shared + " and suffix here"),
+            (3, "nothing in common with the others at all whatsoever zz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.winnowing_overlap_pairs(df, min_shared=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    # density guarantee: every doc yields fingerprints
+    fps = dedup.winnowing_fingerprints(df)
+    per_doc = {r.doc_id: r["count"] for r in
+               fps.groupBy("doc_id").count().collect()}
+    assert all(per_doc[d] >= 5 for d in (1, 2, 3))
+
+
 def test_ngram_jaccard(spark):
     rows = [(1, "the quick brown fox jumps over the lazy dog"),
             (2, "the quick brown fox jumps over the lazy cat"),

@@ -37,7 +37,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
     from rdflib_jsonld_spark.operators.expand import (
-        dedup_quads, expand_transcripts)
+        dedup_quads, expand_with_metrics)
     from rdflib_jsonld_spark.operators.linking import (
         canonical_mapping, canonicalize_quads, entity_mention_counts)
     from rdflib_jsonld_spark.sources.quads_io import (
@@ -66,9 +66,10 @@ def main() -> None:
     else:
         transcripts = tr.read_transcripts(spark, args.input)
 
-    # stage 1: resumable expansion with per-slice lineage
+    # stage 1: resumable expansion with per-slice lineage (+ parse-error
+    # counts surfaced through the metrics-carrying expansion variant)
     writer = ResumableQuadWriter(spark, args.output, n_slices=args.slices)
-    summary = writer.run(transcripts, expand_transcripts)
+    summary = writer.run(transcripts, expand_with_metrics)
     quads = dedup_quads(writer.read_quads())
 
     # stage 2-3: linking + canonical rewrite
