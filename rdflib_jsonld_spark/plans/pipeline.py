@@ -39,6 +39,19 @@ def build_session(master: str = "local[*]", app: str = "kg-pipeline",
     return b.getOrCreate()
 
 
+def register_views(stages: dict[str, DataFrame],
+                   prefix: str = "kg_") -> list[str]:
+    """Expose pipeline stages as temp views so users can `spark.sql` over
+    the constructed graph (quads/mapping/canonical_quads/entity_counts) —
+    Catalyst produces the same plans either way (SQL API parity)."""
+    names = []
+    for key, df in stages.items():
+        name = f"{prefix}{key}"
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
 def construct_graph(transcripts: DataFrame) -> dict[str, DataFrame]:
     """Full pipeline; returns the intermediate + final DataFrames so
     callers (tests, bench, driver contract) can pick their stage."""
