@@ -24,7 +24,8 @@ from __future__ import annotations
 from urllib.parse import urljoin, urlsplit
 
 from . import keys
-from .errors import ContextNotAvailable, InvalidContext, RecursiveContextInclusion
+from .errors import (ContextNotAvailable, InvalidContext,
+                     ProtectedTermRedefinition, RecursiveContextInclusion)
 
 
 class _Undef:
@@ -178,7 +179,12 @@ class Context:
 
     def _load_one(self, src, remote_chain: frozenset) -> None:
         if src is None:
-            # null resets to the initial context ([spec] §6.1 step 5.1).
+            # null resets to the initial context ([spec] §6.1 step 5.1) —
+            # but cannot clear protected terms (§6.1 step 5.1.1).
+            if any(t.protected for t in self.terms.values()):
+                from .errors import InvalidContextNullification
+                raise InvalidContextNullification(
+                    sorted(n for n, t in self.terms.items() if t.protected)[0])
             base, registry = self.doc_base, self.registry
             self.__init__(base=base, registry=registry)
             return
@@ -250,6 +256,12 @@ class Context:
         [v0.5.0] context.py _read_term/add_term (~L230-330)."""
         if name in keys.KEYWORDS:
             return
+        prev = self.terms.get(name)
+        if prev is not None and prev.protected:
+            # [spec] 1.1 §6.2 step 5: protected terms refuse redefinition
+            # (identical re-declaration is permitted)
+            if not self._same_definition(prev, dfn):
+                raise ProtectedTermRedefinition(name)
         if dfn is None or (isinstance(dfn, dict) and dfn.get(keys.ID, UNDEF) is None):
             # null term: explicitly decouple from @vocab ([spec] §6.2 step 3)
             self.terms[name] = Term(name, id=None)
@@ -264,6 +276,7 @@ class Context:
             self.terms[name] = Term(
                 name, id=iri,
                 prefix=_is_prefix_like(name, iri),
+                protected=protected_default,
             )
             return
         if not isinstance(dfn, dict):
@@ -323,6 +336,27 @@ class Context:
             context=dfn.get(keys.CONTEXT, UNDEF),
             propagate=bool(dfn.get(keys.PROPAGATE, True)),
         )
+
+    def _same_definition(self, prev: Term, dfn) -> bool:
+        """True when a re-declaration is semantically identical to the
+        existing protected term (the only permitted 'redefinition')."""
+        if isinstance(dfn, str):
+            return (self._expand_term_iri({}, dfn) == prev.id
+                    and prev.type is UNDEF and not prev.container)
+        if not isinstance(dfn, dict):
+            return False
+        iri = dfn.get(keys.ID)
+        if isinstance(iri, str):
+            iri = self._expand_term_iri({}, iri)
+        typ = dfn.get(keys.TYPE, UNDEF)
+        if isinstance(typ, str) and typ not in (keys.ID, keys.VOCAB,
+                                                keys.JSON, keys.NONE):
+            typ = self._expand_term_iri({}, typ)
+        container = dfn.get(keys.CONTAINER)
+        cset = set(container) if isinstance(container, list) else \
+            ({container} if container else set())
+        return (iri == prev.id and typ == prev.type
+                and cset == prev.container)
 
     def _expand_term_iri(self, local_src: dict, value: str) -> str | None:
         """Expand an IRI inside a term definition, allowing forward

@@ -34,6 +34,17 @@ class ContextNotAvailable(JsonLdError):
     code = "loading remote context failed"
 
 
+class ProtectedTermRedefinition(JsonLdError):
+    # [spec] JSON-LD 1.1 §6.1 create-term-definition step 5/9.1:
+    # attempting to redefine a protected term fails.
+    code = "protected term redefinition"
+
+
+class InvalidContextNullification(JsonLdError):
+    # [spec] 1.1 §6.1 step 5.1.1: null cannot clear protected terms.
+    code = "invalid context nullification"
+
+
 class InvalidListOfLists(JsonLdError):
     # [v0.5.0] parser.py to_rdf(allow_lists_of_lists=...) gate; [spec]
     # JSON-LD 1.0 toRdf ("list of lists" error).
