@@ -33,10 +33,24 @@ def read_transcript_stream(spark: SparkSession, input_path: str,
     return reader.parquet(input_path)
 
 
+def deduplicate_turns(stream: DataFrame,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once turn ingest: drop re-delivered (conv_id, turn_idx)
+    rows across micro-batches. The watermark on ts bounds the dedup state
+    store — duplicates arriving later than the watermark are not caught
+    (the standard streaming-dedup contract); the batch-side graph-set
+    dedup (G4) remains the safety net."""
+    return (stream.withWatermark("ts", watermark)
+            .dropDuplicates(["conv_id", "turn_idx"]))
+
+
 def stream_expand(spark: SparkSession, input_path: str, output_path: str,
-                  checkpoint_path: str, await_termination: bool = True):
+                  checkpoint_path: str, await_termination: bool = True,
+                  dedup: bool = False):
     """Incrementally expand new transcript files into the quad table."""
     stream = read_transcript_stream(spark, input_path)
+    if dedup:
+        stream = deduplicate_turns(stream)
     quads = expand_transcripts(stream)
     q = (quads.writeStream
          .format("parquet")

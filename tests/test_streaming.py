@@ -41,6 +41,25 @@ def test_stream_expand_matches_batch_and_is_incremental(spark, tmp_path):
     assert len(glob.glob(f"{out}/*.parquet")) > n_files_1
 
 
+def test_stream_dedup_exactly_once(spark, tmp_path):
+    """Re-delivered turns within the watermark are dropped before
+    expansion (streaming dedup on (conv_id, turn_idx))."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # the same 6 conversations delivered twice in one batch window
+    _write_batch(spark, inp, 0, 6)
+    _write_batch(spark, inp, 0, 6)
+    base = spark.read.parquet(inp)
+    assert base.count() == 2 * base.dropDuplicates(
+        ["conv_id", "turn_idx"]).count()
+    stream_expand(spark, inp, out, ckpt, dedup=True)
+    got = spark.read.parquet(out)
+    want = expand_transcripts(
+        base.dropDuplicates(["conv_id", "turn_idx"]))
+    assert got.count() == want.count()
+
+
 def test_stateful_conversation_progress(spark, tmp_path):
     from rdflib_jsonld_spark.streaming.stateful import (
         run_conversation_progress)
