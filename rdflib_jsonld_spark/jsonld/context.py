@@ -103,6 +103,8 @@ def split_iri(iri: str) -> tuple[str, str | None]:
     Parity: [v0.5.0] util.py split_iri (~L5-15), SURVEY.md §2.A8. Used for
     prefix discovery in auto-compaction (E4).
     """
+    if iri and iri[-1] in "#/:":
+        return iri, None  # pure namespace IRI: no local name
     for sep in ("#", "/"):
         i = iri.rfind(sep)
         if i > -1 and i < len(iri) - 1:
@@ -495,18 +497,26 @@ class Context:
         return self._rev_terms
 
     def shrink_iri(self, iri: str) -> str:
-        """IRI → shortest symbol: exact term > CURIE > @vocab-relative >
-        absolute. [spec] JLD-API §6.4; [v0.5.0] context.py shrink_iri/
-        to_symbol (~L420-500)."""
+        """IRI → shortest symbol: exact term first, then the SHORTEST of
+        @vocab-relative vs prefix CURIE (vocab wins ties), else absolute.
+        [spec] JLD-API §6.4 (candidates ranked by length); [v0.5.0]
+        context.py shrink_iri/to_symbol (~L420-500)."""
         exact, prefixes = self._reverse_index()
         name = exact.get(iri)
         if name is not None:
             return name
+        candidates: list[tuple[int, int, str]] = []  # (len, priority, sym)
+        if self.vocab and iri.startswith(self.vocab) \
+                and len(iri) > len(self.vocab):
+            sym = iri[len(self.vocab):]
+            candidates.append((len(sym), 0, sym))
         for pid, pname in prefixes:
             if iri.startswith(pid) and len(iri) > len(pid):
-                return f"{pname}:{iri[len(pid):]}"
-        if self.vocab and iri.startswith(self.vocab) and len(iri) > len(self.vocab):
-            return iri[len(self.vocab):]
+                sym = f"{pname}:{iri[len(pid):]}"
+                candidates.append((len(sym), 1, sym))
+                break  # prefixes sorted longest-first: best CURIE found
+        if candidates:
+            return min(candidates)[2]
         return iri
 
     def alias(self, keyword: str) -> str:
