@@ -96,6 +96,41 @@ def q_kg_serialized_documents(spark, sf_dir) -> DataFrame:
             .orderBy("conv_id", "turn_idx"))
 
 
+def q_kg_expanded_node_counts(spark, sf_dir) -> DataFrame:
+    """Document-level Expansion ([spec] JLD-API §5.1) as a Spark stage:
+    per-conversation expanded block/node totals, arithmetically
+    predictable from doc_id (sources/doc_transcripts.py construction)."""
+    from rdflib_jsonld_spark.operators.docops import expanded_node_counts
+    docs = _t(spark, sf_dir, "documents")
+    return expanded_node_counts(documents_as_transcripts(docs))
+
+
+def q_kg_flattened_node_counts(spark, sf_dir) -> DataFrame:
+    """Document-level Flattening ([spec] JLD-API §5.2-5.3): labeled-node
+    totals per conversation. Referenced-only nodes collapse into node
+    references, so counts equal the expansion arithmetic."""
+    from rdflib_jsonld_spark.operators.docops import flatten_documents_stage
+    docs = _t(spark, sf_dir, "documents")
+    return (flatten_documents_stage(documents_as_transcripts(docs))
+            .groupBy("conv_id")
+            .agg(F.count("*").cast("long").alias("n_blocks"),
+                 F.sum("n_nodes").cast("long").alias("n_nodes"))
+            .orderBy("conv_id"))
+
+
+def q_kg_compact_roundtrip(spark, sf_dir) -> DataFrame:
+    """Distributed conformance gate: expand→compact→to-rdf must reproduce
+    the directly-emitted graph (bnode-iso) for EVERY block; the oracle
+    asserts n_ok == n_blocks per conversation."""
+    from rdflib_jsonld_spark.operators.docops import compact_roundtrip_stage
+    docs = _t(spark, sf_dir, "documents")
+    return (compact_roundtrip_stage(documents_as_transcripts(docs))
+            .groupBy("conv_id")
+            .agg(F.count("*").cast("long").alias("n_blocks"),
+                 F.sum(F.col("ok").cast("long")).cast("long").alias("n_ok"))
+            .orderBy("conv_id"))
+
+
 def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
     """BGP matching over the constructed graph: mentions typed Mention
     with an about edge, counted per (pre-canonicalization) entity alias —
@@ -399,6 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_counts_documents": q_kg_predicate_counts_documents,
         "kg_quad_stats_documents": q_kg_quad_stats_documents,
         "kg_bgp_mention_counts": q_kg_bgp_mention_counts,
+        "kg_expanded_node_counts": q_kg_expanded_node_counts,
+        "kg_flattened_node_counts": q_kg_flattened_node_counts,
+        "kg_compact_roundtrip": q_kg_compact_roundtrip,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_top_predicates_transcripts": q_kg_top_predicates_transcripts,
         "kg_canonical_mapping_transcripts": q_kg_canonical_mapping_transcripts,
@@ -443,6 +481,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n_mentions DESC, canonical_id
             LIMIT 50
+        """,
+        "kg_expanded_node_counts": """
+            SELECT source AS conv_id,
+                   count(*)::BIGINT AS n_blocks,
+                   sum(1 + (doc_id % (1 + (doc_id % 500) % 3)))::BIGINT
+                       AS n_nodes
+            FROM documents
+            GROUP BY source
+            ORDER BY conv_id
+        """,
+        "kg_flattened_node_counts": """
+            SELECT source AS conv_id,
+                   count(*)::BIGINT AS n_blocks,
+                   sum(1 + (doc_id % (1 + (doc_id % 500) % 3)))::BIGINT
+                       AS n_nodes
+            FROM documents
+            GROUP BY source
+            ORDER BY conv_id
+        """,
+        "kg_compact_roundtrip": """
+            SELECT source AS conv_id,
+                   count(*)::BIGINT AS n_blocks,
+                   count(*)::BIGINT AS n_ok
+            FROM documents
+            GROUP BY source
+            ORDER BY conv_id
         """,
         "kg_predicate_counts_documents": f"""
             WITH d AS (

@@ -11,5 +11,9 @@ fresh implementation of the W3C JSON-LD 1.0/1.1 Processing Algorithms.
 from .context import Context, Term, UNDEF
 from .tordf import to_rdf
 from .fromrdf import from_rdf
+from .expansion import expand
+from .flatten import flatten
+from .compact import compact
 
-__all__ = ["Context", "Term", "UNDEF", "to_rdf", "from_rdf"]
+__all__ = ["Context", "Term", "UNDEF", "to_rdf", "from_rdf",
+           "expand", "flatten", "compact"]

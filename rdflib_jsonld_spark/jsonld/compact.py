@@ -1,0 +1,378 @@
+"""JSON-LD compaction: expanded document + context → compact document.
+
+The reference's conformance suite ran ``compact`` cases and its serializer
+exposed the same semantics through ``from_rdf(..., auto_compact)``
+([v0.5.0] test/test_compaction.py, serializer.py — SURVEY.md §5.1, §2.E).
+This module is the document-level algorithm from [spec] JSON-LD 1.1
+Processing Algorithms and API §6 (Compaction, IRI Compaction, Value
+Compaction), built on the same ``Context`` reverse index as the serializer
+(C4: ``shrink_iri`` / ``find_term``).
+
+Semantic oracle used by the tests: for any context C,
+``to_rdf(compact(doc, C), C) ≅ to_rdf(doc)`` — compaction changes the
+spelling of a document, never its graph.
+"""
+
+from __future__ import annotations
+
+from . import keys
+from .context import Context, UNDEF
+from .expansion import expand
+
+
+def compact(data, context_data=None, base: str | None = None,
+            registry: dict | None = None, expanded: bool = False,
+            compact_arrays: bool = True, ctx: Context | None = None):
+    """Document (or pre-expanded form) + context → compacted document.
+
+    Returns a single map; multiple top-level nodes land under ``@graph``
+    (aliased if the context aliases it) — [spec] JLD-API §6.1 step 8-9.
+    ``ctx`` short-circuits context resolution with a pre-resolved (e.g.
+    broadcast) Context — the per-executor fast path (SURVEY.md §1.2);
+    ``context_data`` is then only embedded, not re-resolved.
+    """
+    element = data if expanded else expand(
+        data, base=base, registry=registry)
+    if ctx is None:
+        ctx = Context(base=base, registry=registry)
+        if context_data is not None:
+            ctx = ctx.load(context_data)
+
+    result = _compact_element(ctx, None, element, compact_arrays)
+    if isinstance(result, list):
+        if not result:
+            result = {}
+        elif len(result) == 1 and compact_arrays:
+            result = result[0]
+        else:
+            result = {ctx.alias(keys.GRAPH): result}
+    if not isinstance(result, dict):
+        result = {ctx.alias(keys.VALUE): result}
+    if context_data not in (None, {}, []):
+        result = {keys.CONTEXT: context_data, **result}
+    return result
+
+
+# ---------------------------------------------------------------------------
+
+def _compact_element(ctx: Context, term, element, compact_arrays: bool,
+                     collapse: bool = True):
+    """[spec] §6.1 Compaction Algorithm over expanded-form values."""
+    if isinstance(element, list):
+        out = [_compact_element(ctx, term, item, compact_arrays)
+               for item in element]
+        keep_array = (term is not None
+                      and (keys.SET in term.container
+                           or keys.LIST in term.container))
+        if compact_arrays and collapse and len(out) == 1 and not keep_array:
+            return out[0]
+        return out
+    if not isinstance(element, dict):
+        return element
+
+    if keys.VALUE in element:
+        return _compact_value(ctx, term, element)
+
+    if keys.LIST in element and set(element) <= {keys.LIST, keys.INDEX}:
+        items = [_compact_element(ctx, term, v, compact_arrays)
+                 for v in element[keys.LIST]]
+        if term is not None and keys.LIST in term.container \
+                and keys.INDEX not in element:
+            return items  # container folds the list wrapper away
+        out = {ctx.alias(keys.LIST): items}
+        if keys.INDEX in element:
+            out[ctx.alias(keys.INDEX)] = element[keys.INDEX]
+        return out
+
+    # node object / node reference
+    if keys.ID in element and set(element) == {keys.ID}:
+        compacted_id = _compact_id(ctx, element[keys.ID])
+        if term is not None and term.type == keys.ID:
+            return compacted_id
+        if term is not None and term.type == keys.VOCAB:
+            return ctx.shrink_iri(element[keys.ID])
+        return {ctx.alias(keys.ID): compacted_id}
+
+    result: dict = {}
+    for key in element:
+        values = element[key]
+        if key == keys.ID:
+            result[ctx.alias(keys.ID)] = _compact_id(ctx, values)
+            continue
+        if key == keys.TYPE:
+            types = [ctx.shrink_iri(t) for t in values]
+            result[ctx.alias(keys.TYPE)] = \
+                types[0] if len(types) == 1 and compact_arrays else types
+            continue
+        if key == keys.INDEX:
+            result[ctx.alias(keys.INDEX)] = values
+            continue
+        if key == keys.GRAPH:
+            inner = [_compact_element(ctx, None, v, compact_arrays)
+                     for v in values]
+            result[ctx.alias(keys.GRAPH)] = inner
+            continue
+        if key == keys.INCLUDED:
+            result[ctx.alias(keys.INCLUDED)] = [
+                _compact_element(ctx, None, v, compact_arrays)
+                for v in values]
+            continue
+        if key == keys.REV:
+            rev_out: dict = {}
+            for p, vs in values.items():
+                rterm = _select_reverse_term(ctx, p)
+                if rterm is not None:
+                    result[rterm.name] = _compact_property_values(
+                        ctx, rterm, vs, compact_arrays)
+                else:
+                    rev_out[ctx.shrink_iri(p)] = _compact_property_values(
+                        ctx, None, vs, compact_arrays)
+            if rev_out:
+                result[ctx.alias(keys.REV)] = rev_out
+            continue
+        if key == keys.LIST:
+            result[ctx.alias(keys.LIST)] = [
+                _compact_element(ctx, None, v, compact_arrays)
+                for v in values]
+            continue
+
+        # --- regular property ---
+        pterm = _select_term(ctx, key, values)
+        if pterm is not None:
+            pkey = pterm.name
+        else:
+            pkey = ctx.shrink_iri(key)
+            fallback = ctx.terms.get(pkey)
+            if fallback is not None and (fallback.container
+                                         or fallback.type is not UNDEF):
+                # the only term for this IRI was REJECTED (shape mismatch);
+                # its name would re-expand with coercions that change the
+                # graph — spell the key as an absolute IRI instead
+                pkey = key
+        compacted = _compact_property_values(ctx, pterm, values,
+                                             compact_arrays)
+        if pkey in result:  # two IRIs compacting to one key: merge arrays
+            prev = result[pkey]
+            prev = prev if isinstance(prev, list) else [prev]
+            new = compacted if isinstance(compacted, list) else [compacted]
+            result[pkey] = prev + new
+        else:
+            result[pkey] = compacted
+    return result
+
+
+def _compact_property_values(ctx: Context, term, values: list,
+                             compact_arrays: bool):
+    """Reshape a property's expanded values per the chosen term's
+    @container ([spec] §6.1 steps 12.8)."""
+    container = term.container if term is not None else set()
+
+    if keys.LANG in container and values \
+            and all(isinstance(v, dict) and keys.VALUE in v for v in values):
+        lmap: dict = {}
+        for v in values:
+            lang = v.get(keys.LANG, keys.NONE)
+            lmap.setdefault(lang, []).append(v[keys.VALUE])
+        return {lang: vs[0] if len(vs) == 1 and compact_arrays else vs
+                for lang, vs in lmap.items()}
+
+    if keys.INDEX in container and values \
+            and all(isinstance(v, dict) and keys.INDEX in v for v in values):
+        imap: dict = {}
+        for v in values:
+            stripped = {k: x for k, x in v.items() if k != keys.INDEX}
+            imap.setdefault(v[keys.INDEX], []).append(
+                _compact_element(ctx, term, stripped, compact_arrays))
+        return {idx: vs[0] if len(vs) == 1 and compact_arrays else vs
+                for idx, vs in imap.items()}
+
+    if keys.TYPE in container and values \
+            and all(isinstance(v, dict) and v.get(keys.TYPE)
+                    for v in values):
+        tmap: dict = {}
+        for v in values:
+            first, rest_types = v[keys.TYPE][0], v[keys.TYPE][1:]
+            node = {k: x for k, x in v.items() if k != keys.TYPE}
+            if rest_types:
+                node[keys.TYPE] = rest_types
+            tmap.setdefault(ctx.shrink_iri(first), []).append(
+                _compact_element(ctx, None, node, compact_arrays))
+        return {t: vs[0] if len(vs) == 1 and compact_arrays else vs
+                for t, vs in tmap.items()}
+
+    if keys.ID in container and values \
+            and all(isinstance(v, dict) and keys.ID in v for v in values):
+        idmap: dict = {}
+        for v in values:
+            node = {k: x for k, x in v.items() if k != keys.ID}
+            idmap.setdefault(_compact_id(ctx, v[keys.ID]), []).append(
+                _compact_element(ctx, None, node, compact_arrays)
+                if node else {})
+        return {i: vs[0] if len(vs) == 1 and compact_arrays else vs
+                for i, vs in idmap.items()}
+
+    if keys.LIST in container and len(values) == 1 \
+            and isinstance(values[0], dict) \
+            and set(values[0]) <= {keys.LIST, keys.INDEX}:
+        return _compact_element(ctx, term, values[0], compact_arrays)
+
+    return _compact_element(ctx, term, values, compact_arrays)
+
+
+def _compact_value(ctx: Context, term, vobj: dict):
+    """[spec] §6.2 Value Compaction."""
+    t_type = term.type if term is not None and term.type is not UNDEF \
+        else None
+    t_lang = term.language if term is not None \
+        and term.language is not UNDEF else ctx.language
+
+    vobj = dict(vobj)
+    index = vobj.pop(keys.INDEX, None)
+    value = vobj.get(keys.VALUE)
+
+    out = None
+    if keys.TYPE in vobj:
+        vtype = vobj[keys.TYPE]
+        if vtype == t_type or (vtype == keys.JSON and t_type == keys.JSON):
+            out = value
+        else:
+            out = {ctx.alias(keys.TYPE):
+                   vtype if vtype == keys.JSON else ctx.shrink_iri(vtype),
+                   ctx.alias(keys.VALUE): value}
+    elif keys.LANG in vobj:
+        if isinstance(t_lang, str) and vobj[keys.LANG] == t_lang.lower():
+            out = value
+        else:
+            out = {ctx.alias(keys.LANG): vobj[keys.LANG],
+                   ctx.alias(keys.VALUE): value}
+        if keys.DIRECTION in vobj and isinstance(out, dict):
+            out[ctx.alias(keys.DIRECTION)] = vobj[keys.DIRECTION]
+    else:
+        # plain value: bare only if re-expansion adds nothing back
+        if isinstance(value, str) and (t_lang or t_type):
+            out = {ctx.alias(keys.VALUE): value}
+        elif not isinstance(value, str) and _native_redundant(value, t_type):
+            out = value
+        elif not isinstance(value, str) and t_type is None:
+            out = value
+        else:
+            out = value if t_type is None and not t_lang \
+                else {ctx.alias(keys.VALUE): value}
+    if index is not None:
+        if not isinstance(out, dict):
+            out = {ctx.alias(keys.VALUE): out}
+        out[ctx.alias(keys.INDEX)] = index
+    return out
+
+
+def _native_redundant(value, t_type) -> bool:
+    """True when a bare native scalar re-expands to the same typed value
+    object under the term's coercion ([spec] §6.2 'data round tripping')."""
+    return False  # conservative: natives under typed terms stay wrapped
+
+
+def _compact_id(ctx: Context, iri: str) -> str:
+    """IRI in @id position → CURIE or base-relative spelling; @vocab does
+    NOT apply ([spec] §6.3 IRI Compaction with vocab=false)."""
+    if iri.startswith("_:"):
+        return iri
+    _, prefixes = ctx._reverse_index()
+    for pid, pname in prefixes:
+        if iri.startswith(pid) and len(iri) > len(pid):
+            return f"{pname}:{iri[len(pid):]}"
+    return iri
+
+
+def _select_term(ctx: Context, iri: str, values: list):
+    """Pick the most specific term for (iri, value shapes) — a pragmatic
+    Term Selection ([spec] §6.4): container match > type/language match >
+    plain term; shortest name breaks ties."""
+    all_values = bool(values)
+    all_lists = all_values and all(
+        isinstance(v, dict) and set(v) <= {keys.LIST, keys.INDEX}
+        for v in values)
+    all_lang = all_values and all(
+        isinstance(v, dict) and keys.LANG in v and keys.VALUE in v
+        for v in values)
+    all_indexed = all_values and all(
+        isinstance(v, dict) and keys.INDEX in v for v in values)
+
+    def score(term) -> tuple | None:
+        if term.id != iri or term.reverse:
+            return None
+        s = 0
+        if keys.LIST in term.container:
+            if not all_lists:
+                return None
+            s += 8
+        if keys.LANG in term.container:
+            if not all_lang:
+                return None
+            s += 8
+        if keys.INDEX in term.container:
+            if not all_indexed:
+                return None
+            s += 8
+        if keys.GRAPH in term.container:
+            if not all(isinstance(v, dict) and keys.GRAPH in v
+                       for v in values):
+                return None
+            s += 8
+        if keys.TYPE in term.container:
+            if not (all_values and all(
+                    isinstance(v, dict) and v.get(keys.TYPE)
+                    for v in values)):
+                return None
+            s += 8
+        if keys.ID in term.container:
+            if not (all_values and all(
+                    isinstance(v, dict) and keys.ID in v for v in values)):
+                return None
+            s += 8
+        if term.type is not UNDEF and term.type is not None:
+            if not _type_matches(term.type, values):
+                return None
+            s += 4
+        if term.language is not UNDEF and isinstance(term.language, str):
+            if not (all_values and all(
+                    isinstance(v, dict)
+                    and v.get(keys.LANG) == term.language.lower()
+                    for v in values)):
+                return None
+            s += 2
+        return (s, -len(term.name))
+
+    best, best_score = None, None
+    for term in ctx.terms.values():
+        sc = score(term)
+        if sc is None:
+            continue
+        if best_score is None or sc > best_score:
+            best, best_score = term, sc
+    return best
+
+
+def _type_matches(t_type, values: list) -> bool:
+    if not values:
+        return False
+    for v in values:
+        if not isinstance(v, dict):
+            return False
+        if t_type == keys.ID:
+            if set(v) != {keys.ID}:
+                return False
+        elif t_type == keys.VOCAB:
+            if set(v) != {keys.ID}:
+                return False
+        elif v.get(keys.TYPE) != t_type:
+            return False
+    return True
+
+
+def _select_reverse_term(ctx: Context, iri: str):
+    best = None
+    for term in ctx.terms.values():
+        if term.reverse and term.id == iri:
+            if best is None or len(term.name) < len(best.name):
+                best = term
+    return best

@@ -1,0 +1,411 @@
+"""JSON-LD document → expanded document form (the Expansion algorithm).
+
+The reference's own conformance suite ran ``expand`` cases alongside
+``toRdf``/``fromRdf`` ([v0.5.0] test/test_testsuite.py walks the W3C
+manifests' expand tests — SURVEY.md §5.1), so expanded document form is part
+of the capability surface even though the 0.5.0 plugin API only exposed it
+implicitly (its parser normalized through the same term/value semantics,
+[v0.5.0] parser.py ~L120-480). This module implements the algorithm directly
+from [spec] JSON-LD 1.1 Processing Algorithms and API §5.1 (Expansion) and
+§5.2 (Value Expansion), reusing the same ``Context`` machinery as to-rdf.
+
+Expanded form invariants ([spec] JLD-API §5.1):
+- every property value is an array;
+- every key is an absolute IRI, a blank-node label, or a keyword;
+- scalars are wrapped in value objects ``{"@value": ...}`` carrying the
+  coerced ``@type`` / ``@language`` / ``@direction``;
+- ``@list`` / ``@set`` / container maps are made explicit / unfolded.
+
+Semantic oracle used by the tests: ``to_rdf(expand(doc)) ≅ to_rdf(doc)``
+(bnode-isomorphism-aware) — expansion must never change the emitted graph.
+"""
+
+from __future__ import annotations
+
+from . import keys
+from .context import Context, UNDEF
+
+
+def expand(data, context_data=None, base: str | None = None,
+           registry: dict | None = None, ctx: Context | None = None) -> list:
+    """Parsed JSON value → expanded document form (a list of node objects).
+
+    [spec] JLD-API §5.1 steps 1-19; the ``registry`` kwarg replaces remote
+    context fetch exactly as in :func:`..tordf.to_rdf` (SURVEY.md §2.A7).
+    """
+    if ctx is None:
+        ctx = Context(base=base, registry=registry)
+        if context_data is not None:
+            ctx = ctx.load(context_data)
+    result = _expand_element(ctx, None, data)
+    # Top-level normalization ([spec] §5.1 step 19): a lone map whose only
+    # key is @graph expands to the value of @graph; null → empty array.
+    if isinstance(result, dict) and set(result) == {keys.GRAPH}:
+        result = result[keys.GRAPH]
+    if result is None:
+        return []
+    if not isinstance(result, list):
+        result = [result]
+    return result
+
+
+# ---------------------------------------------------------------------------
+# element expansion
+# ---------------------------------------------------------------------------
+
+def _expand_element(ctx: Context, active_key: str | None, element,
+                    in_list: bool = False):
+    """[spec] §5.1 Expansion Algorithm. ``active_key`` is the raw document
+    key whose term definition governs coercion (None at top level)."""
+    if element is None:
+        return None
+
+    if isinstance(element, list):
+        out = []
+        for item in element:
+            if isinstance(item, list) and in_list:
+                # lists of lists stay nested in 1.1 ([spec] §5.1 step 5.2.3)
+                expanded = {keys.LIST: _ensure_array(
+                    _expand_element(ctx, active_key, item, in_list=True))}
+                out.append(expanded)
+                continue
+            expanded = _expand_element(ctx, active_key, item, in_list=in_list)
+            if expanded is None:
+                continue
+            if isinstance(expanded, list):
+                out.extend(expanded)  # arrays flattened ([spec] step 5.2.4)
+            else:
+                out.append(expanded)
+        return out
+
+    if not isinstance(element, dict):
+        # Scalar: free-floating scalars are dropped ([spec] step 4.1).
+        if active_key is None or ctx.expand_key(active_key) == keys.GRAPH:
+            return None
+        return _expand_value(ctx, active_key, element)
+
+    # --- map ---------------------------------------------------------------
+    if keys.CONTEXT in element:
+        ctx = ctx.load(element[keys.CONTEXT])
+
+    kmap = {k: ctx.expand_key(k) for k in element}
+
+    # Type-scoped contexts ([spec] §5.1 step 9; 1.1 §4.1.8).
+    type_key = next((k for k, e in kmap.items() if e == keys.TYPE), None)
+    if type_key is not None:
+        raw = element[type_key]
+        raw = raw if isinstance(raw, list) else [raw]
+        ctx = ctx.subcontext_for_type([t for t in raw if isinstance(t, str)])
+        kmap = {k: ctx.expand_key(k) for k in element}
+
+    # Value object ([spec] §5.1 steps 13.4.3-13.4.16).
+    val_key = next((k for k, e in kmap.items() if e == keys.VALUE), None)
+    if val_key is not None:
+        return _expand_value_object(ctx, element, kmap, val_key)
+
+    result: dict = {}
+    nests: list = []
+
+    for key, value in element.items():
+        expanded_key = kmap[key]
+        if expanded_key is None or key == keys.CONTEXT \
+                or expanded_key == keys.CONTEXT:
+            continue  # B2: unmapped keys are dropped
+
+        if expanded_key == keys.ID:
+            if isinstance(value, str):
+                iri = _expand_id(ctx, value)
+                if iri is not None:
+                    result[keys.ID] = iri
+            continue
+
+        if expanded_key == keys.TYPE:
+            types = []
+            for t in _raw_array(value):
+                if not isinstance(t, str):
+                    continue
+                t_iri = ctx.expand_iri(t, vocab=True)
+                if t_iri is not None and t_iri not in keys.KEYWORDS:
+                    types.append(t_iri)
+            if types:
+                result.setdefault(keys.TYPE, []).extend(types)
+            continue
+
+        if expanded_key == keys.GRAPH:
+            graph = _ensure_array(
+                _expand_element(ctx, key, value))
+            result[keys.GRAPH] = [g for g in graph if isinstance(g, dict)]
+            continue
+
+        if expanded_key == keys.INCLUDED:  # [spec] 1.1 §9.13
+            inc = _ensure_array(_expand_element(ctx, None, value))
+            inc = [n for n in inc if isinstance(n, dict)]
+            if inc:
+                result.setdefault(keys.INCLUDED, []).extend(inc)
+            continue
+
+        if expanded_key == keys.REV:  # [spec] §5.1 step 13.13
+            if isinstance(value, dict):
+                rev_ctx = ctx.subcontext_for_term(key)
+                rmap = result.setdefault(keys.REV, {})
+                for rk, rv in value.items():
+                    p_iri = rev_ctx.expand_iri(rk, vocab=True)
+                    if p_iri is None or p_iri in keys.KEYWORDS:
+                        continue
+                    vals = _ensure_array(_expand_element(rev_ctx, rk, rv))
+                    rmap.setdefault(p_iri, []).extend(
+                        v for v in vals if isinstance(v, dict)
+                        and keys.VALUE not in v and keys.LIST not in v)
+            continue
+
+        if expanded_key == keys.NEST:  # [spec] 1.1 §9.10
+            for item in _raw_array(value):
+                if isinstance(item, dict):
+                    nests.append((key, item))
+            continue
+
+        if expanded_key == keys.LIST:
+            lst = _ensure_array(
+                _expand_element(ctx, active_key, value, in_list=True))
+            result[keys.LIST] = lst
+            continue
+
+        if expanded_key == keys.SET:
+            # @set is sugar: expansion of its contents replaces the map
+            # ([spec] §5.1 step 13.4.11) — merge siblings like @index below.
+            return _expand_element(ctx, active_key, value, in_list=in_list)
+
+        if expanded_key == keys.INDEX:
+            if isinstance(value, str):
+                result[keys.INDEX] = value
+            continue
+
+        if expanded_key in keys.KEYWORDS:
+            continue  # @version/@prefix/etc. carry no expanded output
+
+        # --- regular property ---
+        term = ctx.terms.get(key)
+        sub_ctx = ctx.subcontext_for_term(key)
+        container = term.container if term is not None else set()
+        is_reverse = term is not None and term.reverse
+
+        expanded_value = _expand_container_value(
+            sub_ctx, key, term, container, value)
+        if expanded_value is None:
+            continue
+        if is_reverse:
+            rmap = result.setdefault(keys.REV, {})
+            rmap.setdefault(expanded_key, []).extend(
+                v for v in expanded_value if isinstance(v, dict)
+                and keys.VALUE not in v and keys.LIST not in v)
+        else:
+            result.setdefault(expanded_key, []).extend(expanded_value)
+
+    # @nest properties merge into the enclosing node ([spec] 1.1 §9.10).
+    for nest_key, nested in nests:
+        nested_ctx = ctx.subcontext_for_term(nest_key)
+        sub = _expand_element(nested_ctx, None, nested)
+        for node in _ensure_array(sub):
+            if not isinstance(node, dict):
+                continue
+            for nk, nv in node.items():
+                if nk == keys.ID:
+                    continue
+                if nk == keys.REV:
+                    rmap = result.setdefault(keys.REV, {})
+                    for p, vs in nv.items():
+                        rmap.setdefault(p, []).extend(vs)
+                else:
+                    result.setdefault(nk, []).extend(
+                        nv if isinstance(nv, list) else [nv])
+
+    # Normalization ([spec] §5.1 steps 14-19).
+    if keys.REV in result and not result[keys.REV]:
+        del result[keys.REV]
+    if not result:
+        return None
+    if set(result) <= {keys.ID} and (
+            active_key is None
+            or ctx.expand_key(active_key) == keys.GRAPH):
+        return None  # free-floating node ref dropped ([spec] step 19.1)
+    return result
+
+
+def _expand_container_value(ctx: Context, key: str, term, container: set,
+                            value):
+    """Unfold container maps ([spec] §5.1 steps 13.7-13.9) and plain values;
+    always returns a list of expanded objects (or None)."""
+    if term is not None and term.type == keys.JSON:
+        # @json-typed term: the raw value IS the literal ([spec] step 13.6).
+        return [{keys.VALUE: value, keys.TYPE: keys.JSON}]
+
+    if keys.LANG in container and isinstance(value, dict):
+        out = []
+        for lang in sorted(value):
+            for v in _raw_array(value[lang]):
+                if not isinstance(v, str):
+                    continue
+                obj = {keys.VALUE: v}
+                if lang != keys.NONE and lang != ctx.alias(keys.NONE):
+                    obj[keys.LANG] = lang.lower()
+                out.append(obj)
+        return out
+
+    if (keys.INDEX in container or keys.ID in container
+            or keys.TYPE in container) and isinstance(value, dict):
+        out = []
+        for mkey in sorted(value):
+            for v in _raw_array(value[mkey]):
+                expanded = _expand_element(ctx, key, v)
+                if expanded is None:
+                    continue
+                for node in _ensure_array(expanded):
+                    if not isinstance(node, dict):
+                        continue
+                    if keys.INDEX in container and mkey != keys.NONE \
+                            and keys.INDEX not in node:
+                        node = {**node, keys.INDEX: mkey}
+                    elif keys.ID in container and mkey != keys.NONE \
+                            and keys.ID not in node:
+                        iri = _expand_id(ctx, mkey)
+                        if iri is not None:
+                            node = {keys.ID: iri, **node}
+                    elif keys.TYPE in container and mkey != keys.NONE:
+                        t_iri = ctx.expand_iri(mkey, vocab=True)
+                        if t_iri is not None:
+                            node = {**node, keys.TYPE: [t_iri]
+                                    + node.get(keys.TYPE, [])}
+                    out.append(node)
+        return out
+
+    if keys.LIST in container and not (
+            isinstance(value, dict) and any(
+                ctx.expand_key(k) == keys.LIST for k in value)):
+        lst = _ensure_array(_expand_element(ctx, key, value, in_list=True))
+        return [{keys.LIST: lst}]
+
+    if keys.GRAPH in container:  # [spec] 1.1 §9.11
+        out = []
+        for v in _raw_array(value):
+            if not isinstance(v, dict):
+                continue
+            expanded = _expand_element(ctx, key, v)
+            for node in _ensure_array(expanded):
+                if not isinstance(node, dict):
+                    continue
+                if keys.GRAPH in node and len(
+                        set(node) - {keys.INDEX}) == 1:
+                    out.append(node)
+                else:
+                    out.append({keys.GRAPH: [node]})
+        return out
+
+    expanded = _expand_element(ctx, key, value)
+    if expanded is None:
+        return None
+    return _ensure_array(expanded)
+
+
+# ---------------------------------------------------------------------------
+# value expansion
+# ---------------------------------------------------------------------------
+
+def _expand_value(ctx: Context, active_key: str | None, value):
+    """Scalar → value object ([spec] §5.2 Value Expansion)."""
+    term = ctx.terms.get(active_key) if active_key else None
+    t_type = term.type if term is not None and term.type is not UNDEF else None
+
+    if t_type == keys.ID and isinstance(value, str):
+        iri = _expand_id(ctx, value)
+        return {keys.ID: iri} if iri is not None else None
+    if t_type == keys.VOCAB and isinstance(value, str):
+        iri = ctx.expand_iri(value, vocab=True)
+        return {keys.ID: iri} if iri is not None else None
+
+    result = {keys.VALUE: value}
+    if t_type == keys.JSON:
+        result[keys.TYPE] = keys.JSON
+    elif t_type is not None and t_type not in (keys.NONE,):
+        result[keys.TYPE] = t_type
+    elif isinstance(value, str):
+        lang = term.language if term is not None \
+            and term.language is not UNDEF else ctx.language
+        if lang:
+            result[keys.LANG] = lang.lower() if isinstance(lang, str) else lang
+        direction = term.direction if term is not None \
+            and term.direction is not UNDEF else ctx.direction
+        if direction:
+            result[keys.DIRECTION] = direction
+    return result
+
+
+def _expand_value_object(ctx: Context, element: dict, kmap: dict,
+                         val_key: str):
+    """Explicit ``{"@value": ...}`` map → expanded value object
+    ([spec] §5.1 steps 13.4.3-13.4.16)."""
+    value = element[val_key]
+    result = {}
+    for key, expanded_key in kmap.items():
+        if expanded_key == keys.VALUE:
+            result[keys.VALUE] = value
+        elif expanded_key == keys.TYPE:
+            t = element[key]
+            if t == keys.JSON or (isinstance(t, str)
+                                  and ctx.expand_key(t) == keys.JSON):
+                result[keys.TYPE] = keys.JSON
+            elif isinstance(t, str):
+                t_iri = ctx.expand_iri(t, vocab=True)
+                if t_iri is not None:
+                    result[keys.TYPE] = t_iri
+        elif expanded_key == keys.LANG:
+            lang = element[key]
+            if isinstance(lang, str):
+                result[keys.LANG] = lang.lower()
+        elif expanded_key == keys.DIRECTION:
+            if isinstance(element[key], str):
+                result[keys.DIRECTION] = element[key]
+        elif expanded_key == keys.INDEX:
+            if isinstance(element[key], str):
+                result[keys.INDEX] = element[key]
+        # all other keys are dropped inside value objects ([spec] 13.4.2)
+    if result.get(keys.VALUE) is None:
+        return None  # null @value → dropped (B3)
+    if keys.TYPE not in result and keys.LANG not in result \
+            and isinstance(value, str):
+        lang = ctx.language
+        # explicit "@language": null suppresses the default
+        if any(e == keys.LANG for e in kmap.values()):
+            lang = None
+        if lang:
+            result[keys.LANG] = lang
+    if result.get(keys.TYPE) == keys.JSON:
+        result.pop(keys.LANG, None)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _expand_id(ctx: Context, value: str) -> str | None:
+    if value.startswith("_:"):
+        return value
+    iri = ctx.expand_iri(value, vocab=False)
+    if iri is None or iri in keys.KEYWORDS:
+        return None
+    return iri
+
+
+def _raw_array(v) -> list:
+    if isinstance(v, list):
+        return v
+    if isinstance(v, dict) and keys.SET in v:
+        inner = v[keys.SET]
+        return inner if isinstance(inner, list) else [inner]
+    return [v]
+
+
+def _ensure_array(v) -> list:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]

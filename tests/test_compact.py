@@ -1,0 +1,156 @@
+"""Document-level Compaction tests ([spec] JLD-API §6; SURVEY.md §5.1:
+the reference's suite ran `compact` cases, [v0.5.0] test/test_compaction.py).
+
+Semantic oracle over the whole golden corpus, with two contexts per case:
+- the EMPTY context (exercises value compaction + array collapse alone);
+- the fixture's own @context (the realistic round trip).
+Both must satisfy ``to_rdf(compact(doc, C), C) ≅ to_rdf(doc)``.
+"""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from rdflib_jsonld_spark.jsonld import to_rdf
+from rdflib_jsonld_spark.jsonld.compact import compact
+from rdflib_jsonld_spark.jsonld.compare import isomorphic
+from rdflib_jsonld_spark.jsonld import nquads
+
+FIXTURE_DIR = Path(__file__).parent / "fixtures" / "tordf"
+FIXTURES = [p for p in sorted(FIXTURE_DIR.glob("*.json"))
+            if "expect_error" not in json.loads(p.read_text())]
+
+
+def _direct(case):
+    opts = case.get("options", {})
+    return to_rdf(case["input"], base=opts.get("base"),
+                  registry=case.get("registry"),
+                  generalized_rdf=opts.get("generalized_rdf", False),
+                  allow_lists_of_lists=opts.get("allow_lists_of_lists", True))
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=lambda p: p.stem)
+def test_compact_empty_context_roundtrip(path):
+    case = json.loads(path.read_text())
+    opts = case.get("options", {})
+    base = opts.get("base")
+    direct = _direct(case)
+    compacted = compact(case["input"], None, base=base,
+                        registry=case.get("registry"))
+    back = to_rdf(compacted, base=base,
+                  generalized_rdf=opts.get("generalized_rdf", False),
+                  allow_lists_of_lists=opts.get("allow_lists_of_lists", True))
+    assert isomorphic(direct, back), (
+        f"{path.stem}:\nDIRECT:\n{nquads.serialize(direct)}\n"
+        f"BACK:\n{nquads.serialize(back)}\n"
+        f"COMPACTED:\n{json.dumps(compacted, indent=1)}"
+    )
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=lambda p: p.stem)
+def test_compact_own_context_roundtrip(path):
+    case = json.loads(path.read_text())
+    inp = case["input"]
+    ctx_data = inp.get("@context") if isinstance(inp, dict) else None
+    if ctx_data is None:
+        pytest.skip("fixture has no @context")
+    opts = case.get("options", {})
+    base = opts.get("base")
+    direct = _direct(case)
+    compacted = compact(inp, ctx_data, base=base,
+                        registry=case.get("registry"))
+    back = to_rdf(compacted, base=base, registry=case.get("registry"),
+                  generalized_rdf=opts.get("generalized_rdf", False),
+                  allow_lists_of_lists=opts.get("allow_lists_of_lists", True))
+    assert isomorphic(direct, back), (
+        f"{path.stem}:\nDIRECT:\n{nquads.serialize(direct)}\n"
+        f"BACK:\n{nquads.serialize(back)}\n"
+        f"COMPACTED:\n{json.dumps(compacted, indent=1)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shape goldens
+# ---------------------------------------------------------------------------
+
+def test_readme_doctest_compaction():
+    """[checkout] README.md:68-77 — the vocab+language compaction example."""
+    doc = {"@context": {"dcterms": "http://purl.org/dc/terms/"},
+           "@id": "http://example.org/about",
+           "dcterms:title": {"@value": "Someone's Homepage",
+                             "@language": "en"}}
+    ctx = {"@vocab": "http://purl.org/dc/terms/", "@language": "en"}
+    assert compact(doc, ctx) == {
+        "@context": ctx,
+        "@id": "http://example.org/about",
+        "title": "Someone's Homepage",
+    }
+
+
+def test_term_selection_prefers_matching_container():
+    ctx = {"ex": "http://e/", "plain": "ex:p",
+           "listy": {"@id": "ex:p", "@container": "@list"}}
+    doc = [{"@id": "http://e/a",
+            "http://e/p": [{"@list": [{"@value": "x"}, {"@value": "y"}]}]}]
+    out = compact(doc, ctx, expanded=True)
+    assert out["listy"] == ["x", "y"]
+    doc2 = [{"@id": "http://e/a", "http://e/p": [{"@value": "z"}]}]
+    assert compact(doc2, ctx, expanded=True)["plain"] == "z"
+
+
+def test_language_map_reconstruction():
+    ctx = {"label": {"@id": "http://e/label", "@container": "@language"}}
+    doc = [{"@id": "http://e/a",
+            "http://e/label": [{"@value": "cat", "@language": "en"},
+                               {"@value": "Katze", "@language": "de"}]}]
+    out = compact(doc, ctx, expanded=True)
+    assert out["label"] == {"en": "cat", "de": "Katze"}
+
+
+def test_index_map_reconstruction():
+    ctx = {"tags": {"@id": "http://e/tags", "@container": "@index"}}
+    doc = [{"@id": "http://e/a",
+            "http://e/tags": [{"@value": "x", "@index": "t1"},
+                              {"@value": "y", "@index": "t2"}]}]
+    out = compact(doc, ctx, expanded=True)
+    assert out["tags"] == {"t1": "x", "t2": "y"}
+
+
+def test_id_coercion_compacts_node_refs_to_strings():
+    ctx = {"ex": "http://e/", "knows": {"@id": "ex:knows", "@type": "@id"}}
+    doc = [{"@id": "http://e/a", "http://e/knows": [{"@id": "http://e/b"}]}]
+    out = compact(doc, ctx, expanded=True)
+    assert out["knows"] == "ex:b"
+    assert out["@id"] == "ex:a"  # CURIE via prefix, no @vocab in @id position
+
+
+def test_type_coercion_strips_value_objects():
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    ctx = {"age": {"@id": "http://e/age", "@type": xsd_int}}
+    doc = [{"@id": "http://e/a",
+            "http://e/age": [{"@value": 7, "@type": xsd_int}]}]
+    assert compact(doc, ctx, expanded=True)["age"] == 7
+
+
+def test_keyword_aliases_honored():
+    ctx = {"id": "@id", "type": "@type", "ex": "http://e/"}
+    doc = [{"@id": "http://e/a", "@type": ["http://e/T"]}]
+    out = compact(doc, ctx, expanded=True)
+    assert out == {"@context": ctx, "id": "ex:a", "type": "ex:T"}
+
+
+def test_reverse_term_lifts_reverse_map():
+    ctx = {"childOf": {"@reverse": "http://e/parentOf"}}
+    doc = [{"@id": "http://e/a",
+            "@reverse": {"http://e/parentOf": [{"@id": "http://e/b"}]}}]
+    out = compact(doc, ctx, expanded=True)
+    assert out["childOf"] == {"@id": "http://e/b"}
+
+
+def test_multiple_top_level_nodes_under_graph():
+    doc = [{"@id": "http://e/a", "http://e/p": [{"@value": "x"}]},
+           {"@id": "http://e/b", "http://e/p": [{"@value": "y"}]}]
+    out = compact(doc, None, expanded=True)
+    assert set(out) == {"@graph"}
+    assert [n["@id"] for n in out["@graph"]] == ["http://e/a", "http://e/b"]
