@@ -131,6 +131,22 @@ def q_kg_compact_roundtrip(spark, sf_dir) -> DataFrame:
             .orderBy("conv_id"))
 
 
+def q_kg_nquads_roundtrip(spark, sf_dir) -> DataFrame:
+    """N-Quads sink/source round trip fully in-plan: serialize the raw quad
+    stream to N-Quads lines with JVM column algebra, re-parse with the
+    pure-core parser, count objects by kind — predictable from doc_id
+    arithmetic (iri objects = type+about+turn+j sameAs; literals =
+    surface+confidence)."""
+    from rdflib_jsonld_spark.sources.nquads_io import (
+        nquads_lines, parse_nquads_lines)
+    docs = _t(spark, sf_dir, "documents")
+    quads = expand_transcripts(documents_as_transcripts(docs))
+    back = parse_nquads_lines(nquads_lines(quads))
+    return (back.groupBy("o_kind")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("o_kind"))
+
+
 def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
     """BGP matching over the constructed graph: mentions typed Mention
     with an about edge, counted per (pre-canonicalization) entity alias —
@@ -437,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
+        "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_top_predicates_transcripts": q_kg_top_predicates_transcripts,
         "kg_canonical_mapping_transcripts": q_kg_canonical_mapping_transcripts,
@@ -507,6 +524,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
             ORDER BY conv_id
+        """,
+        "kg_nquads_roundtrip": """
+            WITH d AS (
+              SELECT doc_id % (1 + (doc_id % 500) % 3) AS j FROM documents)
+            SELECT o_kind, n FROM (
+              SELECT 'iri' AS o_kind, sum(3 + j)::BIGINT AS n FROM d
+              UNION ALL
+              SELECT 'literal', (2 * count(*))::BIGINT FROM d)
+            ORDER BY o_kind
         """,
         "kg_predicate_counts_documents": f"""
             WITH d AS (

@@ -1,0 +1,107 @@
+"""Distributed N-Quads sink/source tests (sources/nquads_io.py).
+
+- JVM-side line builder must agree byte-for-byte with the pure core's
+  ``quad_to_nq`` (the fixtures/oracle comparator format).
+- write→read round trip over the real expansion output preserves the quad
+  set exactly.
+- Escaping edge cases (quotes, backslashes, newlines, tabs, unicode,
+  language tags, typed literals, bnodes, named graphs) survive.
+"""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rdflib_jsonld_spark.jsonld import to_rdf
+from rdflib_jsonld_spark.jsonld.nquads import quad_to_nq
+from rdflib_jsonld_spark.operators.expand import (
+    QUAD_KEY_COLS, dedup_quads, expand_transcripts)
+from rdflib_jsonld_spark.sources import transcripts as tr
+from rdflib_jsonld_spark.sources.nquads_io import (
+    nquads_lines, read_nquads, write_nquads)
+
+NASTY = {
+    "@context": {"ex": "http://e/", "label": {"@id": "ex:label"},
+                 "note": {"@id": "ex:note", "@language": "en"},
+                 "n": {"@id": "ex:n",
+                       "@type": "http://www.w3.org/2001/XMLSchema#integer"}},
+    "@id": "ex:s",
+    "label": 'quote " backslash \\ newline \n tab \t cr \r done',
+    "note": "ünïcödé ☃",
+    "n": 42,
+    "ex:friend": {"@id": "_:anon"},
+    "@graph": [],
+}
+
+
+def _quad_df(spark, doc):
+    quads = to_rdf(doc)
+    rows = []
+    for g, s, p, o in quads:
+        g_str = (f"_:{g[1]}" if g[0] == "bnode" else g[1]) if g else None
+        s_str = f"_:{s[1]}" if s[0] == "bnode" else s[1]
+        p_str = f"_:{p[1]}" if p[0] == "bnode" else p[1]
+        if o[0] == "lit":
+            rows.append((g_str, s_str, s[0] == "bnode", p_str, "literal",
+                         o[1], o[2], o[3]))
+        else:
+            o_str = f"_:{o[1]}" if o[0] == "bnode" else o[1]
+            rows.append((g_str, s_str, s[0] == "bnode", p_str,
+                         "bnode" if o[0] == "bnode" else "iri",
+                         o_str, None, None))
+    return quads, spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+
+
+def test_jvm_lines_match_pure_core(spark):
+    quads, df = _quad_df(spark, NASTY)
+    expected = sorted(quad_to_nq(q) for q in quads)
+    got = sorted(r["value"] for r in nquads_lines(df).collect())
+    assert got == expected
+
+
+def test_roundtrip_preserves_quadset(spark, tmp_path):
+    t = tr.transcripts_df(spark, n_convs=30, seed=7)
+    quads = dedup_quads(expand_transcripts(t)).select(*QUAD_KEY_COLS)
+    path = str(tmp_path / "nq")
+    write_nquads(quads, path)
+    back = read_nquads(spark, path)
+    a = set(map(tuple, quads.collect()))
+    b = set(map(tuple, back.select(*QUAD_KEY_COLS).collect()))
+    assert a and a == b
+
+
+def test_roundtrip_nasty_literals(spark, tmp_path):
+    _, df = _quad_df(spark, NASTY)
+    path = str(tmp_path / "nasty")
+    write_nquads(df, path)
+    back = read_nquads(spark, path)
+    a = set(map(tuple, df.select(*QUAD_KEY_COLS).collect()))
+    b = set(map(tuple, back.select(*QUAD_KEY_COLS).collect()))
+    assert a == b
+    # the langString and typed-integer survived exactly
+    langs = [r for r in back.collect() if r["o_lang"] == "en"]
+    assert langs and langs[0]["o_value"] == "ünïcödé ☃"
+
+
+def test_named_graph_column_roundtrip(spark, tmp_path):
+    doc = {"@id": "http://e/g1",
+           "@graph": [{"@id": "http://e/a",
+                       "http://e/p": {"@value": "x"}}]}
+    _, df = _quad_df(spark, doc)
+    path = str(tmp_path / "g")
+    write_nquads(df, path)
+    back = read_nquads(spark, path).collect()
+    assert back[0]["g"] == "http://e/g1"
+
+
+def test_sink_plan_is_jvm_only(spark):
+    _, df = _quad_df(spark, NASTY)
+    plan = nquads_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan \
+        and "FlatMapsInPandas" not in plan.replace("FlatMapsInPandas", "")
+    assert "Exchange" not in plan  # narrow projection, no shuffle
