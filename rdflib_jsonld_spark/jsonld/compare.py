@@ -92,9 +92,10 @@ def canonicalize(quads) -> frozenset:
 
 
 def isomorphic(a, b) -> bool:
-    """True iff quad sets are equal up to bnode relabeling."""
-    if len(list(a)) != len(list(b)):
-        return False
+    """True iff quad SETS are equal up to bnode relabeling. Duplicate
+    quads in either input are collapsed first — graphs are sets ([spec]
+    RDF 1.1 §3.1), and expansion legitimately emits the same quad twice."""
+    a, b = list(a), list(b)
     ca, cb = canonicalize(a), canonicalize(b)
     if ca == cb:
         return True

@@ -89,3 +89,46 @@ def test_serializer_roundtrip(doc):
     again = to_rdf(tree)
     assert isomorphic(quads, again), (
         doc, sorted(map(str, quads)), sorted(map(str, again)))
+
+
+# ---------------------------------------------------------------------------
+# document-level ops ([spec] JLD-API §5-6) under the same random corpus
+# ---------------------------------------------------------------------------
+
+from rdflib_jsonld_spark.jsonld.compact import compact      # noqa: E402
+from rdflib_jsonld_spark.jsonld.expansion import expand     # noqa: E402
+from rdflib_jsonld_spark.jsonld.flatten import flatten      # noqa: E402
+
+
+@given(documents)
+@settings(max_examples=60, deadline=None)
+def test_expand_preserves_graph_property(doc):
+    assert isomorphic(to_rdf(doc), to_rdf(expand(doc)))
+
+
+@given(documents)
+@settings(max_examples=60, deadline=None)
+def test_flatten_preserves_graph_property(doc):
+    assert isomorphic(to_rdf(doc), to_rdf(flatten(doc)))
+
+
+@given(documents)
+@settings(max_examples=60, deadline=None)
+def test_expand_idempotent_property(doc):
+    once = expand(doc)
+    assert expand(once) == once
+
+
+@given(documents)
+@settings(max_examples=60, deadline=None)
+def test_compact_roundtrip_property(doc):
+    ctx_data = doc.get("@context")
+    compacted = compact(doc, ctx_data)
+    assert isomorphic(to_rdf(doc), to_rdf(compacted)), (doc, compacted)
+
+
+@given(documents)
+@settings(max_examples=60, deadline=None)
+def test_compact_empty_context_roundtrip_property(doc):
+    compacted = compact(doc, None)
+    assert isomorphic(to_rdf(doc), to_rdf(compacted)), (doc, compacted)
