@@ -91,6 +91,10 @@ def main() -> None:
           lambda: em.q_events_sessionize(spark, sf_dir).collect())
     timed("bgp_mention_counts",
           lambda: em.q_kg_bgp_mention_counts(spark, sf_dir).collect())
+    timed("docform_expand",
+          lambda: em.q_kg_expanded_node_counts(spark, sf_dir).collect())
+    timed("nquads_roundtrip",
+          lambda: em.q_kg_nquads_roundtrip(spark, sf_dir).collect())
 
     from rdflib_jsonld_spark.operators.dedup import winnowing_overlap_pairs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -43,12 +43,29 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+_LABEL_ENC = {"_": "__", "/": "_s", "#": "_h", ":": "_c", ".": "_d"}
+_LABEL_DEC = {"_": "_", "s": "/", "h": "#", "c": ":", "d": "."}
+_DEC_RE = re.compile(r"_([_shcd])")
+
+
+def encode_label(label: str) -> str:
+    """Injective map of pipeline bnode labels (which carry ``/ # : .``
+    lineage salts — SURVEY.md §1.2/D11) onto the grammar N-Quads allows
+    for BLANK_NODE_LABEL ([spec] N-Quads §5, PN_CHARS)."""
+    return "".join(_LABEL_ENC.get(c, c) for c in label)
+
+
+def decode_label(label: str) -> str:
+    """Inverse of :func:`encode_label` (exact on encoded output)."""
+    return _DEC_RE.sub(lambda m: _LABEL_DEC[m.group(1)], label)
+
+
 def term_to_nq(t: tuple) -> str:
     kind = t[0]
     if kind == IRI:
         return f"<{t[1]}>"
     if kind == BNODE:
-        return f"_:{t[1]}"
+        return f"_:{encode_label(t[1])}"
     _, lex, dt, lang = t
     base = f'"{_escape(lex)}"'
     if lang:
@@ -88,7 +105,7 @@ def parse_term(text: str, pos: int = 0):
     if m.group("iri") is not None:
         return (IRI, _unescape(m.group("iri"))), m.end()
     if m.group("bnode") is not None:
-        return (BNODE, m.group("bnode")), m.end()
+        return (BNODE, decode_label(m.group("bnode"))), m.end()
     lex = _unescape(m.group("lit"))
     dt, lang = m.group("dt"), m.group("lang")
     if lang:

@@ -54,10 +54,21 @@ def _escape_col(c):
     return c
 
 
+def _encode_label_col(c):
+    """JVM twin of jsonld.nquads.encode_label: injectively map lineage-
+    salted labels onto N-Quads BLANK_NODE_LABEL grammar. '_' escape FIRST."""
+    for raw, enc in (("_", "__"), ("/", "_s"), ("#", "_h"),
+                     (":", "_c"), (".", "_d")):
+        c = F.replace(c, F.lit(raw), F.lit(enc))
+    return c
+
+
 def _node_col(c):
     """IRI-or-bnode column → N-Quads spelling (bnodes carry '_:')."""
-    return F.when(c.startswith("_:"), c).otherwise(
-        F.concat(F.lit("<"), c, F.lit(">")))
+    return F.when(c.startswith("_:"),
+                  F.concat(F.lit("_:"),
+                           _encode_label_col(F.substring(c, 3, 1 << 30)))) \
+        .otherwise(F.concat(F.lit("<"), c, F.lit(">")))
 
 
 def nquads_lines(quads: DataFrame) -> DataFrame:

@@ -105,3 +105,22 @@ def test_sink_plan_is_jvm_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan \
         and "FlatMapsInPandas" not in plan.replace("FlatMapsInPandas", "")
     assert "Exchange" not in plan  # narrow projection, no shuffle
+
+
+def test_bnode_labels_grammar_valid_and_decoded(spark, tmp_path):
+    """Lineage-salted labels (with / # .) must be encoded to N-Quads
+    BLANK_NODE_LABEL grammar on write and decoded back on read."""
+    import re
+    df = spark.createDataFrame(
+        [(None, "_:conv_01/7/0#2", True, "http://e/p", "bnode",
+          "_:conv_01/7/0#3", None, None)],
+        "g string, s string, s_is_bnode boolean, p string, o_kind string, "
+        "o_value string, o_datatype string, o_lang string")
+    [line] = [r["value"] for r in nquads_lines(df).collect()]
+    for label in re.findall(r"_:(\S+)", line):
+        assert re.fullmatch(r"[A-Za-z0-9_]+", label), line
+    path = str(tmp_path / "enc")
+    write_nquads(df, path)
+    back = read_nquads(spark, path).collect()[0]
+    assert back["s"] == "_:conv_01/7/0#2"
+    assert back["o_value"] == "_:conv_01/7/0#3"

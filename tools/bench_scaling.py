@@ -88,10 +88,22 @@ def main() -> None:
                              partitions=256)
         gen.stop()
 
-        low = run_pinned(low_cpus, tpath)
-        high = run_pinned(high_cpus, tpath)
+        levels = sorted({low_cpus, high_cpus, 4, 16})
+        runs = {c: run_pinned(c, tpath) for c in levels}
+        low, high = runs[low_cpus], runs[high_cpus]
 
     eff = (high["turns_per_sec"] / low["turns_per_sec"]) / 4.0
+    pairs = []
+    for lo in (4, 8):
+        hi = lo * 4
+        if lo in runs and hi in runs:
+            pe = (runs[hi]["turns_per_sec"]
+                  / runs[lo]["turns_per_sec"]) / 4.0
+            pairs.append({"n": lo, "4n": hi,
+                          "turns_per_sec_n": runs[lo]["turns_per_sec"],
+                          "turns_per_sec_4n": runs[hi]["turns_per_sec"],
+                          "scaling_efficiency": round(pe, 3),
+                          "meets_target": pe >= 0.8})
 
     # Hardware ceiling: the SAME kernel without Spark (multiprocessing,
     # pinned). On one shared-memory socket the memory system caps scaling
@@ -108,14 +120,16 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "meets_target": eff >= 0.8,
+        "pairs_n_to_4n": pairs,
         "kernel_ceiling_no_spark": kernel,
         "efficiency_vs_hardware_ceiling": round(eff / ceiling, 3),
         "method": "taskset-pinned local[N] on N cores vs local[4N] on 4N "
                   "cores (executor proxy); identical parquet input "
                   "(256 splits), identical code; warm pool, best of 2. "
                   "kernel_ceiling = same expansion kernel, no Spark, "
-                  "multiprocessing on the same pinned cores — the single-"
-                  "box memory-bandwidth ceiling the proxy cannot exceed.",
+                  "naive multiprocessing chunks on the same pinned cores "
+                  "— a single-box comparison point (Spark's Arrow "
+                  "batching/pipelining can and does out-scale it).",
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)

@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--export-nquads", action="store_true",
+                    help="also materialize the canonical graph as N-Quads "
+                         "text under <output>/nquads (JVM-side serializer)")
     ap.add_argument("--master", default=None,
                     help="override master (default: from spark-submit)")
     args = ap.parse_args()
@@ -82,6 +85,10 @@ def main() -> None:
     counts = entity_mention_counts(quads, mapping)
     counts.write.mode("overwrite").parquet(
         os.path.join(args.output, "entity_counts"))
+    if args.export_nquads:
+        from rdflib_jsonld_spark.sources.nquads_io import write_nquads
+        write_nquads(canon, os.path.join(args.output, "nquads"),
+                     mode="overwrite")
 
     metrics = {
         "expansion": summary,
