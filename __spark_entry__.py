@@ -418,6 +418,24 @@ def q_emb_ann_topk(spark, sf_dir) -> DataFrame:
     return similarity.ann_topk(emb, qvec, k=10, n_bits=8, n_tables=8)
 
 
+def q_emb_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF ANN (seeded k-means coarse quantizer, n_probe nearest cells,
+    exact re-rank inside) — the scale path where LSH recall is too noisy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return similarity.ivf_topk(emb, qvec, k=10, n_clusters=16, n_probe=4)
+
+
+def q_doc_winnowing_overlap(spark, sf_dir) -> DataFrame:
+    """Winnowing (MOSS) fingerprint-overlap pairs with the stop-
+    fingerprint cap — boilerplate/plagiarism detection."""
+    from rdflib_jsonld_spark.operators.dedup import winnowing_overlap_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return (winnowing_overlap_pairs(docs, min_shared=8)
+            .orderBy(F.desc("n_shared"), "id_a", "id_b").limit(50))
+
+
 def q_emb_near_dup_pairs(spark, sf_dir) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     planted = (emb.where(F.col("vec_id") < 8)
@@ -480,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_norm_by_label": q_emb_norm_by_label,
         "emb_ann_topk": q_emb_ann_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "doc_winnowing_overlap": q_doc_winnowing_overlap,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "multimodal_features": q_multimodal_features,
     }

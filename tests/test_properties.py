@@ -62,6 +62,9 @@ def node_objects(depth: int):
                                st.floats(allow_nan=False, allow_infinity=False,
                                          width=32)),
             "ex:other": st.one_of(scalar, st.lists(scalar, max_size=2)),
+            "@reverse": st.fixed_dictionaries(
+                {"ex:rev": st.one_of(iri_local, child)}),
+            "@graph": st.lists(child, max_size=2),
         })
 
 
