@@ -124,3 +124,44 @@ def test_bnode_labels_grammar_valid_and_decoded(spark, tmp_path):
     back = read_nquads(spark, path).collect()[0]
     assert back["s"] == "_:conv_01/7/0#2"
     assert back["o_value"] == "_:conv_01/7/0#3"
+
+
+def test_vectorized_parse_matches_pure_parser(spark, tmp_path):
+    """The pandas fast path must agree row-for-row with parse_line on a
+    corpus covering every term shape incl. escapes and named graphs."""
+    from rdflib_jsonld_spark.jsonld.nquads import parse_line
+    lines = [
+        '<http://e/s> <http://e/p> <http://e/o> .',
+        '<http://e/s> <http://e/p> "plain" .',
+        '<http://e/s> <http://e/p> "tagged"@en-GB .',
+        '<http://e/s> <http://e/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        '<http://e/s> <http://e/p> "esc \\" \\\\ \\n \\t" .',
+        '_:conv__01_s7_h2 <http://e/p> _:b0 <http://e/g> .',
+        '<http://e/s> <http://e/p> "in graph" _:g__0 .',
+        '# a comment',
+        '',
+        '<http://e/s> <http://e/p> "" .',
+    ]
+    p = tmp_path / "mix.nq"
+    p.write_text("\n".join(lines) + "\n")
+    got = sorted(map(tuple, read_nquads(spark, str(p)).collect()),
+                 key=lambda t: tuple(str(x) for x in t))
+    expected = []
+    for ln in lines:
+        q = parse_line(ln)
+        if q is None:
+            continue
+        g, s, pp, o = q
+        g_str = (f"_:{g[1]}" if g[0] == "bnode" else g[1]) if g else None
+        s_str = f"_:{s[1]}" if s[0] == "bnode" else s[1]
+        p_str = f"_:{pp[1]}" if pp[0] == "bnode" else pp[1]
+        if o[0] == "lit":
+            expected.append((g_str, s_str, s[0] == "bnode", p_str,
+                             "literal", o[1], o[2], o[3]))
+        else:
+            o_str = f"_:{o[1]}" if o[0] == "bnode" else o[1]
+            expected.append((g_str, s_str, s[0] == "bnode", p_str,
+                             "bnode" if o[0] == "bnode" else "iri",
+                             o_str, None, None))
+    expected = sorted(expected, key=lambda t: tuple(str(x) for x in t))
+    assert got == expected
