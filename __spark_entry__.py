@@ -222,6 +222,34 @@ def q_tpch_q3_shipping_priority(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_tpch_q18_large_orders(spark, sf_dir) -> DataFrame:
+    """Q18 shape (large-volume customers): group-HAVING over the fact
+    table feeding a semi-join back into a 3-way join — the canonical
+    hot-key aggregation + AQE-skew-join exercise."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 150)
+           .select("l_orderkey"))
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd")
+                .alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.round("total_qty", 2).alias("total_qty"))
+    )
+
+
 def q_tpch_q5_local_supplier(spark, sf_dir) -> DataFrame:
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
@@ -480,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "lineitem_cube": q_lineitem_cube,
         "orders_rank_window": q_orders_rank_window,
@@ -607,6 +636,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= timestamp '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 150)
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum(l_quantity)::DOUBLE, 2) AS total_qty
+            FROM lineitem
+            JOIN big USING (l_orderkey)
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20
         """,
         "tpch_q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate,

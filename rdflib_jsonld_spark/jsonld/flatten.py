@@ -50,9 +50,14 @@ class _Issuer:
 
 def flatten(data, context_data=None, base: str | None = None,
             registry: dict | None = None, ctx: Context | None = None,
-            expanded: bool = False) -> list:
+            expanded: bool = False, compact_context=None):
     """Document (or pre-expanded form with ``expanded=True``) → flattened
-    expanded form: a sorted array of labeled node objects."""
+    expanded form: a sorted array of labeled node objects.
+
+    ``compact_context`` mirrors the W3C API's optional context argument
+    ([spec] JLD-API §5.2 step 6 / JsonLdProcessor.flatten(input, context)):
+    when given, the flattened array is compacted with it and returned as a
+    single map whose @graph holds the nodes."""
     element = data if expanded else expand(
         data, context_data=context_data, base=base, registry=registry,
         ctx=ctx)
@@ -69,8 +74,16 @@ def flatten(data, context_data=None, base: str | None = None,
         entry[keys.GRAPH] = [
             graph_nodes[nid] for nid in sorted(graph_nodes)
             if set(graph_nodes[nid]) != {keys.ID}]
-    return [default_graph[nid] for nid in sorted(default_graph)
+    flat = [default_graph[nid] for nid in sorted(default_graph)
             if set(default_graph[nid]) != {keys.ID}]
+    if compact_context is None:
+        return flat
+    from .compact import compact as _compact
+    out = _compact(flat, compact_context, base=base, registry=registry,
+                   expanded=True, compact_arrays=False)
+    if not isinstance(out, dict) or keys.CONTEXT in out and len(out) == 1:
+        out = {keys.CONTEXT: compact_context, "@graph": []}
+    return out
 
 
 def _key(obj) -> str:

@@ -115,3 +115,20 @@ def test_flatten_output_sorted_and_idempotent():
     assert [n["@id"] for n in flat] == sorted(n["@id"] for n in flat)
     again = flatten(flat, expanded=True)
     assert isomorphic(to_rdf(flat), to_rdf(again))
+
+
+def test_flatten_with_context_compacts_under_graph():
+    """[spec] JLD-API §5.2: flatten(input, context) returns a compacted
+    map with the nodes under @graph."""
+    ctx = {"ex": "http://e/", "p": "ex:p", "knows": {"@id": "ex:knows",
+                                                     "@type": "@id"}}
+    doc = {"@context": ctx, "@id": "ex:a", "p": "x",
+           "knows": {"@id": "ex:b", "p": "y"}}
+    out = flatten(doc, compact_context=ctx)
+    assert out["@context"] == ctx
+    nodes = out["@graph"]
+    assert [n["@id"] for n in nodes] == ["ex:a", "ex:b"]
+    assert nodes[0]["knows"] == ["ex:b"]
+    assert nodes[1]["p"] == ["y"]
+    # graph is unchanged
+    assert isomorphic(to_rdf(doc), to_rdf(out))
