@@ -44,13 +44,21 @@ def _term_key(t: tuple) -> str:
 
 
 def from_rdf(quads, context_data=None, base=None, use_native_types=False,
-             use_rdf_type=False, auto_compact=False, registry=None):
+             use_rdf_type=False, auto_compact=False, registry=None,
+             startnode=None, index=False):
     """Quad tuples → JSON-LD object tree (compacted iff a context applies).
 
     Returns ``{"@context": ..., "@graph": [...]}`` when a context is in
     play, else a plain list of expanded node objects (top-level array form,
     matching the reference's default [checkout] README.md:49-63 which shows
     expanded output with full IRIs when no context is passed).
+
+    Signature parity: [v0.5.0] serializer.py from_rdf(graph, context_data,
+    base, use_native_types, use_rdf_type, auto_compact, startnode, index)
+    (~L40-70; [checkout] docs/jsonld-serializer.rst:49). ``startnode``
+    selects one subject (IRI/CURIE under the given context) and returns its
+    node object alone; ``index=True`` returns the node map keyed by graph
+    id ('@default' for the default graph) then subject id.
     """
     if auto_compact and context_data is None:
         context_data = derive_context(quads)
@@ -187,6 +195,31 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
         consumed.add(g)
 
     result_list = [finals[skey] for skey, _ in default_nodes] + result_list
+
+    if index:
+        # node map keyed by graph id then subject id ([v0.5.0] from_rdf
+        # index kwarg): '@default' for the default graph.
+        imap: dict = {}
+        for g, members in by_graph.items():
+            gid = "@default" if g is None else _term_key(g)
+            bucket = imap.setdefault(gid, {})
+            for skey, node in members:
+                bucket[node[keys.ID]] = finals[skey]
+        if compact:
+            return {keys.CONTEXT: context_data, "@index": imap}
+        return imap
+
+    if startnode is not None:
+        want = ctx.expand_iri(startnode, vocab=False) if compact \
+            else startnode
+        for g, members in by_graph.items():
+            for skey, node in members:
+                if node[keys.ID] in (want, startnode):
+                    out = finals[skey]
+                    if compact:
+                        return {keys.CONTEXT: context_data, **out}
+                    return out
+        raise KeyError(f"startnode not in graph: {startnode!r}")
 
     if compact:
         ctx_out = context_data

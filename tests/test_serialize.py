@@ -116,3 +116,35 @@ def test_spark_serialize_roundtrip(spark):
         assert isomorphic(rt, originals[(d.conv_id, d.turn_idx)]), \
             (d.conv_id, d.turn_idx)
     quads.unpersist()
+
+
+def test_from_rdf_startnode_selects_single_subject():
+    """[v0.5.0] serializer.py from_rdf(startnode=...) parity."""
+    from rdflib_jsonld_spark.jsonld import from_rdf, to_rdf
+    ctx = {"ex": "http://e/", "p": "ex:p"}
+    doc = {"@context": ctx,
+           "@graph": [{"@id": "ex:a", "p": "x"},
+                      {"@id": "ex:b", "p": "y"}]}
+    quads = to_rdf(doc)
+    node = from_rdf(quads, context_data=ctx, startnode="ex:b")
+    assert node["@id"] == "ex:b" and node["p"] == "y"
+    expanded = from_rdf(quads, startnode="http://e/a")
+    assert expanded["@id"] == "http://e/a"
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        from_rdf(quads, startnode="http://e/nope")
+
+
+def test_from_rdf_index_returns_node_map():
+    """[v0.5.0] serializer.py from_rdf(index=True) parity: graph-keyed
+    subject map with '@default' for the default graph."""
+    from rdflib_jsonld_spark.jsonld import from_rdf, to_rdf
+    doc = [{"@id": "http://e/a", "http://e/p": [{"@value": "x"}]},
+           {"@id": "http://e/g",
+            "@graph": [{"@id": "http://e/b",
+                        "http://e/p": [{"@value": "y"}]}]}]
+    quads = to_rdf(doc)
+    imap = from_rdf(quads, index=True)
+    assert set(imap) == {"@default", "http://e/g"}
+    assert "http://e/a" in imap["@default"]
+    assert imap["http://e/g"]["http://e/b"]["http://e/p"]
