@@ -145,6 +145,9 @@ class Context:
         self._key_memo: dict[str, str | None] = {}
         self._iri_memo_v: dict[str, str | None] = {}
         self._iri_memo_d: dict[str, str | None] = {}
+        # node-shape memo: documents in a corpus share a handful of key
+        # tuples; expanding the whole tuple once skips per-key dict probes
+        self._kmap_memo: dict[tuple, tuple] = {}
 
     # -- C1: context processing ------------------------------------------
 
@@ -177,6 +180,7 @@ class Context:
         new._key_memo = {}
         new._iri_memo_v = {}
         new._iri_memo_d = {}
+        new._kmap_memo = {}
         return new
 
     def _load_one(self, src, remote_chain: frozenset) -> None:
@@ -249,6 +253,7 @@ class Context:
         self._key_memo.clear()
         self._iri_memo_v.clear()
         self._iri_memo_d.clear()
+        self._kmap_memo.clear()
 
     # -- C2: term definitions --------------------------------------------
 
@@ -417,6 +422,17 @@ class Context:
         return ctx
 
     # -- keyword aliases ----------------------------------------------------
+
+    def expand_keys(self, key_tuple: tuple) -> tuple:
+        """Expand a whole node's key tuple at once (memoized per shape —
+        the per-document hot path of the expansion kernel)."""
+        memo = self._kmap_memo
+        got = memo.get(key_tuple)
+        if got is None:
+            got = tuple(self.expand_key(k) for k in key_tuple)
+            if len(memo) < 2048:
+                memo[key_tuple] = got
+        return got
 
     def expand_key(self, key: str) -> str | None:
         """Map a node key to a keyword (via alias) or an IRI; None if the

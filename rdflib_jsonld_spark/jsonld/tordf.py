@@ -24,6 +24,7 @@ pipeline distributable and resumable.
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 
@@ -103,8 +104,11 @@ def to_rdf(data, context_data=None, base: str | None = None,
 
 
 def _node_keyword_map(node: dict, ctx: Context) -> dict:
-    """Expand every key once; returns {raw_key: expanded(None|kw|iri)}."""
-    return {k: ctx.expand_key(k) for k in node}
+    """Expand every key once; returns {raw_key: expanded(None|kw|iri)}.
+    Rides the per-shape memo (Context.expand_keys): corpora repeat a few
+    node shapes millions of times."""
+    kt = tuple(node)
+    return dict(zip(kt, ctx.expand_keys(kt)))
 
 
 def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
@@ -362,13 +366,21 @@ def canonical_double(v: float) -> str:
     """XSD canonical lexical form of xsd:double ([spec] JLD-API §10.6
     'Data Round Tripping' / XSD 1.1 §3.3.5.2): mantissa in [1,10) with a
     mandatory fractional digit, 'E', exponent without leading zeros.
-    P/R-sensitive detail (SURVEY.md §7 hard parts / H3)."""
+    P/R-sensitive detail (SURVEY.md §7 hard parts / H3). Non-zero values
+    are cached (corpora repeat a small set of scores millions of times);
+    ±0.0 stays outside the cache because 0.0 == -0.0 would collide keys
+    while their canonical lexicals differ."""
+    if v == 0:
+        return "-0.0E0" if math.copysign(1.0, v) < 0 else "0.0E0"
+    return _canonical_double_nonzero(v)
+
+
+@functools.lru_cache(maxsize=4096)
+def _canonical_double_nonzero(v: float) -> str:
     if math.isnan(v):
         return "NaN"
     if math.isinf(v):
         return "INF" if v > 0 else "-INF"
-    if v == 0:
-        return "-0.0E0" if math.copysign(1.0, v) < 0 else "0.0E0"
     mantissa, exp = f"{v:1.15E}".split("E")
     mantissa = mantissa.rstrip("0")
     if mantissa.endswith("."):
