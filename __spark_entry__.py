@@ -250,6 +250,24 @@ def q_tpch_q18_large_orders(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_tpch_q14_promo_revenue(spark, sf_dir) -> DataFrame:
+    """Q14 shape (promotion effect): fact-to-dim broadcast join with a
+    conditional aggregate — covers the `part` dimension table."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-06-01").cast("timestamp")))
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                          .otherwise(F.lit(0.0)))
+            / F.sum(rev), 4).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
 def q_tpch_q5_local_supplier(spark, sf_dir) -> DataFrame:
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
@@ -508,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "lineitem_cube": q_lineitem_cube,
@@ -636,6 +655,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= timestamp '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_revenue_pct,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+              AND l_shipdate <  TIMESTAMP '1998-06-01'
         """,
         "tpch_q18_large_orders": """
             WITH big AS (

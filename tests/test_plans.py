@@ -64,3 +64,39 @@ def test_salted_agg_two_level(spark):
     p = formatted(counts)
     # two groupBys → at least two HashAggregate pairs in the plan
     assert p.count("HashAggregate") >= 4
+
+
+def test_docops_scan_prunes_to_three_columns(spark):
+    """The document-form stages must read only (conv_id, turn_idx, text)
+    from a parquet-backed transcript table (ReadSchema pruning)."""
+    import tempfile, os
+    from rdflib_jsonld_spark.operators.docops import expand_documents_stage
+    from rdflib_jsonld_spark.sources import transcripts as tr
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "t")
+        tr.write_transcripts(spark, path, n_convs=20, seed=1, partitions=2)
+        tdf = tr.read_transcripts(spark, path)
+        p = formatted(expand_documents_stage(tdf))
+        read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+        assert read_schema and "role" not in read_schema[0] \
+            and "tool" not in read_schema[0] and "ts" not in read_schema[0]
+
+
+def test_nquads_sink_stays_in_codegen(spark):
+    """N-Quads line building must be pure JVM (no Python eval nodes) and
+    inside a WholeStageCodegen span."""
+    from rdflib_jsonld_spark.sources.nquads_io import nquads_lines
+    df = spark.createDataFrame(
+        [(None, "http://e/s", False, "http://e/p", "literal", "x",
+          None, None)],
+        "g string, s string, s_is_bnode boolean, p string, o_kind string, "
+        "o_value string, o_datatype string, o_lang string")
+    p = formatted(nquads_lines(df))
+    assert "EvalPython" not in p and "InPandas" not in p
+    assert "codegen id" in p  # whole-stage codegen span
+
+
+def test_q14_broadcasts_part_dim(spark):
+    import __spark_entry__ as em
+    p = formatted(em.q_tpch_q14_promo_revenue(spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
