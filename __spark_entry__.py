@@ -356,6 +356,29 @@ def q_events_json_stats(spark, sf_dir) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_events_asof_attribution(spark, sf_dir) -> DataFrame:
+    """As-of join (union + window forward-fill, one shuffle): each
+    purchase event attributed to the user's most recent click at or
+    before it. DuckDB's native ASOF JOIN is the oracle."""
+    from rdflib_jsonld_spark.operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("user_id", F.col("event_id").alias("click_id"), "ts")
+    joined = asof_join(purchases, clicks, ["user_id"],
+                       left_ts="ts", right_ts="ts")
+    return (joined.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("value"),
+        F.col("asof_click_id").alias("click_id"),
+        F.round(
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("asof_ts").cast("timestamp")))
+            / 1e6, 3).alias("gap_seconds"))
+        .orderBy("event_id"))
+
+
 def q_customers_with_orders_semijoin(spark, sf_dir) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -532,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_cube": q_lineitem_cube,
         "orders_rank_window": q_orders_rank_window,
         "events_sessionize": q_events_sessionize,
+        "events_asof_attribution": q_events_asof_attribution,
         "events_hourly_windows": q_events_hourly_windows,
         "events_json_stats": q_events_json_stats,
         "customers_with_orders_semijoin": q_customers_with_orders_semijoin,
@@ -655,6 +679,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= timestamp '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "events_asof_attribution": """
+            WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, event_id AS click_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id,
+                   round(p.value, 2) AS value,
+                   c.click_id,
+                   round(epoch(p.ts) - epoch(c.ts), 3) AS gap_seconds
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
         """,
         "tpch_q14_promo_revenue": """
             SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
