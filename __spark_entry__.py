@@ -442,6 +442,15 @@ def q_doc_lang_pred_counts(spark, sf_dir) -> DataFrame:
             .orderBy("pred_lang"))
 
 
+def q_doc_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (explode → equi-join set algebra,
+    all JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.ngram_jaccard_pairs(docs, threshold=0.4)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+            .orderBy(F.desc("jaccard"), "id_a", "id_b").limit(50))
+
+
 def q_doc_minhash_near_dups(spark, sf_dir) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     planted = (docs.where(F.col("doc_id") < 10)
@@ -564,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality_by_source": q_doc_quality_by_source,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
+        "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "doc_lang_pred_counts": q_doc_lang_pred_counts,
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -679,6 +689,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= timestamp '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "doc_ngram_jaccard_pairs": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                         AS w
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+              FROM words, UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams
+                      GROUP BY doc_id),
+            overlap AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM grams a JOIN grams b USING (gram)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(round(n_common
+                               / (sa.n_grams + sb.n_grams - n_common), 6), 4)
+                       AS jaccard
+            FROM overlap
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(n_common / (sa.n_grams + sb.n_grams - n_common), 6)
+                  >= 0.4
+            ORDER BY jaccard DESC, id_a, id_b LIMIT 50
         """,
         "events_asof_attribution": """
             WITH p AS (SELECT event_id, user_id, ts, value FROM events
