@@ -379,6 +379,20 @@ def q_events_asof_attribution(spark, sf_dir) -> DataFrame:
         .orderBy("event_id"))
 
 
+def q_lineitem_percentiles(spark, sf_dir) -> DataFrame:
+    """Exact distribution stats per return flag (percentile is exact and
+    engine-portable, unlike approx_percentile — the contract-checkable
+    member of the H3 numeric family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(pct[0], 4).alias("p50"),
+                 F.round(pct[1], 4).alias("p90"),
+                 F.round(pct[2], 4).alias("p99"),
+                 F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd"))
+            .orderBy("l_returnflag"))
+
+
 def q_customers_with_orders_semijoin(spark, sf_dir) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -562,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "lineitem_cube": q_lineitem_cube,
+        "lineitem_percentiles": q_lineitem_percentiles,
         "orders_rank_window": q_orders_rank_window,
         "events_sessionize": q_events_sessionize,
         "events_asof_attribution": q_events_asof_attribution,
@@ -689,6 +704,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= timestamp '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "lineitem_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+                   round(stddev_samp(l_extendedprice), 4) AS sd
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "doc_ngram_jaccard_pairs": r"""
             WITH words AS (
