@@ -26,8 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="transcripts parquet path, 'synthetic:N' convs, or "
-                         "'documents:<sf_dir>' for the testdata bridge")
+                    help="transcripts parquet path, 'synthetic:N' convs, "
+                         "'documents:<sf_dir>' for the testdata bridge, or "
+                         "'jsonl:<path>' for JSON-Lines JSON-LD documents")
     ap.add_argument("--output", required=True)
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=32)
@@ -66,6 +67,24 @@ def main() -> None:
         sf_dir = args.input.split(":", 1)[1]
         transcripts = documents_as_transcripts(
             spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    elif args.input.startswith("jsonl:"):
+        # JSON-Lines JSON-LD docs → one-turn transcripts (fence-wrapped so
+        # the standard expansion stage parses them); layout-independent
+        # deterministic lineage keys via content hash.
+        from pyspark.sql import functions as F
+        path = args.input.split(":", 1)[1]
+        # conv_id carries a content-hash bucket so resumable slicing (which
+        # hashes conv_id) spreads one big file across all slices, stably.
+        transcripts = (spark.read.text(path)
+                       .where(F.length(F.trim("value")) > 0)
+                       .select(
+                           F.concat(F.input_file_name(), F.lit("#"),
+                                    F.pmod(F.xxhash64("value"), F.lit(256))
+                                    .cast("string")).alias("conv_id"),
+                           F.pmod(F.xxhash64("value"), F.lit(1 << 31))
+                           .cast("int").alias("turn_idx"),
+                           F.concat(F.lit("```ld\n"), F.col("value"),
+                                    F.lit("\n```")).alias("text")))
     else:
         transcripts = tr.read_transcripts(spark, args.input)
 
