@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from . import keys
 from .context import Context, split_iri
+from .compact import _compact_element, _compact_id as _doc_compact_id
 from .tordf import BNODE, IRI, LIT
 
 
@@ -134,8 +135,7 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
             nodes[skey] = node
             graph_of[skey] = g
         if p == (IRI, keys.RDF_TYPE) and o[0] != LIT and not use_rdf_type:
-            node.setdefault(keys.TYPE, []).append(
-                _compact_iri(ctx, _term_key(o)) if compact else _term_key(o))
+            node.setdefault(keys.TYPE, []).append(_term_key(o))
             continue
         pred = _term_key(p)
         obj = _object_repr(g, o, ctx, compact, use_native_types, list_chains,
@@ -150,24 +150,19 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
         by_graph.setdefault(g, []).append(((g, s), node))
 
     def finalize(node, skey):
-        res = {}
-        nid = node[keys.ID]
-        res[ctx.alias(keys.ID) if compact else keys.ID] = (
-            _compact_id(ctx, nid) if compact else nid)
+        expanded = {keys.ID: node[keys.ID]}
         if keys.TYPE in node:
-            tvals = node[keys.TYPE]
-            tkey = ctx.alias(keys.TYPE) if compact else keys.TYPE
-            res[tkey] = tvals[0] if compact and len(tvals) == 1 else tvals
+            expanded[keys.TYPE] = node[keys.TYPE]
         for k, vals in node.items():
-            if not isinstance(k, tuple) or k[0] != "pred":
-                continue
-            iri = k[1]
-            if compact:
-                tname, packed = _compact_values(ctx, iri, vals)
-                res[tname] = packed
-            else:
-                res[iri] = vals
-        return res
+            if isinstance(k, tuple) and k[0] == "pred":
+                expanded[k[1]] = vals
+        if not compact:
+            return expanded
+        # delegate to the document-level Compaction core ([spec] JLD-API
+        # §6, jsonld/compact.py) — one implementation of term selection,
+        # value compaction and container reconstruction for BOTH the
+        # serializer and the standalone compact() API.
+        return _compact_element(ctx, None, expanded, True)
 
     default_nodes = by_graph.get(None, [])
     named = {g: members for g, members in by_graph.items() if g is not None}
@@ -190,7 +185,7 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
         else:
             idkey = ctx.alias(keys.ID) if compact else keys.ID
             result_list.append({
-                idkey: _compact_id(ctx, gid) if compact else gid,
+                idkey: _doc_compact_id(ctx, gid) if compact else gid,
                 gkey: children})
         consumed.add(g)
 
@@ -258,87 +253,12 @@ def _object_repr(g, o, ctx, compact, use_native_types, list_chains,
             nat = _native(lex, dt)
             if nat is not None:
                 return {keys.VALUE: nat}
-        dtv = _compact_iri(ctx, dt) if compact else dt
-        return {keys.VALUE: lex, keys.TYPE: dtv}
+        return {keys.VALUE: lex, keys.TYPE: dt}
     return {keys.ID: _term_key(o)}
 
 
-def _compact_iri(ctx: Context, iri: str) -> str:
-    if iri.startswith("_:"):
-        return iri
-    return ctx.shrink_iri(iri)
-
-
-def _compact_id(ctx: Context, iri: str) -> str:
-    if iri.startswith("_:"):
-        return iri
-    shrunk = ctx.shrink_iri(iri)
-    # @id position never @vocab-compacts to a bare word that's not a term
-    return shrunk
-
-
-def _compact_values(ctx: Context, pred_iri: str, vals: list):
-    """Pick the best term for a predicate and value-compact accordingly
-    (inverse of D8; [spec] JLD-API §6.4/§8 Compaction)."""
-    tname = ctx.shrink_iri(pred_iri)
-    term = ctx.terms.get(tname)
-    if term is not None and keys.LANG in term.container and all(
-            isinstance(v, dict) and keys.VALUE in v and keys.LANG in v
-            for v in vals):
-        # language-map reconstruction (inverse of D6)
-        lmap: dict[str, list] = {}
-        for v in vals:
-            lmap.setdefault(v[keys.LANG], []).append(v[keys.VALUE])
-        packed = {lang: (vs[0] if len(vs) == 1 else sorted(vs))
-                  for lang, vs in lmap.items()}
-        return tname, packed
-    out = []
-    for v in vals:
-        out.append(_compact_one(ctx, term, v))
-    if term is not None and keys.LIST in term.container and len(out) == 1 \
-            and isinstance(out[0], dict) and keys.LIST in out[0]:
-        return tname, out[0][keys.LIST]
-    if term is not None and keys.SET in term.container:
-        return tname, out
-    if len(out) == 1:
-        return tname, out[0]
-    return tname, out
-
-
-def _compact_one(ctx: Context, term, v):
-    from .context import UNDEF
-    if isinstance(v, dict) and keys.LIST in v:
-        inner = [_compact_one(ctx, term, x) for x in v[keys.LIST]]
-        if term is not None and keys.LIST in term.container:
-            return {keys.LIST: inner}
-        return {ctx.alias(keys.LIST): inner}
-    if isinstance(v, dict) and keys.VALUE in v:
-        val = v[keys.VALUE]
-        lang = v.get(keys.LANG)
-        typ = v.get(keys.TYPE)
-        t_type = term.type if term is not None and term.type is not UNDEF else None
-        t_lang = term.language if term is not None and term.language is not UNDEF \
-            else ctx.language
-        if typ is not None:
-            if t_type == typ or (t_type and ctx.shrink_iri(t_type) == typ):
-                return val
-            return {ctx.alias(keys.VALUE): val, ctx.alias(keys.TYPE): typ}
-        if lang is not None:
-            if t_lang and t_lang.lower() == lang.lower():
-                return val
-            return {ctx.alias(keys.VALUE): val, ctx.alias(keys.LANG): lang}
-        if isinstance(val, str) and t_lang:
-            # a plain (untagged) string under a language default must stay
-            # a value object, else re-expansion would add the default tag
-            return {ctx.alias(keys.VALUE): val}
-        return val
-    if isinstance(v, dict) and keys.ID in v and len(v) == 1:
-        t_type = term.type if term is not None and term.type is not UNDEF else None
-        cid = _compact_id(ctx, v[keys.ID])
-        if t_type == keys.ID:
-            return cid
-        return {ctx.alias(keys.ID): cid}
-    return v
+# Predicate/value compaction is delegated to jsonld/compact.py (single
+# implementation shared with the standalone compact() API).
 
 
 def derive_context(quads) -> dict:
