@@ -165,3 +165,37 @@ def test_vectorized_parse_matches_pure_parser(spark, tmp_path):
                              o_str, None, None))
     expected = sorted(expected, key=lambda t: tuple(str(x) for x in t))
     assert got == expected
+
+
+def test_fuzzed_literals_roundtrip(spark, tmp_path):
+    """200 adversarial literals (control chars, quotes, backslash runs,
+    unicode, RTL, long runs) through JVM serialize → vectorized parse."""
+    import random
+    rng = random.Random(99)
+    alphabet = ['"', "\\", "\n", "\r", "\t", "a", "β", "☃", "_", ":", "/",
+                "#", ".", " ", "\\n", '\\"', "‏", "z"]
+    rows = []
+    for i in range(200):
+        lex = "".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(0, 40)))
+        lang = rng.choice([None, "en", "de-AT"])
+        dt = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+              if lang else rng.choice(
+                  [None, "http://www.w3.org/2001/XMLSchema#string",
+                   "http://e/dt"]))
+        rows.append((None, f"http://e/s{i}", False, "http://e/p",
+                     "literal", lex, dt, lang))
+    df = spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+    path = str(tmp_path / "fuzz")
+    write_nquads(df, path)
+    back = read_nquads(spark, path)
+    # parsers canonicalize language tags to lowercase, matching to_rdf's
+    # own normalization (RDF 1.1 Concepts lowercase-convention)
+    want = {(r[5], r[6] or "http://www.w3.org/2001/XMLSchema#string",
+             r[7].lower() if r[7] else None) for r in rows}
+    got = {(r["o_value"], r["o_datatype"], r["o_lang"])
+           for r in back.collect()}
+    assert want == got
