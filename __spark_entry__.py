@@ -605,6 +605,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _STOP_PATTERN = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB mirror of textstats.lang_id_udf, generated from the SAME
+    n-gram profiles so the two can never drift: per-language substring-hit
+    scores, normalized by length, argmax with lexicographic tie-break."""
+    from rdflib_jsonld_spark.operators.textstats import _PROFILES
+    langs = sorted(_PROFILES)
+    score_cols = []
+    for lang in langs:
+        hits = " + ".join(
+            f"(length(t) - length(replace(t, '{g}', ''))) / {len(g)}"
+            for g in _PROFILES[lang])
+        score_cols.append(
+            f"({hits}) / (1 + length(t) / 100.0) AS s_{lang}")
+    m = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, {', '.join(score_cols)}
+          FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+        pred AS (
+          SELECT doc_id,
+                 CASE WHEN m <= 0 THEN 'und' {case} ELSE 'und' END
+                     AS pred_lang
+          FROM (SELECT *, {m} AS m FROM scored))
+        SELECT pred_lang, count(*)::BIGINT AS n_docs
+        FROM pred GROUP BY pred_lang ORDER BY pred_lang
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # --- KG pipeline, predictable from doc_id arithmetic -------------
@@ -891,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         # --- documents/embeddings ------------------------------------------
+        "doc_lang_pred_counts": _lang_id_oracle_sql(),
         "doc_token_stats": r"""
             SELECT lang,
                    count(*) AS n_docs,
