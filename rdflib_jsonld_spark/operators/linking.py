@@ -151,7 +151,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         return spark.createDataFrame(pairs, ["node", "root"])
     prev_sig = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # free the previous round's checkpoint blocks — without this the
+        # executor storage grows by one edge-set per round (surfaced as
+        # GC-locker stalls at ~1M edges; fatal at web scale)
+        e.unpersist()
+        e = nxt
         # bit_xor is overflow-free under ANSI mode and order-independent;
         # the edge set is distinct, so xor-of-hashes is a sound set digest.
         sig = e.agg(
