@@ -65,8 +65,10 @@ def _term_cols(t: tuple) -> tuple[str, bool]:
 
 
 def quads_for_turn(conv_id: str, turn_idx: int, text: str,
-                   ctx: Context) -> tuple[list[tuple], int]:
+                   ctx: Context,
+                   registry: dict | None = None) -> tuple[list[tuple], int]:
     """Pure per-turn worker: returns (quad rows, n_parse_errors)."""
+    reg = registry if registry is not None else REGISTRY
     rows: list[tuple] = []
     errors = 0
     for k, block in enumerate(extract_blocks(text)):
@@ -81,7 +83,7 @@ def quads_for_turn(conv_id: str, turn_idx: int, text: str,
         else:
             local_ctx = None
         try:
-            quads = to_rdf(doc, ctx=local_ctx, registry=REGISTRY,
+            quads = to_rdf(doc, ctx=local_ctx, registry=reg,
                            bnode_prefix=f"{conv_id}/{turn_idx}/{k}#")
         except Exception:
             errors += 1
@@ -102,22 +104,27 @@ def quads_for_turn(conv_id: str, turn_idx: int, text: str,
     return rows, errors
 
 
-def expand_transcripts(transcripts: DataFrame) -> DataFrame:
+def expand_transcripts(transcripts: DataFrame,
+                       registry: dict | None = None) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, …) → quads DataFrame.
 
     Narrow (no shuffle): one Arrow-batched pass per input partition.
     Column pruning: only (conv_id, turn_idx, text) are read — with a
     parquet source Catalyst pushes this into the scan (ReadSchema).
+    ``registry`` merges extra pre-fetched remote contexts over the
+    built-in one (sources/registry.py load_registry_dir).
     """
     pruned = transcripts.select("conv_id", "turn_idx", "text")
+    reg = {**REGISTRY, **(registry or {})}
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ctx = Context(registry=REGISTRY).load(CONTEXT_V1_IRI)
+        ctx = Context(registry=reg).load(CONTEXT_V1_IRI)
         for pdf in batches:
             out: list[tuple] = []
             for conv_id, turn_idx, text in zip(
                     pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                rows, _ = quads_for_turn(conv_id, int(turn_idx), text, ctx)
+                rows, _ = quads_for_turn(conv_id, int(turn_idx), text, ctx,
+                                         registry=reg)
                 out.extend(rows)
             if out:
                 yield pd.DataFrame(out, columns=QUAD_COLS)
@@ -130,19 +137,22 @@ METRICS_SCHEMA = T.StructType(QUAD_SCHEMA.fields + [
 ])
 
 
-def expand_with_metrics(transcripts: DataFrame) -> DataFrame:
+def expand_with_metrics(transcripts: DataFrame,
+                        registry: dict | None = None) -> DataFrame:
     """Variant that carries per-turn parse-error counts for the lineage/
     metrics sink (SURVEY.md §4.3.3). Error turns emit a sentinel row with
     s='_:error' so counts survive even when no quads do."""
     pruned = transcripts.select("conv_id", "turn_idx", "text")
+    reg = {**REGISTRY, **(registry or {})}
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ctx = Context(registry=REGISTRY).load(CONTEXT_V1_IRI)
+        ctx = Context(registry=reg).load(CONTEXT_V1_IRI)
         for pdf in batches:
             out: list[tuple] = []
             for conv_id, turn_idx, text in zip(
                     pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                rows, errs = quads_for_turn(conv_id, int(turn_idx), text, ctx)
+                rows, errs = quads_for_turn(conv_id, int(turn_idx), text,
+                                            ctx, registry=reg)
                 out.extend(r + (0,) for r in rows)
                 if errs:
                     out.append((None, "_:error", True, "_:error", "literal",

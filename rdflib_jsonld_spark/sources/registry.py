@@ -46,3 +46,26 @@ REGISTRY: dict[str, dict] = {
 def resolved_context_v1() -> Context:
     """Driver-side resolution of the v1 context; picklable → broadcastable."""
     return Context(registry=REGISTRY).load(CONTEXT_V1_IRI)
+
+
+def load_registry_dir(path: str) -> dict[str, dict]:
+    """Load a directory of pre-fetched remote contexts into a registry
+    mapping (the migration bridge for corpora whose documents reference
+    remote @context IRIs — the reference fetched them over HTTP,
+    [v0.5.0] context.py _fetch_context; at scale they are mirrored to a
+    directory once, by hand or a one-off crawler, and resolved offline).
+
+    Layout: ``<path>/manifest.json`` maps context IRI → relative filename;
+    each file holds the context document (with or without the outer
+    ``{"@context": ...}`` wrapper — Context.load handles both).
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "manifest.json")) as f:
+        manifest = _json.load(f)
+    out: dict[str, dict] = {}
+    for iri, fname in manifest.items():
+        with open(_os.path.join(path, fname)) as f:
+            out[iri] = _json.load(f)
+    return out

@@ -108,3 +108,31 @@ def test_registry_fastpath_equals_slow_path():
                           ctx=ctx, bnode_prefix="x")
             slow = to_rdf(doc, registry=REGISTRY, bnode_prefix="x")
             assert fast == slow
+
+
+def test_custom_registry_dir_contexts(spark, tmp_path):
+    """Pre-fetched remote contexts (manifest.json + files) resolve inside
+    the expansion stage — the migration bridge for corpora whose docs
+    reference remote @context IRIs (A7 replacement)."""
+    import json
+    from rdflib_jsonld_spark.sources.registry import load_registry_dir
+
+    ctx_dir = tmp_path / "ctxs"
+    ctx_dir.mkdir()
+    (ctx_dir / "acme.json").write_text(json.dumps(
+        {"@context": {"acme": "http://acme.example/ns#",
+                      "title": "acme:title"}}))
+    (ctx_dir / "manifest.json").write_text(json.dumps(
+        {"http://ctx.example/acme": "acme.json"}))
+    registry = load_registry_dir(str(ctx_dir))
+
+    doc = {"@context": "http://ctx.example/acme",
+           "@id": "http://acme.example/d1", "title": "Hello"}
+    text = "```ld\n" + json.dumps(doc) + "\n```"
+    tdf = spark.createDataFrame([("c1", 0, text)],
+                                "conv_id string, turn_idx int, text string")
+    from rdflib_jsonld_spark.operators.expand import expand_transcripts
+    rows = expand_transcripts(tdf, registry=registry).collect()
+    assert len(rows) == 1
+    assert rows[0]["p"] == "http://acme.example/ns#title"
+    assert rows[0]["o_value"] == "Hello"

@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--slices", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--contexts", default=None,
+                    help="directory of pre-fetched remote contexts "
+                         "(manifest.json maps IRI -> file) merged into the "
+                         "built-in registry")
     ap.add_argument("--export-nquads", action="store_true",
                     help="also materialize the canonical graph as N-Quads "
                          "text under <output>/nquads (JVM-side serializer)")
@@ -90,8 +94,15 @@ def main() -> None:
 
     # stage 1: resumable expansion with per-slice lineage (+ parse-error
     # counts surfaced through the metrics-carrying expansion variant)
+    extra_registry = None
+    if args.contexts:
+        from rdflib_jsonld_spark.sources.registry import load_registry_dir
+        extra_registry = load_registry_dir(args.contexts)
+
     writer = ResumableQuadWriter(spark, args.output, n_slices=args.slices)
-    summary = writer.run(transcripts, expand_with_metrics)
+    summary = writer.run(
+        transcripts,
+        lambda df: expand_with_metrics(df, registry=extra_registry))
     quads = dedup_quads(writer.read_quads())
 
     # stage 2-3: linking + canonical rewrite
