@@ -74,7 +74,9 @@ def quads_for_turn(conv_id: str, turn_idx: int, text: str,
     for k, block in enumerate(extract_blocks(text)):
         try:
             doc = json.loads(block)
-        except ValueError:
+        except (ValueError, RecursionError):
+            # RecursionError: maliciously deep JSON must count as a parse
+            # error, not kill the executor task (one bad doc ≠ dead job)
             errors += 1
             continue
         if isinstance(doc, dict) and doc.get("@context") == CONTEXT_V1_IRI:

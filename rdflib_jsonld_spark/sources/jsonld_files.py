@@ -80,10 +80,10 @@ def read_jsonld_lines(spark: SparkSession, path: str,
                     continue
                 try:
                     doc = json.loads(value)
-                except ValueError:
-                    continue
-                key = f"{src}/{line_id}"
-                out.extend(_doc_rows(doc, key, base or src, reg, None))
+                    key = f"{src}/{line_id}"
+                    out.extend(_doc_rows(doc, key, base or src, reg, None))
+                except (ValueError, RecursionError):
+                    continue  # malformed/hostile doc ≠ dead task
             if out:
                 yield pd.DataFrame(out, columns=cols)
 
@@ -106,9 +106,9 @@ def read_jsonld_files(spark: SparkSession, path: str,
             for src, value in zip(pdf["src"], pdf["value"]):
                 try:
                     doc = json.loads(value)
-                except ValueError:
-                    continue
-                out.extend(_doc_rows(doc, src, base or src, reg, None))
+                    out.extend(_doc_rows(doc, src, base or src, reg, None))
+                except (ValueError, RecursionError):
+                    continue  # malformed/hostile doc ≠ dead task
             if out:
                 yield pd.DataFrame(out, columns=cols)
 

@@ -136,3 +136,20 @@ def test_custom_registry_dir_contexts(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["p"] == "http://acme.example/ns#title"
     assert rows[0]["o_value"] == "Hello"
+
+
+def test_pathological_nesting_counted_as_error_not_crash(spark):
+    """A maliciously deep document must not kill the executor: the
+    per-turn worker catches RecursionError and counts it in _kg_errors."""
+    depth = 5000
+    deep_json = ('{"@context":{"nested":"http://e/nested"},'
+                 + '"nested":{' * depth
+                 + '"@value":"x"' + '}' * depth + '}')
+    text = "```ld\n" + deep_json + "\n```"
+    tdf = spark.createDataFrame([("c1", 0, text), ("c1", 1, "no blocks")],
+                                "conv_id string, turn_idx int, text string")
+    from rdflib_jsonld_spark.operators.expand import expand_with_metrics
+    from pyspark.sql import functions as F
+    out = expand_with_metrics(tdf)
+    errs = out.agg(F.sum("_kg_errors").alias("n")).collect()[0]["n"]
+    assert errs == 1
