@@ -32,7 +32,10 @@ def _cosine_expr(vec_col, qvec: list[float]):
         F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
     nq = float(np.sqrt(np.dot(qvec, qvec)))
-    return dot / (nv * F.lit(nq))
+    # zero-norm guard: NaN sorts as LARGEST in Spark orderings, so an
+    # all-zero vector would otherwise fake its way to the top of top-k
+    return F.when(nv > 0, dot / (nv * F.lit(max(nq, 1e-300)))) \
+        .otherwise(F.lit(-1.0))
 
 
 def brute_force_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,

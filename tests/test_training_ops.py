@@ -234,3 +234,14 @@ def test_multimodal_features(spark):
     plan = multimodal.frame_sample_plan(media, every_ms=1000)
     per_vid = plan.groupBy("media_id").count().collect()
     assert all(r["count"] == 5 for r in per_vid)  # 5000ms / 1000ms
+
+
+def test_zero_norm_vector_never_tops_cosine_ranking(spark):
+    """NaN sorts as largest in Spark orderings — an all-zero embedding must
+    not fake its way into top-k (guard in _cosine_expr)."""
+    from rdflib_jsonld_spark.operators.similarity import brute_force_topk
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+    assert out[-1]["cosine"] == -1.0
