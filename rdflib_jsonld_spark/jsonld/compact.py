@@ -55,8 +55,7 @@ def compact(data, context_data=None, base: str | None = None,
 
 # ---------------------------------------------------------------------------
 
-def _compact_element(ctx: Context, term, element, compact_arrays: bool,
-                     collapse: bool = True):
+def _compact_element(ctx: Context, term, element, compact_arrays: bool):
     """[spec] §6.1 Compaction Algorithm over expanded-form values."""
     if isinstance(element, list):
         out = [_compact_element(ctx, term, item, compact_arrays)
@@ -64,7 +63,7 @@ def _compact_element(ctx: Context, term, element, compact_arrays: bool,
         keep_array = (term is not None
                       and (keys.SET in term.container
                            or keys.LIST in term.container))
-        if compact_arrays and collapse and len(out) == 1 and not keep_array:
+        if compact_arrays and len(out) == 1 and not keep_array:
             return out[0]
         return out
     if not isinstance(element, dict):
