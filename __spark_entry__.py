@@ -96,6 +96,22 @@ def q_kg_serialized_documents(spark, sf_dir) -> DataFrame:
             .orderBy("conv_id", "turn_idx"))
 
 
+def q_kg_bgp_optional_sameas(spark, sf_dir) -> DataFrame:
+    """Extended BGP (OPTIONAL left-join semantics): every mention with its
+    about-entity, optionally the entity's sameAs target — bindings exist
+    iff the doc's alias index j ≥ 1, so counts are doc_id arithmetic."""
+    from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    rows = match_bgp_extended(
+        quads,
+        [("?m", f"{KG}vocab#about", "?e")],
+        optional=[("?e", "http://www.w3.org/2002/07/owl#sameAs", "?t")])
+    return rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.count("t").cast("long").alias("n_with_sameas"))
+
+
 def q_kg_expanded_node_counts(spark, sf_dir) -> DataFrame:
     """Document-level Expansion ([spec] JLD-API §5.1) as a Spark stage:
     per-conversation expanded block/node totals, arithmetically
@@ -560,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_counts_documents": q_kg_predicate_counts_documents,
         "kg_quad_stats_documents": q_kg_quad_stats_documents,
         "kg_bgp_mention_counts": q_kg_bgp_mention_counts,
+        "kg_bgp_optional_sameas": q_kg_bgp_optional_sameas,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -644,6 +661,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n_mentions DESC, canonical_id
             LIMIT 50
+        """,
+        "kg_bgp_optional_sameas": """
+            SELECT count(*)::BIGINT AS n_mentions,
+                   sum(CASE WHEN doc_id % (1 + (doc_id % 500) % 3) >= 1
+                       THEN 1 ELSE 0 END)::BIGINT AS n_with_sameas
+            FROM documents
         """,
         "kg_expanded_node_counts": """
             SELECT source AS conv_id,

@@ -71,3 +71,37 @@ def match_bgp(quads: DataFrame, patterns: list[tuple[str, str, str]],
         bound |= vars_i
     acc = acc.select(*sorted(bound)) if bound else acc
     return acc.distinct() if distinct else acc
+
+
+def match_bgp_extended(quads: DataFrame,
+                       patterns: list[tuple[str, str, str]],
+                       optional: list[tuple[str, str, str]] | None = None,
+                       filters: list[str] | None = None,
+                       distinct: bool = True) -> DataFrame:
+    """BGP + the two most common SPARQL constructs beyond conjunction:
+
+    - ``optional``: patterns LEFT-joined on their shared variables —
+      unmatched rows keep NULL bindings (SPARQL OPTIONAL semantics for
+      the non-correlated common case);
+    - ``filters``: SQL boolean expressions over the bound variable
+      columns (SPARQL FILTER), e.g. ``"conf > 0.5"`` — applied after all
+      joins so they can reference optional bindings (checked with
+      ``IS NOT NULL`` like SPARQL's bound()).
+
+    Catalyst still owns join strategy/ordering; filters on required
+    variables are pushed through the joins by the optimizer.
+    """
+    acc = match_bgp(quads, patterns, distinct=False)
+    bound = set(acc.columns)
+    for i, (s, p, o) in enumerate(optional or []):
+        df, vars_i = _pattern_df(quads, 1000 + i, s, p, o)
+        shared = sorted(bound & vars_i)
+        if not shared:
+            raise ValueError(
+                f"optional pattern {i} shares no variable with the BGP")
+        acc = acc.join(df, on=shared, how="left")
+        bound |= vars_i
+    for expr in filters or []:
+        acc = acc.where(F.expr(expr))
+    acc = acc.select(*sorted(bound))
+    return acc.distinct() if distinct else acc

@@ -62,3 +62,40 @@ def test_bgp_on_pipeline_output(spark):
     with_sameas = {r.s for r in direct.collect()}
     assert {r.e for r in rows} <= with_sameas
     quads.unpersist()
+
+
+def test_bgp_optional_and_filter(spark):
+    """OPTIONAL keeps unmatched rows with NULL bindings; FILTER applies
+    after joins (can test bound()-style null checks)."""
+    from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
+    rows = [
+        (None, "http://e/m1", False, "http://e/about", "iri", "http://e/a",
+         None, None),
+        (None, "http://e/m1", False, "http://e/conf", "literal", "0.9",
+         None, None),
+        (None, "http://e/m2", False, "http://e/about", "iri", "http://e/b",
+         None, None),
+    ]
+    quads = spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+    out = match_bgp_extended(
+        quads,
+        [("?m", "http://e/about", "?e")],
+        optional=[("?m", "http://e/conf", "?c")],
+    ).collect()
+    by_m = {r["m"]: (r["e"], r["c"]) for r in out}
+    assert by_m["http://e/m1"] == ("http://e/a", "0.9")
+    assert by_m["http://e/m2"] == ("http://e/b", None)
+
+    filtered = match_bgp_extended(
+        quads, [("?m", "http://e/about", "?e")],
+        optional=[("?m", "http://e/conf", "?c")],
+        filters=["c IS NOT NULL AND cast(c AS double) > 0.5"]).collect()
+    assert len(filtered) == 1 and filtered[0]["m"] == "http://e/m1"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        match_bgp_extended(quads, [("?m", "http://e/about", "?e")],
+                           optional=[("?x", "http://e/conf", "?c")])
