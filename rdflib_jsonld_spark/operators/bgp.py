@@ -105,3 +105,48 @@ def match_bgp_extended(quads: DataFrame,
         acc = acc.where(F.expr(expr))
     acc = acc.select(*sorted(bound))
     return acc.distinct() if distinct else acc
+
+
+def construct(quads: DataFrame,
+              where: list[tuple[str, str, str]],
+              template: list[tuple[str, str, str]],
+              optional: list[tuple[str, str, str]] | None = None,
+              filters: list[str] | None = None) -> DataFrame:
+    """SPARQL-CONSTRUCT-style graph transformation: match the WHERE BGP,
+    instantiate each template triple per solution, emit a NEW quad table
+    (default graph, deduplicated — graphs are sets, G4).
+
+    Template positions are ``?var`` references or constants; object
+    constants become IRIs if absolute-IRI-shaped, else plain literals.
+    Variables bound to NULL (unmatched optionals) drop that template row,
+    mirroring SPARQL's incomplete-triple rule.
+    """
+    sols = match_bgp_extended(quads, where, optional=optional,
+                              filters=filters, distinct=True)
+
+    def _term(pos: str, as_obj: bool):
+        if _is_var(pos):
+            return F.col(pos[1:])
+        return F.lit(pos)
+
+    out = None
+    for s, p, o in template:
+        s_col, p_col, o_col = _term(s, False), _term(p, False), _term(o, True)
+        is_lit = ~o_col.rlike(r"^([A-Za-z][A-Za-z0-9+.-]*:|_:)")
+        row = sols.select(
+            F.lit(None).cast("string").alias("g"),
+            s_col.alias("s"),
+            s_col.startswith("_:").alias("s_is_bnode"),
+            p_col.alias("p"),
+            F.when(is_lit, F.lit("literal"))
+             .when(o_col.startswith("_:"), F.lit("bnode"))
+             .otherwise(F.lit("iri")).alias("o_kind"),
+            o_col.alias("o_value"),
+            F.when(is_lit,
+                   F.lit("http://www.w3.org/2001/XMLSchema#string"))
+             .otherwise(F.lit(None).cast("string")).alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"),
+        ).where(s_col.isNotNull() & p_col.isNotNull() & o_col.isNotNull())
+        out = row if out is None else out.unionByName(row)
+    return out.dropDuplicates(
+        ["g", "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"])

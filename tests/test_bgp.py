@@ -99,3 +99,39 @@ def test_bgp_optional_and_filter(spark):
     with _pytest.raises(ValueError):
         match_bgp_extended(quads, [("?m", "http://e/about", "?e")],
                            optional=[("?x", "http://e/conf", "?c")])
+
+
+def test_construct_emits_new_graph(spark):
+    """CONSTRUCT: solutions instantiate template triples into a fresh
+    deduplicated quad table; NULL bindings drop the row."""
+    from rdflib_jsonld_spark.operators.bgp import construct
+    rows = [
+        (None, "http://e/m1", False, "http://e/about", "iri", "http://e/a",
+         None, None),
+        (None, "http://e/m2", False, "http://e/about", "iri", "http://e/a",
+         None, None),
+        (None, "http://e/m2", False, "http://e/conf", "literal", "0.9",
+         None, None),
+    ]
+    quads = spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+    out = construct(
+        quads,
+        where=[("?m", "http://e/about", "?e")],
+        optional=[("?m", "http://e/conf", "?c")],
+        template=[("?e", "http://e/mentionedBy", "?m"),
+                  ("?e", "http://e/score", "?c"),
+                  ("?e", "http://e/kind", "entity")],
+    ).collect()
+    got = {(r["s"], r["p"], r["o_value"], r["o_kind"]) for r in out}
+    assert ("http://e/a", "http://e/mentionedBy", "http://e/m1",
+            "iri") in got
+    assert ("http://e/a", "http://e/mentionedBy", "http://e/m2",
+            "iri") in got
+    # optional c bound only for m2 → exactly one score triple
+    assert sum(1 for t in got if t[1] == "http://e/score") == 1
+    # constant object 'entity' is literal-typed; template dedups
+    assert ("http://e/a", "http://e/kind", "entity", "literal") in got
+    assert len([t for t in got if t[1] == "http://e/kind"]) == 1
