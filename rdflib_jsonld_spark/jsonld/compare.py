@@ -32,10 +32,12 @@ def _h(s: str) -> str:
     return hashlib.sha1(s.encode("utf-8")).hexdigest()[:16]
 
 
-def _signatures(quads, rounds: int = 4) -> dict[str, str]:
-    """label -> structural signature, refined ``rounds`` times."""
+def _signatures(quads, rounds: int = 4,
+                seed: dict[str, str] | None = None) -> dict[str, str]:
+    """label -> structural signature, refined ``rounds`` times. ``seed``
+    pre-distinguishes individualized nodes (see canonicalize)."""
     labels = _bnodes(quads)
-    sig = {b: "init" for b in labels}
+    sig = {b: (seed.get(b, "init") if seed else "init") for b in labels}
 
     def term_repr(t, me):
         if t is None:
@@ -59,7 +61,9 @@ def _signatures(quads, rounds: int = 4) -> dict[str, str]:
                        ("O" if o[0] == BNODE and o[1] == b else "")
                 parts.append(f"{role}|{term_repr(g, b)}|{term_repr(s, b)}|"
                              f"{term_repr(p, b)}|{term_repr(o, b)}")
-            new[b] = _h("&".join(sorted(parts)))
+            # cumulative refinement: keep the node's own previous color so
+            # colors only ever split (and individualization seeds persist)
+            new[b] = _h(sig[b] + "&" + "&".join(sorted(parts)))
         if new == sig:
             break
         sig = new
@@ -69,13 +73,34 @@ def _signatures(quads, rounds: int = 4) -> dict[str, str]:
 def canonicalize(quads) -> frozenset:
     """Relabel bnodes deterministically; returns a frozenset of quads.
 
-    Ties (automorphic bnodes) are broken by sorted signature order — safe
-    because tied bnodes are structurally interchangeable at the refinement
-    depth used, and both sides run the identical procedure.
+    Ties after color refinement mean automorphic orbits (e.g. two
+    identical list chains on one subject). Independently index-breaking
+    them can pair chain members inconsistently ACROSS twins, so ties are
+    resolved by individualization-refinement (the URDNA2015/nauty
+    pattern — public algorithm): distinguish one tied node, re-refine so
+    the distinction propagates through its whole structure, repeat. Any
+    member of an automorphic orbit yields the same canonical form, so
+    the pick (smallest original label) is side-independent.
     """
-    sig = _signatures(quads)
+    n_bn = len(_bnodes(quads))
+    rounds = max(4, min(n_bn, 16))  # propagate through chains/diameters
+    sig = _signatures(quads, rounds=rounds)
+    seed: dict[str, str] = {}
+    for _ in range(n_bn):
+        groups: dict[str, list] = {}
+        for b, s in sig.items():
+            groups.setdefault(s, []).append(b)
+        tied = [(s, g) for s, g in groups.items() if len(g) > 1]
+        if not tied:
+            break
+        # pick the ORBIT canonically (smallest signature — label-free, so
+        # both comparison sides split the same orbit); within the orbit
+        # any member yields the same form (automorphy), use min label
+        _, grp = min(tied, key=lambda sg: sg[0])
+        seed[min(grp)] = f"ind{len(seed)}"
+        sig = _signatures(quads, rounds=rounds, seed=seed)
     order = sorted(sig, key=lambda b: (sig[b], b))
-    # tie-break pass: disambiguate equal signatures by index (stable)
+    # residual-tie pass (fully symmetric leftovers): index by stable order
     mapping = {}
     seen: dict[str, int] = {}
     for b in order:

@@ -135,3 +135,19 @@ def test_compact_roundtrip_property(doc):
 def test_compact_empty_context_roundtrip_property(doc):
     compacted = compact(doc, None)
     assert isomorphic(to_rdf(doc), to_rdf(compacted)), (doc, compacted)
+
+
+def test_twin_chain_automorphism_regression():
+    """Hypothesis-found: two identical list chains on one subject form
+    automorphic orbits that naive signature tie-breaking pairs
+    inconsistently; canonicalize() resolves them via individualization-
+    refinement with cumulative colors (compare.py)."""
+    for items_a, items_b in ([[False, "", 0.0, 0]] * 2,
+                             [[0.0, 0, 0, False]] * 2):
+        doc = {"@context": CTX, "@id": "ex:n0", "@type": "ex:T1",
+               "name": "", "score": 0, "items": ["", "", ""],
+               "knows": {"@id": "ex:n1", "items": items_a},
+               "@reverse": {"ex:rev": {"@id": "ex:n1", "items": items_b}}}
+        quads = to_rdf(doc)
+        assert isomorphic(quads, to_rdf(from_rdf(quads)))
+        assert not isomorphic(quads, quads[:-1])
