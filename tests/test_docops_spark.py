@@ -90,3 +90,27 @@ def test_expanded_node_counts_aggregate(spark, transcripts):
     got = expanded_node_counts(transcripts).collect()
     assert [(r["conv_id"], r["n_blocks"], r["n_nodes"]) for r in got] == \
         [(r["conv_id"], r["n_blocks"], r["n_nodes"]) for r in expected]
+
+
+def test_random_docs_spark_stage_matches_pure_core(spark):
+    """Arrow-boundary fidelity: 120 hypothesis-generated documents pushed
+    through the distributed expansion stage must expand exactly like the
+    pure core (same JSON, same node counts), including unicode text and
+    nested/list/value-object shapes."""
+    import json
+    from hypothesis import strategies as st
+    from tests.test_properties import documents
+    from rdflib_jsonld_spark.jsonld.expansion import expand
+    from rdflib_jsonld_spark.operators.docops import expand_documents_stage
+
+    docs = [documents.example() for _ in range(120)]
+    rows = [(f"c{i}", 0, "```ld\n" + json.dumps(d) + "\n```")
+            for i, d in enumerate(docs)]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string").repartition(8)
+    got = {r["conv_id"]: r["doc_json"]
+           for r in expand_documents_stage(tdf).collect()}
+    for i, d in enumerate(docs):
+        # the stage emits a row per block even when expansion drops a
+        # free-floating node (doc_json "[]", n_nodes 0)
+        assert json.loads(got[f"c{i}"]) == expand(d), d
