@@ -98,12 +98,14 @@ def test_random_docs_spark_stage_matches_pure_core(spark):
     pure core (same JSON, same node counts), including unicode text and
     nested/list/value-object shapes."""
     import json
-    from hypothesis import strategies as st
+    import warnings
     from tests.test_properties import documents
     from rdflib_jsonld_spark.jsonld.expansion import expand
     from rdflib_jsonld_spark.operators.docops import expand_documents_stage
 
-    docs = [documents.example() for _ in range(120)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # .example() outside @given is
+        docs = [documents.example() for _ in range(120)]  # intentional here
     rows = [(f"c{i}", 0, "```ld\n" + json.dumps(d) + "\n```")
             for i, d in enumerate(docs)]
     tdf = spark.createDataFrame(
