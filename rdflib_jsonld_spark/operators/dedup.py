@@ -198,18 +198,26 @@ def _fnv1a(b: bytes) -> int:
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit keys;
-    by pigeonhole, any pair within hamming ≤ 3 collides on ≥1 band.
-    Candidates verify exact hamming distance JVM-side (bit_count)."""
+                  text_col: str = "text", max_hamming: int = 3,
+                  n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into ``n_bands``
+    equal keys; by pigeonhole, any pair within hamming ≤ n_bands-1
+    collides on ≥1 band. Candidates verify exact hamming distance
+    JVM-side (bit_count). More bands → higher guaranteed recall but
+    coarser band keys (bigger buckets) — n_bands=4 (16-bit keys) is the
+    web-scale default; n_bands=8 trades bucket size for hamming≤7 recall
+    on smaller corpora."""
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     sigs = simhash_signatures(docs, id_col, text_col)
     banded = sigs.select(
         id_col, "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
     ).withColumn(
         # shiftrightunsigned needs a column shift → SQL expr form
         "band_key",
-        F.expr("shiftrightunsigned(simhash, band_idx * 16) & 65535"),
+        F.expr(f"shiftrightunsigned(simhash, band_idx * {width}) & {mask}"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -287,14 +295,15 @@ def _char_shingles_ordered(text: str, k: int) -> np.ndarray:
 def winnowing_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 8,
                             window: int = 4,
-                            min_shared: int = 5) -> DataFrame:
+                            min_shared: int = 5,
+                            df_cap: int = 100) -> DataFrame:
     """Document pairs sharing ≥ min_shared winnowing fingerprints (the
     plagiarism/boilerplate-overlap detector). Skew note: boilerplate
     fingerprints shared by thousands of docs would explode the fp join —
-    drop fps with document-frequency above a cap first (standard stop-
-    fingerprint trick)."""
+    drop fps with document-frequency above ``df_cap`` first (standard
+    stop-fingerprint trick; a fingerprint in >df_cap docs is boilerplate,
+    not evidence of a specific pair overlap)."""
     fps = winnowing_fingerprints(docs, id_col, text_col, k, window)
-    df_cap = 100
     rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= df_cap).select("fp"))
     fps = fps.join(rare, "fp")
@@ -307,24 +316,41 @@ def winnowing_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
             .where(F.col("n_shared") >= min_shared))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact word-n-gram Jaccard for candidate pairs that share at least
-    one n-gram (explode → equi-join on the n-gram → per-pair overlap
-    count; |A∪B| from per-doc counts). All JVM-side set algebra."""
+def word_ngrams(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, gram) distinct word-n-gram set per document, all JVM-side."""
     words = docs.select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"))
-    grams = words.select(
+    return words.select(
         id_col,
         F.explode(F.transform(
             F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
             lambda i: F.array_join(F.slice("w", i + 1, n), " "),
         )).alias("gram"),
     ).distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        df_cap: int = 1000) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs that share at least
+    one n-gram (explode → equi-join on the n-gram → per-pair overlap
+    count; |A∪B| from per-doc counts). All JVM-side set algebra.
+
+    Skew guard: a gram occurring in >``df_cap`` documents ("the cat sat"
+    in 10^6 docs → a 10^12-row join group) is excluded from the candidate
+    join — the stop-gram trick, same as winnowing's df_cap. Sizes |A|/|B|
+    are computed BEFORE the cap, so jaccard stays exact whenever the cap
+    doesn't fire; pairs whose overlap is *only* stop-grams are the
+    documented approximation at scale."""
+    grams = word_ngrams(docs, id_col, text_col, n)
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    g1, g2 = grams.alias("g1"), grams.alias("g2")
+    rare = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+            .where(F.col("gram_df") <= df_cap).select("gram"))
+    join_grams = grams.join(rare, "gram")
+    g1, g2 = join_grams.alias("g1"), join_grams.alias("g2")
     overlap = (
         g1.join(g2, "gram")
         .where(F.col(f"g1.{id_col}") < F.col(f"g2.{id_col}"))
@@ -341,3 +367,35 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def exact_ngram_jaccard_verify(pairs: DataFrame, docs: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", n: int = 3,
+                               threshold: float = 0.8) -> DataFrame:
+    """Verify stage for LSH candidate pairs: exact word-n-gram Jaccard
+    computed ONLY for the given (id_a, id_b) pairs — the standard
+    candidates→verify shape (MMDS ch.3). Gram sets are built for candidate
+    documents only (semi-join pruning), and the overlap join is keyed on
+    (pair, gram) so the work is Σ_pairs |grams(id_a)|, never all-pairs."""
+    p = pairs.select("id_a", "id_b")
+    ids = (p.select(F.col("id_a").alias(id_col))
+           .unionByName(p.select(F.col("id_b").alias(id_col))).distinct())
+    cand_docs = docs.join(ids, id_col, "left_semi")
+    grams = word_ngrams(cand_docs, id_col, text_col, n)
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
+    overlap = (p.join(ga, "id_a").join(gb, ["id_b", "gram"])
+               .groupBy("id_a", "id_b")
+               .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_grams").alias("n_b"))
+    return (overlap.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -138,13 +138,35 @@ def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
                   vec_col: str = "embedding") -> np.ndarray:
     """IVF coarse quantizer: seeded Lloyd k-means on a driver-side sample
     (centroids are a tiny broadcastable model; the sample is bounded, so
-    this is O(1) in corpus size — the standard IVF training shape)."""
+    this is O(1) in corpus size — the standard IVF training shape).
+
+    Sampling is a seeded uniform ``df.sample`` — NOT ``.limit``, which
+    takes the first parquet rows and is biased when the table is sorted or
+    clustered (time-ordered ingest would train centroids on one era).
+    Seeding is k-means++ (D² weighting) for spread-out initial centers.
+    """
+    n = embeddings.count()
+    frac = min(1.0, (sample_n * 1.25) / max(n, 1))
     sample = np.array(
-        [r[0] for r in embeddings.select(vec_col).limit(sample_n).collect()],
+        [r[0] for r in embeddings.select(vec_col)
+         .sample(fraction=frac, seed=seed).limit(sample_n).collect()],
         dtype=np.float64)
+    if len(sample) == 0:
+        raise ValueError("ivf_centroids: empty sample")
     rng = np.random.RandomState(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)),
-                              replace=False)]
+    k = min(n_clusters, len(sample))
+    # k-means++ seeding: first center uniform, then D²-weighted picks
+    cents = sample[[rng.randint(len(sample))]]
+    for _ in range(1, k):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2) \
+            .min(axis=1)
+        tot = d2.sum()
+        if tot <= 0:
+            # all remaining points coincide with a center — pad uniformly
+            cents = np.vstack([cents, sample[[rng.randint(len(sample))]]])
+            continue
+        cents = np.vstack(
+            [cents, sample[[rng.choice(len(sample), p=d2 / tot)]]])
     for _ in range(iters):
         d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
@@ -195,6 +217,51 @@ def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
         F.col("cluster").isin([int(c) for c in order])).select(id_col)
     cands = embeddings.join(cand_ids, id_col, "left_semi")
     return brute_force_topk(cands, qvec, k, id_col, vec_col)
+
+
+def ivf_topk_multi(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                   n_clusters: int = 16, n_probe: int = 4, seed: int = 7,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: np.ndarray | None = None) -> DataFrame:
+    """Batch IVF ANN: assignments are computed ONCE for the whole corpus;
+    every query probes its n_probe nearest cells, and the exact re-rank
+    runs as one broadcast join + per-query window top-k. The query side
+    must be broadcast-small (the same contract as pairwise_topk); corpus
+    work is shared across queries instead of one scan per query."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_clusters, seed=seed,
+                                  vec_col=vec_col)
+    assigns = ivf_assignments(embeddings, centroids, id_col, vec_col)
+    spark = embeddings.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()  # broadcast-small
+    probe_pairs = []
+    for r in qrows:
+        qv = np.asarray([float(x) for x in r[1]], dtype=np.float64)
+        order = (((centroids - qv[None, :]) ** 2).sum(axis=1)) \
+            .argsort()[:n_probe]
+        probe_pairs.extend((int(r[0]), int(c)) for c in order)
+    probe = spark.createDataFrame(probe_pairs, ["query_id", "cluster"])
+    cand = (assigns.join(F.broadcast(probe), "cluster")
+            .select("query_id", id_col))
+    e = embeddings.select(F.col(id_col), F.col(vec_col).alias("evec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    scored = (cand.join(e, id_col).join(F.broadcast(q), "query_id")
+              .where(F.col("query_id") != F.col(id_col)))
+    dot = F.aggregate(F.zip_with("qvec", "evec",
+                                 lambda a, b: a.cast("double") * b.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    scored = scored.withColumn(
+        "cosine", F.round(dot / (norm(F.col("qvec")) * norm(F.col("evec"))), 6))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col(id_col).alias("nbr_id"),
+                    "cosine", "rank"))
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
