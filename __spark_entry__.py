@@ -658,6 +658,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _STOP_PATTERN = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
 
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def _transcript_truth(n_convs: int = 150, seed: int = 42):
+    """Planted ground truth for the synthetic-generator queries.
+
+    The generator (test infrastructure, not engine) plants JSON-LD mention
+    documents into turn text; this derives the expected quad-predicate
+    counts and linking edges by re-parsing those planted blocks with
+    stdlib ``json`` and applying the *planting spec's* arithmetic counting
+    rules plus an independent union-find — no tordf/expand/linking code is
+    touched, so the oracle and the engine can only agree by computing the
+    same answer.
+    """
+    import json as _json
+    import re as _re
+    from collections import Counter
+
+    from rdflib_jsonld_spark.sources.registry import VOCAB as _V
+    from rdflib_jsonld_spark.sources.transcripts import (
+        FENCE_CLOSE, FENCE_OPEN, generate_conv)
+
+    fence_re = _re.compile(
+        _re.escape(FENCE_OPEN) + r"(.*?)" + _re.escape(FENCE_CLOSE),
+        _re.DOTALL)
+
+    def norm_surface(s: str) -> str:
+        s = s.lower()
+        s = _re.sub(r"[^a-z0-9]+", " ", s)
+        s = _re.sub(r"\b(inc|gmbh|corp|ltd|llc)\b", " ", s)
+        return _re.sub(r" +", " ", s).strip()
+
+    pred_counts: Counter = Counter()
+    sameas_edges: set[tuple[str, str]] = set()
+    blocks: dict[str, set[str]] = {}
+
+    for conv_n in range(n_convs):
+        for row in generate_conv(seed, conv_n):
+            for m in fence_re.finditer(row["text"]):
+                try:
+                    doc = _json.loads(m.group(1))
+                except ValueError:
+                    continue  # planted malformed block → no quads
+                nodes = doc.get("@graph") or [doc]
+                for node in nodes:
+                    if "@type" in node:
+                        pred_counts[_RDF + "type"] += 1
+                    for key, piri in (("surface", _V + "surface"),
+                                      ("about", _V + "about"),
+                                      ("turn", _V + "turn"),
+                                      ("confidence", _V + "confidence")):
+                        if key in node:
+                            pred_counts[piri] += 1
+                    if "label" in node:
+                        pred_counts[_V + "label"] += len(node["label"])
+                    if "tags" in node:
+                        tags = node["tags"]
+                        pred_counts[_V + "tags"] += 1
+                        pred_counts[_RDF + "first"] += len(tags)
+                        pred_counts[_RDF + "rest"] += len(tags)
+                    if "sameAs" in node:
+                        pred_counts[_OWL_SAMEAS] += 1
+                        sameas_edges.add((node["id"], node["sameAs"]))
+                    if "surface" in node and "about" in node:
+                        blocks.setdefault(norm_surface(node["surface"]),
+                                          set()).add(node["about"])
+
+    block_edges = set()
+    for ents in blocks.values():
+        root = min(ents)
+        block_edges.update((e, root) for e in ents if e != root)
+    edges = sorted(sameas_edges | block_edges)
+
+    # independent union-find; root = lexicographic component min
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted({n for e in edges for n in e})
+    mapping = [(n, find(n)) for n in nodes if find(n) != n]
+    return pred_counts, edges, mapping
+
+
+_TRANSCRIPT_TRUTH_CACHE: list = []
+
+
+def _transcript_oracle_sqls() -> dict[str, str]:
+    if not _TRANSCRIPT_TRUTH_CACHE:
+        _TRANSCRIPT_TRUTH_CACHE.append(_transcript_truth())
+    pred_counts, edges, mapping = _TRANSCRIPT_TRUTH_CACHE[0]
+    top = sorted(pred_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    top_vals = ", ".join(f"('{p}', {n}::BIGINT)" for p, n in top)
+    edge_vals = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    map_vals = ", ".join(f"('{n}', '{r}')" for n, r in mapping)
+    return {
+        "kg_top_predicates_transcripts": f"""
+            SELECT * FROM (VALUES {top_vals}) AS t(p, n_quads)
+            ORDER BY n_quads DESC, p
+        """,
+        "kg_sameas_edges_transcripts": f"""
+            SELECT * FROM (VALUES {edge_vals}) AS t(src, dst)
+            ORDER BY src, dst
+        """,
+        "kg_canonical_mapping_transcripts": f"""
+            SELECT * FROM (VALUES {map_vals}) AS t(node, root)
+            ORDER BY node
+        """,
+    }
+
 
 def _lang_id_oracle_sql() -> str:
     """DuckDB mirror of textstats.lang_id_udf, generated from the SAME
@@ -979,6 +1098,8 @@ def oracle_sql() -> dict[str, str]:
               (SELECT * FROM early EXCEPT SELECT * FROM late))
             ORDER BY l_returnflag, l_linestatus
         """,
+        # --- planted-truth oracles for the synthetic-generator corpus -----
+        **_transcript_oracle_sqls(),
         # --- documents/embeddings ------------------------------------------
         "doc_lang_pred_counts": _lang_id_oracle_sql(),
         "doc_token_stats": r"""
@@ -1068,6 +1189,102 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             GROUP BY label
             ORDER BY label
+        """,
+        # Full SQL replica of winnowing (SWA'03): same zero-basis FNV-style
+        # rolling hash over the byte-normalized text (corpus is ASCII, so
+        # unicode(char) == byte), same window-4 rightmost-min selection,
+        # same df-cap and pair overlap — value-exact, not just membership.
+        "doc_winnowing_overlap": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents),
+            padded AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) < 8 THEN rpad(t, 8, '_') ELSE t END
+                         AS t
+              FROM norm),
+            chars AS (
+              SELECT doc_id, i AS p, unicode(t[i])::UBIGINT AS c
+              FROM padded, UNNEST(range(1, length(t)+1)) AS r(i)),
+            pos AS (
+              SELECT doc_id, i AS p
+              FROM padded, UNNEST(range(1, length(t)-8+2)) AS r(i)),
+            h1 AS (SELECT pos.doc_id, pos.p,
+                   ((xor(0::UBIGINT, c)::UHUGEINT * 1099511628211)
+                    % 18446744073709551616)::UBIGINT AS h
+                   FROM pos JOIN chars ON chars.doc_id = pos.doc_id
+                                      AND chars.p = pos.p),
+            h2 AS (SELECT h1.doc_id, h1.p,
+                   ((xor(h, c)::UHUGEINT * 1099511628211)
+                    % 18446744073709551616)::UBIGINT AS h
+                   FROM h1 JOIN chars ON chars.doc_id = h1.doc_id
+                                     AND chars.p = h1.p + 1),
+            h3 AS (SELECT h2.doc_id, h2.p,
+                   ((xor(h, c)::UHUGEINT * 1099511628211)
+                    % 18446744073709551616)::UBIGINT AS h
+                   FROM h2 JOIN chars ON chars.doc_id = h2.doc_id
+                                     AND chars.p = h2.p + 2),
+            h4 AS (SELECT h3.doc_id, h3.p,
+                   ((xor(h, c)::UHUGEINT * 1099511628211)
+                    % 18446744073709551616)::UBIGINT AS h
+                   FROM h3 JOIN chars ON chars.doc_id = h3.doc_id
+                                     AND chars.p = h3.p + 3),
+            h5 AS (SELECT h4.doc_id, h4.p,
+                   ((xor(h, c)::UHUGEINT * 1099511628211)
+                    % 18446744073709551616)::UBIGINT AS h
+                   FROM h4 JOIN chars ON chars.doc_id = h4.doc_id
+                                     AND chars.p = h4.p + 4),
+            h6 AS (SELECT h5.doc_id, h5.p,
+                   ((xor(h, c)::UHUGEINT * 1099511628211)
+                    % 18446744073709551616)::UBIGINT AS h
+                   FROM h5 JOIN chars ON chars.doc_id = h5.doc_id
+                                     AND chars.p = h5.p + 5),
+            h7 AS (SELECT h6.doc_id, h6.p,
+                   ((xor(h, c)::UHUGEINT * 1099511628211)
+                    % 18446744073709551616)::UBIGINT AS h
+                   FROM h6 JOIN chars ON chars.doc_id = h6.doc_id
+                                     AND chars.p = h6.p + 6),
+            hashes AS (SELECT h7.doc_id, h7.p,
+                   ((xor(h, c)::UHUGEINT * 1099511628211)
+                    % 18446744073709551616)::UBIGINT AS h
+                   FROM h7 JOIN chars ON chars.doc_id = h7.doc_id
+                                     AND chars.p = h7.p + 7),
+            nn AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY doc_id),
+            small_fps AS (
+              SELECT h.doc_id, min(h.h) AS fp
+              FROM hashes h JOIN nn USING (doc_id)
+              WHERE nn.n <= 4 GROUP BY h.doc_id),
+            winmin AS (
+              SELECT h.doc_id, h.p AS pe,
+                     min(h.h) OVER (PARTITION BY h.doc_id ORDER BY h.p
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND CURRENT ROW) AS m
+              FROM hashes h JOIN nn USING (doc_id)
+              WHERE nn.n > 4),
+            sel AS (
+              SELECT w.doc_id, w.pe, max(h2.p) AS selp
+              FROM (SELECT * FROM winmin WHERE pe >= 4) w
+              JOIN hashes h2 ON h2.doc_id = w.doc_id
+                            AND h2.p BETWEEN w.pe - 3 AND w.pe
+                            AND h2.h = w.m
+              GROUP BY w.doc_id, w.pe),
+            big_fps AS (
+              SELECT DISTINCT s.doc_id, h3.h AS fp
+              FROM sel s JOIN hashes h3 ON h3.doc_id = s.doc_id
+                                       AND h3.p = s.selp),
+            fps AS (SELECT * FROM small_fps UNION ALL SELECT * FROM big_fps),
+            rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+            rfps AS (SELECT fps.* FROM fps JOIN rare USING (fp)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*)::BIGINT AS n_shared
+              FROM rfps a JOIN rfps b USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= 8)
+            SELECT id_a, id_b, n_shared FROM pairs
+            ORDER BY n_shared DESC, id_a, id_b LIMIT 50
         """,
         # recall-1.0-gated ANN/IVF: result must equal the exact top-k
         "emb_ann_topk": """
