@@ -224,10 +224,13 @@ def _compact_value(ctx: Context, term, vobj: dict):
         else None
     t_lang = term.language if term is not None \
         and term.language is not UNDEF else ctx.language
+    t_dir = term.direction if term is not None \
+        and term.direction is not UNDEF else getattr(ctx, "direction", None)
 
     vobj = dict(vobj)
     index = vobj.pop(keys.INDEX, None)
     value = vobj.get(keys.VALUE)
+    vdir = vobj.get(keys.DIRECTION)
 
     out = None
     if keys.TYPE in vobj:
@@ -239,13 +242,22 @@ def _compact_value(ctx: Context, term, vobj: dict):
                    vtype if vtype == keys.JSON else ctx.shrink_iri(vtype),
                    ctx.alias(keys.VALUE): value}
     elif keys.LANG in vobj:
-        if isinstance(t_lang, str) and vobj[keys.LANG] == t_lang.lower():
+        same_dir = (vdir or None) == (t_dir or None)
+        if isinstance(t_lang, str) and vobj[keys.LANG] == t_lang.lower() \
+                and same_dir:
             out = value
         else:
             out = {ctx.alias(keys.LANG): vobj[keys.LANG],
                    ctx.alias(keys.VALUE): value}
-        if keys.DIRECTION in vobj and isinstance(out, dict):
-            out[ctx.alias(keys.DIRECTION)] = vobj[keys.DIRECTION]
+            if vdir is not None:
+                out[ctx.alias(keys.DIRECTION)] = vdir
+    elif vdir is not None:
+        # @direction without @language (ADVICE r01: was silently dropped)
+        if vdir == (t_dir or None) and not (t_lang or t_type):
+            out = value  # re-expansion restores the same default direction
+        else:
+            out = {ctx.alias(keys.VALUE): value,
+                   ctx.alias(keys.DIRECTION): vdir}
     else:
         # plain value: bare only if re-expansion adds nothing back
         if isinstance(value, str) and (t_lang or t_type):

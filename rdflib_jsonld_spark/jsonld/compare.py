@@ -7,8 +7,19 @@ bnode labels on BOTH sides before set comparison.
 
 Algorithm: iterative signature refinement (WL-style color refinement over
 the quad structure, in the spirit of RDF dataset canonicalization /
-URDNA2015 — public algorithm) with deterministic tie-breaking, plus a
-backtracking isomorphism search fallback for small ambiguous graphs.
+URDNA2015 — public algorithm) with individualization-refinement for tied
+orbits. ``isomorphic`` additionally BRANCHES over tied-orbit members (the
+nauty-style search, budget-bounded) before concluding non-isomorphic:
+WL ties on regular/symmetric structures can make the two sides'
+deterministic min-label picks individualize non-corresponding nodes, and
+without branching that produced false negatives (ADVICE r01). False
+positives remain impossible — equality of canonical forms is checked on
+the full quad sets.
+
+Refinement work is cut by a per-bnode incidence cache (each node touches
+only its own quads each round) and by warm-starting each
+individualization round from the already-refined coloring (colors only
+ever split, so a refined coloring is a valid starting point).
 """
 
 from __future__ import annotations
@@ -32,37 +43,49 @@ def _h(s: str) -> str:
     return hashlib.sha1(s.encode("utf-8")).hexdigest()[:16]
 
 
-def _signatures(quads, rounds: int = 4,
-                seed: dict[str, str] | None = None) -> dict[str, str]:
-    """label -> structural signature, refined ``rounds`` times. ``seed``
-    pre-distinguishes individualized nodes (see canonicalize)."""
+def _build_incidence(quads):
+    """label → [(role, tokens)] for the quads the bnode appears in.
+    tokens render per-round as constants / 'self' / current neighbor
+    color, so each refinement round touches only incident quads."""
     labels = _bnodes(quads)
-    sig = {b: (seed.get(b, "init") if seed else "init") for b in labels}
+    inc: dict[str, list] = {b: [] for b in labels}
+    for q in quads:
+        involved = {t[1] for t in q if t is not None and t[0] == BNODE}
+        for b in involved:
+            role = "".join(
+                r for r, t in zip("GSPO", q)
+                if t is not None and t[0] == BNODE and t[1] == b)
+            toks = []
+            for t in q:
+                if t is None:
+                    toks.append(("c", "∅"))
+                elif t[0] == BNODE:
+                    toks.append(("self",) if t[1] == b else ("b", t[1]))
+                else:
+                    toks.append(("c", repr(t)))
+            inc[b].append((role, toks))
+    return labels, inc
 
-    def term_repr(t, me):
-        if t is None:
-            return "∅"
-        if t[0] == BNODE:
-            return "self" if t[1] == me else f"b:{sig[t[1]]}"
-        return repr(t)
 
+def _refine(inc, labels, init_sig: dict[str, str], rounds: int):
+    """WL color refinement from ``init_sig``; cumulative (a node's new
+    color folds in its previous one), so colors only ever split and
+    individualization marks persist."""
+    sig = dict(init_sig)
     for _ in range(rounds):
         new = {}
         for b in labels:
             parts = []
-            for g, s, p, o in quads:
-                involved = any(t is not None and t[0] == BNODE and t[1] == b
-                               for t in (g, s, p, o))
-                if not involved:
-                    continue
-                role = ("G" if g is not None and g[0] == BNODE and g[1] == b else "") + \
-                       ("S" if s[0] == BNODE and s[1] == b else "") + \
-                       ("P" if p[0] == BNODE and p[1] == b else "") + \
-                       ("O" if o[0] == BNODE and o[1] == b else "")
-                parts.append(f"{role}|{term_repr(g, b)}|{term_repr(s, b)}|"
-                             f"{term_repr(p, b)}|{term_repr(o, b)}")
-            # cumulative refinement: keep the node's own previous color so
-            # colors only ever split (and individualization seeds persist)
+            for role, toks in inc[b]:
+                rendered = []
+                for tok in toks:
+                    if tok[0] == "c":
+                        rendered.append(tok[1])
+                    elif tok[0] == "self":
+                        rendered.append("self")
+                    else:
+                        rendered.append(f"b:{sig[tok[1]]}")
+                parts.append(role + "|" + "|".join(rendered))
             new[b] = _h(sig[b] + "&" + "&".join(sorted(parts)))
         if new == sig:
             break
@@ -70,38 +93,10 @@ def _signatures(quads, rounds: int = 4,
     return sig
 
 
-def canonicalize(quads) -> frozenset:
-    """Relabel bnodes deterministically; returns a frozenset of quads.
-
-    Ties after color refinement mean automorphic orbits (e.g. two
-    identical list chains on one subject). Independently index-breaking
-    them can pair chain members inconsistently ACROSS twins, so ties are
-    resolved by individualization-refinement (the URDNA2015/nauty
-    pattern — public algorithm): distinguish one tied node, re-refine so
-    the distinction propagates through its whole structure, repeat. Any
-    member of an automorphic orbit yields the same canonical form, so
-    the pick (smallest original label) is side-independent.
-    """
-    n_bn = len(_bnodes(quads))
-    rounds = max(4, min(n_bn, 16))  # propagate through chains/diameters
-    sig = _signatures(quads, rounds=rounds)
-    seed: dict[str, str] = {}
-    for _ in range(n_bn):
-        groups: dict[str, list] = {}
-        for b, s in sig.items():
-            groups.setdefault(s, []).append(b)
-        tied = [(s, g) for s, g in groups.items() if len(g) > 1]
-        if not tied:
-            break
-        # pick the ORBIT canonically (smallest signature — label-free, so
-        # both comparison sides split the same orbit); within the orbit
-        # any member yields the same form (automorphy), use min label
-        _, grp = min(tied, key=lambda sg: sg[0])
-        seed[min(grp)] = f"ind{len(seed)}"
-        sig = _signatures(quads, rounds=rounds, seed=seed)
+def _finish_mapping(quads, sig) -> frozenset:
     order = sorted(sig, key=lambda b: (sig[b], b))
     # residual-tie pass (fully symmetric leftovers): index by stable order
-    mapping = {}
+    mapping: dict[str, str] = {}
     seen: dict[str, int] = {}
     for b in order:
         n = seen.get(sig[b], 0)
@@ -116,31 +111,104 @@ def canonicalize(quads) -> frozenset:
     return frozenset(tuple(remap(t) for t in q) for q in quads)
 
 
-def isomorphic(a, b) -> bool:
+def _tied_groups(sig):
+    groups: dict[str, list] = {}
+    for b, s in sig.items():
+        groups.setdefault(s, []).append(b)
+    return [(s, g) for s, g in groups.items() if len(g) > 1]
+
+
+def _canon_forms(quads, branch: bool, budget: list) -> list[frozenset]:
+    """Canonical form(s) by individualization-refinement.
+
+    branch=False → exactly one form (deterministic min-label picks).
+    branch=True  → DFS over ALL members of each chosen orbit, bounded by
+    ``budget`` (a one-element list counting remaining refinement calls);
+    used by ``isomorphic`` to rule out pick-misalignment false negatives.
+    The orbit to split is chosen by its label-free color (min signature),
+    so both comparison sides always split corresponding orbits.
+    """
+    labels, inc = _build_incidence(quads)
+    n_bn = len(labels)
+    rounds = max(4, min(n_bn, 16))  # propagate through chains/diameters
+    out: list[frozenset] = []
+
+    budget[0] -= 1
+    sig0 = _refine(inc, labels, {b: "init" for b in labels}, rounds)
+
+    def search(sig, depth):
+        tied = _tied_groups(sig)
+        if not tied or depth >= n_bn:
+            out.append(_finish_mapping(quads, sig))
+            return
+        _, grp = min(tied, key=lambda sg: sg[0])
+        members = sorted(grp) if branch else [min(grp)]
+        for m in members:
+            if budget[0] <= 0:
+                # budget exhausted: emit the current (possibly tied)
+                # refinement finished deterministically, so the search
+                # stays sound (never claims equality it didn't verify)
+                if not out:
+                    out.append(_finish_mapping(quads, sig))
+                return
+            budget[0] -= 1
+            marked = dict(sig)
+            marked[m] = _h(sig[m] + f"&ind{depth}")
+            search(_refine(inc, labels, marked, rounds), depth + 1)
+
+    search(sig0, 0)
+    return out
+
+
+def canonicalize(quads) -> frozenset:
+    """Relabel bnodes deterministically; returns a frozenset of quads.
+
+    Ties after color refinement mean automorphic-or-WL-tied orbits (e.g.
+    two identical list chains on one subject); they are resolved by
+    individualization-refinement (URDNA2015/nauty pattern — public):
+    distinguish one tied node (min original label), re-refine so the
+    distinction propagates, repeat.
+    """
+    n = max(1, len(_bnodes(quads)))
+    return _canon_forms(quads, branch=False, budget=[n + 2])[0]
+
+
+def isomorphic(a, b, branch_budget: int = 160) -> bool:
     """True iff quad SETS are equal up to bnode relabeling. Duplicate
     quads in either input are collapsed first — graphs are sets ([spec]
-    RDF 1.1 §3.1), and expansion legitimately emits the same quad twice."""
+    RDF 1.1 §3.1), and expansion legitimately emits the same quad twice.
+
+    On a deterministic-form mismatch: exact permutation search for ≤8
+    bnodes, else budget-bounded branching individualization over BOTH
+    sides' tied orbits (any common form proves isomorphism; exhausting
+    the budget without one conservatively returns False).
+    """
     a, b = list(a), list(b)
     ca, cb = canonicalize(a), canonicalize(b)
     if ca == cb:
         return True
-    # Fallback exact search for small graphs with automorphisms the
-    # refinement couldn't split.
     ba, bb = sorted(_bnodes(a)), sorted(_bnodes(b))
-    if len(ba) != len(bb) or len(ba) > 8:
+    if len(ba) != len(bb):
         return False
-    bset = set(map(tuple, b))
-    for perm in permutations(bb):
-        m = dict(zip(ba, perm))
+    if len(ba) <= 8:
+        # exact search for small graphs
+        bset = set(map(tuple, b))
+        for perm in permutations(bb):
+            m = dict(zip(ba, perm))
 
-        def remap(t, m=m):
-            if t is not None and t[0] == BNODE:
-                return (BNODE, m[t[1]])
-            return t
+            def remap(t, m=m):
+                if t is not None and t[0] == BNODE:
+                    return (BNODE, m[t[1]])
+                return t
 
-        if {tuple(remap(t) for t in q) for q in a} == bset:
-            return True
-    return False
+            if {tuple(remap(t) for t in q) for q in a} == bset:
+                return True
+        return False
+    forms_a = set(_canon_forms(a, branch=True, budget=[branch_budget]))
+    if cb in forms_a:
+        return True
+    forms_b = set(_canon_forms(b, branch=True, budget=[branch_budget]))
+    return bool(forms_a & forms_b)
 
 
 def precision_recall(ours, expected) -> tuple[float, float]:

@@ -368,8 +368,10 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
             if isinstance(element[key], str):
                 result[keys.INDEX] = element[key]
         # all other keys are dropped inside value objects ([spec] 13.4.2)
-    if result.get(keys.VALUE) is None:
-        return None  # null @value → dropped (B3)
+    if result.get(keys.VALUE) is None and result.get(keys.TYPE) != keys.JSON:
+        # null @value → dropped (B3); EXCEPT @json-typed value objects,
+        # where null is a valid JSON literal ([spec] JSON-LD 1.1 §4.2.2)
+        return None
     if keys.TYPE not in result and keys.LANG not in result \
             and isinstance(value, str):
         lang = ctx.language

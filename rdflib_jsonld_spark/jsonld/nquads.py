@@ -47,17 +47,29 @@ _LABEL_ENC = {"_": "__", "/": "_s", "#": "_h", ":": "_c", ".": "_d"}
 _LABEL_DEC = {"_": "_", "s": "/", "h": "#", "c": ":", "d": "."}
 _DEC_RE = re.compile(r"_([_shcd])")
 
+#: Sentinel marking labels THIS sink encoded. The body encoding maps "_" to
+#: "__" and / # : . to _s/_h/_c/_d, so a body it produces can never begin
+#: with "_e" — the sentinel is unambiguous against our own output, and
+#: foreign grammar-legal labels (e.g. "_:b_d1") now pass through untouched
+#: instead of being silently rewritten and merged with a different label.
+LABEL_SENTINEL = "_e"
+
 
 def encode_label(label: str) -> str:
     """Injective map of pipeline bnode labels (which carry ``/ # : .``
     lineage salts — SURVEY.md §1.2/D11) onto the grammar N-Quads allows
-    for BLANK_NODE_LABEL ([spec] N-Quads §5, PN_CHARS)."""
-    return "".join(_LABEL_ENC.get(c, c) for c in label)
+    for BLANK_NODE_LABEL ([spec] N-Quads §5, PN_CHARS), prefixed with the
+    sentinel so the reader only ever decodes labels this writer made."""
+    return LABEL_SENTINEL + "".join(_LABEL_ENC.get(c, c) for c in label)
 
 
 def decode_label(label: str) -> str:
-    """Inverse of :func:`encode_label` (exact on encoded output)."""
-    return _DEC_RE.sub(lambda m: _LABEL_DEC[m.group(1)], label)
+    """Inverse of :func:`encode_label` on sentinel-carrying labels; any
+    other label is externally authored and passes through untouched."""
+    if not label.startswith(LABEL_SENTINEL):
+        return label
+    return _DEC_RE.sub(lambda m: _LABEL_DEC[m.group(1)],
+                       label[len(LABEL_SENTINEL):])
 
 
 def term_to_nq(t: tuple) -> str:

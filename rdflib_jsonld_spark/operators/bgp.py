@@ -15,21 +15,74 @@ anything else is a constant (IRI or plain-literal lexical). Example:
     ])  →  DataFrame(m, e, s)
 
 Scale notes: each pattern scans the (bucketed, predicate-filterable) quad
-table with its constants pushed down; the join graph is left-deep in
-list order — put the most selective pattern first, exactly like a triple
-store. Variables bind the string form of terms (bnodes keep ``_:``).
+table with its constants pushed down. The left-deep join order is chosen
+by a selectivity heuristic (most constants first, then rarest predicate
+when ``stats`` are supplied, connectivity-aware so no accidental cross
+joins) — exactly the static ordering a triple store would pick; pass
+``optimize=False`` to keep author order. Variables bind the string form
+of terms (bnodes keep ``_:``); object bindings also carry hidden
+``<var>__kind/__datatype/__lang`` companions when ``with_types=True`` so
+CONSTRUCT can re-emit values with their original typing.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
 
 def _is_var(x: str) -> bool:
     return isinstance(x, str) and x.startswith("?")
 
 
-def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str) -> tuple:
+def collect_predicate_stats(quads: DataFrame) -> dict[str, int]:
+    """One cheap stats action: predicate → quad count, for join ordering.
+    Run this on a MATERIALIZED quad table (running it on an unpersisted
+    expansion plan would recompute the Python stage)."""
+    return {r["p"]: r["n"] for r in
+            quads.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+
+def _pattern_vars(pat: tuple[str, str, str]) -> set[str]:
+    return {x[1:] for x in pat if _is_var(x)}
+
+
+def _order_patterns(patterns: list[tuple[str, str, str]],
+                    stats: dict[str, int] | None) -> list[int]:
+    """Greedy connectivity-aware selectivity order (returns indices).
+
+    Score: more constants = more selective; among equals, a constant
+    predicate with a lower corpus frequency (when stats given) wins; the
+    original index breaks remaining ties (stable). After the first pick,
+    only patterns sharing a variable with the bound set are considered
+    unless none connects (disconnected groups keep their cross join)."""
+    def sel_key(i: int):
+        s, p, o = patterns[i]
+        n_const = sum(0 if _is_var(x) else 1 for x in (s, p, o))
+        freq = stats.get(p, 0) if (stats and not _is_var(p)) else 0
+        return (-n_const, freq, i)
+
+    remaining = list(range(len(patterns)))
+    order: list[int] = []
+    bound: set[str] = set()
+    while remaining:
+        connected = [i for i in remaining
+                     if not order or (bound & _pattern_vars(patterns[i]))]
+        pool = connected or remaining
+        pick = min(pool, key=sel_key)
+        order.append(pick)
+        remaining.remove(pick)
+        bound |= _pattern_vars(patterns[pick])
+    return order
+
+
+def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
+                typed: set[str] | None = None) -> tuple:
+    """One pattern → filtered projection. When ``typed`` is a set, the
+    first pattern binding a variable in OBJECT position also projects its
+    o_kind/o_datatype/o_lang as hidden ``<var>__*`` companion columns
+    (and records the var in ``typed``)."""
     df = quads
     cols = {}
     if _is_var(s):
@@ -40,26 +93,43 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str) -> tuple:
         cols[p[1:]] = "p"
     else:
         df = df.where(F.col("p") == p)
+    type_proj = []
     if _is_var(o):
         cols[o[1:]] = "o_value"
+        var = o[1:]
+        if typed is not None and var not in typed:
+            typed.add(var)
+            type_proj = [F.col("o_kind").alias(f"{var}__kind"),
+                         F.col("o_datatype").alias(f"{var}__datatype"),
+                         F.col("o_lang").alias(f"{var}__lang")]
     else:
         df = df.where(F.col("o_value") == o)
     proj = [F.col(src).alias(var) for var, src in cols.items()]
     if not proj:  # all-constant pattern: existence check → empty-schema row
         proj = [F.lit(1).alias(f"_exists_{i}")]
-    return df.select(*proj), set(cols)
+    return df.select(*proj, *type_proj), set(cols)
+
+
+def _companion_cols(columns) -> list[str]:
+    return [c for c in columns if "__" in c]
 
 
 def match_bgp(quads: DataFrame, patterns: list[tuple[str, str, str]],
-              distinct: bool = True) -> DataFrame:
+              distinct: bool = True, optimize: bool = True,
+              stats: dict[str, int] | None = None,
+              with_types: bool = False) -> DataFrame:
     """Join all patterns on shared variables; returns one column per
     variable (SPARQL SELECT * semantics over a BGP, set results)."""
     if not patterns:
         raise ValueError("empty BGP")
+    order = _order_patterns(patterns, stats) if optimize \
+        else list(range(len(patterns)))
+    typed: set[str] | None = set() if with_types else None
     acc = None
     bound: set[str] = set()
-    for i, (s, p, o) in enumerate(patterns):
-        df, vars_i = _pattern_df(quads, i, s, p, o)
+    for i in order:
+        s, p, o = patterns[i]
+        df, vars_i = _pattern_df(quads, i, s, p, o, typed)
         if acc is None:
             acc, bound = df, vars_i
             continue
@@ -69,7 +139,8 @@ def match_bgp(quads: DataFrame, patterns: list[tuple[str, str, str]],
         else:
             acc = acc.crossJoin(df)  # disconnected pattern groups
         bound |= vars_i
-    acc = acc.select(*sorted(bound)) if bound else acc
+    extra = _companion_cols(acc.columns) if with_types else []
+    acc = acc.select(*sorted(bound), *sorted(extra)) if bound else acc
     return acc.distinct() if distinct else acc
 
 
@@ -77,7 +148,10 @@ def match_bgp_extended(quads: DataFrame,
                        patterns: list[tuple[str, str, str]],
                        optional: list[tuple[str, str, str]] | None = None,
                        filters: list[str] | None = None,
-                       distinct: bool = True) -> DataFrame:
+                       distinct: bool = True,
+                       optimize: bool = True,
+                       stats: dict[str, int] | None = None,
+                       with_types: bool = False) -> DataFrame:
     """BGP + the two most common SPARQL constructs beyond conjunction:
 
     - ``optional``: patterns LEFT-joined on their shared variables —
@@ -91,19 +165,24 @@ def match_bgp_extended(quads: DataFrame,
     Catalyst still owns join strategy/ordering; filters on required
     variables are pushed through the joins by the optimizer.
     """
-    acc = match_bgp(quads, patterns, distinct=False)
-    bound = set(acc.columns)
+    acc = match_bgp(quads, patterns, distinct=False, optimize=optimize,
+                    stats=stats, with_types=with_types)
+    companions = set(_companion_cols(acc.columns))
+    bound = set(acc.columns) - companions
+    typed: set[str] | None = \
+        ({c.split("__", 1)[0] for c in companions} if with_types else None)
     for i, (s, p, o) in enumerate(optional or []):
-        df, vars_i = _pattern_df(quads, 1000 + i, s, p, o)
+        df, vars_i = _pattern_df(quads, 1000 + i, s, p, o, typed)
         shared = sorted(bound & vars_i)
         if not shared:
             raise ValueError(
                 f"optional pattern {i} shares no variable with the BGP")
         acc = acc.join(df, on=shared, how="left")
         bound |= vars_i
+        companions |= set(_companion_cols(df.columns))
     for expr in filters or []:
         acc = acc.where(F.expr(expr))
-    acc = acc.select(*sorted(bound))
+    acc = acc.select(*sorted(bound), *sorted(companions))
     return acc.distinct() if distinct else acc
 
 
@@ -116,36 +195,56 @@ def construct(quads: DataFrame,
     instantiate each template triple per solution, emit a NEW quad table
     (default graph, deduplicated — graphs are sets, G4).
 
-    Template positions are ``?var`` references or constants; object
-    constants become IRIs if absolute-IRI-shaped, else plain literals.
-    Variables bound to NULL (unmatched optionals) drop that template row,
-    mirroring SPARQL's incomplete-triple rule.
+    Template positions are ``?var`` references or constants. A variable
+    in object position re-emits with its ORIGINAL kind/datatype/language
+    (threaded through the solution as companion columns), so a literal
+    that happens to look like "mailto:x" stays a literal and typed
+    literals keep their datatype. Variables that were only ever bound in
+    subject/predicate position are IRIs-or-bnodes by construction and are
+    classified by their ``_:`` prefix. Object CONSTANTS are classified by
+    shape: absolute-IRI-looking → IRI, else xsd:string literal (the
+    documented caveat for constants only).
     """
     sols = match_bgp_extended(quads, where, optional=optional,
-                              filters=filters, distinct=True)
-
-    def _term(pos: str, as_obj: bool):
-        if _is_var(pos):
-            return F.col(pos[1:])
-        return F.lit(pos)
+                              filters=filters, distinct=True,
+                              with_types=True)
+    have = set(sols.columns)
 
     out = None
     for s, p, o in template:
-        s_col, p_col, o_col = _term(s, False), _term(p, False), _term(o, True)
-        is_lit = ~o_col.rlike(r"^([A-Za-z][A-Za-z0-9+.-]*:|_:)")
+        def _subj(pos):
+            return F.col(pos[1:]) if _is_var(pos) else F.lit(pos)
+
+        s_col, p_col = _subj(s), _subj(p)
+        if _is_var(o):
+            var = o[1:]
+            o_col = F.col(var)
+            if f"{var}__kind" in have:
+                kind = F.col(f"{var}__kind")
+                dt = F.col(f"{var}__datatype")
+                lang = F.col(f"{var}__lang")
+            else:  # bound only in s/p position → IRI or bnode
+                kind = F.when(o_col.startswith("_:"), F.lit("bnode")) \
+                    .otherwise(F.lit("iri"))
+                dt = F.lit(None).cast("string")
+                lang = F.lit(None).cast("string")
+        else:
+            o_col = F.lit(o)
+            is_iri = F.lit(o).rlike(r"^([A-Za-z][A-Za-z0-9+.-]*:|_:)")
+            kind = (F.when(F.lit(o).startswith("_:"), F.lit("bnode"))
+                    .when(is_iri, F.lit("iri")).otherwise(F.lit("literal")))
+            dt = F.when(~is_iri, F.lit(XSD_STRING)).otherwise(
+                F.lit(None).cast("string"))
+            lang = F.lit(None).cast("string")
         row = sols.select(
             F.lit(None).cast("string").alias("g"),
             s_col.alias("s"),
             s_col.startswith("_:").alias("s_is_bnode"),
             p_col.alias("p"),
-            F.when(is_lit, F.lit("literal"))
-             .when(o_col.startswith("_:"), F.lit("bnode"))
-             .otherwise(F.lit("iri")).alias("o_kind"),
+            kind.alias("o_kind"),
             o_col.alias("o_value"),
-            F.when(is_lit,
-                   F.lit("http://www.w3.org/2001/XMLSchema#string"))
-             .otherwise(F.lit(None).cast("string")).alias("o_datatype"),
-            F.lit(None).cast("string").alias("o_lang"),
+            dt.alias("o_datatype"),
+            lang.alias("o_lang"),
         ).where(s_col.isNotNull() & p_col.isNotNull() & o_col.isNotNull())
         out = row if out is None else out.unionByName(row)
     return out.dropDuplicates(

@@ -55,11 +55,13 @@ def _escape_col(c):
 
 def _encode_label_col(c):
     """JVM twin of jsonld.nquads.encode_label: injectively map lineage-
-    salted labels onto N-Quads BLANK_NODE_LABEL grammar. '_' escape FIRST."""
+    salted labels onto N-Quads BLANK_NODE_LABEL grammar. '_' escape FIRST;
+    the '_e' sentinel marks sink-encoded labels so the reader leaves
+    foreign labels untouched (see jsonld.nquads.LABEL_SENTINEL)."""
     for raw, enc in (("_", "__"), ("/", "_s"), ("#", "_h"),
                      (":", "_c"), (".", "_d")):
         c = F.replace(c, F.lit(raw), F.lit(enc))
-    return c
+    return F.concat(F.lit("_e"), c)
 
 
 def _node_col(c):
@@ -136,7 +138,7 @@ def parse_nquads_lines(lines: DataFrame) -> DataFrame:
     from rdflib_jsonld_spark.jsonld.nquads import _unescape, decode_label
 
     unesc_mark = _re.compile(r"\\")
-    dec_mark = _re.compile(r"_[_shcd]")
+    dec_mark = _re.compile(r"^_e")  # only sink-encoded labels decode
 
     def _decode_bn(series: pd.Series) -> pd.Series:
         mask = series.notna() & series.str.contains(dec_mark, na=False)

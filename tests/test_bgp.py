@@ -101,6 +101,70 @@ def test_bgp_optional_and_filter(spark):
                            optional=[("?x", "http://e/conf", "?c")])
 
 
+def test_construct_preserves_term_typing(spark):
+    """ADVICE r01: object variables must re-emit with their ORIGINAL
+    kind/datatype/lang — an IRI-shaped literal ("mailto:x") stays a
+    literal, typed literals keep their datatype, lang tags survive."""
+    from rdflib_jsonld_spark.operators.bgp import construct
+    rows = [
+        (None, "http://e/m1", False, "http://e/note", "literal", "mailto:x",
+         "http://www.w3.org/2001/XMLSchema#string", None),
+        (None, "http://e/m1", False, "http://e/age", "literal", "42",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        (None, "http://e/m1", False, "http://e/label", "literal", "hi",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en"),
+        (None, "http://e/m1", False, "http://e/link", "iri", "http://e/t",
+         None, None),
+    ]
+    quads = spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+    for pred in ("note", "age", "label", "link"):
+        out = construct(
+            quads,
+            where=[("?m", f"http://e/{pred}", "?v")],
+            template=[("?m", f"http://e/out_{pred}", "?v")],
+        ).collect()
+        assert len(out) == 1
+        src = next(r for r in rows if r[3] == f"http://e/{pred}")
+        got = out[0]
+        assert (got["o_kind"], got["o_value"], got["o_datatype"],
+                got["o_lang"]) == (src[4], src[5], src[6], src[7]), pred
+
+
+def test_join_order_heuristic(spark):
+    """Most-constant pattern leads; predicate stats break ties; the order
+    stays connectivity-aware (no accidental cross join); results are
+    identical with and without optimization."""
+    from rdflib_jsonld_spark.operators.bgp import (
+        _order_patterns, collect_predicate_stats, match_bgp)
+    pats = [
+        ("?m", "e:about", "?e"),            # 1 const
+        ("?m", "e:type", "e:Mention"),      # 2 consts → leads
+        ("?e", "e:sameAs", "?c"),           # 1 const, connects via ?e
+    ]
+    assert _order_patterns(pats, None)[0] == 1
+    # stats tie-break between two 1-const patterns: rarer predicate first
+    stats = {"e:about": 1000, "e:sameAs": 10, "e:type": 500}
+    order = _order_patterns(pats, stats)
+    assert order[0] == 1
+    # after pattern 1 (binds ?m), only pattern 0 connects — pattern 2 must
+    # NOT jump ahead despite its rarer predicate (cross-join avoidance)
+    assert order[1] == 0 and order[2] == 2
+    q = _quads(spark, [
+        ("e:m1", "e:type", "e:Mention", "iri"),
+        ("e:m1", "e:about", "e:a", "iri"),
+        ("e:a", "e:sameAs", "e:canon", "iri"),
+    ])
+    r_opt = {tuple(r) for r in match_bgp(q, pats, optimize=True,
+                                         stats=stats).collect()}
+    r_raw = {tuple(r) for r in match_bgp(q, pats, optimize=False).collect()}
+    assert r_opt == r_raw == {("e:canon", "e:a", "e:m1")}
+    assert collect_predicate_stats(q) == {
+        "e:type": 1, "e:about": 1, "e:sameAs": 1}
+
+
 def test_construct_emits_new_graph(spark):
     """CONSTRUCT: solutions instantiate template triples into a fresh
     deduplicated quad table; NULL bindings drop the row."""

@@ -126,6 +126,23 @@ def test_bnode_labels_grammar_valid_and_decoded(spark, tmp_path):
     assert back["o_value"] == "_:conv_01/7/0#3"
 
 
+def test_foreign_bnode_labels_pass_through(spark, tmp_path):
+    """Externally-authored grammar-legal labels must NOT be rewritten:
+    '_:b_d1' and '_:b.1' are distinct foreign bnodes and must stay
+    distinct on read; only the sink's own sentinel-prefixed labels decode.
+    (ADVICE r01: unconditional decode silently merged foreign labels.)"""
+    from rdflib_jsonld_spark.jsonld.nquads import decode_label, encode_label
+    assert decode_label("b_d1") == "b_d1"          # foreign: untouched
+    assert encode_label("b.1") == "_eb_d1"          # ours: sentinel + enc
+    assert decode_label(encode_label("b.1")) == "b.1"
+    lines = ['_:b_d1 <http://e/p> <http://e/o> .',
+             '_:b.1 <http://e/p> <http://e/o> .']
+    p = tmp_path / "foreign.nq"
+    p.write_text("\n".join(lines) + "\n")
+    subs = {r["s"] for r in read_nquads(spark, str(p)).collect()}
+    assert subs == {"_:b_d1", "_:b.1"}
+
+
 def test_vectorized_parse_matches_pure_parser(spark, tmp_path):
     """The pandas fast path must agree row-for-row with parse_line on a
     corpus covering every term shape incl. escapes and named graphs."""

@@ -41,3 +41,35 @@ def test_compare_canonicalize_properties():
     q3 = [q if q[3] != ("lit", "a", "http://www.w3.org/2001/XMLSchema#string", None)
           else (q[0], q[1], q[2], ("lit", "z", q[3][2], None)) for q in q1]
     assert not isomorphic(q3, q2)
+
+
+def _cycle_quads(cycles: list[list[str]]):
+    """Disjoint bnode cycles linked by one edge predicate."""
+    P = ("iri", "http://e/p")
+    out = []
+    for nodes in cycles:
+        for i, n in enumerate(nodes):
+            out.append((None, ("bnode", n), P,
+                        ("bnode", nodes[(i + 1) % len(nodes)])))
+    return out
+
+
+def test_isomorphic_wl_tied_regular_graphs():
+    """ADVICE r01 regression: WL color refinement ties ALL nodes of a
+    C4⊎C5 cycle union (every node degree-2, uniform neighborhoods), and
+    the two sides' min-label individualization picks land in DIFFERENT
+    cycles (>8 bnodes, so the exact-permutation fallback is out of
+    reach). Branching individualization must still prove isomorphism —
+    and must still reject the genuinely different C9."""
+    from rdflib_jsonld_spark.jsonld.compare import isomorphic
+    # side A: min label n0 sits in the C4
+    a = _cycle_quads([["n0", "n1", "n2", "n3"],
+                      ["n4", "n5", "n6", "n7", "n8"]])
+    # side B: min label m0 sits in the C5
+    b = _cycle_quads([["m0", "m1", "m2", "m3", "m4"],
+                      ["m5", "m6", "m7", "m8"]])
+    assert isomorphic(a, b)
+    c9 = _cycle_quads([["k0", "k1", "k2", "k3", "k4", "k5", "k6", "k7",
+                        "k8"]])
+    assert not isomorphic(a, c9)
+    assert not isomorphic(c9, b)

@@ -77,15 +77,22 @@ def main() -> None:
         # deterministic lineage keys via content hash.
         from pyspark.sql import functions as F
         path = args.input.split(":", 1)[1]
-        # conv_id carries a content-hash bucket so resumable slicing (which
-        # hashes conv_id) spreads one big file across all slices, stably.
+        # conv_id carries a content-hash bucket (so resumable slicing,
+        # which hashes conv_id, spreads one big file across all slices,
+        # stably) PLUS the full 64-bit content hash in hex: the bnode
+        # lineage prefix is (conv_id, turn_idx), and a truncated 31-bit
+        # key collides at ~n²/2³² per file — hundreds of silently merged
+        # documents at 10⁶ lines. With the full hash in conv_id the
+        # collision rate is ~2⁻⁶⁴, and equal-content lines (the only
+        # collision left) expand to identical quads anyway.
+        h = F.xxhash64("value")
         transcripts = (spark.read.text(path)
                        .where(F.length(F.trim("value")) > 0)
                        .select(
                            F.concat(F.input_file_name(), F.lit("#"),
-                                    F.pmod(F.xxhash64("value"), F.lit(256))
-                                    .cast("string")).alias("conv_id"),
-                           F.pmod(F.xxhash64("value"), F.lit(1 << 31))
+                                    F.pmod(h, F.lit(256)).cast("string"),
+                                    F.lit("/"), F.hex(h)).alias("conv_id"),
+                           F.pmod(h, F.lit(1 << 31))
                            .cast("int").alias("turn_idx"),
                            F.concat(F.lit("```ld\n"), F.col("value"),
                                     F.lit("\n```")).alias("text")))
