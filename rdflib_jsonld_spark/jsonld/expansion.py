@@ -372,14 +372,11 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
         # null @value → dropped (B3); EXCEPT @json-typed value objects,
         # where null is a valid JSON literal ([spec] JSON-LD 1.1 §4.2.2)
         return None
-    if keys.TYPE not in result and keys.LANG not in result \
-            and isinstance(value, str):
-        lang = ctx.language
-        # explicit "@language": null suppresses the default
-        if any(e == keys.LANG for e in kmap.values()):
-            lang = None
-        if lang:
-            result[keys.LANG] = lang
+    # NO default-language injection: explicit value objects pass through
+    # ([spec] JLD-API §13.4); the default language applies only in Value
+    # Expansion of raw strings. (Was injected pre-r02 — a round-trip bug:
+    # compact({"@value": "x"}) could never re-expand to a plain string
+    # under a default-language context.)
     if result.get(keys.TYPE) == keys.JSON:
         result.pop(keys.LANG, None)
     return result

@@ -46,7 +46,7 @@ def _term_key(t: tuple) -> str:
 
 def from_rdf(quads, context_data=None, base=None, use_native_types=False,
              use_rdf_type=False, auto_compact=False, registry=None,
-             startnode=None, index=False):
+             startnode=None, index=False, rdf_direction=None):
     """Quad tuples → JSON-LD object tree (compacted iff a context applies).
 
     Returns ``{"@context": ..., "@graph": [...]}`` when a context is in
@@ -139,7 +139,7 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
             continue
         pred = _term_key(p)
         obj = _object_repr(g, o, ctx, compact, use_native_types, list_chains,
-                           nodes, graph_of)
+                           nodes, graph_of, rdf_direction)
         node.setdefault(("pred", pred), []).append(obj)
 
     # ---- assemble tree ----------------------------------------------------
@@ -229,14 +229,25 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
 
 
 def _object_repr(g, o, ctx, compact, use_native_types, list_chains,
-                 nodes, graph_of):
+                 nodes, graph_of, rdf_direction=None):
     if (g, o) in list_chains if o[0] == BNODE else False:
         members = list_chains[(g, o)]
         return {keys.LIST: [
             _object_repr(g, m, ctx, compact, use_native_types, list_chains,
-                         nodes, graph_of) for m in members]}
+                         nodes, graph_of, rdf_direction) for m in members]}
     if o[0] == LIT:
         _, lex, dt, lang = o
+        if rdf_direction == "i18n-datatype" and dt \
+                and dt.startswith(keys.I18N_NS):
+            # i18n:<lang>_<dir> → @language/@direction value object
+            # ([spec] JLD-API 1.1 §10.5 with rdfDirection)
+            tag, _, direction = dt[len(keys.I18N_NS):].partition("_")
+            out = {keys.VALUE: lex}
+            if tag:
+                out[keys.LANG] = tag
+            if direction:
+                out[keys.DIRECTION] = direction
+            return out
         if lang:
             return {keys.VALUE: lex, keys.LANG: lang}
         if dt == keys.XSD_STRING or dt is None:

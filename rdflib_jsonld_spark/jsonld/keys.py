@@ -45,6 +45,7 @@ RDF_FIRST = RDF_NS + "first"
 RDF_REST = RDF_NS + "rest"
 RDF_NIL = RDF_NS + "nil"
 RDF_JSON = RDF_NS + "JSON"
+I18N_NS = "https://www.w3.org/ns/i18n#"  # rdfDirection=i18n-datatype
 RDF_LANGSTRING = RDF_NS + "langString"
 
 XSD_STRING = XSD_NS + "string"

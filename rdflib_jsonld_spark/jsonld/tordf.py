@@ -44,15 +44,18 @@ class _State:
     local map so ``"@id": "_:b0"`` reuses one bnode per document.
     """
 
-    __slots__ = ("counter", "id_map", "prefix", "quads", "generalized", "allow_ll")
+    __slots__ = ("counter", "id_map", "prefix", "quads", "generalized",
+                 "allow_ll", "rdf_direction")
 
-    def __init__(self, prefix: str, generalized: bool, allow_ll: bool):
+    def __init__(self, prefix: str, generalized: bool, allow_ll: bool,
+                 rdf_direction: str | None = None):
         self.counter = 0
         self.id_map: dict[str, str] = {}
         self.prefix = prefix
         self.quads: list = []
         self.generalized = generalized
         self.allow_ll = allow_ll
+        self.rdf_direction = rdf_direction
 
     def fresh_bnode(self) -> tuple:
         label = f"{self.prefix}{self.counter}"
@@ -71,7 +74,8 @@ class _State:
 def to_rdf(data, context_data=None, base: str | None = None,
            generalized_rdf: bool = False, allow_lists_of_lists: bool = True,
            registry: dict | None = None, bnode_prefix: str = "b",
-           ctx: Context | None = None, version: float | None = None) -> list:
+           ctx: Context | None = None, version: float | None = None,
+           rdf_direction: str | None = None) -> list:
     """Parsed JSON value → list of quads.
 
     Signature parity: [v0.5.0] parser.py to_rdf(data, dataset, base,
@@ -81,14 +85,23 @@ def to_rdf(data, context_data=None, base: str | None = None,
     ``registry`` replaces remote-context HTTP fetch (SURVEY.md §2.A7).
     ``ctx`` short-circuits context resolution with a pre-resolved (e.g.
     broadcast) Context — the per-executor fast path (SURVEY.md §1.2).
+
+    ``rdf_direction``: None (default) drops ``@direction`` on RDF output
+    (spec-compliant default); ``"i18n-datatype"`` encodes direction-
+    carrying strings as ``i18n:<lang>_<dir>``-typed literals ([spec]
+    JLD-API 1.1 §10.6 step 12 / §8 rdfDirection). ``"compound-literal"``
+    is not implemented (raises ValueError).
     """
+    if rdf_direction not in (None, "i18n-datatype"):
+        raise ValueError(f"unsupported rdfDirection: {rdf_direction!r}")
     if ctx is None:
         ctx = Context(base=base, registry=registry)
         if version is not None:  # signature parity: [v0.5.0] to_rdf(version)
             ctx.version = float(version)
         if context_data is not None:
             ctx = ctx.load(context_data)
-    state = _State(bnode_prefix, generalized_rdf, allow_lists_of_lists)
+    state = _State(bnode_prefix, generalized_rdf, allow_lists_of_lists,
+                   rdf_direction)
 
     # Top-level dispatch: array | @graph wrapper | single node
     # ([v0.5.0] parser.py Parser.parse ~L120-160, D1).
@@ -220,14 +233,19 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
 
         if keys.LANG in container and isinstance(value, dict):
             # language map (D6): {"en": "x", "de": ["y"]}
+            map_dir = _default_direction(term, ctx)
             for lang, vals in value.items():
                 for v in _as_list(vals):
                     if not isinstance(v, str):
                         continue
                     tag = None if lang == keys.NONE or lang == ctx.alias(keys.NONE) \
                         else lang.lower()
-                    dt = keys.RDF_LANGSTRING if tag else keys.XSD_STRING
-                    _emit(state, graph, subj, pred, (LIT, v, dt, tag))
+                    if map_dir and state.rdf_direction == "i18n-datatype":
+                        obj = _i18n_literal(v, tag, map_dir)
+                    else:
+                        dt = keys.RDF_LANGSTRING if tag else keys.XSD_STRING
+                        obj = (LIT, v, dt, tag)
+                    _emit(state, graph, subj, pred, obj)
                     has_real_keys = True
             continue
 
@@ -414,7 +432,7 @@ def _to_object(v, term, ctx: Context, state: _State, graph,
         kmap = {k: ctx.expand_key(k) for k in v}
         val_key = next((k for k, e in kmap.items() if e == keys.VALUE), None)
         if val_key is not None:
-            return _value_object_to_term(v, kmap, val_key, term, ctx)
+            return _value_object_to_term(v, kmap, val_key, term, ctx, state)
         if _is_list_object(v) or any(e == keys.LIST for e in kmap.values()):
             lkey = next(k for k, e in kmap.items() if e == keys.LIST)
             return _add_list(_as_list(v[lkey]), term, ctx, state, graph,
@@ -436,6 +454,9 @@ def _to_object(v, term, ctx: Context, state: _State, graph,
                 lang = term.language
             elif ctx.language:
                 lang = ctx.language
+            direction = _default_direction(term, ctx)
+            if direction and state.rdf_direction == "i18n-datatype":
+                return _i18n_literal(v, lang, direction)
             if lang:
                 return (LIT, v, keys.RDF_LANGSTRING, lang)
             return (LIT, v, keys.XSD_STRING, None)
@@ -457,13 +478,36 @@ def _to_object(v, term, ctx: Context, state: _State, graph,
     return None
 
 
-def _value_object_to_term(v: dict, kmap: dict, val_key: str, term, ctx: Context):
+def _default_direction(term, ctx: Context):
+    """Effective base direction: term override, else context default
+    ([spec] JSON-LD 1.1 §4.2.4)."""
+    if term is not None and getattr(term, "direction", UNDEF) is not UNDEF:
+        return term.direction
+    return getattr(ctx, "direction", None)
+
+
+def _i18n_literal(value: str, lang, direction) -> tuple:
+    """Direction-carrying string → i18n-datatyped literal ([spec] JLD-API
+    1.1 §10.6 step 12, rdfDirection="i18n-datatype"): datatype
+    ``https://www.w3.org/ns/i18n#<lang>_<dir>`` (lang lowercase, may be
+    empty), no language tag on the literal itself."""
+    return (LIT, value, f"{keys.I18N_NS}{(lang or '').lower()}_{direction}",
+            None)
+
+
+def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
+                          ctx: Context, state: _State | None = None):
     """{"@value": ...} → literal ([spec] JLD-API §10.6 steps 8-13)."""
     value = v[val_key]
     if value is None:
         return None  # B3
     type_key = next((k for k, e in kmap.items() if e == keys.TYPE), None)
     lang_key = next((k for k, e in kmap.items() if e == keys.LANG), None)
+    dir_key = next((k for k, e in kmap.items() if e == keys.DIRECTION), None)
+    i18n = state is not None and state.rdf_direction == "i18n-datatype"
+    # explicit value objects take ONLY their own @direction — defaults
+    # (term/context) apply to raw strings via value expansion, not here
+    direction = v[dir_key] if dir_key is not None else None
 
     if type_key is not None and v[type_key] == keys.JSON:
         return (LIT, canonical_json(value), keys.RDF_JSON, None)
@@ -475,9 +519,13 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term, ctx: Context)
     if lang_key is not None:
         lang = v[lang_key]
         if lang is None:
+            if isinstance(value, str) and i18n and direction:
+                return _i18n_literal(value, None, direction)  # i18n#_dir
             return (LIT, _native_lex(value)[0], _native_lex(value)[1], None) \
                 if not isinstance(value, str) else (LIT, value, keys.XSD_STRING, None)
         if isinstance(value, str):
+            if i18n and direction:
+                return _i18n_literal(value, lang, direction)
             return (LIT, value, keys.RDF_LANGSTRING, lang.lower())
 
     if explicit_type:
@@ -485,13 +533,13 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term, ctx: Context)
         return (LIT, lex, explicit_type, None)
 
     if isinstance(value, str):
-        lang = None
-        if term is not None and term.language is not UNDEF:
-            lang = term.language
-        elif ctx.language:
-            lang = ctx.language
-        if lang:
-            return (LIT, value, keys.RDF_LANGSTRING, lang)
+        # NO default-language/direction injection for explicit value
+        # objects ([spec] JLD-API §13.4: value objects pass through; the
+        # default language applies only in Value Expansion of raw
+        # strings) — also what makes {"@value": "x"} round-trip under a
+        # default-language context.
+        if i18n and direction:
+            return _i18n_literal(value, None, direction)
         return (LIT, value, keys.XSD_STRING, None)
 
     lex, dt = _native_lex(value)

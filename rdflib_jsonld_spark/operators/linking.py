@@ -207,9 +207,19 @@ def canonicalize_quads(quads: DataFrame, mapping: DataFrame) -> DataFrame:
 def entity_mention_counts(quads: DataFrame, mapping: DataFrame,
                           salt_buckets: int = 16) -> DataFrame:
     """Mentions per canonical entity with **salted aggregation** (E6):
-    two-level groupBy so a hot entity's partial counts spread over
-    ``salt_buckets`` reducers before the final combine. (AQE splits skewed
-    joins but does NOT salt aggregations — SURVEY.md §4.2.)"""
+    two-level groupBy so a hot entity's per-salt partials spread over
+    ``salt_buckets`` reducers before the final combine. (AQE splits
+    skewed joins but does NOT salt aggregations — SURVEY.md §4.2.)
+
+    Where salting actually pays: for a plain ``count`` Spark's hash
+    aggregate already does map-side partial combine (≤1 row per input
+    partition per key reaches the shuffle), so this pattern buys little
+    here — it is kept as THE template for the aggregations where partial
+    state is large (``collect_list``/``collect_set``/exact distinct),
+    where a hot key's state otherwise funnels through one reducer. The
+    salt is ``pmod(xxhash64(key, row_id), K)`` — derived from the data,
+    not ``spark_partition_id()``, so the spread never degrades when an
+    upstream stage happens to deliver few (or skewed) partitions."""
     mentions = (
         quads.where((F.col("p") == ABOUT) & (F.col("o_kind") == "iri"))
         .select(F.col("o_value").alias("entity"))
@@ -220,7 +230,9 @@ def entity_mention_counts(quads: DataFrame, mapping: DataFrame,
         .select(F.coalesce("root", "entity").alias("canonical_id"))
     )
     salted = canon.withColumn(
-        "salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
+        "salt", F.pmod(F.xxhash64("canonical_id",
+                                  F.monotonically_increasing_id()),
+                       F.lit(salt_buckets)))
     partial = salted.groupBy("canonical_id", "salt").agg(
         F.count(F.lit(1)).alias("cnt"))
     return partial.groupBy("canonical_id").agg(

@@ -97,19 +97,27 @@ _PROFILES: dict[str, tuple[str, ...]] = {
 @pandas_udf(T.StringType())
 def lang_id_udf(texts: pd.Series) -> pd.Series:
     """Vectorized n-gram language ID: score = profile-hit count normalized
-    by text length; deterministic argmax with lexicographic tie-break."""
-    def score_one(t: str) -> str:
-        if not t:
-            return "und"
-        tl = t.lower()
-        best_lang, best = "und", 0.0
-        for lang in sorted(_PROFILES):
-            hits = sum(tl.count(g) for g in _PROFILES[lang])
-            sc = hits / (1 + len(tl) / 100.0)
-            if sc > best:
-                best, best_lang = sc, lang
-        return best_lang
-    return texts.map(score_one)
+    by text length; deterministic argmax with lexicographic tie-break.
+
+    Column-vectorized (one ``Series.str.count`` pass per profile gram,
+    ~75 C-loop passes per Arrow batch) — no per-row Python. idxmax takes
+    the FIRST column at the max, and columns are in sorted-language
+    order, which reproduces the strict-greater/lexicographic rule the
+    DuckDB oracle (generated from the same profiles) encodes."""
+    import re as _re
+
+    tl = texts.fillna("").str.lower()
+    denom = 1.0 + tl.str.len() / 100.0
+    scores = pd.DataFrame(index=tl.index)
+    for lang in sorted(_PROFILES):
+        hits = None
+        for g in _PROFILES[lang]:
+            c = tl.str.count(_re.escape(g))
+            hits = c if hits is None else hits + c
+        scores[lang] = hits / denom
+    best = scores.max(axis=1)
+    pred = scores.idxmax(axis=1)
+    return pred.where(best > 0, "und")
 
 
 def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -33,6 +33,7 @@ def test_fixture(path):
         generalized_rdf=opts.get("generalized_rdf", False),
         allow_lists_of_lists=opts.get("allow_lists_of_lists", True),
         registry=case.get("registry"),
+        rdf_direction=opts.get("rdf_direction"),
     )
     if "expect_error" in case:
         with pytest.raises(JsonLdError) as exc:
@@ -58,7 +59,8 @@ def test_corpus_precision_recall_gate():
         ours = to_rdf(case["input"], base=opts.get("base"),
                       generalized_rdf=opts.get("generalized_rdf", False),
                       allow_lists_of_lists=opts.get("allow_lists_of_lists", True),
-                      registry=case.get("registry"))
+                      registry=case.get("registry"),
+                      rdf_direction=opts.get("rdf_direction"))
         expected = nquads.parse(case["expected_nquads"])
         p, r = precision_recall(ours, expected)
         n_ours += len(ours)
@@ -70,6 +72,29 @@ def test_corpus_precision_recall_gate():
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
     # stretch goal: exact on the vendored corpus
     assert precision == 1.0 and recall == 1.0, (precision, recall)
+
+
+def test_rdf_direction_roundtrip():
+    """to_rdf(i18n-datatype) → from_rdf(i18n-datatype) reproduces
+    @language/@direction value objects (JLD-API 1.1 §10.5/§10.6)."""
+    from rdflib_jsonld_spark.jsonld.fromrdf import from_rdf
+    doc = {"@id": "http://e/s",
+           "http://e/p": {"@value": "hello", "@language": "en",
+                          "@direction": "ltr"}}
+    quads = to_rdf(doc, rdf_direction="i18n-datatype")
+    assert quads[0][3] == ("lit", "hello",
+                           "https://www.w3.org/ns/i18n#en_ltr", None)
+    [node] = from_rdf(quads, rdf_direction="i18n-datatype")
+    [vobj] = node["http://e/p"]
+    assert vobj == {"@value": "hello", "@language": "en",
+                    "@direction": "ltr"}
+    # default mode leaves the i18n datatype opaque (typed literal)
+    [node2] = from_rdf(quads)
+    assert node2["http://e/p"][0]["@type"].startswith(
+        "https://www.w3.org/ns/i18n#")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        to_rdf(doc, rdf_direction="compound-literal")
 
 
 def test_nquads_roundtrip():

@@ -117,6 +117,27 @@ def test_ngram_jaccard(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_ngram_jaccard_hot_gram_cap(spark):
+    """VERDICT r01 scale-killer regression: 1000 docs share one
+    boilerplate phrase. The df-cap keeps the phrase's grams out of the
+    candidate join (a 10^6-row group at this size; 10^12 at web scale),
+    while a genuinely near-dup pair held together by RARE grams is still
+    found with its exact Jaccard."""
+    rows = [(i, f"common boilerplate phrase shared everywhere "
+                f"unique{i} word{i} tail{i} extra{i}")
+            for i in range(1000)]
+    rows.append((2000, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((2001, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(
+               df, threshold=0.4, df_cap=50).collect()}
+    assert (2000, 2001) in got
+    assert abs(got[(2000, 2001)] - 5 / 7) < 1e-4
+    # boilerplate-only overlap is entirely above the cap → no pairs
+    assert all(a >= 2000 for a, _ in got)
+
+
 def test_brute_force_topk_matches_numpy(emb):
     rows = emb.orderBy("vec_id").collect()
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
