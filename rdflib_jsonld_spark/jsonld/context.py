@@ -135,6 +135,9 @@ class Context:
         self.aliases: dict[str, str] = {}  # keyword -> list of aliases
         self.alias_of: dict[str, str] = {}  # alias term -> keyword
         self.propagate = True
+        # Non-propagating scoped context support ([spec] 1.1 §4.1.8): when
+        # set, nested node objects revert to this context on entry.
+        self.previous: "Context | None" = None
         # Offline replacement for remote fetch: IRI -> parsed context value.
         self.registry = registry or {}
         self._rev_terms: dict | None = None  # compaction index cache (C4)
@@ -151,15 +154,18 @@ class Context:
 
     # -- C1: context processing ------------------------------------------
 
-    def load(self, source, remote_chain: frozenset = frozenset()) -> "Context":
+    def load(self, source, remote_chain: frozenset = frozenset(),
+             override_protected: bool = False) -> "Context":
         """Process a local context (value of ``@context``) and return a NEW
         Context — the original is never mutated so scoped contexts (C5) can
         branch. [spec] JLD-API §6.1; [v0.5.0] context.py load (~L120-230).
+        ``override_protected`` is the §4.1 flag property-scoped contexts
+        pass so they may redefine protected terms (1.1 §4.1.11 exception).
         """
         sources = source if isinstance(source, list) else [source]
         ctx = self._copy()
         for src in sources:
-            ctx._load_one(src, remote_chain)
+            ctx._load_one(src, remote_chain, override_protected)
         ctx._rev_terms = None
         return ctx
 
@@ -175,6 +181,7 @@ class Context:
         new.aliases = dict(self.aliases)
         new.alias_of = dict(self.alias_of)
         new.propagate = self.propagate
+        new.previous = self.previous
         new.registry = self.registry
         new._rev_terms = None
         new._key_memo = {}
@@ -183,7 +190,8 @@ class Context:
         new._kmap_memo = {}
         return new
 
-    def _load_one(self, src, remote_chain: frozenset) -> None:
+    def _load_one(self, src, remote_chain: frozenset,
+                  override_protected: bool = False) -> None:
         if src is None:
             # null resets to the initial context ([spec] §6.1 step 5.1) —
             # but cannot clear protected terms (§6.1 step 5.1.1).
@@ -205,7 +213,7 @@ class Context:
                 fetched = fetched[keys.CONTEXT]
             inner = fetched if isinstance(fetched, list) else [fetched]
             for item in inner:
-                self._load_one(item, remote_chain | {iri})
+                self._load_one(item, remote_chain | {iri}, override_protected)
             return
         if not isinstance(src, dict):
             raise InvalidContext(repr(src))
@@ -247,7 +255,8 @@ class Context:
         # register raw ids, then build full Terms.
         pending = {k: v for k, v in src.items() if k not in handled}
         for name, dfn in pending.items():
-            self._read_term(src, name, dfn, protected_default)
+            self._read_term(src, name, dfn, protected_default,
+                            override_protected)
         # any expansion memoized mid-load (e.g. for @vocab resolution) is
         # stale once new terms land — drop all memos after each mutation
         self._key_memo.clear()
@@ -258,13 +267,14 @@ class Context:
     # -- C2: term definitions --------------------------------------------
 
     def _read_term(self, local_src: dict, name: str, dfn,
-                   protected_default: bool = False) -> None:
+                   protected_default: bool = False,
+                   override_protected: bool = False) -> None:
         """Create one term definition. [spec] JLD-API §6.2;
         [v0.5.0] context.py _read_term/add_term (~L230-330)."""
         if name in keys.KEYWORDS:
             return
         prev = self.terms.get(name)
-        if prev is not None and prev.protected:
+        if prev is not None and prev.protected and not override_protected:
             # [spec] 1.1 §6.2 step 5: protected terms refuse redefinition
             # (identical re-declaration is permitted)
             if not self._same_definition(prev, dfn):
@@ -404,21 +414,40 @@ class Context:
 
     # -- C5: scoped contexts ----------------------------------------------
 
+    @staticmethod
+    def _scoped_propagate(local, default: bool) -> bool:
+        if isinstance(local, dict) and keys.PROPAGATE in local:
+            return bool(local[keys.PROPAGATE])
+        return default
+
     def subcontext_for_term(self, term_name: str, remote_chain=frozenset()) -> "Context":
-        """Property-scoped context ([spec] 1.1 §4.1.9)."""
+        """Property-scoped context ([spec] 1.1 §4.1.9): processed with
+        override-protected true (§4.1.11 exception) and @propagate
+        defaulting to TRUE — nested nodes keep these terms unless the
+        scoped context says @propagate: false."""
         term = self.terms.get(term_name)
         if term is None or term.context is UNDEF:
             return self
-        return self.load(term.context, remote_chain)
+        new = self.load(term.context, remote_chain, override_protected=True)
+        new.previous = None if self._scoped_propagate(term.context, True) \
+            else self
+        return new
 
     def subcontext_for_type(self, type_iri_terms) -> "Context":
         """Type-scoped context: applied for each of the node's @type terms
-        in lexicographic order ([spec] 1.1 §4.1.8 / JLD-API §7 step 9)."""
+        in lexicographic order ([spec] 1.1 §4.1.8 / JLD-API §7 step 9).
+        @propagate defaults to FALSE for type-scoped contexts — the terms
+        apply to the typed node itself; nested node objects revert to the
+        pre-type context (``previous``) on entry."""
         ctx = self
+        propagate = True
         for tname in sorted(type_iri_terms):
             term = ctx.terms.get(tname)
             if term is not None and term.context is not UNDEF:
                 ctx = ctx.load(term.context)
+                propagate = self._scoped_propagate(term.context, False)
+        if ctx is not self and not propagate:
+            ctx.previous = self
         return ctx
 
     # -- keyword aliases ----------------------------------------------------

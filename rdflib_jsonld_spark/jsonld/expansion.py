@@ -85,6 +85,14 @@ def _expand_element(ctx: Context, active_key: str | None, element,
         return _expand_value(ctx, active_key, element)
 
     # --- map ---------------------------------------------------------------
+    # Non-propagating scoped-context revert ([spec] JLD-API §5.1 step 8):
+    # a pending type-scoped context drops on entry to a nested element
+    # unless it is a value object or a subject reference.
+    if ctx.previous is not None:
+        probe = ctx.expand_keys(tuple(element))
+        if not any(e == keys.VALUE for e in probe) \
+                and set(probe) - {keys.ID} != set():
+            ctx = ctx.previous
     if keys.CONTEXT in element:
         ctx = ctx.load(element[keys.CONTEXT])
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 import functools
 import json
 import math
+import re as _re
 
 from . import keys
 from .context import Context, UNDEF
@@ -113,7 +114,22 @@ def to_rdf(data, context_data=None, base: str | None = None,
     if not generalized_rdf:
         # Drop triples with bnode predicates ([spec] JLD-API §10.1; D10).
         state.quads = [q for q in state.quads if q[2][0] != BNODE]
+    # Relative IRIs cannot appear in RDF ([spec] JLD-API §10.3: only
+    # absolute IRIs produce triples) — arises under @base:null / no base.
+    if any(_has_relative_iri(q) for q in state.quads):
+        state.quads = [q for q in state.quads if not _has_relative_iri(q)]
     return state.quads
+
+
+_ABS_IRI_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def _has_relative_iri(q: tuple) -> bool:
+    for t in q:
+        if t is not None and t[0] == IRI and not (
+                ":" in t[1] and _ABS_IRI_RE.match(t[1])):
+            return True
+    return False
 
 
 def _node_keyword_map(node: dict, ctx: Context) -> dict:
@@ -130,6 +146,11 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     _add_to_graph (~L160-200, D2) + _key_to_graph (~L200-330, B1/D3-D6)."""
     if not isinstance(node, dict):
         return None
+    # Non-propagating scoped-context revert ([spec] 1.1 §4.1.8 / JLD-API
+    # expansion step 8): entering a nested node object drops a pending
+    # type-scoped context; the node then applies its own @type scoping.
+    if ctx.previous is not None:
+        ctx = ctx.previous
     if keys.CONTEXT in node:
         ctx = ctx.load(node[keys.CONTEXT])
 

@@ -22,7 +22,11 @@ from rdflib_jsonld_spark.jsonld import nquads
 
 FIXTURE_DIR = Path(__file__).parent / "fixtures" / "tordf"
 FIXTURES = [p for p in sorted(FIXTURE_DIR.glob("*.json"))
-            if "expect_error" not in json.loads(p.read_text())]
+            if "expect_error" not in json.loads(p.read_text())
+            # no_roundtrip: spec-correct but not base-stable (e.g.
+            # @base:null keeps relative IRIs that re-resolve differently
+            # once the expanded form loses the original context)
+            and not json.loads(p.read_text()).get("no_roundtrip")]
 
 
 @pytest.mark.parametrize("path", FIXTURES, ids=lambda p: p.stem)
