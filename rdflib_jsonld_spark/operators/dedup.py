@@ -120,7 +120,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     compact keys, broadcast-free, AQE-splittable.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
+    # persist: both sides of the band self-join re-derive from the Python
+    # signature stage — cache the (id, sig) table so it runs once
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm,
+                              shingle_k).persist()
     banded = sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -210,7 +213,7 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     assert 64 % n_bands == 0, "n_bands must divide 64"
     width = 64 // n_bands
     mask = (1 << width) - 1
-    sigs = simhash_signatures(docs, id_col, text_col)
+    sigs = simhash_signatures(docs, id_col, text_col).persist()
     banded = sigs.select(
         id_col, "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
@@ -235,6 +238,93 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "hamming"))
 
 
+def _batch_winnow(texts, k: int, window: int):
+    """Whole-batch winnowing: ONE vectorized rolling-hash pass over the
+    concatenated normalized bytes of every document, then a segmented
+    sliding-window minimum with the rightmost-min tie rule — no per-doc
+    Python loop. Returns (doc_idx:int64[], fp:int64[]) deduplicated.
+
+    Semantics are byte-identical to the per-doc formulation (the DuckDB
+    contract oracle replicates them independently): k-gram hashes in
+    document order; docs with ≤``window`` k-grams contribute their single
+    minimum; otherwise every window of ``window`` consecutive hashes
+    selects its rightmost minimum; the per-doc fingerprint set is the
+    distinct selected hash values.
+    """
+    bufs = []
+    for t in texts:
+        b = " ".join((t or "").lower().split()).encode("utf-8", "ignore")
+        if len(b) < k:
+            b = b.ljust(k, b"_")
+        bufs.append(b)
+    if not bufs:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    # global rolling FNV-style hash (k vectorized passes over the batch)
+    n_glob = len(buf) - k + 1
+    h_glob = np.zeros(n_glob, dtype=np.uint64)
+    FNV_PRIME = np.uint64(0x100000001B3)
+    for i in range(k):
+        h_glob = (h_glob ^ buf[i:n_glob + i].astype(np.uint64)) \
+            * FNV_PRIME & np.uint64(_MASK)
+    # valid k-gram positions per doc: [start, start + len - k]
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    n_pos = lens - k + 1
+    # hv = concatenation of each doc's valid-position hashes
+    valid_idx = np.repeat(starts, n_pos) + _ranges(n_pos)
+    hv = h_glob[valid_idx]
+    doc_of = np.repeat(np.arange(len(bufs), dtype=np.int64), n_pos)
+    sv = np.concatenate(([0], np.cumsum(n_pos)[:-1]))  # doc starts in hv
+    local = np.arange(len(hv), dtype=np.int64) - np.repeat(sv, n_pos)
+
+    out_doc = []
+    out_fp = []
+    short = n_pos <= window
+    if short.any():
+        # ≤window k-grams → single min fingerprint. reduceat over ALL doc
+        # starts (segments are contiguous per doc), then select shorts.
+        all_mins = np.minimum.reduceat(hv, sv)
+        s_ids = np.flatnonzero(short)
+        out_doc.append(s_ids)
+        out_fp.append(all_mins[s_ids])
+    long_mask_p = ~short[doc_of] & (local >= window - 1)
+    if long_mask_p.any():
+        # windows end at global position p (same doc guaranteed by the
+        # local-index gate); m[p] = min over the window, j* = smallest
+        # back-offset hitting the min = RIGHTMOST minimum
+        p = np.flatnonzero(long_mask_p)
+        m = hv[p].copy()
+        for j in range(1, window):
+            np.minimum(m, hv[p - j], out=m)
+        sel = p.copy()
+        chosen = hv[p] == m
+        for j in range(1, window):
+            hit = ~chosen & (hv[p - j] == m)
+            sel[hit] = p[hit] - j
+            chosen |= hit
+        out_doc.append(doc_of[sel])
+        out_fp.append(hv[sel])
+    if not out_doc:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    d = np.concatenate(out_doc)
+    f = np.concatenate([a.view(np.int64) for a in
+                        (x.astype(np.uint64) for x in out_fp)])
+    # distinct (doc, fp)
+    order = np.lexsort((f, d))
+    d, f = d[order], f[order]
+    keep = np.concatenate(([True], (d[1:] != d[:-1]) | (f[1:] != f[:-1])))
+    return d[keep], f[keep]
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] without a Python loop."""
+    total = int(counts.sum())
+    out = np.arange(total, dtype=np.int64)
+    offs = np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    return out - offs
+
+
 def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 8,
                            window: int = 4) -> DataFrame:
@@ -244,7 +334,7 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     ⌈(n-k+1)/window⌉-dense fingerprint set that survives insertions and
     reordering of surrounding text. Returns (id, fp) rows — overlap
     detection is then a groupBy/join on fp (compact 8-byte shuffle keys).
-    """
+    The kernel is whole-batch vectorized (see _batch_winnow)."""
     schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
         T.StructField("fp", T.LongType(), False),
@@ -252,27 +342,9 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fps = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                h = _char_shingles_ordered(text or "", k)
-                if h.size == 0:
-                    continue
-                n = h.size
-                if n <= window:
-                    sel = {int(h.min())}
-                else:
-                    # sliding-window minimum via stride trick
-                    idx = np.arange(window)[None, :] + \
-                        np.arange(n - window + 1)[:, None]
-                    wins = h[idx]
-                    # rightmost minimum per window (winnowing tie rule)
-                    rev = wins[:, ::-1]
-                    pos = window - 1 - rev.argmin(axis=1)
-                    sel = set(wins[np.arange(len(wins)), pos].tolist())
-                for fp in sel:
-                    ids.append(did)
-                    fps.append(np.int64(np.uint64(fp)).item())
-            yield pd.DataFrame({id_col: ids, "fp": fps})
+            ids = pdf[id_col].to_numpy()
+            d, f = _batch_winnow(list(pdf[text_col]), k, window)
+            yield pd.DataFrame({id_col: ids[d], "fp": f})
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
 
@@ -303,7 +375,10 @@ def winnowing_overlap_pairs(docs: DataFrame, id_col: str = "doc_id",
     drop fps with document-frequency above ``df_cap`` first (standard
     stop-fingerprint trick; a fingerprint in >df_cap docs is boilerplate,
     not evidence of a specific pair overlap)."""
-    fps = winnowing_fingerprints(docs, id_col, text_col, k, window)
+    # persist: the Arrow-batched Python fingerprint stage feeds the df
+    # computation AND both sides of the self-join — without caching,
+    # Spark recomputes it once per branch (measured 4-5× at sf0.1)
+    fps = winnowing_fingerprints(docs, id_col, text_col, k, window).persist()
     rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") <= df_cap).select("fp"))
     fps = fps.join(rare, "fp")
@@ -382,7 +457,9 @@ def exact_ngram_jaccard_verify(pairs: DataFrame, docs: DataFrame,
     ids = (p.select(F.col("id_a").alias(id_col))
            .unionByName(p.select(F.col("id_b").alias(id_col))).distinct())
     cand_docs = docs.join(ids, id_col, "left_semi")
-    grams = word_ngrams(cand_docs, id_col, text_col, n)
+    # persist: the exploded+distinct gram table feeds sizes and BOTH join
+    # sides — cache so the explode shuffle happens once
+    grams = word_ngrams(cand_docs, id_col, text_col, n).persist()
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col(id_col).alias("id_a"), "gram")
     gb = grams.select(F.col(id_col).alias("id_b"), "gram")

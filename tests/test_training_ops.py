@@ -117,6 +117,50 @@ def test_ngram_jaccard(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def _winnow_reference(text: str, k: int = 8, window: int = 4) -> set:
+    """Straightforward per-doc winnowing (the r01 formulation) used as a
+    parity oracle for the vectorized batch kernel."""
+    b = " ".join((text or "").lower().split()).encode("utf-8", "ignore")
+    if len(b) < k:
+        b = b.ljust(k, b"_")
+    n = len(b) - k + 1
+    arr = np.frombuffer(b, dtype=np.uint8)
+    h = np.zeros(n, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    mask = np.uint64((1 << 64) - 1)
+    for i in range(k):
+        h = (h ^ arr[i:n + i].astype(np.uint64)) * prime & mask
+    if n <= window:
+        return {int(np.int64(h.min().astype(np.uint64)))}
+    sel = set()
+    for pe in range(window - 1, n):
+        win = h[pe - window + 1:pe + 1]
+        m = win.min()
+        for j in range(window - 1, -1, -1):  # rightmost min
+            if win[j] == m:
+                sel.add(int(np.int64(win[j])))
+                break
+    return sel
+
+
+def test_batch_winnow_matches_reference():
+    """The whole-batch vectorized kernel must reproduce the per-doc
+    formulation exactly — mixed lengths, short docs, empties, repeats."""
+    import random
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "x", "yy", "the", "of"]
+    texts = ["", "ab", "short one",
+             "repeat repeat repeat repeat repeat repeat"]
+    texts += [" ".join(rng.choices(words, k=rng.randrange(1, 120)))
+              for _ in range(200)]
+    d, f = dedup._batch_winnow(texts, 8, 4)
+    got: dict = {}
+    for di, fi in zip(d.tolist(), f.tolist()):
+        got.setdefault(di, set()).add(fi)
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _winnow_reference(t), (i, t)
+
+
 def test_ngram_jaccard_hot_gram_cap(spark):
     """VERDICT r01 scale-killer regression: 1000 docs share one
     boilerplate phrase. The df-cap keeps the phrase's grams out of the
