@@ -534,6 +534,21 @@ def q_doc_simhash_near_dups(spark, sf_dir) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_doc_near_dup_clusters(spark, sf_dir) -> DataFrame:
+    """Fuzzy-dedup clustering end-to-end: LSH candidates → exact-Jaccard
+    verify → connected components → (doc_id, cluster_root). The oracle
+    recomputes the exact ≥0.8 pair graph in DuckDB and resolves
+    components with a recursive transitive closure — so candidate recall,
+    the verify math AND the CC mapping are all value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = (docs.where(F.col("doc_id") < 10)
+               .withColumn("doc_id", F.col("doc_id") + 4_000_000)
+               .withColumn("text", F.concat("text", F.lit(" tail"))))
+    both = docs.where(F.col("doc_id") < 2000).unionByName(planted)
+    return (dedup.near_dup_clusters(both, jaccard_threshold=0.8)
+            .orderBy("doc_id"))
+
+
 def q_emb_topk_cosine(spark, sf_dir) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
@@ -664,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_pred_counts": q_doc_lang_pred_counts,
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
+        "doc_near_dup_clusters": q_doc_near_dup_clusters,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_norm_by_label": q_emb_norm_by_label,
         "emb_ann_topk": q_emb_ann_topk,
@@ -1222,6 +1238,48 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             GROUP BY label
             ORDER BY label
+        """,
+        # Fuzzy-dedup clustering: exact >=0.8 pair graph + recursive
+        # transitive closure -> per-node component min (matches CC roots)
+        "doc_near_dup_clusters": r"""
+            WITH RECURSIVE both_docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 2000
+              UNION ALL
+              SELECT doc_id + 4000000, text || ' tail' FROM documents
+              WHERE doc_id < 10),
+            words AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM both_docs),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+              FROM words, UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams
+                      GROUP BY doc_id),
+            overlap AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM grams a JOIN grams b USING (gram)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pair_graph AS (
+              SELECT id_a, id_b FROM overlap
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(n_common / (sa.n_grams + sb.n_grams - n_common), 6)
+                    >= 0.8),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pair_graph
+              UNION SELECT id_b, id_a FROM pair_graph),
+            closure(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT c.a, e.b FROM closure c JOIN edges e ON e.a = c.b
+              WHERE e.b != c.a),
+            roots AS (
+              SELECT a AS node, least(a, min(b)) AS root
+              FROM closure GROUP BY a)
+            SELECT node::BIGINT AS doc_id, root::BIGINT AS cluster_root
+            FROM roots WHERE root != node
+            ORDER BY doc_id
         """,
         # Full SQL replica of winnowing (SWA'03): same zero-basis FNV-style
         # rolling hash over the byte-normalized text (corpus is ASCII, so

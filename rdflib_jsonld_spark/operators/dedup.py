@@ -444,6 +444,42 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def near_dup_clusters(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      jaccard_threshold: float = 0.8,
+                      num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 5, ngram_n: int = 3) -> DataFrame:
+    """Fuzzy-dedup clustering: MinHash-LSH candidates → exact word-n-gram
+    Jaccard verify → connected components over the verified pair graph →
+    (id, cluster_root) with root = the component's min id. The standard
+    keep-one-per-near-dup-cluster shape for training-corpus dedup: every
+    stage is bounded (banded candidates, per-pair verify, star-scheme CC),
+    never all-pairs."""
+    cands = minhash_lsh_pairs(docs, id_col, text_col, num_perm, bands,
+                              shingle_k, jaccard_threshold=0.0)
+    verified = exact_ngram_jaccard_verify(cands, docs, id_col, text_col,
+                                          ngram_n, jaccard_threshold)
+    from .linking import connected_components
+    edges = verified.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"))
+    return (connected_components(edges)
+            .select(F.col("node").alias(id_col),
+                    F.col("root").alias("cluster_root")))
+
+
+def near_dup_dedup(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   jaccard_threshold: float = 0.8, **kw) -> DataFrame:
+    """Keep one representative (the cluster-min id) per near-dup cluster;
+    unclustered documents pass through. Anti-join on the non-root side of
+    the cluster mapping — docs shuffle only by id."""
+    mapping = near_dup_clusters(docs, id_col, text_col,
+                                jaccard_threshold, **kw)
+    drop = mapping.where(F.col(id_col) != F.col("cluster_root")) \
+        .select(id_col)
+    return docs.join(drop, id_col, "left_anti")
+
+
 def exact_ngram_jaccard_verify(pairs: DataFrame, docs: DataFrame,
                                id_col: str = "doc_id",
                                text_col: str = "text", n: int = 3,

@@ -182,6 +182,27 @@ def test_ngram_jaccard_hot_gram_cap(spark):
     assert all(a >= 2000 for a, _ in got)
 
 
+def test_near_dup_clusters_and_dedup(spark):
+    """Fuzzy dedup keep-one: three planted near-dup variants of one base
+    text cluster together (root = min id); unrelated docs pass through."""
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill nearby today")
+    rows = [(1, base), (2, base + " extra"), (3, "prefix " + base),
+            (10, "completely different text about spark shuffles and "
+                 "partitions and joins and aggregations here"),
+            (11, "another unrelated document that shares nothing with "
+                 "either of the previous text groups at all")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    mapping = {r.doc_id: r.cluster_root for r in
+               dedup.near_dup_clusters(docs, jaccard_threshold=0.5,
+                                       bands=32).collect()}
+    assert mapping == {2: 1, 3: 1}
+    kept = sorted(r.doc_id for r in
+                  dedup.near_dup_dedup(docs, jaccard_threshold=0.5,
+                                       bands=32).collect())
+    assert kept == [1, 10, 11]
+
+
 def test_brute_force_topk_matches_numpy(emb):
     rows = emb.orderBy("vec_id").collect()
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
