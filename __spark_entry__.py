@@ -626,10 +626,14 @@ def q_emb_near_dup_pairs(spark, sf_dir) -> DataFrame:
 
 
 def q_multimodal_features(spark, sf_dir) -> DataFrame:
+    """Multimodal decode→feature pipeline over REAL uncompressed payloads
+    (BMP/WAV/RVID parsed from bytes — no codec libs needed); every
+    payload must decode (n_decoded) into its kind's fixed feature shape."""
     media = multimodal.synthetic_media_df(spark, n=48)
     feats = multimodal.extract_features(media)
     return (feats.groupBy("kind")
             .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("feature").alias("n_decoded"),
                  F.max(F.size("feature")).alias("feat_dim"))
             .orderBy("kind"))
 
@@ -1489,15 +1493,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY conv_id, turn_idx
         """,
         # planted-truth oracle: synthetic_media_df(n=48) cycles
-        # image/audio/video (16 each); decode-stub shapes are fixed design
-        # constants (image 8*8*3, audio 16*4, video 4*8*8) — predictable
-        # without running the engine.
+        # image/audio/video (16 each); every REAL payload (BMP/WAV/RVID)
+        # must decode; feature shapes are fixed design constants
+        # (image 8*8*3, audio 16*4, video 4*8*8) — predictable without
+        # running the engine.
         "multimodal_features": """
             SELECT * FROM (VALUES
-                ('audio', 16::BIGINT, 64),
-                ('image', 16::BIGINT, 192),
-                ('video', 16::BIGINT, 256))
-                AS t(kind, n, feat_dim)
+                ('audio', 16::BIGINT, 16::BIGINT, 64),
+                ('image', 16::BIGINT, 16::BIGINT, 192),
+                ('video', 16::BIGINT, 16::BIGINT, 256))
+                AS t(kind, n, n_decoded, feat_dim)
             ORDER BY kind
         """,
     }

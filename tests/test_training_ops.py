@@ -305,21 +305,65 @@ def test_lang_id(spark):
     assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "zh"
 
 
+def test_multimodal_codecs_roundtrip():
+    """The decode step is REAL for uncompressed formats: encode→decode is
+    lossless byte parsing (BMP pixel-exact incl. row padding; WAV 16-bit
+    PCM within quantization; RVID frame-exact)."""
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(11, 7, 3)).astype(np.uint8)  # odd width→pad
+    assert (multimodal.decode_bmp(multimodal.encode_bmp(px)) == px).all()
+    sig = 0.4 * np.sin(np.arange(500) / 9.0)
+    back = multimodal.decode_wav(multimodal.encode_wav(sig))
+    assert np.abs(back - sig).max() < 1e-3
+    frames = [rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+              for _ in range(3)]
+    out = multimodal.decode_rvid(multimodal.encode_rvid(frames))
+    assert len(out) == 3 and all((a == b).all()
+                                 for a, b in zip(out, frames))
+    ppm = b"P6\n6 4\n255\n" + bytes(range(6 * 4 * 3))
+    assert multimodal.decode_ppm(ppm).shape == (4, 6, 3)
+
+
 def test_multimodal_features(spark):
     media = multimodal.synthetic_media_df(spark, n=30)
     feats = multimodal.extract_features(media)
     rows = feats.collect()
     assert len(rows) == 30
+    assert all(r.error is None for r in rows)  # every payload decodes
     dims = {r.kind: len(r.feature) for r in rows}
     assert dims == {"image": 192, "audio": 64, "video": 256}
+    # features derive from decoded CONTENT: all finite, image means in
+    # [0,1], distinct payloads → distinct features
+    img = [r.feature for r in rows if r.kind == "image"]
+    assert all(0.0 <= v <= 1.0 for f in img for v in f)
+    assert len({tuple(f) for f in img}) == len(img)
     # deterministic: same payload → same features
     again = {r.media_id: r.feature for r in
              multimodal.extract_features(media).collect()}
     first = {r.media_id: r.feature for r in rows}
     assert again == first
-    plan = multimodal.frame_sample_plan(media, every_ms=1000)
-    per_vid = plan.groupBy("media_id").count().collect()
-    assert all(r["count"] == 5 for r in per_vid)  # 5000ms / 1000ms
+    plan = multimodal.frame_sample_plan(media, every_ms=40)
+    per_vid = {r.media_id: r["count"] for r in
+               plan.groupBy("media_id").count().collect()}
+    durs = {r.media_id: r.duration_ms for r in
+            media.where(media.kind == "video").collect()}
+    assert per_vid == {k: v // 40 for k, v in durs.items()}
+
+
+def test_multimodal_compressed_payload_surfaces_error(spark):
+    """Compressed formats (no codecs in this container) must NOT kill the
+    batch: NULL feature + reason in `error` (the production swap-in
+    point is _decode)."""
+    rows = [(0, "image", "image/jpeg", b"\xff\xd8\xff\xe0 fake jpeg",
+             None, None, None),
+            (1, "image", "image/bmp",
+             bytes(multimodal.encode_bmp(
+                 np.zeros((4, 4, 3), dtype=np.uint8))), 4, 4, None)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           multimodal.extract_features(media).collect()}
+    assert out[0].feature is None and "codec" in out[0].error
+    assert out[1].feature is not None and out[1].error is None
 
 
 def test_zero_norm_vector_never_tops_cosine_ranking(spark):
