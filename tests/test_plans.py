@@ -96,6 +96,51 @@ def test_nquads_sink_stays_in_codegen(spark):
     assert "codegen id" in p  # whole-stage codegen span
 
 
+def test_near_dup_pipeline_no_cartesian(spark):
+    """The whole fuzzy-dedup pipeline (LSH candidates → verify → CC edges)
+    must be equi-joins only — a cartesian anywhere is the O(n²) failure
+    mode the banded design exists to avoid."""
+    from rdflib_jsonld_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    planted = (docs.limit(3)
+               .withColumn("doc_id", F.col("doc_id") + 1000)
+               .withColumn("text", F.concat("text", F.lit(" t"))))
+    both = docs.unionByName(planted)
+    cands = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.0)
+    verified = dedup.exact_ngram_jaccard_verify(cands, both, threshold=0.8)
+    p = formatted(verified)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_ngram_jaccard_df_cap_in_plan(spark):
+    """The stop-gram cap must sit BETWEEN the gram generation and the
+    self-join (a filter on the aggregated document frequency feeding the
+    join input), not after the blow-up."""
+    from rdflib_jsonld_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = ngram_jaccard_pairs(docs, threshold=0.4, df_cap=7)
+    p = formatted(q)
+    assert "CartesianProduct" not in p
+    # the df-cap filter appears as a post-aggregation predicate on the count
+    assert "gram_df" in p and "7" in p
+
+
+def test_multimodal_feature_stage_prunes_metadata(spark, tmp_path):
+    """Against a parquet-backed media table, extract_features reads only
+    (media_id, kind, payload), and a metadata-only consumer never drags
+    the blob column through the scan (column pruning both ways)."""
+    from rdflib_jsonld_spark.operators import multimodal
+    path = str(tmp_path / "media")
+    multimodal.synthetic_media_df(spark, n=6).write.parquet(path)
+    media = spark.read.parquet(path)
+    p = formatted(multimodal.extract_features(media))
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "payload" in rs and "duration_ms" not in rs and "width" not in rs
+    p2 = formatted(media.select("media_id", "duration_ms"))
+    rs2 = [ln for ln in p2.splitlines() if "ReadSchema" in ln][0]
+    assert "payload" not in rs2 and "duration_ms" in rs2
+
+
 def test_q14_broadcasts_part_dim(spark):
     import __spark_entry__ as em
     p = formatted(em.q_tpch_q14_promo_revenue(spark, SF))
