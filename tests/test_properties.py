@@ -21,6 +21,13 @@ CTX = {
     "items": {"@id": f"{EX}items", "@container": "@list"},
     "label": {"@id": f"{EX}label", "@container": "@language"},
     "score": {"@id": f"{EX}score", "@type": "http://www.w3.org/2001/XMLSchema#double"},
+    # r02 hardened surface: @nest, property-/type-scoped contexts,
+    # index maps (all exercised by the random generator below)
+    "meta": "@nest",
+    "branch": {"@id": f"{EX}branch", "@context": {"deep": f"{EX}deep_p"}},
+    "Scoped": {"@id": f"{EX}Scoped",
+               "@context": {"sp": f"{EX}scoped_p"}},
+    "byidx": {"@id": f"{EX}byidx", "@container": "@index"},
 }
 
 simple_text = st.text(
@@ -52,7 +59,7 @@ def node_objects(depth: int):
     return st.fixed_dictionaries(
         {"@id": iri_local},
         optional={
-            "@type": st.sampled_from(["ex:T1", "ex:T2"]),
+            "@type": st.sampled_from(["ex:T1", "ex:T2", "Scoped"]),
             "name": simple_text,
             "knows": st.one_of(iri_local, child),
             "items": st.lists(scalar, max_size=4),
@@ -65,6 +72,20 @@ def node_objects(depth: int):
             "@reverse": st.fixed_dictionaries(
                 {"ex:rev": st.one_of(iri_local, child)}),
             "@graph": st.lists(child, max_size=2),
+            # r02 surface: nested-property attachment, property-scoped
+            # term inside the branch child, type-scoped term when @type
+            # is "Scoped", index maps, direction-carrying value objects
+            "meta": st.fixed_dictionaries(
+                {}, optional={"name": simple_text,
+                              "ex:nested": scalar}),
+            "branch": st.fixed_dictionaries(
+                {"@id": iri_local}, optional={"deep": simple_text}),
+            "sp": simple_text,
+            "byidx": st.dictionaries(
+                st.sampled_from(["i1", "i2"]), scalar, max_size=2),
+            "ex:dirval": st.fixed_dictionaries(
+                {"@value": simple_text,
+                 "@direction": st.sampled_from(["ltr", "rtl"])}),
         })
 
 
