@@ -126,9 +126,12 @@ _ABS_IRI_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 def _has_relative_iri(q: tuple) -> bool:
     for t in q:
-        if t is not None and t[0] == IRI and not (
-                ":" in t[1] and _ABS_IRI_RE.match(t[1])):
-            return True
+        if t is not None and t[0] == IRI:
+            v = t[1]
+            if v.startswith("http://") or v.startswith("https://"):
+                continue  # fast path: the overwhelmingly common schemes
+            if ":" not in v or not _ABS_IRI_RE.match(v):
+                return True
     return False
 
 
