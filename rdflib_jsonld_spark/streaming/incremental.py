@@ -44,6 +44,20 @@ def deduplicate_turns(stream: DataFrame,
             .dropDuplicates(["conv_id", "turn_idx"]))
 
 
+def deduplicate_content(stream: DataFrame, text_col: str = "text",
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming EXACT-dedup by content (not key): drop rows whose
+    whitespace-normalized lowercased text fingerprint was already seen
+    within the watermark horizon — the streaming face of
+    dedup.exact_dedup. State = one 8-byte fingerprint per distinct doc in
+    the horizon (bounded by the watermark, like deduplicate_turns)."""
+    from rdflib_jsonld_spark.operators.textstats import with_fingerprint
+    fp = with_fingerprint(stream, text_col)
+    return (fp.withWatermark("ts", watermark)
+            .dropDuplicates(["fingerprint"])
+            .drop("fingerprint"))
+
+
 def stream_expand(spark: SparkSession, input_path: str, output_path: str,
                   checkpoint_path: str, await_termination: bool = True,
                   dedup: bool = False):

@@ -60,6 +60,32 @@ def test_stream_dedup_exactly_once(spark, tmp_path):
     assert got.count() == want.count()
 
 
+def test_stream_content_dedup(spark, tmp_path):
+    """Content-fingerprint streaming dedup: identical TEXT delivered under
+    different keys collapses to one row per distinct content within the
+    watermark (the streaming face of exact_dedup)."""
+    from rdflib_jsonld_spark.streaming.incremental import (
+        deduplicate_content, read_transcript_stream)
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, inp, 0, 4)
+    # re-deliver the same conversations as different conv ids → same text
+    base = spark.read.parquet(inp)
+    base.withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_copy"))) \
+        .write.mode("append").parquet(inp)
+    stream = deduplicate_content(read_transcript_stream(spark, inp))
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    n_distinct_text = spark.read.parquet(inp) \
+        .select("text").distinct().count()
+    assert got.count() == n_distinct_text
+    assert got.count() * 2 == spark.read.parquet(inp).count()
+
+
 def test_stateful_conversation_progress(spark, tmp_path):
     from rdflib_jsonld_spark.streaming.stateful import (
         run_conversation_progress)
