@@ -260,7 +260,8 @@ def _compact_value(ctx: Context, term, vobj: dict):
                    ctx.alias(keys.DIRECTION): vdir}
     else:
         # plain value: bare only if re-expansion adds nothing back
-        if isinstance(value, str) and (t_lang or t_type):
+        # (a default @language, a coercion type, OR a default @direction)
+        if isinstance(value, str) and (t_lang or t_type or t_dir):
             out = {ctx.alias(keys.VALUE): value}
         elif not isinstance(value, str) and _native_redundant(value, t_type):
             out = value

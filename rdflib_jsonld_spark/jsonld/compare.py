@@ -70,8 +70,12 @@ def _build_incidence(quads):
 def _refine(inc, labels, init_sig: dict[str, str], rounds: int):
     """WL color refinement from ``init_sig``; cumulative (a node's new
     color folds in its previous one), so colors only ever split and
-    individualization marks persist."""
+    individualization marks persist. Early exit compares the induced
+    PARTITION, not raw hashes (cumulative rehashing changes every hash
+    every round): colors only split, so an unchanged distinct-color
+    count means the partition is stable."""
     sig = dict(init_sig)
+    n_colors = len(set(sig.values()))
     for _ in range(rounds):
         new = {}
         for b in labels:
@@ -87,9 +91,11 @@ def _refine(inc, labels, init_sig: dict[str, str], rounds: int):
                         rendered.append(f"b:{sig[tok[1]]}")
                 parts.append(role + "|" + "|".join(rendered))
             new[b] = _h(sig[b] + "&" + "&".join(sorted(parts)))
-        if new == sig:
-            break
         sig = new
+        new_n = len(set(sig.values()))
+        if new_n == n_colors:
+            break
+        n_colors = new_n
     return sig
 
 

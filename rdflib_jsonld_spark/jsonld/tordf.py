@@ -152,8 +152,13 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     # Non-propagating scoped-context revert ([spec] 1.1 §4.1.8 / JLD-API
     # expansion step 8): entering a nested node object drops a pending
     # type-scoped context; the node then applies its own @type scoping.
+    # EXCEPT bare subject references ({"@id": ...} only) — those keep the
+    # scoped context so a scoped @id alias still resolves (mirrors
+    # expansion.py; value objects never reach this function).
     if ctx.previous is not None:
-        ctx = ctx.previous
+        probe = ctx.expand_keys(tuple(node))
+        if set(probe) - {keys.ID}:
+            ctx = ctx.previous
     if keys.CONTEXT in node:
         ctx = ctx.load(node[keys.CONTEXT])
 
@@ -523,18 +528,20 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
                           ctx: Context, state: _State | None = None):
     """{"@value": ...} → literal ([spec] JLD-API §10.6 steps 8-13)."""
     value = v[val_key]
+    type_key = next((k for k, e in kmap.items() if e == keys.TYPE), None)
+    if type_key is not None and v[type_key] == keys.JSON:
+        # BEFORE the null drop: {"@value": null, "@type": "@json"} is the
+        # JSON literal "null"^^rdf:JSON ([spec] 1.1 §4.2.2), matching the
+        # expansion path's preservation of @json-typed nulls
+        return (LIT, canonical_json(value), keys.RDF_JSON, None)
     if value is None:
         return None  # B3
-    type_key = next((k for k, e in kmap.items() if e == keys.TYPE), None)
     lang_key = next((k for k, e in kmap.items() if e == keys.LANG), None)
     dir_key = next((k for k, e in kmap.items() if e == keys.DIRECTION), None)
     i18n = state is not None and state.rdf_direction == "i18n-datatype"
     # explicit value objects take ONLY their own @direction — defaults
     # (term/context) apply to raw strings via value expansion, not here
     direction = v[dir_key] if dir_key is not None else None
-
-    if type_key is not None and v[type_key] == keys.JSON:
-        return (LIT, canonical_json(value), keys.RDF_JSON, None)
 
     explicit_type = None
     if type_key is not None and isinstance(v[type_key], str):

@@ -219,13 +219,18 @@ def construct(quads: DataFrame,
         if _is_var(o):
             var = o[1:]
             o_col = F.col(var)
+            shape_kind = F.when(o_col.startswith("_:"), F.lit("bnode")) \
+                .otherwise(F.lit("iri"))
             if f"{var}__kind" in have:
-                kind = F.col(f"{var}__kind")
+                # companions can be NULL when the var's object binding
+                # came from an unmatched OPTIONAL but the value itself is
+                # bound via a required s/p position → fall back to shape
+                # (s/p terms are IRIs-or-bnodes by construction)
+                kind = F.coalesce(F.col(f"{var}__kind"), shape_kind)
                 dt = F.col(f"{var}__datatype")
                 lang = F.col(f"{var}__lang")
             else:  # bound only in s/p position → IRI or bnode
-                kind = F.when(o_col.startswith("_:"), F.lit("bnode")) \
-                    .otherwise(F.lit("iri"))
+                kind = shape_kind
                 dt = F.lit(None).cast("string")
                 lang = F.lit(None).cast("string")
         else:

@@ -10,6 +10,12 @@ Four tiers, cheapest→richest (all shuffle on compact keys, never on text):
 Design-for-scale notes:
 - Signatures are computed in one narrow Arrow-batched pass (mapInPandas,
   numpy) — text never shuffles; only (id, signature) rows do.
+- Signature/gram tables are ``persist()``-ed because self-joins otherwise
+  recompute the Python stage once per branch (measured 4-5×). Lifetime:
+  the cache entry is released by Spark's ContextCleaner when the caller
+  drops the returned DataFrame (driver GC → async unpersist), and the
+  default storage level is LRU-evictable under memory pressure — so
+  long sessions degrade to recompute, never to OOM.
 - LSH banding turns the O(n²) pair space into per-bucket joins; bucket
   sizes are bounded by banding parameters, and the candidate join is an
   equi-join AQE can split on skew.

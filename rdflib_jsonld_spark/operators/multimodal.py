@@ -256,6 +256,12 @@ def extract_features(media: DataFrame) -> DataFrame:
                     err = None
                 except DecodeUnavailable as e:
                     feat, err = None, str(e)
+                except (struct.error, ValueError, IndexError, EOFError,
+                        OSError) as e:
+                    # truncated/malformed payloads (bad headers, lying
+                    # lengths) must not kill the task at 100 TB — surface
+                    # them like unavailable codecs
+                    feat, err = None, f"corrupt payload: {type(e).__name__}: {e}"
                 rows.append((int(mid), kind, feat, len(payload), sha, err))
             yield pd.DataFrame(rows,
                                columns=[f.name for f in FEATURE_SCHEMA])

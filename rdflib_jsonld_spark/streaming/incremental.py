@@ -40,8 +40,11 @@ def deduplicate_turns(stream: DataFrame,
     store — duplicates arriving later than the watermark are not caught
     (the standard streaming-dedup contract); the batch-side graph-set
     dedup (G4) remains the safety net."""
+    # WithinWatermark variant: state for a (conv_id, turn_idx) key expires
+    # once it falls behind the watermark (plain dropDuplicates without the
+    # event-time column in the key never evicts — unbounded state)
     return (stream.withWatermark("ts", watermark)
-            .dropDuplicates(["conv_id", "turn_idx"]))
+            .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
 
 
 def deduplicate_content(stream: DataFrame, text_col: str = "text",
@@ -53,8 +56,12 @@ def deduplicate_content(stream: DataFrame, text_col: str = "text",
     the horizon (bounded by the watermark, like deduplicate_turns)."""
     from rdflib_jsonld_spark.operators.textstats import with_fingerprint
     fp = with_fingerprint(stream, text_col)
+    # dropDuplicatesWithinWatermark: plain dropDuplicates only evicts
+    # state when the event-time column is part of the key — keyed on the
+    # fingerprint alone it would grow forever. The WithinWatermark variant
+    # expires each fingerprint once it falls behind the watermark.
     return (fp.withWatermark("ts", watermark)
-            .dropDuplicates(["fingerprint"])
+            .dropDuplicatesWithinWatermark(["fingerprint"])
             .drop("fingerprint"))
 
 

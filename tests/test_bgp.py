@@ -133,6 +133,35 @@ def test_construct_preserves_term_typing(spark):
                 got["o_lang"]) == (src[4], src[5], src[6], src[7]), pred
 
 
+def test_construct_optional_rebind_falls_back_to_shape(spark):
+    """r02 review regression: a variable bound as a required SUBJECT but
+    re-bound in OBJECT position by an unmatched OPTIONAL has NULL
+    companion typing — CONSTRUCT must fall back to shape classification
+    (iri/bnode), never emit o_kind NULL."""
+    from rdflib_jsonld_spark.operators.bgp import construct
+    rows = [
+        (None, "http://e/m1", False, "http://e/about", "iri", "http://e/a",
+         None, None),
+        (None, "http://e/s2", False, "http://e/q", "iri", "http://e/m1",
+         None, None),
+        (None, "http://e/m2", False, "http://e/about", "iri", "http://e/a",
+         None, None),
+    ]
+    quads = spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+    out = construct(
+        quads,
+        where=[("?m", "http://e/about", "?e")],
+        optional=[("?s2", "http://e/q", "?m")],  # rebinds ?m as object
+        template=[("http://e/agg", "http://e/saw", "?m")],
+    ).collect()
+    kinds = {r["o_value"]: r["o_kind"] for r in out}
+    # m2's optional missed → companion NULL → shape fallback says iri
+    assert kinds == {"http://e/m1": "iri", "http://e/m2": "iri"}
+
+
 def test_join_order_heuristic(spark):
     """Most-constant pattern leads; predicate stats break ties; the order
     stays connectivity-aware (no accidental cross join); results are

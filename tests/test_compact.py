@@ -78,6 +78,21 @@ def test_compact_own_context_roundtrip(path):
 # shape goldens
 # ---------------------------------------------------------------------------
 
+def test_direction_free_value_stays_wrapped_under_default_direction():
+    """r02 review regression: a direction-FREE {'@value': 'x'} must not
+    compact to a bare string under a context with default @direction —
+    re-expansion would inject the direction (the 'bare only if
+    re-expansion adds nothing back' invariant)."""
+    ctx = {"p": "http://ex.org/p", "@direction": "rtl"}
+    doc = [{"http://ex.org/p": [{"@value": "x"}]}]
+    out = compact(doc, ctx)
+    assert out["p"] == {"@value": "x"}, out
+    # and the quad-level round trip holds
+    from rdflib_jsonld_spark.jsonld import to_rdf
+    from rdflib_jsonld_spark.jsonld.compare import isomorphic
+    assert isomorphic(to_rdf(doc), to_rdf(out))
+
+
 def test_readme_doctest_compaction():
     """[checkout] README.md:68-77 — the vocab+language compaction example."""
     doc = {"@context": {"dcterms": "http://purl.org/dc/terms/"},

@@ -350,6 +350,24 @@ def test_multimodal_features(spark):
     assert per_vid == {k: v // 40 for k, v in durs.items()}
 
 
+def test_multimodal_truncated_payload_surfaces_error(spark):
+    """r02 review regression: truncated/corrupt payloads (valid magic,
+    lying structure) must surface as row errors, not kill the task."""
+    good = bytes(multimodal.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8)))
+    rvid_lying = multimodal.RVID_MAGIC + bytes.fromhex("01000000ffff0000")
+    rows = [(0, "image", "image/bmp", good[:20], None, None, None),
+            (1, "image", "image/x-portable-pixmap", b"P6 notanum", None,
+             None, None),
+            (2, "video", "video/x-rvid", rvid_lying, 4, 4, 100),
+            (3, "audio", "audio/wav", b"RIFF1234", None, None, None)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           multimodal.extract_features(media).collect()}
+    assert len(out) == 4
+    for i in range(4):
+        assert out[i].feature is None and out[i].error, out[i]
+
+
 def test_multimodal_compressed_payload_surfaces_error(spark):
     """Compressed formats (no codecs in this container) must NOT kill the
     batch: NULL feature + reason in `error` (the production swap-in
