@@ -124,7 +124,20 @@ def _tied_groups(sig):
     return [(s, g) for s, g in groups.items() if len(g) > 1]
 
 
-def _canon_forms(quads, branch: bool, budget: list) -> list[frozenset]:
+def _prepare(quads):
+    """Dedup quads (graphs are SETS — [spec] RDF 1.1 §3.1; expansion
+    legitimately emits duplicates, and multiplicity must not perturb WL
+    signatures), build incidence, run the initial refinement once."""
+    quads = list(dict.fromkeys(tuple(q) for q in quads))
+    labels, inc = _build_incidence(quads)
+    n_bn = len(labels)
+    rounds = max(4, min(n_bn, 16))  # propagate through chains/diameters
+    sig0 = _refine(inc, labels, {b: "init" for b in labels}, rounds)
+    return quads, labels, inc, rounds, sig0
+
+
+def _canon_forms(quads, branch: bool, budget: list,
+                 prepared=None) -> list[frozenset]:
     """Canonical form(s) by individualization-refinement.
 
     branch=False → exactly one form (deterministic min-label picks).
@@ -133,14 +146,14 @@ def _canon_forms(quads, branch: bool, budget: list) -> list[frozenset]:
     used by ``isomorphic`` to rule out pick-misalignment false negatives.
     The orbit to split is chosen by its label-free color (min signature),
     so both comparison sides always split corresponding orbits.
+    ``prepared`` reuses a _prepare() result (the branch path would
+    otherwise redo the incidence build + initial refinement).
     """
-    labels, inc = _build_incidence(quads)
+    quads, labels, inc, rounds, sig0 = prepared or _prepare(quads)
     n_bn = len(labels)
-    rounds = max(4, min(n_bn, 16))  # propagate through chains/diameters
     out: list[frozenset] = []
 
     budget[0] -= 1
-    sig0 = _refine(inc, labels, {b: "init" for b in labels}, rounds)
 
     def search(sig, depth):
         tied = _tied_groups(sig)
@@ -166,8 +179,9 @@ def _canon_forms(quads, branch: bool, budget: list) -> list[frozenset]:
     return out
 
 
-def canonicalize(quads) -> frozenset:
-    """Relabel bnodes deterministically; returns a frozenset of quads.
+def canonicalize(quads, prepared=None) -> frozenset:
+    """Relabel bnodes deterministically; returns a frozenset of quads
+    (duplicates collapse — graphs are sets).
 
     Ties after color refinement mean automorphic-or-WL-tied orbits (e.g.
     two identical list chains on one subject); they are resolved by
@@ -176,7 +190,8 @@ def canonicalize(quads) -> frozenset:
     distinction propagates, repeat.
     """
     n = max(1, len(_bnodes(quads)))
-    return _canon_forms(quads, branch=False, budget=[n + 2])[0]
+    return _canon_forms(quads, branch=False, budget=[n + 2],
+                        prepared=prepared)[0]
 
 
 def isomorphic(a, b, branch_budget: int = 160) -> bool:
@@ -189,8 +204,10 @@ def isomorphic(a, b, branch_budget: int = 160) -> bool:
     sides' tied orbits (any common form proves isomorphism; exhausting
     the budget without one conservatively returns False).
     """
-    a, b = list(a), list(b)
-    ca, cb = canonicalize(a), canonicalize(b)
+    prep_a, prep_b = _prepare(a), _prepare(b)
+    a, b = prep_a[0], prep_b[0]  # deduped quad lists
+    ca = canonicalize(a, prepared=prep_a)
+    cb = canonicalize(b, prepared=prep_b)
     if ca == cb:
         return True
     ba, bb = sorted(_bnodes(a)), sorted(_bnodes(b))
@@ -210,15 +227,18 @@ def isomorphic(a, b, branch_budget: int = 160) -> bool:
             if {tuple(remap(t) for t in q) for q in a} == bset:
                 return True
         return False
-    forms_a = set(_canon_forms(a, branch=True, budget=[branch_budget]))
+    forms_a = set(_canon_forms(a, branch=True, budget=[branch_budget],
+                               prepared=prep_a))
     if cb in forms_a:
         return True
-    forms_b = set(_canon_forms(b, branch=True, budget=[branch_budget]))
+    forms_b = set(_canon_forms(b, branch=True, budget=[branch_budget],
+                               prepared=prep_b))
     return bool(forms_a & forms_b)
 
 
 def precision_recall(ours, expected) -> tuple[float, float]:
-    """Quad-level P/R after canonicalization (BASELINE.md gate)."""
+    """Quad-level P/R after canonicalization (BASELINE.md gate).
+    Duplicates collapse on both sides (set semantics)."""
     ca, ce = canonicalize(ours), canonicalize(expected)
     if not ca and not ce:
         return 1.0, 1.0

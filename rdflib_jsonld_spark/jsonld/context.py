@@ -439,8 +439,17 @@ class Context:
 
     # -- C5: scoped contexts ----------------------------------------------
 
-    @staticmethod
-    def _scoped_propagate(local, default: bool) -> bool:
+    def _scoped_propagate(self, local, default: bool) -> bool:
+        """Effective @propagate of a scoped context VALUE: inline dicts
+        carry it directly; registry-IRI contexts are consulted in the
+        registry (the fetched document's outermost @context dict)."""
+        if isinstance(local, str):
+            fetched = self.registry.get(norm_url(self.base, local))
+            if isinstance(fetched, dict):
+                inner = fetched.get(keys.CONTEXT, fetched)
+                if isinstance(inner, dict) and keys.PROPAGATE in inner:
+                    return bool(inner[keys.PROPAGATE])
+            return default
         if isinstance(local, dict) and keys.PROPAGATE in local:
             return bool(local[keys.PROPAGATE])
         return default
@@ -454,7 +463,10 @@ class Context:
         if term is None or term.context is UNDEF:
             return self
         new = self.load(term.context, remote_chain, override_protected=True)
-        if not self._scoped_propagate(term.context, True):
+        # [spec] §4.1 step 3: previous is set only if not already present
+        # (an inherited previous from an outer non-propagating scope wins)
+        if not self._scoped_propagate(term.context, True) \
+                and new.previous is None:
             new = new._copy()  # never mutate a (possibly memoized) instance
             new.previous = self
         return new
@@ -466,15 +478,21 @@ class Context:
         apply to the typed node itself; nested node objects revert to the
         pre-type context (``previous``) on entry."""
         ctx = self
-        propagate = True
+        pending_prev = None
         for tname in sorted(type_iri_terms):
             term = ctx.terms.get(tname)
             if term is not None and term.context is not UNDEF:
+                base_ctx = ctx
                 ctx = ctx.load(term.context)
-                propagate = self._scoped_propagate(term.context, False)
-        if ctx is not self and not propagate:
+                # [spec] §4.1 step 3: the FIRST non-propagating load in
+                # the chain pins previous (later propagate:true loads do
+                # not clear it — "does not already have a previous")
+                if pending_prev is None and ctx.previous is None \
+                        and not self._scoped_propagate(term.context, False):
+                    pending_prev = base_ctx
+        if pending_prev is not None and ctx.previous is None:
             ctx = ctx._copy()  # never mutate a (possibly memoized) instance
-            ctx.previous = self
+            ctx.previous = pending_prev
         return ctx
 
     # -- keyword aliases ----------------------------------------------------

@@ -54,9 +54,13 @@ def expand(data, context_data=None, base: str | None = None,
 # ---------------------------------------------------------------------------
 
 def _expand_element(ctx: Context, active_key: str | None, element,
-                    in_list: bool = False):
+                    in_list: bool = False, from_map: bool = False):
     """[spec] §5.1 Expansion Algorithm. ``active_key`` is the raw document
-    key whose term definition governs coercion (None at top level)."""
+    key whose term definition governs coercion (None at top level).
+    ``from_map`` marks direct entries of container maps — the step-8
+    previous-context revert is skipped for them (steps 13.7-13.8 recurse
+    with from map = true), so type-scoped terms still apply inside
+    @index/@id/@type/@graph map values."""
     if element is None:
         return None
 
@@ -69,7 +73,8 @@ def _expand_element(ctx: Context, active_key: str | None, element,
                     _expand_element(ctx, active_key, item, in_list=True))}
                 out.append(expanded)
                 continue
-            expanded = _expand_element(ctx, active_key, item, in_list=in_list)
+            expanded = _expand_element(ctx, active_key, item, in_list=in_list,
+                                       from_map=from_map)
             if expanded is None:
                 continue
             if isinstance(expanded, list):
@@ -88,7 +93,7 @@ def _expand_element(ctx: Context, active_key: str | None, element,
     # Non-propagating scoped-context revert ([spec] JLD-API §5.1 step 8):
     # a pending type-scoped context drops on entry to a nested element
     # unless it is a value object or a subject reference.
-    if ctx.previous is not None:
+    if ctx.previous is not None and not from_map:
         probe = ctx.expand_keys(tuple(element))
         if not any(e == keys.VALUE for e in probe) \
                 and set(probe) - {keys.ID} != set():
@@ -248,6 +253,10 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
         return [{keys.VALUE: value, keys.TYPE: keys.JSON}]
 
     if keys.LANG in container and isinstance(value, dict):
+        # [spec] 1.1 §5.1 step 13.7: entries get the term's direction
+        # mapping or the context default @direction (mirrors tordf)
+        direction = term.direction if term is not None \
+            and term.direction is not UNDEF else ctx.direction
         out = []
         for lang in sorted(value):
             for v in _raw_array(value[lang]):
@@ -256,6 +265,8 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
                 obj = {keys.VALUE: v}
                 if lang != keys.NONE and lang != ctx.alias(keys.NONE):
                     obj[keys.LANG] = lang.lower()
+                if direction:
+                    obj[keys.DIRECTION] = direction
                 out.append(obj)
         return out
 
@@ -264,7 +275,8 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
         out = []
         for mkey in sorted(value):
             for v in _raw_array(value[mkey]):
-                expanded = _expand_element(ctx, key, v)
+                # from_map=True: step-8 revert skipped for map entries
+                expanded = _expand_element(ctx, key, v, from_map=True)
                 if expanded is None:
                     continue
                 for node in _ensure_array(expanded):
@@ -297,7 +309,7 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
         for v in _raw_array(value):
             if not isinstance(v, dict):
                 continue
-            expanded = _expand_element(ctx, key, v)
+            expanded = _expand_element(ctx, key, v, from_map=True)
             for node in _ensure_array(expanded):
                 if not isinstance(node, dict):
                     continue

@@ -61,6 +61,10 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
     node object alone; ``index=True`` returns the node map keyed by graph
     id ('@default' for the default graph) then subject id.
     """
+    if rdf_direction not in (None, "i18n-datatype"):
+        # mirror to_rdf: fail loudly on unsupported/typo'd modes instead
+        # of silently degrading to None behavior
+        raise ValueError(f"unsupported rdfDirection: {rdf_direction!r}")
     if auto_compact and context_data is None:
         context_data = derive_context(quads)
     ctx = Context(base=base, registry=registry)

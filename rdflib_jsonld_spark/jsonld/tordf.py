@@ -144,7 +144,7 @@ def _node_keyword_map(node: dict, ctx: Context) -> dict:
 
 
 def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
-                  topmost: bool = False):
+                  topmost: bool = False, from_map: bool = False):
     """Node object → subject term; emits quads. [v0.5.0] parser.py
     _add_to_graph (~L160-200, D2) + _key_to_graph (~L200-330, B1/D3-D6)."""
     if not isinstance(node, dict):
@@ -152,10 +152,11 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     # Non-propagating scoped-context revert ([spec] 1.1 §4.1.8 / JLD-API
     # expansion step 8): entering a nested node object drops a pending
     # type-scoped context; the node then applies its own @type scoping.
-    # EXCEPT bare subject references ({"@id": ...} only) — those keep the
-    # scoped context so a scoped @id alias still resolves (mirrors
-    # expansion.py; value objects never reach this function).
-    if ctx.previous is not None:
+    # EXCEPT bare subject references ({"@id": ...} only) and direct
+    # container-map entries (steps 13.7-13.8 recurse with from map=true)
+    # — those keep the scoped context (mirrors expansion.py; value
+    # objects never reach this function).
+    if ctx.previous is not None and not from_map:
         probe = ctx.expand_keys(tuple(node))
         if set(probe) - {keys.ID}:
             ctx = ctx.previous
@@ -186,7 +187,6 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     if subj is None and not only_graph:
         subj = state.fresh_bnode()
 
-    has_real_keys = False
 
     for key, expanded in kmap.items():
         value = node[key]
@@ -201,7 +201,6 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                     continue
                 obj = _iri_or_bnode(t_iri, state)
                 _emit(state, graph, subj, (IRI, keys.RDF_TYPE), obj)
-                has_real_keys = True
             continue
 
         if expanded == keys.GRAPH:
@@ -210,21 +209,18 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
             for item in _as_list(value):
                 if isinstance(item, dict):
                     _add_to_graph(item, target, ctx, state)
-            has_real_keys = True
             continue
 
         if expanded == keys.INCLUDED:  # [spec] 1.1 §9.13: sibling nodes
             for item in _as_list(value):
                 if isinstance(item, dict):
                     _add_to_graph(item, graph, ctx, state)
-            has_real_keys = True
             continue
 
         if expanded == keys.NEST:  # [spec] 1.1 §9.10: transparent nesting
             for item in _as_list(value):
                 if isinstance(item, dict):
                     _nest_into(item, subj, graph, ctx, state)
-            has_real_keys = True
             continue
 
         if expanded == keys.REV:
@@ -239,7 +235,6 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                         obj = _to_object(v, ctx.terms.get(rk), ctx, state, graph)
                         if obj is not None and obj[0] != LIT:
                             _emit(state, graph, obj, pred, subj)
-                            has_real_keys = True
             continue
 
         if expanded in keys.KEYWORDS:
@@ -255,7 +250,6 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                 obj = _to_object(v, term, sub_ctx, state, graph)
                 if obj is not None and obj[0] != LIT:
                     _emit(state, graph, obj, pred, subj)
-                    has_real_keys = True
             continue
 
         container = term.container if term is not None else set()
@@ -275,7 +269,6 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                         dt = keys.RDF_LANGSTRING if tag else keys.XSD_STRING
                         obj = (LIT, v, dt, tag)
                     _emit(state, graph, subj, pred, obj)
-                    has_real_keys = True
             continue
 
         if (keys.INDEX in container or keys.ID in container
@@ -293,17 +286,16 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                         v2 = dict(v)
                         v2[keys.TYPE] = _as_list(v.get(keys.TYPE, [])) + [mkey] \
                             if keys.TYPE in v else mkey
-                    obj = _to_object(v2, term, sub_ctx, state, graph)
+                    obj = _to_object(v2, term, sub_ctx, state, graph,
+                                     from_map=True)
                     if obj is not None:
                         _emit(state, graph, subj, pred, obj)
-                        has_real_keys = True
             continue
 
         if keys.LIST in container and not _is_list_object(value):
             # term-level @container:@list wraps the value array (D7)
             head = _add_list(_as_list(value), term, sub_ctx, state, graph)
             _emit(state, graph, subj, pred, head)
-            has_real_keys = True
             continue
 
         if keys.GRAPH in container:
@@ -314,16 +306,15 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                     inner = v.get(keys.GRAPH, v)
                     for item in _as_list(inner):
                         if isinstance(item, dict):
-                            _add_to_graph(item, gterm, sub_ctx, state)
+                            _add_to_graph(item, gterm, sub_ctx, state,
+                                          from_map=True)
                     _emit(state, graph, subj, pred, gterm)
-                    has_real_keys = True
             continue
 
         for v in _as_list(value):
             obj = _to_object(v, term, sub_ctx, state, graph)
             if obj is not None:
                 _emit(state, graph, subj, pred, obj)
-                has_real_keys = True
 
     # Free-floating value check (B3): a node with only @id emits nothing by
     # itself — quads come from its uses. That matches set semantics.
@@ -443,7 +434,7 @@ def canonical_json(v) -> str:
 
 
 def _to_object(v, term, ctx: Context, state: _State, graph,
-               in_list: bool = False):
+               in_list: bool = False, from_map: bool = False):
     """Value → RDF term; recurses for node objects. [v0.5.0] parser.py
     _to_object (~L380-450, D8); [spec] JLD-API §10.6 Object to RDF."""
     if v is None:
@@ -467,7 +458,7 @@ def _to_object(v, term, ctx: Context, state: _State, graph,
             return _add_list(_as_list(v[lkey]), term, ctx, state, graph,
                              in_list=in_list)
         # Node object / node reference → recurse in the same graph (D2).
-        return _add_to_graph(v, graph, ctx, state)
+        return _add_to_graph(v, graph, ctx, state, from_map=from_map)
 
     if isinstance(v, str):
         if t_type == keys.ID:

@@ -105,12 +105,20 @@ def write_nquads(quads: DataFrame, path: str, mode: str = "error") -> None:
     nquads_lines(quads).write.mode(mode).text(path)
 
 
-def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+def read_nquads(spark: SparkSession, path: str,
+                decode_labels: bool = True) -> DataFrame:
     """N-Quads text file(s) → quad table (lineage-free columns).
 
     Splittable: `spark.read.text` gives one row per line across file
-    splits; each Arrow batch runs the pure-core parser."""
-    return parse_nquads_lines(spark.read.text(path))
+    splits; each Arrow batch runs the pure-core parser.
+
+    ``decode_labels``: decode '_e'-sentinel bnode labels this sink wrote
+    (lineage-salt round trip). For ENTIRELY foreign corpora pass False —
+    an in-band sentinel is only unambiguous against our own output, and a
+    foreign file that legitimately contains both '_:b0' and '_:_eb0'
+    would otherwise see them merged."""
+    return parse_nquads_lines(spark.read.text(path),
+                              decode_labels=decode_labels)
 
 
 #: One-regex grammar for a whole statement — the vectorized fast path.
@@ -125,7 +133,8 @@ _LINE_RE = (
 )
 
 
-def parse_nquads_lines(lines: DataFrame) -> DataFrame:
+def parse_nquads_lines(lines: DataFrame,
+                       decode_labels: bool = True) -> DataFrame:
     """One-column ``value`` DataFrame of N-Quads statements → quad table.
 
     Vectorized: one compiled-regex ``Series.str.extract`` per Arrow batch
@@ -141,6 +150,8 @@ def parse_nquads_lines(lines: DataFrame) -> DataFrame:
     dec_mark = _re.compile(r"^_e")  # only sink-encoded labels decode
 
     def _decode_bn(series: pd.Series) -> pd.Series:
+        if not decode_labels:
+            return series
         mask = series.notna() & series.str.contains(dec_mark, na=False)
         if mask.any():
             series = series.copy()

@@ -35,14 +35,17 @@ def test_expand_preserves_graph(path):
     opts = case.get("options", {})
     base = opts.get("base")
     registry = case.get("registry")
+    rd = opts.get("rdf_direction")
     direct = to_rdf(case["input"], base=base, registry=registry,
                     generalized_rdf=opts.get("generalized_rdf", False),
-                    allow_lists_of_lists=opts.get("allow_lists_of_lists", True))
+                    allow_lists_of_lists=opts.get("allow_lists_of_lists", True),
+                    rdf_direction=rd)
     expanded = expand(case["input"], base=base, registry=registry)
     via_expanded = to_rdf(expanded, base=base,
                           generalized_rdf=opts.get("generalized_rdf", False),
                           allow_lists_of_lists=opts.get(
-                              "allow_lists_of_lists", True))
+                              "allow_lists_of_lists", True),
+                          rdf_direction=rd)
     assert isomorphic(direct, via_expanded), (
         f"{path.stem}:\nDIRECT:\n{nquads.serialize(direct)}\n"
         f"VIA EXPAND:\n{nquads.serialize(via_expanded)}\n"

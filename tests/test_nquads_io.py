@@ -143,6 +143,20 @@ def test_foreign_bnode_labels_pass_through(spark, tmp_path):
     assert subs == {"_:b_d1", "_:b.1"}
 
 
+def test_decode_labels_opt_out(spark, tmp_path):
+    """decode_labels=False: even sentinel-shaped foreign labels pass
+    through verbatim (for corpora this sink did not write)."""
+    lines = ['_:_eb0 <http://e/p> <http://e/o> .',
+             '_:b0 <http://e/p> <http://e/o> .']
+    p = tmp_path / "raw.nq"
+    p.write_text("\n".join(lines) + "\n")
+    subs = {r["s"] for r in
+            read_nquads(spark, str(p), decode_labels=False).collect()}
+    assert subs == {"_:_eb0", "_:b0"}  # distinct, unrewritten
+    subs2 = {r["s"] for r in read_nquads(spark, str(p)).collect()}
+    assert subs2 == {"_:b0"}  # default decodes the sentinel label → merge
+
+
 def test_vectorized_parse_matches_pure_parser(spark, tmp_path):
     """The pandas fast path must agree row-for-row with parse_line on a
     corpus covering every term shape incl. escapes and named graphs."""

@@ -43,6 +43,46 @@ def test_compare_canonicalize_properties():
     assert not isomorphic(q3, q2)
 
 
+def test_isomorphic_ignores_duplicate_multiplicity():
+    """r02 review regression: graphs are SETS — a duplicated quad must
+    not perturb WL signatures, even beyond the exact-search bound."""
+    from rdflib_jsonld_spark.jsonld.compare import canonicalize, isomorphic
+    P = ("iri", "http://e/p")
+    chain = [(None, ("bnode", f"n{i}"), P, ("bnode", f"n{i+1}"))
+             for i in range(12)]
+    dup = chain + [chain[5]] * 3
+    assert canonicalize(dup) == canonicalize(chain)
+    assert isomorphic(dup, chain)
+
+
+def test_scoped_propagate_from_registry_context():
+    """r02 review regression: @propagate inside a REGISTRY-IRI scoped
+    context must be honored (not just inline dicts)."""
+    from rdflib_jsonld_spark.jsonld.tordf import to_rdf
+    registry = {"http://e/scoped": {"@context": {"@propagate": False,
+                                                 "name": "http://e/name"}}}
+    doc = {"@context": {"ex": "http://e/",
+                        "p": {"@id": "http://e/p",
+                              "@context": "http://e/scoped"}},
+           "@id": "http://e/s",
+           "p": {"@id": "http://e/a",
+                 "ex:child": {"@id": "http://e/b", "name": "x"}}}
+    quads = to_rdf(doc, registry=registry)
+    preds = {q[2][1] for q in quads}
+    # 'name' must NOT resolve on the nested child (propagate: false)
+    assert "http://e/name" not in preds
+    assert "http://e/child" in preds
+
+
+def test_from_rdf_rejects_bad_rdf_direction():
+    from rdflib_jsonld_spark.jsonld.fromrdf import from_rdf
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        from_rdf([], rdf_direction="compound-literal")
+    with _pytest.raises(ValueError):
+        from_rdf([], rdf_direction="i18n_datatype")  # typo'd
+
+
 def _cycle_quads(cycles: list[list[str]]):
     """Disjoint bnode cycles linked by one edge predicate."""
     P = ("iri", "http://e/p")
