@@ -604,6 +604,29 @@ def q_emb_ivf_topk(spark, sf_dir) -> DataFrame:
     return similarity.ivf_topk(both, qvec, k=10, n_clusters=8, n_probe=2)
 
 
+def q_emb_ivf_multi_topk(spark, sf_dir) -> DataFrame:
+    """Batch IVF (one assignment pass shared by 3 queries, per-query
+    2-of-8-cell probe + windowed exact re-rank). Planted truth: 5 near-
+    copies per query live in the query's own cell, so the partial probe
+    must recover the exact per-query top-5 — brute-force SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3)
+    planted = (qs.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("i"),
+        "embedding", "label")
+        .select((F.col("vec_id") * 100 + F.col("i") + 7_000_000)
+                .cast("long").alias("vec_id"),
+                F.transform("embedding",
+                            lambda x: x + F.col("i") * F.lit(0.0002))
+                .cast("array<float>").alias("embedding"),
+                "label"))
+    both = emb.unionByName(planted)
+    return (similarity.ivf_topk_multi(both, qs, k=5,
+                                      n_clusters=8, n_probe=2)
+            .orderBy("query_id", "rank"))
+
+
 def q_doc_winnowing_overlap(spark, sf_dir) -> DataFrame:
     """Winnowing (MOSS) fingerprint-overlap pairs with the stop-
     fingerprint cap — boilerplate/plagiarism detection."""
@@ -688,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norm_by_label": q_emb_norm_by_label,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_ivf_multi_topk": q_emb_ivf_multi_topk,
         "doc_winnowing_overlap": q_doc_winnowing_overlap,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "multimodal_features": q_multimodal_features,
@@ -1410,6 +1434,33 @@ def oracle_sql() -> dict[str, str]:
             FROM univ u, q
             ORDER BY cosine DESC, u.vec_id
             LIMIT 10
+        """,
+        "emb_ivf_multi_topk": """
+            WITH planted AS (
+              SELECT (e.vec_id * 100 + i + 7000000)::BIGINT AS vec_id,
+                     list_transform(e.embedding::DOUBLE[],
+                                    x -> ((x + i * 0.0002)::FLOAT)::DOUBLE)
+                         AS v
+              FROM embeddings e, UNNEST(range(1, 6)) AS t(i)
+              WHERE e.vec_id < 3),
+            univ AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL SELECT vec_id, v FROM planted),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, u.vec_id AS nbr_id,
+                     round(list_cosine_similarity(u.v, q.qv), 6) AS cosine
+              FROM univ u CROSS JOIN q
+              WHERE u.vec_id != q.query_id),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, nbr_id)::INT AS rank
+              FROM scored)
+            SELECT query_id, nbr_id, cosine, rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
         """,
         "emb_near_dup_pairs": """
             WITH both_vecs AS (

@@ -77,31 +77,46 @@ def _order_patterns(patterns: list[tuple[str, str, str]],
     return order
 
 
+TYPED_PREFIX = "__typ_"  # reserved: user variables must not start with it
+
+
 def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
-                typed: set[str] | None = None) -> tuple:
-    """One pattern → filtered projection. When ``typed`` is a set, the
-    first pattern binding a variable in OBJECT position also projects its
-    o_kind/o_datatype/o_lang as hidden ``<var>__*`` companion columns
-    (and records the var in ``typed``)."""
+                typed: set[str] | None = None,
+                capture_types: bool = False) -> tuple:
+    """One pattern → filtered projection. With ``capture_types``, a
+    variable bound in OBJECT position also projects its
+    o_kind/o_datatype/o_lang as hidden ``__typ_<var>__*`` companion
+    columns (recorded in ``typed``). A variable repeated WITHIN the
+    pattern (e.g. ("?x", p, "?x")) adds the positional equality filter
+    instead of silently overwriting the earlier binding."""
     df = quads
     cols = {}
+
+    def bind(var: str, src: str):
+        nonlocal df
+        if var in cols:
+            df = df.where(F.col(cols[var]) == F.col(src))
+        else:
+            cols[var] = src
+
     if _is_var(s):
-        cols[s[1:]] = "s"
+        bind(s[1:], "s")
     else:
         df = df.where(F.col("s") == s)
     if _is_var(p):
-        cols[p[1:]] = "p"
+        bind(p[1:], "p")
     else:
         df = df.where(F.col("p") == p)
     type_proj = []
     if _is_var(o):
-        cols[o[1:]] = "o_value"
         var = o[1:]
-        if typed is not None and var not in typed:
+        bind(var, "o_value")
+        if capture_types and typed is not None and var not in typed:
             typed.add(var)
-            type_proj = [F.col("o_kind").alias(f"{var}__kind"),
-                         F.col("o_datatype").alias(f"{var}__datatype"),
-                         F.col("o_lang").alias(f"{var}__lang")]
+            type_proj = [
+                F.col("o_kind").alias(f"{TYPED_PREFIX}{var}__kind"),
+                F.col("o_datatype").alias(f"{TYPED_PREFIX}{var}__datatype"),
+                F.col("o_lang").alias(f"{TYPED_PREFIX}{var}__lang")]
     else:
         df = df.where(F.col("o_value") == o)
     proj = [F.col(src).alias(var) for var, src in cols.items()]
@@ -111,7 +126,18 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
 
 
 def _companion_cols(columns) -> list[str]:
-    return [c for c in columns if "__" in c]
+    return [c for c in columns if c.startswith(TYPED_PREFIX)]
+
+
+def _first_object_binders(patterns) -> dict[str, int]:
+    """var → ORIGINAL index of the first pattern binding it in object
+    position. Companion typing is captured at exactly that pattern, so
+    the emitted datatype does not depend on the join-order heuristic."""
+    out: dict[str, int] = {}
+    for i, (_, _, o) in enumerate(patterns):
+        if _is_var(o) and o[1:] not in out:
+            out[o[1:]] = i
+    return out
 
 
 def match_bgp(quads: DataFrame, patterns: list[tuple[str, str, str]],
@@ -125,11 +151,14 @@ def match_bgp(quads: DataFrame, patterns: list[tuple[str, str, str]],
     order = _order_patterns(patterns, stats) if optimize \
         else list(range(len(patterns)))
     typed: set[str] | None = set() if with_types else None
+    first_obj = _first_object_binders(patterns) if with_types else {}
     acc = None
     bound: set[str] = set()
     for i in order:
         s, p, o = patterns[i]
-        df, vars_i = _pattern_df(quads, i, s, p, o, typed)
+        capture = with_types and _is_var(o) and first_obj.get(o[1:]) == i
+        df, vars_i = _pattern_df(quads, i, s, p, o, typed,
+                                 capture_types=capture)
         if acc is None:
             acc, bound = df, vars_i
             continue
@@ -169,10 +198,15 @@ def match_bgp_extended(quads: DataFrame,
                     stats=stats, with_types=with_types)
     companions = set(_companion_cols(acc.columns))
     bound = set(acc.columns) - companions
-    typed: set[str] | None = \
-        ({c.split("__", 1)[0] for c in companions} if with_types else None)
+    typed: set[str] | None = (
+        {c[len(TYPED_PREFIX):].rsplit("__", 1)[0] for c in companions}
+        if with_types else None)
+    opt_first = _first_object_binders(optional or []) if with_types else {}
     for i, (s, p, o) in enumerate(optional or []):
-        df, vars_i = _pattern_df(quads, 1000 + i, s, p, o, typed)
+        capture = with_types and _is_var(o) \
+            and o[1:] not in (typed or set()) and opt_first.get(o[1:]) == i
+        df, vars_i = _pattern_df(quads, 1000 + i, s, p, o, typed,
+                                 capture_types=capture)
         shared = sorted(bound & vars_i)
         if not shared:
             raise ValueError(
@@ -221,14 +255,15 @@ def construct(quads: DataFrame,
             o_col = F.col(var)
             shape_kind = F.when(o_col.startswith("_:"), F.lit("bnode")) \
                 .otherwise(F.lit("iri"))
-            if f"{var}__kind" in have:
+            if f"{TYPED_PREFIX}{var}__kind" in have:
                 # companions can be NULL when the var's object binding
                 # came from an unmatched OPTIONAL but the value itself is
                 # bound via a required s/p position → fall back to shape
                 # (s/p terms are IRIs-or-bnodes by construction)
-                kind = F.coalesce(F.col(f"{var}__kind"), shape_kind)
-                dt = F.col(f"{var}__datatype")
-                lang = F.col(f"{var}__lang")
+                kind = F.coalesce(F.col(f"{TYPED_PREFIX}{var}__kind"),
+                                  shape_kind)
+                dt = F.col(f"{TYPED_PREFIX}{var}__datatype")
+                lang = F.col(f"{TYPED_PREFIX}{var}__lang")
             else:  # bound only in s/p position → IRI or bnode
                 kind = shape_kind
                 dt = F.lit(None).cast("string")

@@ -124,15 +124,26 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rgb[::-1] if flip else rgb
 
 
+import re as _re
+
+_PPM_HEADER = _re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """PPM P6 (binary) → HxWx3 uint8."""
-    parts = payload.split(maxsplit=4)
-    if parts[0] != b"P6":
+    """PPM P6 (binary) → HxWx3 uint8. Raster is located by the HEADER
+    offset (exactly one whitespace byte after maxval per the format) —
+    slicing from the end would silently shift every pixel when a writer
+    appends a trailing newline."""
+    m = _PPM_HEADER.match(payload)
+    if not m:
         raise DecodeUnavailable("not a P6 PPM")
-    w, h, maxv = int(parts[1]), int(parts[2]), int(parts[3])
+    w, h, maxv = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if maxv > 255:
         raise DecodeUnavailable("16-bit PPM")
-    raw = payload[len(payload) - w * h * 3:]
+    need = w * h * 3
+    raw = payload[m.end():m.end() + need]
+    if len(raw) < need:
+        raise ValueError("truncated PPM raster")
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 

@@ -51,6 +51,25 @@ def brute_force_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
             .limit(k))
 
 
+def _pair_cosine(a_col: str, b_col: str):
+    """Guarded cosine between two vector columns, JVM-side. Zero-norm
+    vectors score -1.0 instead of NaN (NaN sorts LARGEST in Spark
+    orderings and would fake its way into every top-k)."""
+    dot = F.aggregate(
+        F.zip_with(a_col, b_col,
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(c, lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    na, nb = norm(F.col(a_col)), norm(F.col(b_col))
+    return F.when((na > 0) & (nb > 0),
+                  F.round(dot / (na * nb), 6)).otherwise(F.lit(-1.0))
+
+
 def pairwise_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
@@ -60,16 +79,13 @@ def pairwise_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(vec_col).alias("qvec"))
     e = embeddings.select(F.col(id_col).alias("nbr_id"),
                           F.col(vec_col).alias("evec"))
-    dot = F.aggregate(F.zip_with("qvec", "evec",
-                                 lambda a, b: a.cast("double") * b.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda a: a.cast("double") * a.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
     scored = (e.crossJoin(F.broadcast(q))
-              .withColumn("cosine",
-                          F.round(dot / (norm(F.col("qvec")) * norm(F.col("evec"))), 6))
+              .withColumn("cosine", _pair_cosine("qvec", "evec"))
               .where(F.col("query_id") != F.col("nbr_id")))
+    return _window_topk(scored, k)
+
+
+def _window_topk(scored: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window as W
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -135,7 +151,8 @@ def query_buckets(qvec: list[float], n_bits: int = 12, n_tables: int = 8,
 
 def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
                   sample_n: int = 4096, iters: int = 12, seed: int = 7,
-                  vec_col: str = "embedding") -> np.ndarray:
+                  vec_col: str = "embedding",
+                  n_rows: int | None = None) -> np.ndarray:
     """IVF coarse quantizer: seeded Lloyd k-means on a driver-side sample
     (centroids are a tiny broadcastable model; the sample is bounded, so
     this is O(1) in corpus size — the standard IVF training shape).
@@ -145,15 +162,21 @@ def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
     clustered (time-ordered ingest would train centroids on one era).
     Seeding is k-means++ (D² weighting) for spread-out initial centers.
     """
-    n = embeddings.count()
+    n = n_rows if n_rows is not None else embeddings.count()
     frac = min(1.0, (sample_n * 1.25) / max(n, 1))
-    sample = np.array(
-        [r[0] for r in embeddings.select(vec_col)
-         .sample(fraction=frac, seed=seed).limit(sample_n).collect()],
-        dtype=np.float64)
+    cap = int(sample_n * 1.25) + 64
+    rows = (embeddings.select(vec_col)
+            .sample(fraction=frac, seed=seed).limit(cap).collect())
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
     if len(sample) == 0:
         raise ValueError("ivf_centroids: empty sample")
     rng = np.random.RandomState(seed)
+    if len(sample) > sample_n:
+        # driver-side uniform down-sample of the Bernoulli oversample —
+        # truncation by .limit alone would reintroduce partition-order
+        # bias for the overflow fraction
+        sample = sample[rng.choice(len(sample), size=sample_n,
+                                   replace=False)]
     k = min(n_clusters, len(sample))
     # k-means++ seeding: first center uniform, then D²-weighted picks
     cents = sample[[rng.randint(len(sample))]]
@@ -240,28 +263,19 @@ def ivf_topk_multi(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         order = (((centroids - qv[None, :]) ** 2).sum(axis=1)) \
             .argsort()[:n_probe]
         probe_pairs.extend((int(r[0]), int(c)) for c in order)
-    probe = spark.createDataFrame(probe_pairs, ["query_id", "cluster"])
+    probe = spark.createDataFrame(probe_pairs,
+                                  "query_id long, cluster int")
     cand = (assigns.join(F.broadcast(probe), "cluster")
             .select("query_id", id_col))
-    e = embeddings.select(F.col(id_col), F.col(vec_col).alias("evec"))
+    e = embeddings.select(F.col(id_col).alias("nbr_id"),
+                          F.col(vec_col).alias("evec"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
-    scored = (cand.join(e, id_col).join(F.broadcast(q), "query_id")
-              .where(F.col("query_id") != F.col(id_col)))
-    dot = F.aggregate(F.zip_with("qvec", "evec",
-                                 lambda a, b: a.cast("double") * b.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda v: v.cast("double") * v.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    scored = scored.withColumn(
-        "cosine", F.round(dot / (norm(F.col("qvec")) * norm(F.col("evec"))), 6))
-    from pyspark.sql import Window as W
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", F.col(id_col).alias("nbr_id"),
-                    "cosine", "rank"))
+    scored = (cand.withColumnRenamed(id_col, "nbr_id")
+              .join(e, "nbr_id").join(F.broadcast(q), "query_id")
+              .where(F.col("query_id") != F.col("nbr_id"))
+              .withColumn("cosine", _pair_cosine("qvec", "evec")))
+    return _window_topk(scored, k)
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
@@ -284,15 +298,8 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                            F.col(vec_col).alias("vec_a"))
     eb = embeddings.select(F.col(id_col).alias("id_b"),
                            F.col(vec_col).alias("vec_b"))
-    dot = F.aggregate(F.zip_with("vec_a", "vec_b",
-                                 lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda v: v.cast("double") * v.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
     return (cand.join(ea, "id_a").join(eb, "id_b")
-            .withColumn("cosine", F.round(
-                dot / (norm(F.col("vec_a")) * norm(F.col("vec_b"))), 6))
+            .withColumn("cosine", _pair_cosine("vec_a", "vec_b"))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 

@@ -384,6 +384,53 @@ def test_multimodal_compressed_payload_surfaces_error(spark):
     assert out[1].feature is not None and out[1].error is None
 
 
+def test_ivf_topk_multi_guards_and_empty_queries(spark):
+    """r02 review regressions: zero-norm corpus vectors score -1 (never
+    NaN-top the ranking); an empty query set returns an empty result
+    instead of crashing schema inference."""
+    rows = [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.0, 0.0], 0),
+            (3, [0.8, 0.2], 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    qs = emb.where(F.col("vec_id") == 0)
+    out = similarity.ivf_topk_multi(emb, qs, k=3, n_clusters=2, n_probe=2)
+    got = [(r.nbr_id, r.cosine) for r in
+           out.orderBy("rank").collect()]
+    assert [n for n, _ in got] == [1, 3, 2]
+    assert got[-1] == (2, -1.0)  # zero-norm vector ranks last, not first
+    empty_q = emb.where(F.col("vec_id") < 0)
+    assert similarity.ivf_topk_multi(emb, empty_q, k=3,
+                                     n_clusters=2, n_probe=2).count() == 0
+
+
+def test_ppm_trailing_bytes_decode_exact():
+    """r02 review regression: trailing bytes after the raster must not
+    shift pixels (raster located by header offset, not from the end)."""
+    import numpy as _np
+    from rdflib_jsonld_spark.operators import multimodal as mm
+    px = _np.arange(4 * 3 * 3, dtype=_np.uint8).reshape(4, 3, 3)
+    body = b"P6\n3 4\n255\n" + px.tobytes()
+    assert (mm.decode_ppm(body + b"\n") == px).all()  # trailing newline
+    assert (mm.decode_ppm(body) == px).all()
+
+
+def test_bgp_repeated_var_in_one_pattern(spark):
+    """r02 review regression: ('?x', p, '?x') must bind only reflexive
+    quads (positional equality), not every object."""
+    from rdflib_jsonld_spark.operators.bgp import match_bgp
+    rows = [(None, "http://e/a", False, "http://e/p", "iri", "http://e/a",
+             None, None),
+            (None, "http://e/a", False, "http://e/p", "iri", "http://e/b",
+             None, None)]
+    quads = spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+    got = {r.x for r in
+           match_bgp(quads, [("?x", "http://e/p", "?x")]).collect()}
+    assert got == {"http://e/a"}
+
+
 def test_zero_norm_vector_never_tops_cosine_ranking(spark):
     """NaN sorts as largest in Spark orderings — an all-zero embedding must
     not fake its way into top-k (guard in _cosine_expr)."""
