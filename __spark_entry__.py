@@ -2,13 +2,23 @@
 
 ``entry(spark)`` runs the flagship KG-construction pipeline on sf0.001.
 ``queries()`` exposes one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL where the operator is SQL-expressible. KG expansion /
-CC / LSH entries that are genuinely non-SQL get rows-only checks — EXCEPT
-the two ``kg_*_documents`` queries, which are engineered so the *entire*
-expand→link→canonicalize pipeline is predictable from doc_id arithmetic
-(see rdflib_jsonld_spark/sources/doc_transcripts.py) and therefore fully
-oracle-checkable end-to-end.
+SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives a
+DuckDB twin for EVERY query (45/45 as of r02 — zero rows-only):
+
+- kg_* pipeline queries are engineered so the entire expand→link→
+  canonicalize path is predictable from doc_id arithmetic
+  (sources/doc_transcripts.py) or from the synthetic generator's planted
+  blocks (re-parsed with stdlib json + an independent union-find —
+  no engine code in the oracle derivation);
+- LSH dedup operators (minhash/simhash/near-dup clustering) run the
+  candidates→exact-verify shape, gated by DuckDB's exact all-pairs
+  word-n-gram Jaccard (+ a recursive transitive closure for clusters);
+- winnowing is replicated end-to-end IN SQL (same rolling hash,
+  window-min selection, df-cap — value-exact n_shared);
+- ANN/IVF are recall-1.0-gated against brute-force SQL (planted
+  neighborhoods for the partial-probe IVF paths);
+- multimodal features assert decode success + fixed shapes via a
+  planted-truth VALUES oracle.
 """
 
 from __future__ import annotations

@@ -26,17 +26,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _pin_to_cores(cpus: int) -> None:
+def _pin_to_cores(cpus: int) -> bool:
     """Re-exec under ``taskset`` so the JVM+Python workers own exactly
     ``cpus`` cores. Unpinned runs swing ±30% with box load (BASELINE.md);
     pinning + best-of-2 makes BENCH_r{N} deltas comparable across rounds.
-    Opt out with SPARK_GRAFT_NO_PIN=1."""
+    Opt out with SPARK_GRAFT_NO_PIN=1. Returns whether this process runs
+    pinned — the JSON carries it so an unpinned fallback (no taskset /
+    too few cores) can never masquerade as a pinned measurement."""
     import shutil
-    if (os.environ.get("SPARK_GRAFT_PINNED") == "1"
-            or os.environ.get("SPARK_GRAFT_NO_PIN") == "1"
+    if os.environ.get("SPARK_GRAFT_PINNED") == "1":
+        return True
+    if (os.environ.get("SPARK_GRAFT_NO_PIN") == "1"
             or shutil.which("taskset") is None
             or (os.cpu_count() or 0) < cpus):
-        return
+        return False
     os.environ["SPARK_GRAFT_PINNED"] = "1"
     os.execvp("taskset",
               ["taskset", "-c", f"0-{cpus - 1}", sys.executable] + sys.argv)
@@ -46,7 +49,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
-    _pin_to_cores(cpus)
+    pinned = _pin_to_cores(cpus)
 
     from rdflib_jsonld_spark.plans.pipeline import build_session
     import __spark_entry__ as em
@@ -67,9 +70,15 @@ def main() -> None:
 
     def timed(name, fn, repeat: int = 2):
         """Best-of-``repeat`` (steady-state; first run absorbs residual
-        per-query compile/broadcast cost)."""
+        per-query compile/broadcast cost). The cache is CLEARED before
+        every repeat: queries that persist() internally would otherwise
+        have their second run served from the first run's still-cached
+        plan (Spark CacheManager plan substitution — measured 14.5s →
+        1.6s on the KG pipeline), so best-of-N would time a cached scan
+        instead of the pipeline."""
         best, out = None, None
         for _ in range(repeat):
+            spark.catalog.clearCache()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
@@ -132,6 +141,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": cpus,
+        "pinned": pinned,
         "extras": extras,
     }))
     spark.stop()

@@ -45,6 +45,20 @@ def _mix(h: np.ndarray) -> np.ndarray:
     return h ^ (h >> 31)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small single-split input across the session's parallelism
+    before an Arrow-batched signature stage. A one-split table funnels
+    the whole corpus into ONE Python worker whose fresh-arena large
+    allocations stall badly (measured 7-15s first-call vs ~1s spread on
+    this box), and serializes the CPU work besides. Real corpora arrive
+    in thousands of splits and skip this."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: fingerprint → groupBy → groups of size >1.
@@ -113,7 +127,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                 sigs.append(m.astype(np.int64).tolist())
             yield pd.DataFrame({id_col: ids, "sig": sigs})
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    return _spread(docs.select(id_col, text_col)) \
+        .mapInPandas(gen, schema=schema)
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -196,7 +211,8 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                 hs.append(int(sh.astype(np.int64)))
             yield pd.DataFrame({id_col: ids, "simhash": hs})
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    return _spread(docs.select(id_col, text_col)) \
+        .mapInPandas(gen, schema=schema)
 
 
 def _fnv1a(b: bytes) -> int:
@@ -352,7 +368,8 @@ def winnowing_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             d, f = _batch_winnow(list(pdf[text_col]), k, window)
             yield pd.DataFrame({id_col: ids[d], "fp": f})
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    return _spread(docs.select(id_col, text_col)) \
+        .mapInPandas(gen, schema=schema)
 
 
 def _char_shingles_ordered(text: str, k: int) -> np.ndarray:

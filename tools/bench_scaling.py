@@ -106,11 +106,15 @@ def main() -> None:
                           "meets_target": pe >= 0.8})
 
     # Hardware ceiling: the SAME kernel without Spark (multiprocessing,
-    # pinned). On one shared-memory socket the memory system caps scaling
-    # for any implementation; independent cluster nodes don't share a bus.
+    # pinned) at the SAME N→4N pair as the headline Spark efficiency and
+    # a comparable corpus — mismatched levels/working sets would make the
+    # ratio below meaningless. On one shared-memory socket the memory
+    # system caps scaling for any implementation; independent cluster
+    # nodes don't share a bus.
+    kernel_convs = min(n_convs, 20000)  # driver-side corpus, bounded
     kernel = json.loads(subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "kernel_ceiling.py"),
-         "20000"],
+         str(kernel_convs), str(low_cpus)],
         capture_output=True, text=True, cwd=REPO,
     ).stdout.strip().splitlines()[-1])
     ceiling = kernel["kernel_scaling_efficiency"]

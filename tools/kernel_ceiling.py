@@ -4,7 +4,8 @@ work. This isolates hardware (memory-bandwidth/turbo) limits from engine
 overhead — the honest denominator for the BENCH_SCALING efficiency number
 on a shared-memory box (independent cluster nodes don't share a bus).
 
-Usage: python tools/kernel_ceiling.py [n_convs]  → one JSON line
+Usage: python tools/kernel_ceiling.py [n_convs] [low_cpus] → one JSON
+line (levels = low_cpus and 4*low_cpus, matching the Spark measurement).
 """
 
 from __future__ import annotations
@@ -38,22 +39,24 @@ def _work(chunk_idx: int) -> int:
 
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = 4 * low
     for c in range(n_convs):
         _ROWS.extend((r["conv_id"], r["turn_idx"], r["text"])
                      for r in tr.generate_conv(42, c))
     nchunks = (len(_ROWS) + _CHUNK - 1) // _CHUNK
-    out = {"n_turns": len(_ROWS)}
+    out = {"n_turns": len(_ROWS), "low_cpus": low, "high_cpus": high}
     rates = {}
-    for ncpu in (8, 32):
+    for ncpu in (low, high):
         os.sched_setaffinity(0, set(range(ncpu)))
         with mp.Pool(ncpu) as p:
             p.map(_work, range(min(nchunks, ncpu)))  # warm
             t0 = time.time()
             sum(p.map(_work, range(nchunks)))
             rates[ncpu] = len(_ROWS) / (time.time() - t0)
-    out["turns_per_sec_8"] = round(rates[8], 1)
-    out["turns_per_sec_32"] = round(rates[32], 1)
-    out["kernel_scaling_efficiency"] = round(rates[32] / rates[8] / 4.0, 3)
+    out["turns_per_sec_low"] = round(rates[low], 1)
+    out["turns_per_sec_high"] = round(rates[high], 1)
+    out["kernel_scaling_efficiency"] = round(rates[high] / rates[low] / 4.0, 3)
     print(json.dumps(out))
 
 
