@@ -118,7 +118,11 @@ def q_kg_bgp_optional_sameas(spark, sf_dir) -> DataFrame:
     iff the doc's alias index j ≥ 1, so counts are doc_id arithmetic."""
     from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
     docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    # persist: match_bgp_extended scans the quad plan once per pattern
+    # (2 branches here) — without the cache the mapInPandas expansion
+    # recomputes per branch (CLAUDE.md r02 lesson, VERDICT r02 #1)
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
     rows = match_bgp_extended(
         quads,
         [("?m", f"{KG}vocab#about", "?e")],
@@ -126,6 +130,60 @@ def q_kg_bgp_optional_sameas(spark, sf_dir) -> DataFrame:
     return rows.agg(
         F.count(F.lit(1)).cast("long").alias("n_mentions"),
         F.count("t").cast("long").alias("n_with_sameas"))
+
+
+def q_kg_bgp_union_about_sameas(spark, sf_dir) -> DataFrame:
+    """SPARQL UNION: {?s about ?o} UNION {?s sameAs ?o} — the mention→
+    entity pairs plus the distinct alias-chain edges, one NULL-pad-free
+    union of compatible solution sets. Fully doc_id-arithmetic."""
+    from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    rows = match_bgp_extended(
+        quads,
+        [("?s", f"{KG}vocab#about", "?o")],
+        union=[[("?s", _OWL_SAMEAS, "?o")]])
+    return rows.orderBy("s", "o")
+
+
+def q_kg_bgp_negation_counts(spark, sf_dir) -> DataFrame:
+    """The two SPARQL negation forms, distinguished: FILTER NOT EXISTS
+    and MINUS agree when the groups share a variable (mentions whose
+    entity has no sameAs out-edge ⇔ alias index 0), but a MINUS group
+    sharing NO variable removes nothing (spec domain-disjointness rule)
+    even though the group matches — all three counts are doc_id math."""
+    from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    pat = [("?m", f"{KG}vocab#about", "?e")]
+    neg = [("?e", _OWL_SAMEAS, "?t")]
+    disjoint = [("?x", _OWL_SAMEAS, "?y")]  # matches, but shares no var
+    a = match_bgp_extended(quads, pat, not_exists=neg).agg(
+        F.count(F.lit(1)).cast("long").alias("n_not_exists"))
+    b = match_bgp_extended(quads, pat, minus=neg).agg(
+        F.count(F.lit(1)).cast("long").alias("n_minus_shared"))
+    c = match_bgp_extended(quads, pat, minus=disjoint).agg(
+        F.count(F.lit(1)).cast("long").alias("n_minus_disjoint"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+def q_kg_bgp_values_mentions(spark, sf_dir) -> DataFrame:
+    """SPARQL VALUES: inline bindings constrain ?e to three base aliases;
+    e/3/a0 and e/4/a0 are always mentioned (alias index provably 0 for
+    those residues) while e/1/a0 never is (doc_id ≡ 1 mod 500 is odd →
+    alias index 1) — the unmatched binding row must contribute nothing."""
+    from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    rows = match_bgp_extended(
+        quads,
+        [("?m", f"{KG}vocab#about", "?e")],
+        values=(["e"], [(f"{KG}e/3/a0",), (f"{KG}e/4/a0",),
+                        (f"{KG}e/1/a0",)]))
+    return rows.orderBy("m")
 
 
 def q_kg_expanded_node_counts(spark, sf_dir) -> DataFrame:
@@ -185,7 +243,10 @@ def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
     predictable from doc_id arithmetic → full SQL oracle."""
     from rdflib_jsonld_spark.operators.bgp import match_bgp
     docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    # persist: the 2-pattern BGP scans the quad plan twice (r02 bench
+    # regression 1.33s→2.79s was exactly this recompute-per-branch)
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     vocab = KG + "vocab#"
     res = match_bgp(quads, [
@@ -205,7 +266,10 @@ def q_kg_cc_distributed_documents(spark, sf_dir) -> DataFrame:
     from rdflib_jsonld_spark.operators.linking import (
         connected_components, mention_edges)
     docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    # persist: mention_edges scans the quad plan three times (sameAs,
+    # mentions, surfaces) — cache so the Python expansion runs once
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
     mapping = connected_components(mention_edges(quads), driver_threshold=0)
     return mapping.orderBy("node")
 
@@ -220,13 +284,14 @@ def q_kg_top_predicates_transcripts(spark, sf_dir) -> DataFrame:
 
 def q_kg_canonical_mapping_transcripts(spark, sf_dir) -> DataFrame:
     t = tr.transcripts_df(spark, n_convs=150, seed=42)
-    quads = dedup_quads(expand_transcripts(t))
+    # persist: mention_edges is a 3-branch scan of the Python expansion
+    quads = dedup_quads(expand_transcripts(t)).persist()
     return canonical_mapping(quads).orderBy("node")
 
 
 def q_kg_sameas_edges_transcripts(spark, sf_dir) -> DataFrame:
     t = tr.transcripts_df(spark, n_convs=150, seed=42)
-    quads = dedup_quads(expand_transcripts(t))
+    quads = dedup_quads(expand_transcripts(t)).persist()
     return mention_edges(quads).orderBy("src", "dst")
 
 
@@ -683,6 +748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quad_stats_documents": q_kg_quad_stats_documents,
         "kg_bgp_mention_counts": q_kg_bgp_mention_counts,
         "kg_bgp_optional_sameas": q_kg_bgp_optional_sameas,
+        "kg_bgp_union_about_sameas": q_kg_bgp_union_about_sameas,
+        "kg_bgp_negation_counts": q_kg_bgp_negation_counts,
+        "kg_bgp_values_mentions": q_kg_bgp_values_mentions,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -984,6 +1052,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
             ORDER BY e
+        """,
+        "kg_bgp_union_about_sameas": f"""
+            WITH d AS (
+              SELECT doc_id, doc_id % 500 AS e,
+                     doc_id % (1 + (doc_id % 500) % 3) AS j
+              FROM documents),
+            about AS (
+              SELECT '{KG}m/doc/' || doc_id::varchar AS s,
+                     '{KG}e/' || e::varchar || '/a' || j::varchar AS o
+              FROM d),
+            maxj AS (SELECT e, max(j) AS mj FROM d GROUP BY e),
+            sameas AS (
+              SELECT '{KG}e/' || e::varchar || '/a' || i::varchar AS s,
+                     '{KG}e/' || e::varchar || '/a' || (i-1)::varchar AS o
+              FROM maxj, UNNEST(range(1, mj + 1)) AS t(i)
+              WHERE mj >= 1)
+            SELECT s, o FROM (
+              SELECT * FROM about UNION SELECT * FROM sameas)
+            ORDER BY s, o
+        """,
+        "kg_bgp_negation_counts": """
+            SELECT sum(CASE WHEN doc_id % (1 + (doc_id % 500) % 3) = 0
+                       THEN 1 ELSE 0 END)::BIGINT AS n_not_exists,
+                   sum(CASE WHEN doc_id % (1 + (doc_id % 500) % 3) = 0
+                       THEN 1 ELSE 0 END)::BIGINT AS n_minus_shared,
+                   count(*)::BIGINT AS n_minus_disjoint
+            FROM documents
+        """,
+        "kg_bgp_values_mentions": f"""
+            SELECT '{KG}e/' || (doc_id % 500)::varchar || '/a0' AS e,
+                   '{KG}m/doc/' || doc_id::varchar AS m
+            FROM documents
+            WHERE doc_id % 500 IN (3, 4)
+            ORDER BY m
         """,
         # --- relational -----------------------------------------------------
         "tpch_q1_pricing_summary": """

@@ -177,11 +177,16 @@ def match_bgp_extended(quads: DataFrame,
                        patterns: list[tuple[str, str, str]],
                        optional: list[tuple[str, str, str]] | None = None,
                        filters: list[str] | None = None,
+                       union: list[list[tuple[str, str, str]]] | None = None,
+                       values: tuple[list[str], list[tuple]] | None = None,
+                       not_exists: list[tuple[str, str, str]] | None = None,
+                       minus: list[tuple[str, str, str]] | None = None,
                        distinct: bool = True,
                        optimize: bool = True,
                        stats: dict[str, int] | None = None,
                        with_types: bool = False) -> DataFrame:
-    """BGP + the two most common SPARQL constructs beyond conjunction:
+    """BGP + the SPARQL constructs a graph user reaches for beyond
+    conjunction, each mapped to its natural Spark join:
 
     - ``optional``: patterns LEFT-joined on their shared variables —
       unmatched rows keep NULL bindings (SPARQL OPTIONAL semantics for
@@ -189,13 +194,37 @@ def match_bgp_extended(quads: DataFrame,
     - ``filters``: SQL boolean expressions over the bound variable
       columns (SPARQL FILTER), e.g. ``"conf > 0.5"`` — applied after all
       joins so they can reference optional bindings (checked with
-      ``IS NOT NULL`` like SPARQL's bound()).
+      ``IS NOT NULL`` like SPARQL's bound());
+    - ``union``: alternative pattern groups — ``{patterns} UNION {g}``
+      for each group ``g``. Solution sets are combined with
+      ``unionByName(allowMissingColumns=True)``: variables unbound in a
+      branch are NULL-padded, exactly SPARQL's unbound semantics;
+    - ``values``: inline solution bindings ``(var_names, rows)`` —
+      SPARQL VALUES. Joined (inner) on the variables already bound;
+      variables new to the query attach via the bindings themselves. A
+      small driver-side literal table → Catalyst broadcasts it;
+    - ``not_exists``: FILTER NOT EXISTS group — drop solutions for which
+      the group matches with the shared variables substituted. Shared
+      vars → ``left_anti`` equi-join; NO shared vars → the group acts as
+      a global gate (any match empties the result), expressed as a
+      constant-true anti-join against ``limit(1)`` of the group;
+    - ``minus``: SPARQL MINUS group. Like NOT EXISTS on the shared
+      variables, EXCEPT that with no shared variables MINUS removes
+      nothing (the spec's domain-disjointness rule — the observable
+      difference between the two negation forms). NULL bindings (from
+      OPTIONAL) never match the anti-join key, mirroring MINUS's
+      treatment of unbound-vs-bound incompatibility for the common case.
 
     Catalyst still owns join strategy/ordering; filters on required
-    variables are pushed through the joins by the optimizer.
+    variables are pushed through the joins by the optimizer. Anti-joins
+    broadcast when the negation group is small (AQE decides).
     """
     acc = match_bgp(quads, patterns, distinct=False, optimize=optimize,
                     stats=stats, with_types=with_types)
+    for grp in union or []:
+        alt = match_bgp(quads, grp, distinct=False, optimize=optimize,
+                        stats=stats, with_types=with_types)
+        acc = acc.unionByName(alt, allowMissingColumns=True)
     companions = set(_companion_cols(acc.columns))
     bound = set(acc.columns) - companions
     typed: set[str] | None = (
@@ -214,6 +243,28 @@ def match_bgp_extended(quads: DataFrame,
         acc = acc.join(df, on=shared, how="left")
         bound |= vars_i
         companions |= set(_companion_cols(df.columns))
+    if values is not None:
+        var_names, rows = values
+        vdf = quads.sparkSession.createDataFrame(
+            [tuple(r) if isinstance(r, (tuple, list)) else (r,)
+             for r in rows], list(var_names))
+        shared = sorted(bound & set(var_names))
+        acc = acc.join(vdf, on=shared, how="inner") if shared \
+            else acc.crossJoin(vdf)
+        bound |= set(var_names)
+    for group, is_minus in ((not_exists, False), (minus, True)):
+        if not group:
+            continue
+        sub = match_bgp(quads, group, distinct=False, optimize=optimize,
+                        stats=stats)
+        shared = sorted(bound & set(sub.columns))
+        if shared:
+            acc = acc.join(sub.select(*shared), on=shared, how="left_anti")
+        elif not is_minus:
+            # NOT EXISTS with a disconnected group: any match removes
+            # every solution — anti-join on TRUE against one probe row
+            acc = acc.join(sub.limit(1), on=F.lit(True), how="left_anti")
+        # MINUS with no shared variables removes nothing (spec rule)
     for expr in filters or []:
         acc = acc.where(F.expr(expr))
     acc = acc.select(*sorted(bound), *sorted(companions))

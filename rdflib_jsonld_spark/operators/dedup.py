@@ -178,10 +178,59 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")))
 
 
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a(b: bytes) -> int:
+    """Scalar FNV-1a (reference semantics for the vectorized kernel and
+    the DuckDB oracle derivations)."""
+    h = 0xCBF29CE484222325
+    for byte in b:
+        h = ((h ^ byte) * 0x100000001B3) & _MASK
+    return h
+
+
+def _fnv1a_batch(enc: list[bytes]) -> np.ndarray:
+    """FNV-1a over a batch of byte strings, vectorized: scatter the
+    concatenated bytes into a padded (n, maxlen) uint8 matrix, then run
+    max-word-length passes of the mix over the whole column with a
+    length mask. Bit-identical to ``_fnv1a`` per word; replaces the
+    per-byte Python loop (the r02 ``weak`` finding) with numpy passes —
+    the same pattern as ``_char_shingles``/``_batch_winnow``."""
+    n = len(enc)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    h = np.full(n, _FNV_BASIS, dtype=np.uint64)
+    if total == 0:
+        return h
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cols = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    maxlen = int(lens.max())
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    buf[rows, cols] = flat
+    with np.errstate(over="ignore"):  # uint64 wrap is the FNV semantics
+        for i in range(maxlen):
+            active = lens > i
+            h[active] = (h[active] ^ buf[active, i].astype(np.uint64)) \
+                * _FNV_PRIME
+    return h
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """(id, simhash:long) — 64-bit SimHash over word unigrams (Charikar '02
-    public algorithm): sign-sum of per-word hash bits."""
+    public algorithm): sign-sum of per-word hash bits.
+
+    Whole-batch vectorized: words across the entire Arrow batch are
+    hashed in one ``_fnv1a_batch`` call, bits unpacked for all words at
+    once, and per-document sign-sums come from ``np.add.reduceat`` over
+    the document offsets — no per-document (let alone per-byte) Python."""
     schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
         T.StructField("simhash", T.LongType(), False),
@@ -189,37 +238,41 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
+        pow2 = np.left_shift(np.uint64(1), bit_idx)
         for pdf in batches:
-            ids, hs = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = (text or "").lower().split()
-                if not words:
-                    ids.append(did)
-                    hs.append(0)
-                    continue
-                wh = np.array(
-                    [_fnv1a(w.encode("utf-8", "ignore")) for w in words],
-                    dtype=np.uint64)
-                bits = ((wh[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                        ).astype(np.int64)
-                v = (2 * bits - 1).sum(axis=0)
-                sh = np.uint64(0)
-                for i in range(64):
-                    if v[i] > 0:
-                        sh |= np.uint64(1) << np.uint64(i)
-                ids.append(did)
-                hs.append(int(sh.astype(np.int64)))
-            yield pd.DataFrame({id_col: ids, "simhash": hs})
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            word_lists = [(t or "").lower().split()
+                          for t in pdf[text_col]]
+            counts = np.fromiter((len(w) for w in word_lists),
+                                 dtype=np.int64, count=n_docs)
+            enc = [w.encode("utf-8", "ignore")
+                   for words in word_lists for w in words]
+            wh = _fnv1a_batch(enc)
+            # ±1 per bit per word, segment-summed per document
+            bits = ((wh[:, None] >> bit_idx[None, :]) & np.uint64(1)) \
+                .astype(np.int64)
+            offsets = np.concatenate(
+                ([0], np.cumsum(counts)[:-1])).astype(np.int64)
+            # reduceat needs nonempty segments: pad empty docs by summing
+            # over a dummy range, then zero them out below
+            safe_off = np.minimum(offsets, max(len(enc) - 1, 0))
+            if len(enc):
+                seg = np.add.reduceat(bits, safe_off, axis=0)
+            else:
+                seg = np.zeros((n_docs, 64), dtype=np.int64)
+            # v > 0 ⇔ more 1-bits than 0-bits among the doc's words
+            v = 2 * seg - counts[:, None]
+            sh = ((v > 0).astype(np.uint64) * pow2[None, :]).sum(axis=1)
+            sh[counts == 0] = np.uint64(0)
+            # empty segments at the tail / between: reduceat on repeated
+            # offsets yields the NEXT segment's sum — zeroed via the mask
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "simhash": sh.astype(np.int64)})
 
     return _spread(docs.select(id_col, text_col)) \
         .mapInPandas(gen, schema=schema)
-
-
-def _fnv1a(b: bytes) -> int:
-    h = 0xCBF29CE484222325
-    for byte in b:
-        h = ((h ^ byte) * 0x100000001B3) & _MASK
-    return h
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",

@@ -101,6 +101,74 @@ def test_bgp_optional_and_filter(spark):
                            optional=[("?x", "http://e/conf", "?c")])
 
 
+def test_bgp_union_null_pads_disjoint_vars(spark):
+    """UNION combines solution sets; variables unbound in a branch are
+    NULL (SPARQL unbound semantics)."""
+    from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
+    q = _quads(spark, [
+        ("e:m1", "e:about", "e:a", "iri"),
+        ("e:a", "e:sameAs", "e:canon", "iri"),
+        ("e:m2", "e:label", "two", "literal"),
+    ])
+    # same vars in both branches → plain set union
+    out = match_bgp_extended(q, [("?s", "e:about", "?o")],
+                             union=[[("?s", "e:sameAs", "?o")]])
+    got = {(r.s, r.o) for r in out.collect()}
+    assert got == {("e:m1", "e:a"), ("e:a", "e:canon")}
+    # branch-private variable → NULL-padded in the other branch's rows
+    out2 = match_bgp_extended(q, [("?s", "e:about", "?o")],
+                              union=[[("?s", "e:label", "?lbl")]])
+    rows = {(r.s, r.o, r.lbl) for r in out2.collect()}
+    assert rows == {("e:m1", "e:a", None), ("e:m2", None, "two")}
+
+
+def test_bgp_values_inline_bindings(spark):
+    """VALUES joins inline bindings on shared vars; unmatched binding
+    rows contribute nothing; a no-shared-var VALUES cross-joins."""
+    from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
+    q = _quads(spark, [
+        ("e:m1", "e:about", "e:a", "iri"),
+        ("e:m2", "e:about", "e:b", "iri"),
+        ("e:m3", "e:about", "e:c", "iri"),
+    ])
+    out = match_bgp_extended(q, [("?m", "e:about", "?e")],
+                             values=(["e"], [("e:a",), ("e:c",), ("e:zz",)]))
+    assert {(r.m, r.e) for r in out.collect()} == \
+        {("e:m1", "e:a"), ("e:m3", "e:c")}
+    # new variable introduced by VALUES with no overlap → cross product
+    out2 = match_bgp_extended(q, [("?m", "e:about", "e:a")],
+                              values=(["tag"], ["t1", "t2"]))
+    assert {(r.m, r.tag) for r in out2.collect()} == \
+        {("e:m1", "t1"), ("e:m1", "t2")}
+
+
+def test_bgp_not_exists_vs_minus(spark):
+    """The observable semantic difference between the negation forms:
+    with shared vars both anti-join; with NO shared vars NOT EXISTS
+    empties the result when the group matches, MINUS removes nothing."""
+    from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
+    q = _quads(spark, [
+        ("e:m1", "e:about", "e:a", "iri"),
+        ("e:m2", "e:about", "e:b", "iri"),
+        ("e:a", "e:sameAs", "e:canon", "iri"),
+    ])
+    pat = [("?m", "e:about", "?e")]
+    shared = [("?e", "e:sameAs", "?t")]
+    ne = match_bgp_extended(q, pat, not_exists=shared)
+    mi = match_bgp_extended(q, pat, minus=shared)
+    assert {r.m for r in ne.collect()} == {"e:m2"}
+    assert {r.m for r in mi.collect()} == {"e:m2"}
+    disjoint = [("?x", "e:sameAs", "?y")]  # matches, shares no variable
+    ne2 = match_bgp_extended(q, pat, not_exists=disjoint)
+    mi2 = match_bgp_extended(q, pat, minus=disjoint)
+    assert ne2.count() == 0          # NOT EXISTS: global gate fires
+    assert mi2.count() == 2          # MINUS: domain-disjoint → no-op
+    # non-matching disjoint group → NOT EXISTS keeps everything
+    ne3 = match_bgp_extended(q, pat,
+                             not_exists=[("?x", "e:nope", "?y")])
+    assert ne3.count() == 2
+
+
 def test_construct_preserves_term_typing(spark):
     """ADVICE r01: object variables must re-emit with their ORIGINAL
     kind/datatype/lang — an IRI-shaped literal ("mailto:x") stays a
