@@ -274,6 +274,20 @@ def q_kg_cc_distributed_documents(spark, sf_dir) -> DataFrame:
     return mapping.orderBy("node")
 
 
+def q_kg_expand_error_metrics(spark, sf_dir) -> DataFrame:
+    """A5/§4.3.3 metrics face, contract-gated: expand_with_metrics must
+    count exactly the generator's planted malformed blocks in _kg_errors
+    while emitting every quad from healthy blocks — the oracle re-counts
+    both from the planted JSON with stdlib json only (no engine code)."""
+    from rdflib_jsonld_spark.operators.expand import expand_with_metrics
+    t = tr.transcripts_df(spark, n_convs=150, seed=42)
+    out = expand_with_metrics(t)
+    return out.agg(
+        F.sum("_kg_errors").cast("long").alias("n_errors"),
+        F.count(F.when(F.col("_kg_errors") == 0, 1)).cast("long")
+        .alias("n_quads"))
+
+
 def q_kg_top_predicates_transcripts(spark, sf_dir) -> DataFrame:
     # synthetic generator corpus (sf_dir-independent, deterministic seed)
     t = tr.transcripts_df(spark, n_convs=150, seed=42)
@@ -757,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_cc_distributed_documents": q_kg_cc_distributed_documents,
+        "kg_expand_error_metrics": q_kg_expand_error_metrics,
         "kg_top_predicates_transcripts": q_kg_top_predicates_transcripts,
         "kg_canonical_mapping_transcripts": q_kg_canonical_mapping_transcripts,
         "kg_sameas_edges_transcripts": q_kg_sameas_edges_transcripts,
@@ -834,6 +849,7 @@ def _transcript_truth(n_convs: int = 150, seed: int = 42):
     pred_counts: Counter = Counter()
     sameas_edges: set[tuple[str, str]] = set()
     blocks: dict[str, set[str]] = {}
+    n_malformed = 0
 
     for conv_n in range(n_convs):
         for row in generate_conv(seed, conv_n):
@@ -841,7 +857,8 @@ def _transcript_truth(n_convs: int = 150, seed: int = 42):
                 try:
                     doc = _json.loads(m.group(1))
                 except ValueError:
-                    continue  # planted malformed block → no quads
+                    n_malformed += 1  # planted malformed block → no quads
+                    continue
                 nodes = doc.get("@graph") or [doc]
                 for node in nodes:
                     if "@type" in node:
@@ -888,7 +905,7 @@ def _transcript_truth(n_convs: int = 150, seed: int = 42):
             parent[hi] = lo
     nodes = sorted({n for e in edges for n in e})
     mapping = [(n, find(n)) for n in nodes if find(n) != n]
-    return pred_counts, edges, mapping
+    return pred_counts, edges, mapping, n_malformed
 
 
 _TRANSCRIPT_TRUTH_CACHE: list = []
@@ -897,7 +914,7 @@ _TRANSCRIPT_TRUTH_CACHE: list = []
 def _transcript_oracle_sqls() -> dict[str, str]:
     if not _TRANSCRIPT_TRUTH_CACHE:
         _TRANSCRIPT_TRUTH_CACHE.append(_transcript_truth())
-    pred_counts, edges, mapping = _TRANSCRIPT_TRUTH_CACHE[0]
+    pred_counts, edges, mapping, n_malformed = _TRANSCRIPT_TRUTH_CACHE[0]
     top = sorted(pred_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     top_vals = ", ".join(f"('{p}', {n}::BIGINT)" for p, n in top)
     edge_vals = ", ".join(f"('{a}', '{b}')" for a, b in edges)
@@ -914,6 +931,10 @@ def _transcript_oracle_sqls() -> dict[str, str]:
         "kg_canonical_mapping_transcripts": f"""
             SELECT * FROM (VALUES {map_vals}) AS t(node, root)
             ORDER BY node
+        """,
+        "kg_expand_error_metrics": f"""
+            SELECT {n_malformed}::BIGINT AS n_errors,
+                   {sum(pred_counts.values())}::BIGINT AS n_quads
         """,
     }
 

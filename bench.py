@@ -35,7 +35,12 @@ def _pin_to_cores(cpus: int) -> bool:
     too few cores) can never masquerade as a pinned measurement."""
     import shutil
     if os.environ.get("SPARK_GRAFT_PINNED") == "1":
-        return True
+        # don't trust an inherited env flag (ADVICE r02): verify the
+        # affinity mask actually matches before reporting pinned=true
+        try:
+            return len(os.sched_getaffinity(0)) == cpus
+        except (AttributeError, OSError):
+            return False
     if (os.environ.get("SPARK_GRAFT_NO_PIN") == "1"
             or shutil.which("taskset") is None
             or (os.cpu_count() or 0) < cpus):

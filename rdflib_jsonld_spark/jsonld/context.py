@@ -442,17 +442,28 @@ class Context:
     def _scoped_propagate(self, local, default: bool) -> bool:
         """Effective @propagate of a scoped context VALUE: inline dicts
         carry it directly; registry-IRI contexts are consulted in the
-        registry (the fetched document's outermost @context dict)."""
+        registry (the fetched document's outermost @context dict); for an
+        ARRAY-valued scoped context any member's explicit @propagate wins
+        (ADVICE r02: ``[{"@propagate": false}, ...]`` must revert)."""
+        v = self._explicit_propagate(local)
+        return default if v is None else v
+
+    def _explicit_propagate(self, local):
         if isinstance(local, str):
             fetched = self.registry.get(norm_url(self.base, local))
             if isinstance(fetched, dict):
                 inner = fetched.get(keys.CONTEXT, fetched)
                 if isinstance(inner, dict) and keys.PROPAGATE in inner:
                     return bool(inner[keys.PROPAGATE])
-            return default
+            return None
         if isinstance(local, dict) and keys.PROPAGATE in local:
             return bool(local[keys.PROPAGATE])
-        return default
+        if isinstance(local, (list, tuple)):
+            for item in local:
+                v = self._explicit_propagate(item)
+                if v is not None:
+                    return v
+        return None
 
     def subcontext_for_term(self, term_name: str, remote_chain=frozenset()) -> "Context":
         """Property-scoped context ([spec] 1.1 §4.1.9): processed with

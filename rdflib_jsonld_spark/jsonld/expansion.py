@@ -95,8 +95,11 @@ def _expand_element(ctx: Context, active_key: str | None, element,
     # unless it is a value object or a subject reference.
     if ctx.previous is not None and not from_map:
         probe = ctx.expand_keys(tuple(element))
-        if not any(e == keys.VALUE for e in probe) \
-                and set(probe) - {keys.ID} != set():
+        # the subject-reference exemption requires @id to actually be
+        # present (ADVICE r02: an EMPTY map is not a subject reference,
+        # so it reverts too)
+        is_subject_ref = keys.ID in probe and set(probe) <= {keys.ID}
+        if not any(e == keys.VALUE for e in probe) and not is_subject_ref:
             ctx = ctx.previous
     if keys.CONTEXT in element:
         ctx = ctx.load(element[keys.CONTEXT])

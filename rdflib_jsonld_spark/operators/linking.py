@@ -176,14 +176,26 @@ def canonical_mapping(quads: DataFrame) -> DataFrame:
     return connected_components(mention_edges(quads))
 
 
-def canonicalize_quads(quads: DataFrame, mapping: DataFrame) -> DataFrame:
+def canonicalize_quads(quads: DataFrame, mapping: DataFrame,
+                       broadcast_threshold: int = 2_000_000) -> DataFrame:
     """Rewrite subject/object IRIs to component roots (F3).
 
     The mapping is usually tiny relative to the quad table (entities ≪
-    mentions) → broadcast hash join, zero shuffle of the big side.
+    mentions) → broadcast hash join, zero shuffle of the big side. When
+    the mapping outgrows ``broadcast_threshold`` rows (~hundreds of MB serialized; bounded
+    limit(T+1) probe, no full count), the broadcast hint is DROPPED and
+    the join runs as a shuffle hash/sort-merge join on s / o_value —
+    the SCALE.md canonical-map fallback: a 10^9-entity mapping must not
+    be shipped to every executor.
     """
-    smap = F.broadcast(mapping).alias("smap")
-    omap = F.broadcast(mapping).alias("omap")
+    # bounded one-action probe, same pattern as connected_components
+    probe_n = mapping.select("node").limit(broadcast_threshold + 1).count()
+    if probe_n <= broadcast_threshold:
+        smap = F.broadcast(mapping).alias("smap")
+        omap = F.broadcast(mapping).alias("omap")
+    else:
+        smap = mapping.alias("smap")
+        omap = mapping.alias("omap")
     q = quads.alias("q")
     return (
         q.join(smap, F.col("q.s") == F.col("smap.node"), "left")

@@ -181,9 +181,18 @@ def decode_rvid(payload: bytes) -> list[np.ndarray]:
     return frames
 
 
-def _decode(payload: bytes, kind: str):
+def _decode(payload: bytes, kind: str, decoders: dict | None = None):
     """Dispatch on magic bytes. Compressed formats raise
-    DecodeUnavailable — the production codec swap-in point."""
+    DecodeUnavailable — the production codec swap-in point: pass
+    ``decoders={"image": my_jpeg_fn, ...}`` (e.g. a Pillow/pyav call) to
+    ``extract_features`` and it is consulted FIRST; return None to fall
+    through to the built-in uncompressed parsers. The callable ships to
+    executors inside the UDF closure, so swapping a codec in requires no
+    module changes on the cluster."""
+    if decoders and kind in decoders:
+        out = decoders[kind](payload)
+        if out is not None:
+            return out
     if kind == "image":
         if payload[:2] == b"BM":
             return decode_bmp(payload)
@@ -206,8 +215,20 @@ def _decode(payload: bytes, kind: str):
 # --------------------------------------------------------------------------
 
 def _resize_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Block-mean downsample (area interpolation) HxWxC → out_h×out_w×C."""
+    """Block-mean downsample (area interpolation) HxWxC → out_h×out_w×C.
+    Vectorized via two ``np.add.reduceat`` passes when the image is at
+    least target-sized (the normal case); tiny images fall back to the
+    per-block loop (reduceat mishandles empty segments)."""
     h, w, c = img.shape
+    if h >= out_h and w >= out_w:
+        ys = (np.arange(out_h) * h // out_h).astype(np.int64)
+        xs = (np.arange(out_w) * w // out_w).astype(np.int64)
+        acc = np.add.reduceat(img.astype(np.float64), ys, axis=0)
+        acc = np.add.reduceat(acc, xs, axis=1)
+        ycnt = np.diff(np.append(ys, h))
+        xcnt = np.diff(np.append(xs, w))
+        out = acc / (ycnt[:, None, None] * xcnt[None, :, None])
+        return (out / 255.0).astype(np.float32)
     ys = (np.arange(out_h + 1) * h // out_h)
     xs = (np.arange(out_w + 1) * w // out_w)
     out = np.empty((out_h, out_w, c), dtype=np.float32)
@@ -219,8 +240,9 @@ def _resize_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return out / 255.0
 
 
-def _features_for(payload: bytes, kind: str) -> np.ndarray:
-    decoded = _decode(payload, kind)
+def _features_for(payload: bytes, kind: str,
+                  decoders: dict | None = None) -> np.ndarray:
+    decoded = _decode(payload, kind, decoders)
     if kind == "image":
         return _resize_mean(decoded, 8, 8)  # (8,8,3)
     if kind == "audio":
@@ -249,12 +271,15 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame,
+                     decoders: dict | None = None) -> DataFrame:
     """mapInPandas feature extraction: decode (real byte parsing for
     uncompressed formats) → fixed-shape features + content hash. Narrow;
     the binary column never shuffles. Undecodable payloads yield a NULL
     feature with the reason in ``error`` (bad rows must not kill a 100 TB
-    job)."""
+    job). ``decoders`` is the compressed-codec swap-in seam (see
+    ``_decode``) — the callables are captured in the closure and shipped
+    to executors."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -263,7 +288,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                 payload = bytes(payload)
                 sha = hashlib.sha1(payload).hexdigest()
                 try:
-                    feat = _features_for(payload, kind).ravel().tolist()
+                    feat = _features_for(payload, kind,
+                                         decoders).ravel().tolist()
                     err = None
                 except DecodeUnavailable as e:
                     feat, err = None, str(e)

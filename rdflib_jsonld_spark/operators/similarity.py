@@ -70,11 +70,31 @@ def _pair_cosine(a_col: str, b_col: str):
                   F.round(dot / (na * nb), 6)).otherwise(F.lit(-1.0))
 
 
+#: broadcast-small contract for multi-query APIs: loud failure instead of
+#: a driver OOM / terabyte cross join when misused with a big query table
+MAX_BROADCAST_QUERIES = 10_000
+
+
+def _assert_broadcast_small(queries: DataFrame, max_queries: int,
+                            op: str) -> None:
+    """Bounded probe (limit(n+1), never a full count) enforcing the
+    broadcast-small query-side contract (VERDICT r02 #4)."""
+    n = queries.limit(max_queries + 1).count()
+    if n > max_queries:
+        raise ValueError(
+            f"{op}: query side has more than {max_queries} rows; it is "
+            f"collected/broadcast to every executor. Raise max_queries "
+            f"explicitly if this is intended, or use the bucketed "
+            f"corpus-vs-corpus path (embedding_near_dup_pairs).")
+
+
 def pairwise_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  max_queries: int = MAX_BROADCAST_QUERIES) -> DataFrame:
     """Corpus × broadcast-queries exact top-k (crossJoin is explicit and
-    the query side must be small — the broadcast dim pattern)."""
+    the query side must be small — the broadcast dim pattern; enforced
+    by ``max_queries``)."""
+    _assert_broadcast_small(queries, max_queries, "pairwise_topk")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
     e = embeddings.select(F.col(id_col).alias("nbr_id"),
@@ -245,18 +265,26 @@ def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
 def ivf_topk_multi(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                    n_clusters: int = 16, n_probe: int = 4, seed: int = 7,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   centroids: np.ndarray | None = None) -> DataFrame:
+                   centroids: np.ndarray | None = None,
+                   max_queries: int = MAX_BROADCAST_QUERIES) -> DataFrame:
     """Batch IVF ANN: assignments are computed ONCE for the whole corpus;
     every query probes its n_probe nearest cells, and the exact re-rank
     runs as one broadcast join + per-query window top-k. The query side
-    must be broadcast-small (the same contract as pairwise_topk); corpus
-    work is shared across queries instead of one scan per query."""
+    must be broadcast-small (the same contract as pairwise_topk,
+    enforced by ``max_queries`` — the collect below fails loudly instead
+    of OOMing the driver); corpus work is shared across queries instead
+    of one scan per query."""
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_clusters, seed=seed,
                                   vec_col=vec_col)
     assigns = ivf_assignments(embeddings, centroids, id_col, vec_col)
     spark = embeddings.sparkSession
-    qrows = queries.select(id_col, vec_col).collect()  # broadcast-small
+    qrows = queries.select(id_col, vec_col) \
+        .limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_topk_multi: query side has more than {max_queries} "
+            f"rows; raise max_queries explicitly if intended.")
     probe_pairs = []
     for r in qrows:
         qv = np.asarray([float(x) for x in r[1]], dtype=np.float64)

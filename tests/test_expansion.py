@@ -173,3 +173,43 @@ def test_expansion_is_idempotent():
         direct = to_rdf(once, base=opts.get("base"))
         again = to_rdf(twice, base=opts.get("base"))
         assert isomorphic(direct, again), path.stem
+
+
+def test_array_scoped_context_propagate_matches_dict_form():
+    """ADVICE r02: a scoped context expressed as an ARRAY containing
+    {"@propagate": false} must behave exactly like the dict form — the
+    non-propagation revert may not be silently skipped."""
+    EX = "http://example.org/"
+
+    def doc(scoped):
+        return {"@context": {"ex": EX,
+                             "p": {"@id": EX + "p", "@context": scoped}},
+                "@id": "ex:a",
+                "p": {"@id": "ex:b", "name": "direct",
+                      "ex:q": {"@id": "ex:c", "name": "nested"}}}
+
+    for scoped_dict, scoped_arr in [
+            ({"@propagate": False, "name": EX + "name"},
+             [{"@propagate": False, "name": EX + "name"}]),
+            ({"name": EX + "name"}, [{"name": EX + "name"}])]:
+        assert expand(doc(scoped_dict)) == expand(doc(scoped_arr))
+    # and the non-propagating form actually reverts: the scoped "name"
+    # term is undefined (no @vocab) inside nested node objects → dropped
+    e = expand(doc([{"@propagate": False, "name": EX + "name"}]))
+    nested = e[0][EX + "p"][0][EX + "q"][0]
+    assert EX + "name" not in nested
+
+
+def test_empty_nested_map_is_not_a_subject_reference():
+    """ADVICE r02: {} must not take the subject-reference exemption from
+    the previous-context revert (it has no @id). Empty nodes expand to
+    nothing either way; this guards the context-state rule."""
+    EX = "http://example.org/"
+    doc = {"@context": {"ex": EX,
+                        "T": {"@id": EX + "T",
+                              "@context": {"name": EX + "name"}}},
+           "@id": "ex:a", "@type": "T", "ex:q": {}}
+    e = expand(doc)
+    assert e == [{"@id": EX + "a",
+                  "@type": [EX + "T"]}] or EX + "q" not in e[0] \
+        or e[0].get(EX + "q") in ([], None)

@@ -133,6 +133,34 @@ def test_canonicalize_broadcast_plan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_canonicalize_shuffle_fallback_past_threshold(spark):
+    """SCALE.md canonical-map row: when the mapping outgrows the
+    broadcast threshold the hint is dropped and the join runs as a
+    shuffle join — a 10^9-entity map must never ship to every executor.
+    Both strategies must agree on the rewrite."""
+    quads = expand_transcripts(tr.transcripts_df(spark, 5, partitions=2))
+    mapping = spark.createDataFrame(
+        [(f"{KG}e/{i}/a1", f"{KG}e/{i}/a0") for i in range(8)],
+        ["node", "root"])
+    # disable size-based auto-broadcast so the plan reflects ONLY our hint
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        small = canonicalize_quads(quads, mapping, broadcast_threshold=100)
+        big = canonicalize_quads(quads, mapping, broadcast_threshold=4)
+        p_small = small._jdf.queryExecution().executedPlan().toString()
+        p_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p_small
+        assert "BroadcastHashJoin" not in p_big
+        assert ("SortMergeJoin" in p_big) or ("ShuffledHashJoin" in p_big)
+        key = ["g", "s", "p", "o_kind", "o_value"]
+        a = {tuple(r) for r in small.select(*key).collect()}
+        b = {tuple(r) for r in big.select(*key).collect()}
+        assert a == b and a
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_canonicalize_and_counts(spark):
     df = tr.transcripts_df(spark, n_convs=40, seed=42, partitions=4)
     quads = expand_transcripts(df).cache()
