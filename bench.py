@@ -128,6 +128,12 @@ def main() -> None:
           lambda: em.q_events_sessionize(spark, sf_dir).collect())
     timed("bgp_mention_counts",
           lambda: em.q_kg_bgp_mention_counts(spark, sf_dir).collect())
+    # pin the Python-stage-recompute class (VERDICT r02 #1/#10): these two
+    # feed the mapInPandas expansion into 2- and 3-branch join plans
+    timed("bgp_optional_sameas",
+          lambda: em.q_kg_bgp_optional_sameas(spark, sf_dir).collect())
+    timed("cc_distributed",
+          lambda: em.q_kg_cc_distributed_documents(spark, sf_dir).collect())
     timed("docform_expand",
           lambda: em.q_kg_expanded_node_counts(spark, sf_dir).collect())
     timed("nquads_roundtrip",

@@ -285,6 +285,30 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
                 for node in _ensure_array(expanded):
                     if not isinstance(node, dict):
                         continue
+                    if keys.GRAPH in container:
+                        # graph-keyed map ([spec] 1.1 §9.11 + step
+                        # 13.7.4.2): every entry becomes a graph object;
+                        # @index keys annotate it (non-semantic in
+                        # toRdf), @id keys NAME the graph
+                        if keys.GRAPH in node and not (
+                                set(node) - {keys.GRAPH, keys.ID,
+                                             keys.INDEX}):
+                            gobj = node
+                        else:
+                            gobj = {keys.GRAPH: [node]}
+                        none_keys = (keys.NONE, ctx.alias(keys.NONE))
+                        if keys.INDEX in container \
+                                and mkey not in none_keys \
+                                and keys.INDEX not in gobj:
+                            gobj = {**gobj, keys.INDEX: mkey}
+                        elif keys.ID in container \
+                                and mkey not in none_keys \
+                                and keys.ID not in gobj:
+                            iri = _expand_id(ctx, mkey)
+                            if iri is not None:
+                                gobj = {keys.ID: iri, **gobj}
+                        out.append(gobj)
+                        continue
                     if keys.INDEX in container and mkey != keys.NONE \
                             and keys.INDEX not in node:
                         node = {**node, keys.INDEX: mkey}

@@ -158,7 +158,10 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     # objects never reach this function).
     if ctx.previous is not None and not from_map:
         probe = ctx.expand_keys(tuple(node))
-        if set(probe) - {keys.ID}:
+        # the exemption requires @id to actually be present (ADVICE r02:
+        # an EMPTY map is not a subject reference — mirrors expansion.py)
+        is_subject_ref = keys.ID in probe and not (set(probe) - {keys.ID})
+        if not is_subject_ref:
             ctx = ctx.previous
     if keys.CONTEXT in node:
         ctx = ctx.load(node[keys.CONTEXT])
@@ -246,7 +249,15 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
         pred = _iri_or_bnode(expanded, state)
 
         if term is not None and term.reverse:  # reverse term (D4)
-            for v in _as_list(value):
+            # @reverse composes with @index ([spec] 1.1 §9.6: only @set/
+            # @index may combine with @reverse): unfold the map FIRST so
+            # entry nodes keep their @id (r03 review: the map itself was
+            # being treated as one node → fresh bnode, @id lost)
+            vals = value
+            if term.container and keys.INDEX in term.container \
+                    and isinstance(value, dict):
+                vals = [v for mv in value.values() for v in _as_list(mv)]
+            for v in _as_list(vals):
                 obj = _to_object(v, term, sub_ctx, state, graph)
                 if obj is not None and obj[0] != LIT:
                     _emit(state, graph, obj, pred, subj)
@@ -273,6 +284,28 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
 
         if (keys.INDEX in container or keys.ID in container
                 or keys.TYPE in container) and isinstance(value, dict):
+            if keys.GRAPH in container:
+                # graph-keyed maps ([spec] 1.1 §9.11 combined with
+                # @index/@id): every map entry is a NAMED GRAPH. @index
+                # keys are non-semantic (fresh bnode graph name); @id
+                # keys name the graph; @none in an @id map → anonymous.
+                for mkey, vals in value.items():
+                    for v in _as_list(vals):
+                        if not isinstance(v, dict):
+                            continue
+                        if keys.ID in container and mkey not in (
+                                keys.NONE, ctx.alias(keys.NONE)):
+                            gterm = _to_rdf_id(mkey, ctx, state) \
+                                or state.fresh_bnode()
+                        else:
+                            gterm = state.fresh_bnode()
+                        inner = v.get(keys.GRAPH, v)
+                        for item in _as_list(inner):
+                            if isinstance(item, dict):
+                                _add_to_graph(item, gterm, sub_ctx, state,
+                                              from_map=True)
+                        _emit(state, graph, subj, pred, gterm)
+                continue
             # index/id/type maps: keys non-semantic for @index (D5); for
             # @id/@type maps the key becomes the node's @id/@type.
             for mkey, vals in value.items():

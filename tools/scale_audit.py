@@ -99,7 +99,7 @@ count, context registry) are called out.
 | expansion output | {qpt:.2f} quads/turn, {bpq:.0f} B/quad (parquet) | ≈ {qpt * t:.1e} quad rows ≈ {qpt * bpq * t / 1e12:,.0f} TB |
 | expansion tasks | 128 MB splits | ≈ {bpt_in * t / (128 * 2**20):.1e} tasks — embarrassingly parallel, NO shuffle (narrow mapInPandas); at 1000 executors × 8 cores ≈ {bpt_in * t / (128 * 2**20) / 8000:,.0f} waves |
 | linking edges | {ept:.3f} edges/turn | ≈ {ept * t:.1e} edge rows — the FIRST shuffle; hash-partitioned on block key, star scheme bounds per-block fan-out linearly |
-| canonical map | ≪ quads (entities only) | broadcast join stays valid while distinct entities ≲ 10^8–10^9; beyond that canonicalize_quads flips to a shuffle hash join on s (one config) |
+| canonical map | ≪ quads (entities only) | broadcast join below broadcast_threshold (2M rows default; bounded limit-probe), beyond it the hint is DROPPED automatically → shuffle hash/sort-merge join on s (implemented + plan-asserted in test_linking) |
 | per-slice lineage | {64} markers / {n_turns:,} turns here | markers = O(slices), not O(rows): 10^5–10^6 slices at target, kilobytes each |
 
 Why each stage survives 1000×:
