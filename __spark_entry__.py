@@ -186,6 +186,27 @@ def q_kg_bgp_values_mentions(spark, sf_dir) -> DataFrame:
     return rows.orderBy("m")
 
 
+def q_kg_construct_entity_graph(spark, sf_dir) -> DataFrame:
+    """SPARQL CONSTRUCT contract gate: instantiate an inverted
+    entity-centric graph (?e mentionedBy ?m; ?e a Entity) from the
+    mention BGP; per-predicate quad counts are doc_id arithmetic
+    (mentionedBy = one per doc; type = distinct mentioned aliases)."""
+    from rdflib_jsonld_spark.operators.bgp import construct
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    vocab = KG + "vocab#"
+    out = construct(
+        quads,
+        where=[("?m", vocab + "about", "?e"),
+               ("?m", rdf_type, vocab + "Mention")],
+        template=[("?e", vocab + "mentionedBy", "?m"),
+                  ("?e", rdf_type, vocab + "Entity")])
+    return (out.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("p"))
+
+
 def q_kg_expanded_node_counts(spark, sf_dir) -> DataFrame:
     """Document-level Expansion ([spec] JLD-API §5.1) as a Spark stage:
     per-conversation expanded block/node totals, arithmetically
@@ -454,6 +475,18 @@ def q_events_sessionize(spark, sf_dir) -> DataFrame:
             .agg(F.sum("new_session").cast("long").alias("n_sessions"),
                  F.count(F.lit(1)).alias("n_events"))
             .orderBy("user_id"))
+
+
+def q_events_rolling_value_sum(spark, sf_dir) -> DataFrame:
+    """Window FRAME coverage (G1 beyond row_number/lag): per-user rolling
+    sum over ROWS 2 PRECEDING..CURRENT — the deterministic frame makes
+    the float sum engine-portable (same ≤3 addends in the same order)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    return (ev.select("event_id", "user_id",
+                      F.round(F.sum("value").over(w), 4).alias("rolling3"))
+            .orderBy("event_id"))
 
 
 def q_events_hourly_windows(spark, sf_dir) -> DataFrame:
@@ -765,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_union_about_sameas": q_kg_bgp_union_about_sameas,
         "kg_bgp_negation_counts": q_kg_bgp_negation_counts,
         "kg_bgp_values_mentions": q_kg_bgp_values_mentions,
+        "kg_construct_entity_graph": q_kg_construct_entity_graph,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -786,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_percentiles": q_lineitem_percentiles,
         "orders_rank_window": q_orders_rank_window,
         "events_sessionize": q_events_sessionize,
+        "events_rolling_value_sum": q_events_rolling_value_sum,
         "events_asof_attribution": q_events_asof_attribution,
         "events_hourly_windows": q_events_hourly_windows,
         "events_json_stats": q_events_json_stats,
@@ -1108,6 +1143,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 500 IN (3, 4)
             ORDER BY m
         """,
+        "kg_construct_entity_graph": f"""
+            WITH d AS (
+              SELECT doc_id, doc_id % 500 AS e,
+                     doc_id % (1 + (doc_id % 500) % 3) AS j
+              FROM documents)
+            SELECT p, n FROM (
+              SELECT '{KG}vocab#mentionedBy' AS p,
+                     count(*)::BIGINT AS n FROM d
+              UNION ALL
+              SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     count(DISTINCT e * 10 + j)::BIGINT FROM d)
+            ORDER BY p
+        """,
         # --- relational -----------------------------------------------------
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1267,6 +1315,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             GROUP BY user_id
             ORDER BY user_id
+        """,
+        "events_rolling_value_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                       AS rolling3
+            FROM events
+            ORDER BY event_id
         """,
         "events_hourly_windows": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -50,6 +50,24 @@ def _pin_to_cores(cpus: int) -> bool:
               ["taskset", "-c", f"0-{cpus - 1}", sys.executable] + sys.argv)
 
 
+def _calibrate() -> float:
+    """Single-core CPU probe (ms, best of 3): a fixed sha1 chain whose
+    runtime is content-independent. The shared host swings 30-150%
+    between rounds (r03 measured the same code 2.5x slower than r02's
+    recorded numbers during a contention spike, with /proc/stat steal at
+    0.1%) — the probe lets a reader normalize BENCH_r{N} deltas for box
+    state instead of mistaking host noise for regressions."""
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        h = b"x" * 1000
+        for _ in range(100_000):
+            h = __import__("hashlib").sha1(h[:64]).digest() + h[:936]
+        dt = (time.time() - t0) * 1000
+        best = dt if best is None else min(best, dt)
+    return round(best, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -71,7 +89,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict[str, float] = {"calib_sha1_ms": _calibrate()}
 
     def timed(name, fn, repeat: int = 2):
         """Best-of-``repeat`` (steady-state; first run absorbs residual

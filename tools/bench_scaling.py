@@ -119,7 +119,9 @@ def main() -> None:
     ).stdout.strip().splitlines()[-1])
     ceiling = kernel["kernel_scaling_efficiency"]
 
+    from bench import _calibrate
     result = {
+        "calib_sha1_ms": _calibrate(),  # box-state probe (see bench.py)
         "low": low, "high": high,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
