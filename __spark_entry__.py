@@ -295,6 +295,22 @@ def q_kg_cc_distributed_documents(spark, sf_dir) -> DataFrame:
     return mapping.orderBy("node")
 
 
+def q_kg_sameas_closure(spark, sf_dir) -> DataFrame:
+    """SPARQL ``sameAs+`` property path: transitive closure (path
+    doubling, O(log diameter) rounds) of the owl:sameAs edge set. The
+    alias chains make the closure doc_id arithmetic: every (a_i, a_j)
+    with 0 <= j < i <= maxj(entity)."""
+    from rdflib_jsonld_spark.operators.linking import transitive_closure
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    edges = (quads.where((F.col("p") == _OWL_SAMEAS)
+                         & (F.col("o_kind") == "iri"))
+             .select(F.col("s").alias("src"),
+                     F.col("o_value").alias("dst")))
+    return transitive_closure(edges).orderBy("src", "dst")
+
+
 def q_kg_expand_error_metrics(spark, sf_dir) -> DataFrame:
     """A5/§4.3.3 metrics face, contract-gated: expand_with_metrics must
     count exactly the generator's planted malformed blocks in _kg_errors
@@ -799,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_negation_counts": q_kg_bgp_negation_counts,
         "kg_bgp_values_mentions": q_kg_bgp_values_mentions,
         "kg_construct_entity_graph": q_kg_construct_entity_graph,
+        "kg_sameas_closure": q_kg_sameas_closure,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -1155,6 +1172,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
                      count(DISTINCT e * 10 + j)::BIGINT FROM d)
             ORDER BY p
+        """,
+        "kg_sameas_closure": f"""
+            WITH d AS (
+              SELECT doc_id % 500 AS e,
+                     doc_id % (1 + (doc_id % 500) % 3) AS j
+              FROM documents),
+            maxj AS (SELECT e, max(j) AS mj FROM d GROUP BY e),
+            pairs AS (
+              SELECT e, i, jj
+              FROM maxj,
+                   UNNEST(range(1, mj + 1)) AS t(i),
+                   UNNEST(range(0, i)) AS u(jj)
+              WHERE mj >= 1)
+            SELECT '{KG}e/' || e::varchar || '/a' || i::varchar AS src,
+                   '{KG}e/' || e::varchar || '/a' || jj::varchar AS dst
+            FROM pairs
+            ORDER BY src, dst
         """,
         # --- relational -----------------------------------------------------
         "tpch_q1_pricing_summary": """

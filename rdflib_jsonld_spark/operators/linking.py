@@ -171,6 +171,46 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     return e.select(F.col("src").alias("node"), F.col("dst").alias("root"))
 
 
+def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Directed transitive closure of an edge set — the SPARQL ``p+``
+    property-path primitive over the constructed graph (follow-on to
+    the BGP surface: ``?x p+ ?y`` = closure of the p edge list).
+
+    Algorithm: **path doubling** — each round joins the closure with
+    itself, so paths of length ≤ 2^k are covered after k rounds:
+    O(log diameter) shuffle rounds, not O(diameter) like naive
+    chaining (a 1M-long chain needs 20 rounds, not 1M).
+    ``localCheckpoint`` per round cuts lineage exactly like the CC
+    loop; the fixpoint test reuses the bit_xor set digest. Cycles
+    yield their self-pairs ((a,a) for a on a cycle), matching SPARQL
+    path semantics; explicit self-loops are length-1 paths and kept.
+
+    Scale: each round is one equi-join + distinct on the pair key —
+    AQE-splittable; the state is the closure pair set, which for the
+    entity-alias graphs this engine builds is ≪ the quad table.
+    """
+    closure = edges.select("src", "dst").distinct() \
+        .localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        a, b = closure.alias("a"), closure.alias("b")
+        step = (a.join(b, F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst")))
+        nxt = closure.unionByName(step).distinct() \
+            .localCheckpoint(eager=True)
+        closure.unpersist()
+        closure = nxt
+        sig = closure.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h")).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    return closure
+
+
 def canonical_mapping(quads: DataFrame) -> DataFrame:
     """quads → (node, root) canonical-id map for entity IRIs (F2 result)."""
     return connected_components(mention_edges(quads))

@@ -187,3 +187,18 @@ def test_canonicalize_and_counts(spark):
     assert top[0] == f"{KG}e/0/a0"
     mapping.unpersist()
     quads.unpersist()
+
+
+def test_transitive_closure_chain_and_cycle(spark):
+    """p+ property-path primitive: path doubling covers long chains in
+    O(log n) rounds; cycles yield their self-pairs (SPARQL semantics);
+    disconnected components never mix."""
+    from rdflib_jsonld_spark.operators.linking import transitive_closure
+    chain = [(f"n{i}", f"n{i+1}") for i in range(9)]        # n0→…→n9
+    cycle = [("x", "y"), ("y", "x")]
+    other = [("p", "q")]
+    edges = spark.createDataFrame(chain + cycle + other, ["src", "dst"])
+    got = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    want = {(f"n{i}", f"n{j}") for i in range(10) for j in range(10) if i < j}
+    want |= {("x", "y"), ("y", "x"), ("x", "x"), ("y", "y"), ("p", "q")}
+    assert got == want
