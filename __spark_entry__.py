@@ -596,6 +596,7 @@ def q_doc_token_stats(spark, sf_dir) -> DataFrame:
     return (docs.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg("n_ws_tokens"), 4).alias("avg_ws_tokens"),
+                 F.round(F.avg("n_bpe_tokens"), 4).alias("avg_bpe_tokens"),
                  F.round(F.avg(F.length("text")), 4).alias("avg_chars"))
             .orderBy("lang"))
 
@@ -1408,6 +1409,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4)
                        AS avg_ws_tokens,
+                   round(avg(len(regexp_extract_all(
+                       text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))), 4)
+                       AS avg_bpe_tokens,
                    round(avg(length(text)), 4) AS avg_chars
             FROM documents
             GROUP BY lang
