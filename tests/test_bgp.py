@@ -296,3 +296,82 @@ def test_construct_emits_new_graph(spark):
     # constant object 'entity' is literal-typed; template dedups
     assert ("http://e/a", "http://e/kind", "entity", "literal") in got
     assert len([t for t in got if t[1] == "http://e/kind"]) == 1
+
+
+def test_bgp_extensions_vs_reference_evaluator(spark):
+    """Differential robustness: on random small graphs, the Spark BGP
+    surface (conjunction, UNION, OPTIONAL-free negations) must agree
+    with an independent naive SPARQL-algebra evaluator written directly
+    from the spec (join of bindings / set union / anti-compatibility)."""
+    import random
+
+    def naive_match(rows, patterns):
+        sols = [dict()]
+        for (s, p, o) in patterns:
+            new = []
+            for b in sols:
+                for (rs, rp, ro) in rows:
+                    b2 = dict(b)
+                    ok = True
+                    for pos, val in (((s), rs), ((p), rp), ((o), ro)):
+                        if pos.startswith("?"):
+                            v = pos[1:]
+                            if b2.get(v, val) != val:
+                                ok = False
+                                break
+                            b2[v] = val
+                        elif pos != val:
+                            ok = False
+                            break
+                    if ok:
+                        new.append(b2)
+            sols = new
+        return sols
+
+    def as_set(sols, var_order):
+        return {tuple(b.get(v) for v in var_order) for b in sols}
+
+    rng = random.Random(7)
+    preds = ["e:p", "e:q", "e:r"]
+    nodes = [f"e:n{i}" for i in range(6)]
+    for trial in range(6):
+        rows = sorted({(rng.choice(nodes), rng.choice(preds),
+                        rng.choice(nodes)) for _ in range(14)})
+        q = _quads(spark, [(s, p, o, "iri") for s, p, o in rows])
+        pat = [("?x", rng.choice(preds), "?y")]
+        alt = [("?x", rng.choice(preds), "?y")]
+        neg = [("?y", rng.choice(preds), "?z")]
+
+        # conjunction + second hop
+        two = pat + [("?y", rng.choice(preds), "?z")]
+        got = {(r.x, r.y, r.z) for r in match_bgp(q, two).collect()}
+        want = as_set(naive_match(rows, two), ["x", "y", "z"])
+        assert got == want, (trial, "conj")
+
+        from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
+        # UNION
+        got = {(r.x, r.y) for r in
+               match_bgp_extended(q, pat, union=[alt]).collect()}
+        want = as_set(naive_match(rows, pat), ["x", "y"]) \
+            | as_set(naive_match(rows, alt), ["x", "y"])
+        assert got == want, (trial, "union")
+
+        # NOT EXISTS: drop solutions where the substituted group matches
+        base = naive_match(rows, pat)
+        neg_sols = naive_match(rows, neg)
+        neg_ys = {b["y"] for b in neg_sols}
+        want = {(b["x"], b["y"]) for b in base if b["y"] not in neg_ys}
+        got = {(r.x, r.y) for r in
+               match_bgp_extended(q, pat, not_exists=neg).collect()}
+        assert got == want, (trial, "not_exists")
+
+        # MINUS with shared var y: same as anti on y; with disjoint
+        # group: no-op
+        got = {(r.x, r.y) for r in
+               match_bgp_extended(q, pat, minus=neg).collect()}
+        assert got == want, (trial, "minus-shared")
+        got = {(r.x, r.y) for r in
+               match_bgp_extended(
+                   q, pat, minus=[("?a", rng.choice(preds), "?b")])
+               .collect()}
+        assert got == {(b["x"], b["y"]) for b in base}, (trial, "minus-dis")
