@@ -218,6 +218,13 @@ def match_bgp_extended(quads: DataFrame,
     Catalyst still owns join strategy/ordering; filters on required
     variables are pushed through the joins by the optimizer. Anti-joins
     broadcast when the negation group is small (AQE decides).
+
+    NULL-binding caveat (documented deviation): a variable that is NULL
+    in a solution (unbound — from a UNION pad or unmatched OPTIONAL)
+    never equals a join key, so OPTIONAL/VALUES joined after UNION and
+    the negation anti-joins treat unbound as NON-matching, whereas
+    SPARQL's compatibility relation treats unbound as compatible with
+    anything. All-bound solutions (every BGP-only query) are exact.
     """
     acc = match_bgp(quads, patterns, distinct=False, optimize=optimize,
                     stats=stats, with_types=with_types)

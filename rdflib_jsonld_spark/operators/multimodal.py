@@ -190,7 +190,12 @@ def _decode(payload: bytes, kind: str, decoders: dict | None = None):
     executors inside the UDF closure, so swapping a codec in requires no
     module changes on the cluster."""
     if decoders and kind in decoders:
-        out = decoders[kind](payload)
+        try:
+            out = decoders[kind](payload)
+        except Exception as e:  # user codec: failures surface per-row
+            raise DecodeUnavailable(
+                f"custom {kind} decoder failed: "
+                f"{type(e).__name__}: {e}") from None
         if out is not None:
             return out
     if kind == "image":

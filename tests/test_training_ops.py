@@ -496,3 +496,19 @@ def test_broadcast_small_query_guardrail(spark):
     # within bounds both still work
     ok = similarity.pairwise_topk(emb, emb.limit(2), k=2, max_queries=3)
     assert ok.count() == 4
+
+
+def test_custom_decoder_failure_surfaces_per_row(spark):
+    """A user-supplied codec that THROWS must surface as a row error
+    (like built-in decode failures), never kill the 100 TB task."""
+    rows = [(0, "image", "image/jpeg", b"\xff\xd8\xff bad", None, None,
+             None)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+    def exploding(payload):
+        raise TypeError("boom")
+
+    out = multimodal.extract_features(
+        media, decoders={"image": exploding}).collect()
+    assert out[0].feature is None
+    assert "custom image decoder failed" in out[0].error
