@@ -302,8 +302,9 @@ def q_kg_sameas_closure(spark, sf_dir) -> DataFrame:
     with 0 <= j < i <= maxj(entity)."""
     from rdflib_jsonld_spark.operators.linking import transitive_closure
     docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    # single-branch scan: the closure's own localCheckpoint materializes
+    # the edge set, so no quad-table persist is needed here
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
     edges = (quads.where((F.col("p") == _OWL_SAMEAS)
                          & (F.col("o_kind") == "iri"))
              .select(F.col("s").alias("src"),
