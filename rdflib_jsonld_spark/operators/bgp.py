@@ -82,13 +82,16 @@ TYPED_PREFIX = "__typ_"  # reserved: user variables must not start with it
 
 def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
                 typed: set[str] | None = None,
-                capture_types: bool = False) -> tuple:
+                capture_types: bool = False,
+                graph_var: str | None = None) -> tuple:
     """One pattern → filtered projection. With ``capture_types``, a
     variable bound in OBJECT position also projects its
     o_kind/o_datatype/o_lang as hidden ``__typ_<var>__*`` companion
     columns (recorded in ``typed``). A variable repeated WITHIN the
     pattern (e.g. ("?x", p, "?x")) adds the positional equality filter
-    instead of silently overwriting the earlier binding."""
+    instead of silently overwriting the earlier binding. With
+    ``graph_var``, the g column binds that variable in every pattern
+    (so multi-pattern matches require co-occurrence in ONE graph)."""
     df = quads
     cols = {}
 
@@ -99,6 +102,8 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
         else:
             cols[var] = src
 
+    if graph_var is not None:
+        bind(graph_var, "g")
     if _is_var(s):
         bind(s[1:], "s")
     else:
@@ -143,11 +148,28 @@ def _first_object_binders(patterns) -> dict[str, int]:
 def match_bgp(quads: DataFrame, patterns: list[tuple[str, str, str]],
               distinct: bool = True, optimize: bool = True,
               stats: dict[str, int] | None = None,
-              with_types: bool = False) -> DataFrame:
+              with_types: bool = False,
+              graph: str | None = None) -> DataFrame:
     """Join all patterns on shared variables; returns one column per
-    variable (SPARQL SELECT * semantics over a BGP, set results)."""
+    variable (SPARQL SELECT * semantics over a BGP, set results).
+
+    ``graph`` scopes the match (SPARQL GRAPH clause):
+    - None (default): match quads in ANY graph — the rdflib
+      ConjunctiveGraph semantics the rest of the pipeline uses;
+    - ``"?g"``: named graphs only; the graph name binds to the variable
+      (one more join key when patterns must co-occur in one graph);
+    - an IRI/bnode-label constant: only that named graph.
+    The quad-table filter (g IS NOT NULL / g = const) is pushed into the
+    scan by Catalyst like any other pattern constant.
+    """
     if not patterns:
         raise ValueError("empty BGP")
+    if graph is not None:
+        if _is_var(graph):
+            quads = quads.where(F.col("g").isNotNull())
+        else:
+            quads = quads.where(F.col("g") == graph)
+    graph_var = graph[1:] if (graph is not None and _is_var(graph)) else None
     order = _order_patterns(patterns, stats) if optimize \
         else list(range(len(patterns)))
     typed: set[str] | None = set() if with_types else None
@@ -158,7 +180,8 @@ def match_bgp(quads: DataFrame, patterns: list[tuple[str, str, str]],
         s, p, o = patterns[i]
         capture = with_types and _is_var(o) and first_obj.get(o[1:]) == i
         df, vars_i = _pattern_df(quads, i, s, p, o, typed,
-                                 capture_types=capture)
+                                 capture_types=capture,
+                                 graph_var=graph_var)
         if acc is None:
             acc, bound = df, vars_i
             continue
@@ -184,7 +207,8 @@ def match_bgp_extended(quads: DataFrame,
                        distinct: bool = True,
                        optimize: bool = True,
                        stats: dict[str, int] | None = None,
-                       with_types: bool = False) -> DataFrame:
+                       with_types: bool = False,
+                       graph: str | None = None) -> DataFrame:
     """BGP + the SPARQL constructs a graph user reaches for beyond
     conjunction, each mapped to its natural Spark join:
 
@@ -227,10 +251,10 @@ def match_bgp_extended(quads: DataFrame,
     anything. All-bound solutions (every BGP-only query) are exact.
     """
     acc = match_bgp(quads, patterns, distinct=False, optimize=optimize,
-                    stats=stats, with_types=with_types)
+                    stats=stats, with_types=with_types, graph=graph)
     for grp in union or []:
         alt = match_bgp(quads, grp, distinct=False, optimize=optimize,
-                        stats=stats, with_types=with_types)
+                        stats=stats, with_types=with_types, graph=graph)
         acc = acc.unionByName(alt, allowMissingColumns=True)
     companions = set(_companion_cols(acc.columns))
     bound = set(acc.columns) - companions
@@ -263,7 +287,7 @@ def match_bgp_extended(quads: DataFrame,
         if not group:
             continue
         sub = match_bgp(quads, group, distinct=False, optimize=optimize,
-                        stats=stats)
+                        stats=stats, graph=graph)
         shared = sorted(bound & set(sub.columns))
         if shared:
             acc = acc.join(sub.select(*shared), on=shared, how="left_anti")

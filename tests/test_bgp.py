@@ -375,3 +375,44 @@ def test_bgp_extensions_vs_reference_evaluator(spark):
                    q, pat, minus=[("?a", rng.choice(preds), "?b")])
                .collect()}
         assert got == {(b["x"], b["y"]) for b in base}, (trial, "minus-dis")
+
+
+def test_bgp_graph_scoping(spark):
+    """SPARQL GRAPH clause: constant scopes to one named graph; a
+    variable binds graph names (named graphs only) and forces pattern
+    co-occurrence within a single graph; default (None) keeps the
+    rdflib ConjunctiveGraph any-graph semantics."""
+    from rdflib_jsonld_spark.operators.bgp import (
+        match_bgp, match_bgp_extended)
+    rows = [
+        ("e:g1", "e:a", "e:p", "v1"),
+        ("e:g1", "e:a", "e:q", "w1"),
+        ("e:g2", "e:a", "e:p", "v2"),
+        ("e:g2", "e:b", "e:q", "w2"),
+        (None,   "e:a", "e:p", "v0"),
+    ]
+    q = spark.createDataFrame(
+        [(g, s, False, p, "literal", o, None, None) for g, s, p, o in rows],
+        "g string, s string, s_is_bnode boolean, p string, o_kind string, "
+        "o_value string, o_datatype string, o_lang string")
+    # any-graph default
+    got = {r.v for r in match_bgp(q, [("e:a", "e:p", "?v")]).collect()}
+    assert got == {"v0", "v1", "v2"}
+    # constant graph
+    got = {r.v for r in match_bgp(q, [("e:a", "e:p", "?v")],
+                                  graph="e:g1").collect()}
+    assert got == {"v1"}
+    # graph variable: binds names, excludes the default graph
+    got = {(r.gr, r.v) for r in
+           match_bgp(q, [("e:a", "e:p", "?v")], graph="?gr").collect()}
+    assert got == {("e:g1", "v1"), ("e:g2", "v2")}
+    # co-occurrence: both patterns must hold in the SAME graph
+    got = {(r.gr, r.v, r.w) for r in match_bgp(
+        q, [("e:a", "e:p", "?v"), ("?s2", "e:q", "?w")],
+        graph="?gr").collect()}
+    assert got == {("e:g1", "v1", "w1"), ("e:g2", "v2", "w2")}
+    # GRAPH scope threads through the extended surface (negation here)
+    got = {r.v for r in match_bgp_extended(
+        q, [("e:a", "e:p", "?v")],
+        not_exists=[("e:b", "e:q", "?z")], graph="e:g1").collect()}
+    assert got == {"v1"}  # e:b/e:q exists only in g2 → not in scope
