@@ -767,6 +767,31 @@ def q_emb_ivf_multi_topk(spark, sf_dir) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+def q_emb_ivf_join_topk(spark, sf_dir) -> DataFrame:
+    """Corpus-vs-corpus IVF (ivf_topk_join): NO driver collect of the
+    query side — probe cells are a distributed pass, candidates a
+    shuffle join on cluster id. Planted truth: 3 near-copies per query
+    (8 queries) live in each query's own cell, so a partial 2-of-8
+    probe must recover the exact per-query top-3 — brute-force SQL over
+    the planted universe is the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8)
+    planted = (qs.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("i"),
+        "embedding", "label")
+        .select((F.col("vec_id") * 100 + F.col("i") + 8_000_000)
+                .cast("long").alias("vec_id"),
+                F.transform("embedding",
+                            lambda x: x + F.col("i") * F.lit(0.0002))
+                .cast("array<float>").alias("embedding"),
+                "label"))
+    both = emb.unionByName(planted)
+    return (similarity.ivf_topk_join(both, qs, k=3,
+                                     n_clusters=8, n_probe=2)
+            .orderBy("query_id", "rank"))
+
+
 def q_doc_winnowing_overlap(spark, sf_dir) -> DataFrame:
     """Winnowing (MOSS) fingerprint-overlap pairs with the stop-
     fingerprint cap — boilerplate/plagiarism detection."""
@@ -859,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_topk": q_emb_ann_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_ivf_multi_topk": q_emb_ivf_multi_topk,
+        "emb_ivf_join_topk": q_emb_ivf_join_topk,
         "doc_winnowing_overlap": q_doc_winnowing_overlap,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "multimodal_features": q_multimodal_features,
@@ -1689,6 +1715,33 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, nbr_id, cosine, rank
             FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "emb_ivf_join_topk": """
+            WITH planted AS (
+              SELECT (e.vec_id * 100 + i + 8000000)::BIGINT AS vec_id,
+                     list_transform(e.embedding::DOUBLE[],
+                                    x -> ((x + i * 0.0002)::FLOAT)::DOUBLE)
+                         AS v
+              FROM embeddings e, UNNEST(range(1, 4)) AS t(i)
+              WHERE e.vec_id < 8),
+            univ AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL SELECT vec_id, v FROM planted),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, u.vec_id AS nbr_id,
+                     round(list_cosine_similarity(u.v, q.qv), 6) AS cosine
+              FROM univ u CROSS JOIN q
+              WHERE u.vec_id != q.query_id),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, nbr_id)::INT AS rank
+              FROM scored)
+            SELECT query_id, nbr_id, cosine, rank
+            FROM ranked WHERE rank <= 3
             ORDER BY query_id, rank
         """,
         "emb_near_dup_pairs": """

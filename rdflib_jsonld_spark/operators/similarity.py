@@ -306,6 +306,67 @@ def ivf_topk_multi(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     return _window_topk(scored, k)
 
 
+def ivf_probe_assignments(queries: DataFrame, centroids: np.ndarray,
+                          n_probe: int = 4, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """(query_id, cluster) rows for each query's ``n_probe`` nearest
+    cells — computed DISTRIBUTED (one numpy pass per Arrow batch, the
+    centroid plate ships in the closure). No driver collect: this is
+    what lets the join variant below take an arbitrarily large query
+    table."""
+    cents = centroids.copy()
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("cluster", T.IntegerType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            take = min(n_probe, d.shape[1])
+            order = np.argsort(d, axis=1)[:, :take]
+            # scalar-repeat is the fast numpy path (array repeats are
+            # pathological on this build — CLAUDE.md r03)
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf[id_col].to_numpy(), take),
+                "cluster": order.ravel().astype(np.int32)})
+
+    return queries.select(id_col, vec_col).mapInPandas(gen, schema=schema)
+
+
+def ivf_topk_join(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                  n_clusters: int = 16, n_probe: int = 4, seed: int = 7,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  centroids: np.ndarray | None = None) -> DataFrame:
+    """Corpus-vs-corpus IVF ANN — the SCALE path past ivf_topk_multi's
+    broadcast-small query contract: probe cells are computed per-query
+    in a distributed pass, candidates come from a shuffle equi-join on
+    the cluster id (AQE-splittable on hot cells), and the exact re-rank
+    is a per-query window top-k. Nothing is collected; both sides can
+    be arbitrarily large. Candidates per query ≈ n·n_probe/n_clusters —
+    the same recall/latency dial as single-query IVF."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_clusters, seed=seed,
+                                  vec_col=vec_col)
+    assigns = ivf_assignments(embeddings, centroids, id_col, vec_col)
+    probes = ivf_probe_assignments(queries, centroids, n_probe,
+                                   id_col, vec_col)
+    cand = (assigns.join(probes, "cluster")
+            .select("query_id", F.col(id_col).alias("nbr_id"))
+            .dropDuplicates(["query_id", "nbr_id"]))
+    e = embeddings.select(F.col(id_col).alias("nbr_id"),
+                          F.col(vec_col).alias("evec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    scored = (cand.join(e, "nbr_id").join(q, "query_id")
+              .where(F.col("query_id") != F.col("nbr_id"))
+              .withColumn("cosine", _pair_cosine("qvec", "evec")))
+    return _window_topk(scored, k)
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                              n_bits: int = 10, n_tables: int = 6,
                              seed: int = 1234, id_col: str = "vec_id",

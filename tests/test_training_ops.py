@@ -512,3 +512,30 @@ def test_custom_decoder_failure_surfaces_per_row(spark):
         media, decoders={"image": exploding}).collect()
     assert out[0].feature is None
     assert "custom image decoder failed" in out[0].error
+
+
+def test_ivf_topk_join_matches_multi(spark):
+    """The fully-distributed corpus-vs-corpus IVF (shuffle join on
+    cluster id, zero driver collects of the query side) must return
+    exactly what the broadcast-small variant returns for the same
+    centroids/probe settings."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.randn(8, 4)
+    rows = []
+    vid = 0
+    for c in range(8):
+        for i in range(12):
+            v = base[c] + 0.05 * rng.randn(4)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.where("vec_id % 12 = 0")
+    cents = similarity.ivf_centroids(emb, 8, seed=11)
+    a = similarity.ivf_topk_multi(emb, qs, k=4, n_probe=2,
+                                  centroids=cents)
+    b = similarity.ivf_topk_join(emb, qs, k=4, n_probe=2,
+                                 centroids=cents)
+    ra = {(r.query_id, r.nbr_id, r.rank, r.cosine) for r in a.collect()}
+    rb = {(r.query_id, r.nbr_id, r.rank, r.cosine) for r in b.collect()}
+    assert ra == rb and len(ra) == 8 * 4

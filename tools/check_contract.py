@@ -26,7 +26,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 CORPUS_VALIDATED = {
     "doc_minhash_near_dups", "doc_simhash_near_dups",
     "doc_near_dup_clusters", "emb_ann_topk", "emb_ivf_topk",
-    "emb_ivf_multi_topk",
+    "emb_ivf_multi_topk", "emb_ivf_join_topk",
 }
 
 
