@@ -416,3 +416,24 @@ def test_bgp_graph_scoping(spark):
         q, [("e:a", "e:p", "?v")],
         not_exists=[("e:b", "e:q", "?z")], graph="e:g1").collect()}
     assert got == {"v1"}  # e:b/e:q exists only in g2 → not in scope
+
+
+def test_bgp_constants_push_down_to_parquet_scan(spark, tmp_path):
+    """Scale evidence: a BGP pattern's constants must reach the parquet
+    scan as PushedFilters (predicate pushdown through the projection),
+    and the scan must prune to the referenced columns only."""
+    q = _quads(spark, [
+        ("e:m1", "e:about", "e:a", "iri"),
+        ("e:m1", "e:type", "e:Mention", "iri"),
+        ("e:m2", "e:about", "e:b", "iri"),
+    ])
+    path = str(tmp_path / "quads.parquet")
+    q.write.parquet(path)
+    stored = spark.read.parquet(path)
+    out = match_bgp(stored, [("?m", "e:about", "?e")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "EqualTo(p,e:about)" in plan.replace("`", ""), plan[:2000]
+    # column pruning: the scan schema must not read o_datatype/o_lang
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "o_datatype" not in scan[0] and "o_lang" not in scan[0]
