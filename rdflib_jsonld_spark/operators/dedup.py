@@ -192,12 +192,15 @@ def _fnv1a(b: bytes) -> int:
 
 
 def _fnv1a_batch(enc: list[bytes]) -> np.ndarray:
-    """FNV-1a over a batch of byte strings, vectorized: scatter the
-    concatenated bytes into a padded (n, maxlen) uint8 matrix, then run
-    max-word-length passes of the mix over the whole column with a
-    length mask. Bit-identical to ``_fnv1a`` per word; replaces the
-    per-byte Python loop (the r02 ``weak`` finding) with numpy passes —
-    the same pattern as ``_char_shingles``/``_batch_winnow``."""
+    """FNV-1a over a batch of byte strings, vectorized: one flat buffer
+    of the concatenated bytes, then max-word-length passes that gather
+    byte i of every still-active word by direct index (starts+i) and
+    mix the whole lane at once. Bit-identical to ``_fnv1a`` per word;
+    replaces the per-byte Python loop (the r02 ``weak`` finding) with
+    numpy passes — the same pattern as ``_char_shingles``/
+    ``_batch_winnow``. Deliberately NO padded-matrix scatter: building
+    its indices needs array-repeats, which are pathological on this
+    numpy build (CLAUDE.md r03)."""
     n = len(enc)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
@@ -207,18 +210,25 @@ def _fnv1a_batch(enc: list[bytes]) -> np.ndarray:
     if total == 0:
         return h
     flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
-    ends = np.cumsum(lens)
-    starts = ends - lens
-    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-    cols = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    starts = np.cumsum(lens) - lens
     maxlen = int(lens.max())
-    buf = np.zeros((n, maxlen), dtype=np.uint8)
-    buf[rows, cols] = flat
+    # sort by length DESCENDING so the words still active at byte i are
+    # always a PREFIX — per-pass slices instead of boolean masks (3
+    # gathers + a scatter per pass become 1 gather + in-place slice ops)
+    order = np.argsort(-lens, kind="stable")
+    slens = lens[order]
+    sstarts = starts[order]
+    hs = h[order]
+    neg = -slens  # ascending view for searchsorted
     with np.errstate(over="ignore"):  # uint64 wrap is the FNV semantics
         for i in range(maxlen):
-            active = lens > i
-            h[active] = (h[active] ^ buf[active, i].astype(np.uint64)) \
-                * _FNV_PRIME
+            # active ⇔ len > i ⇔ -len < -i: count of neg strictly below
+            k = int(np.searchsorted(neg, -i, side="left"))
+            if k == 0:
+                break
+            idx = sstarts[:k] + i
+            hs[:k] = (hs[:k] ^ flat[idx].astype(np.uint64)) * _FNV_PRIME
+    h[order] = hs
     return h
 
 
@@ -237,8 +247,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     ])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
-        pow2 = np.left_shift(np.uint64(1), bit_idx)
+        pow2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
         for pdf in batches:
             n_docs = len(pdf)
             if n_docs == 0:
@@ -250,24 +259,29 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
             enc = [w.encode("utf-8", "ignore")
                    for words in word_lists for w in words]
             wh = _fnv1a_batch(enc)
-            # ±1 per bit per word, segment-summed per document
-            bits = ((wh[:, None] >> bit_idx[None, :]) & np.uint64(1)) \
-                .astype(np.int64)
-            offsets = np.concatenate(
-                ([0], np.cumsum(counts)[:-1])).astype(np.int64)
-            # reduceat needs nonempty segments: pad empty docs by summing
-            # over a dummy range, then zero them out below
-            safe_off = np.minimum(offsets, max(len(enc) - 1, 0))
             if len(enc):
-                seg = np.add.reduceat(bits, safe_off, axis=0)
+                # bit-unpack TRANSPOSED via the byte view (little-endian
+                # host ⇒ bitorder="little" reproduces bit index within
+                # the uint64), then segment-sum along the CONTIGUOUS
+                # axis with a dtype-promoting reduceat — axis-0 cumsum/
+                # reduceat on the (words, 64) layout is strided and
+                # pathologically slow on this numpy (2.3 s vs 81 ms for
+                # this whole stage at 280 k words)
+                b8t = np.ascontiguousarray(
+                    wh.view(np.uint8).reshape(-1, 8).T)
+                bits_t = np.unpackbits(b8t, axis=0, bitorder="little")
+                ends = np.cumsum(counts)
+                starts = np.minimum(ends - counts, len(enc) - 1)
+                # empty docs yield a garbage single-element column
+                # (reduceat on repeated indices) — masked below
+                seg = np.add.reduceat(bits_t, starts, axis=1,
+                                      dtype=np.int32).T
             else:
-                seg = np.zeros((n_docs, 64), dtype=np.int64)
+                seg = np.zeros((n_docs, 64), dtype=np.int32)
             # v > 0 ⇔ more 1-bits than 0-bits among the doc's words
             v = 2 * seg - counts[:, None]
             sh = ((v > 0).astype(np.uint64) * pow2[None, :]).sum(axis=1)
             sh[counts == 0] = np.uint64(0)
-            # empty segments at the tail / between: reduceat on repeated
-            # offsets yields the NEXT segment's sum — zeroed via the mask
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                 "simhash": sh.astype(np.int64)})
 

@@ -539,3 +539,39 @@ def test_ivf_topk_join_matches_multi(spark):
     ra = {(r.query_id, r.nbr_id, r.rank, r.cosine) for r in a.collect()}
     rb = {(r.query_id, r.nbr_id, r.rank, r.cosine) for r in b.collect()}
     assert ra == rb and len(ra) == 8 * 4
+
+
+def test_simhash_batch_kernel_matches_scalar_reference(spark):
+    """The whole-batch simhash kernel (flat-buffer FNV passes +
+    transposed unpackbits + dtype-promoting reduceat) must be
+    bit-identical to the straightforward per-document scalar
+    formulation, including empty/None/unicode/degenerate docs."""
+    import numpy as np
+    from rdflib_jsonld_spark.operators.dedup import _fnv1a
+
+    def scalar_simhash(text):
+        words = (text or "").lower().split()
+        if not words:
+            return 0
+        bit_idx = np.arange(64, dtype=np.uint64)
+        wh = np.array([_fnv1a(w.encode("utf-8", "ignore")) for w in words],
+                      dtype=np.uint64)
+        bits = ((wh[:, None] >> bit_idx[None, :]) & np.uint64(1)) \
+            .astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                sh |= np.uint64(1) << np.uint64(i)
+        return int(sh.astype(np.int64))
+
+    texts = ["doc %d lorem ipsum dolor sit amet %d" % (i, i)
+             for i in range(40)]
+    texts += ["", "   ", None, "one", "Ünïcode tëxt ünïcode", "a " * 500,
+              "x" * 300]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash
+           for r in dedup.simhash_signatures(df).collect()}
+    want = {i: scalar_simhash(t) for i, t in enumerate(texts)}
+    assert got == want
