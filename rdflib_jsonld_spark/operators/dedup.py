@@ -198,9 +198,11 @@ def _fnv1a_batch(enc: list[bytes]) -> np.ndarray:
     mix the whole lane at once. Bit-identical to ``_fnv1a`` per word;
     replaces the per-byte Python loop (the r02 ``weak`` finding) with
     numpy passes — the same pattern as ``_char_shingles``/
-    ``_batch_winnow``. Deliberately NO padded-matrix scatter: building
-    its indices needs array-repeats, which are pathological on this
-    numpy build (CLAUDE.md r03)."""
+    ``_batch_winnow``. Deliberately NO padded-matrix scatter: the
+    prefix-slice formulation touches no large fresh allocation beyond
+    the flat buffer (big first-touch allocations stall by seconds under
+    this host's contention windows — CLAUDE.md r03) and replaces
+    per-pass boolean masks with slice arithmetic."""
     n = len(enc)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
@@ -263,10 +265,10 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                 # bit-unpack TRANSPOSED via the byte view (little-endian
                 # host ⇒ bitorder="little" reproduces bit index within
                 # the uint64), then segment-sum along the CONTIGUOUS
-                # axis with a dtype-promoting reduceat — axis-0 cumsum/
-                # reduceat on the (words, 64) layout is strided and
-                # pathologically slow on this numpy (2.3 s vs 81 ms for
-                # this whole stage at 280 k words)
+                # axis with a dtype-promoting reduceat — on the
+                # (words, 64) layout the same reduceat is strided and
+                # measures 2.5-4x slower (85 vs 34 ms at 280 k words,
+                # warm); the transposed unpack itself is near-free
                 b8t = np.ascontiguousarray(
                     wh.view(np.uint8).reshape(-1, 8).T)
                 bits_t = np.unpackbits(b8t, axis=0, bitorder="little")

@@ -328,8 +328,6 @@ def ivf_probe_assignments(queries: DataFrame, centroids: np.ndarray,
             d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             take = min(n_probe, d.shape[1])
             order = np.argsort(d, axis=1)[:, :take]
-            # scalar-repeat is the fast numpy path (array repeats are
-            # pathological on this build — CLAUDE.md r03)
             yield pd.DataFrame({
                 "query_id": np.repeat(pdf[id_col].to_numpy(), take),
                 "cluster": order.ravel().astype(np.int32)})
