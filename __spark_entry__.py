@@ -612,6 +612,23 @@ def q_doc_quality_by_source(spark, sf_dir) -> DataFrame:
             .orderBy("source"))
 
 
+def q_doc_chunk_stats(spark, sf_dir) -> DataFrame:
+    """Sliding-window chunking (JVM sequence/explode/substring, no
+    Python): per-source chunk counts and size stats — the windowing op
+    every training pipeline runs before tokenization. The oracle
+    replicates the chunk grid with generate_series + substr."""
+    from rdflib_jsonld_spark.operators.textstats import chunk_documents
+    ch = chunk_documents(_t(spark, sf_dir, "documents"),
+                         chunk_chars=500, overlap=50)
+    return (ch.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.max("chunk_idx").cast("long").alias("max_chunk_idx"),
+                 F.round(F.avg(F.length("chunk_text")), 4)
+                 .alias("avg_chunk_chars"))
+            .orderBy("source"))
+
+
 def q_doc_exact_dup_groups(spark, sf_dir) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     planted = (docs.where(F.col("doc_id") < 5)
@@ -874,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality_by_source": q_doc_quality_by_source,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
+        "doc_chunk_stats": q_doc_chunk_stats,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "doc_lang_pred_counts": q_doc_lang_pred_counts,
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -1485,6 +1503,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(punct_ratio), 6) AS avg_punct_ratio,
                    round(avg(stop_ratio), 6) AS avg_stop_ratio
             FROM q
+            GROUP BY source
+            ORDER BY source
+        """,
+        "doc_chunk_stats": """
+            WITH chunks AS (
+              SELECT doc_id, source, i AS chunk_idx,
+                     substr(text, (i * 450 + 1)::INT, 500) AS chunk_text
+              FROM documents,
+                   UNNEST(range(0, greatest(1,
+                       ceil((length(text) - 50) / 450.0))::BIGINT)) AS t(i))
+            SELECT source,
+                   count(*) AS n_chunks,
+                   count(DISTINCT doc_id) AS n_docs,
+                   max(chunk_idx)::BIGINT AS max_chunk_idx,
+                   round(avg(length(chunk_text)), 4) AS avg_chunk_chars
+            FROM chunks
             GROUP BY source
             ORDER BY source
         """,

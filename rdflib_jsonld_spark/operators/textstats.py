@@ -122,3 +122,34 @@ def lang_id_udf(texts: pd.Series) -> pd.Series:
 
 def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("pred_lang", lang_id_udf(F.col(text_col)))
+
+
+def chunk_documents(docs: DataFrame, chunk_chars: int = 1000,
+                    overlap: int = 100,
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking (the training-data windowing
+    op): one row per (doc, chunk) with ``chunk_idx``, 0-based
+    ``chunk_start`` and ``chunk_text`` — all original columns kept.
+
+    Chunks start every ``chunk_chars - overlap`` characters; the last
+    chunk may be shorter; an empty/short document yields exactly ONE
+    chunk (its full text). Entirely JVM column algebra
+    (sequence/explode/substring — no Python, no shuffle), so the fan-out
+    is pipelined into the scan and Catalyst prunes columns through it.
+    By construction ``chunk0 + chunk1[overlap:] + chunk2[overlap:] + …``
+    reconstructs the document (coverage property, unit-tested).
+    """
+    step = chunk_chars - overlap
+    if step <= 0:
+        raise ValueError("chunk_chars must exceed overlap")
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(text_col) - F.lit(overlap)) / F.lit(float(step))))
+    out = docs.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0), (n - 1).cast("int"))))
+    return (out
+            .withColumn("chunk_start", F.col("chunk_idx") * step)
+            .withColumn("chunk_text",
+                        F.expr(f"substring({text_col}, "
+                               f"chunk_idx * {step} + 1, {chunk_chars})")))

@@ -575,3 +575,35 @@ def test_simhash_batch_kernel_matches_scalar_reference(spark):
            for r in dedup.simhash_signatures(df).collect()}
     want = {i: scalar_simhash(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+def test_chunk_documents_coverage_and_grid(spark):
+    """Chunking invariants: chunk0 + tail[overlap:] per chunk
+    reconstructs the document exactly; start grid is (c-o)-spaced;
+    short/empty docs yield exactly one chunk; original columns kept."""
+    from rdflib_jsonld_spark.operators.textstats import chunk_documents
+    import pytest
+    texts = ["x" * 1000, "y" * 1001, "z" * 1900, "w" * 2000,
+             "short", "", "a" * 450]
+    rows = [(i, t, f"s{i % 2}") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    ch = chunk_documents(docs, chunk_chars=1000, overlap=100)
+    got = {}
+    for r in ch.collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_start, r.chunk_text, r.source))
+    for i, t in enumerate(texts):
+        parts = sorted(got[i])
+        assert [p[0] for p in parts] == list(range(len(parts)))
+        assert all(p[1] == p[0] * 900 for p in parts)
+        rebuilt = parts[0][2] + "".join(p[2][100:] for p in parts[1:])
+        assert rebuilt == t, i
+        assert all(p[3] == f"s{i % 2}" for p in parts)  # cols preserved
+    assert len(got[0]) == 1      # exactly chunk_chars → one chunk
+    assert len(got[1]) == 2      # one char over → two
+    assert len(got[2]) == 2      # 1900 = 1000 + 900
+    assert len(got[3]) == 3
+    assert len(got[4]) == 1 and len(got[5]) == 1
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_chars=100, overlap=100)
