@@ -312,6 +312,28 @@ def q_kg_sameas_closure(spark, sf_dir) -> DataFrame:
     return transitive_closure(edges).orderBy("src", "dst")
 
 
+def q_kg_path_alias_reach(spark, sf_dir) -> DataFrame:
+    """SPARQL 1.1 property path ``?m about/(sameAs|^sameAs)* ?a`` over
+    the documents bridge (operators/paths.py: parser + seq/alt/inv/star
+    with seeded closure evaluation). The undirected sameAs star reaches
+    EVERY alias of the mentioned entity — including, via the zero-length
+    path, the about-target itself when the entity has no aliases — so
+    per-alias mention counts are doc_id arithmetic: alias a_k of entity
+    e (k = 0..maxj(e)) is reached by all count(e) mentions."""
+    from rdflib_jsonld_spark.operators.paths import match_path, parse_path
+    docs = _t(spark, sf_dir, "documents")
+    # persist: the path's seq/star branches scan the quad plan from
+    # multiple joins (about edges, sameAs edges, node universe)
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    path = parse_path(
+        f"<{KG}vocab#about>/(<{_OWL_SAMEAS}>|^<{_OWL_SAMEAS}>)*")
+    pairs = match_path(quads, "?m", path, "?a")
+    return (pairs.groupBy("a")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+            .orderBy("a"))
+
+
 def q_kg_expand_error_metrics(spark, sf_dir) -> DataFrame:
     """A5/§4.3.3 metrics face, contract-gated: expand_with_metrics must
     count exactly the generator's planted malformed blocks in _kg_errors
@@ -860,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_values_mentions": q_kg_bgp_values_mentions,
         "kg_construct_entity_graph": q_kg_construct_entity_graph,
         "kg_sameas_closure": q_kg_sameas_closure,
+        "kg_path_alias_reach": q_kg_path_alias_reach,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -1235,6 +1258,18 @@ def oracle_sql() -> dict[str, str]:
                    '{KG}e/' || e::varchar || '/a' || jj::varchar AS dst
             FROM pairs
             ORDER BY src, dst
+        """,
+        "kg_path_alias_reach": f"""
+            WITH d AS (
+              SELECT doc_id % 500 AS e,
+                     doc_id % (1 + (doc_id % 500) % 3) AS j
+              FROM documents),
+            agg AS (SELECT e, count(*) AS n, max(j) AS mj
+                    FROM d GROUP BY e)
+            SELECT '{KG}e/' || e::varchar || '/a' || k::varchar AS a,
+                   n::BIGINT AS n_mentions
+            FROM agg, UNNEST(range(0, mj + 1)) AS t(k)
+            ORDER BY a
         """,
         # --- relational -----------------------------------------------------
         "tpch_q1_pricing_summary": """
