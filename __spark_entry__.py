@@ -651,6 +651,46 @@ def q_doc_chunk_stats(spark, sf_dir) -> DataFrame:
             .orderBy("source"))
 
 
+def q_doc_decontam_flags(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination (curation.flag_contaminated): docs with
+    doc_id % 97 == 0 play the eval set; every other doc sharing a word
+    5-gram with it is flagged. Broadcast semi-join against the benchmark
+    gram set — the corpus text never shuffles. Exact-replicable in SQL."""
+    from rdflib_jsonld_spark.operators.curation import (
+        benchmark_ngram_set, flag_contaminated)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    # plant verbatim benchmark copies (id+1M) into the corpus: the flag
+    # set must contain every plant (recall) on top of organic overlaps
+    planted = bench.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.where(F.col("doc_id") % 97 != 0).unionByName(planted)
+    flags = flag_contaminated(corpus, benchmark_ngram_set(bench, n=5), n=5)
+    return (flags.where("contaminated")
+            .select("doc_id", "n_hits").orderBy("doc_id"))
+
+
+def q_doc_repetition_scores(spark, sf_dir) -> DataFrame:
+    """Gopher-style within-doc repetition (curation.repetition_scores):
+    top-20 documents by duplicate word-3-gram fraction."""
+    from rdflib_jsonld_spark.operators.curation import repetition_scores
+    docs = _t(spark, sf_dir, "documents")
+    return (repetition_scores(docs, n=3)
+            .orderBy(F.desc("dup_frac"), F.asc("doc_id")).limit(20))
+
+
+def q_doc_split_counts(spark, sf_dir) -> DataFrame:
+    """Deterministic md5 train/val/test assignment
+    (curation.assign_splits): the DuckDB oracle reproduces the identical
+    per-document bucketing, so per-source × split counts must match
+    exactly — the engine-independence guarantee the operator exists
+    for."""
+    from rdflib_jsonld_spark.operators.curation import assign_splits
+    docs = _t(spark, sf_dir, "documents")
+    return (assign_splits(docs, seed="v1").groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source", "split"))
+
+
 def q_doc_exact_dup_groups(spark, sf_dir) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     planted = (docs.where(F.col("doc_id") < 5)
@@ -915,6 +955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_by_source": q_doc_quality_by_source,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
         "doc_chunk_stats": q_doc_chunk_stats,
+        "doc_decontam_flags": q_doc_decontam_flags,
+        "doc_repetition_scores": q_doc_repetition_scores,
+        "doc_split_counts": q_doc_split_counts,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "doc_lang_pred_counts": q_doc_lang_pred_counts,
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -1570,6 +1613,65 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(text)
             HAVING count(*) > 1
             ORDER BY keep_id
+        """,
+        "doc_decontam_flags": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 97 = 0),
+            words AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                         AS w
+              FROM corpus),
+            bwords AS (
+              SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE doc_id % 97 = 0),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+              FROM words, UNNEST(range(1, greatest(len(w)-4, 1)+1)) AS t(i)),
+            bench AS (
+              SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+              FROM bwords, UNNEST(range(1, greatest(len(w)-4, 1)+1)) AS t(i))
+            SELECT g.doc_id, count(*)::BIGINT AS n_hits
+            FROM grams g JOIN bench USING (gram)
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id
+        """,
+        "doc_repetition_scores": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+')
+                         AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+              FROM words, UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)),
+            per_gram AS (
+              SELECT doc_id, gram, count(*) AS c FROM grams
+              GROUP BY doc_id, gram)
+            SELECT doc_id,
+                   sum(c)::BIGINT AS total_grams,
+                   round(1 - count(*)/sum(c), 6) AS dup_frac,
+                   round(max(c)/sum(c), 6) AS top_frac
+            FROM per_gram
+            GROUP BY doc_id
+            ORDER BY dup_frac DESC, doc_id
+            LIMIT 20
+        """,
+        "doc_split_counts": """
+            WITH assigned AS (
+              SELECT source,
+                     ('0x' || substr(md5(doc_id::varchar || chr(31) || 'v1'),
+                                     1, 8))::BIGINT % 1000000 AS b
+              FROM documents)
+            SELECT source,
+                   CASE WHEN b < 900000 THEN 'train'
+                        WHEN b < 950000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs
+            FROM assigned
+            GROUP BY 1, 2
+            ORDER BY source, split
         """,
         "emb_topk_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

@@ -1,0 +1,145 @@
+"""Dataset-curation operators for LLM training pipelines.
+
+Three first-class curation stages a 100-TB corpus pipeline runs after
+dedup (operators/dedup.py) and quality stats (operators/textstats.py):
+
+- **benchmark decontamination** — flag training documents sharing word
+  n-grams with an evaluation/benchmark set (the GPT-3/PaLM-style 13-gram
+  overlap rule; Brown et al. 2020 §C, public methodology). The benchmark
+  side is tiny (eval suites ≍ 10^5-10^6 grams) → broadcast semi-join
+  against the corpus gram stream; past a bounded probe threshold the
+  hint is dropped (same pattern as linking.canonicalize_quads).
+- **repetition scoring** — within-document duplicate n-gram fractions
+  (the Gopher repetition filters; Rae et al. 2021 §A1.1, public
+  methodology): ``dup_frac`` = 1 − distinct/total n-grams and
+  ``top_frac`` = most-frequent-gram share, per document.
+- **deterministic hash splits** — train/val/test assignment from a
+  seeded md5 of the document id: reproducible across engines, runs and
+  partitionings (no sampling shuffle — a pure narrow projection), the
+  property that matters when 10^12 rows must land in the SAME split on
+  every rerun.
+
+All stages are JVM-side column algebra (split/slice/explode/aggregate)
+— no Python in the hot path; every operator is oracle-checked in DuckDB
+via the driver contract (doc_decontam_flags, doc_repetition_scores,
+doc_split_counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import word_ngrams
+
+
+def _ngram_stream(docs: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """(id, gram) with duplicates kept — word_ngrams minus the distinct
+    (repetition scoring needs multiplicities)."""
+    words = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"))
+    return words.select(
+        id_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
+            lambda i: F.array_join(F.slice("w", i + 1, n), " "),
+        )).alias("gram"))
+
+
+def benchmark_ngram_set(bench: DataFrame, n: int = 13,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Distinct word-n-gram set of the benchmark/eval corpus (one
+    ``gram`` column). Materialize/persist this when flagging multiple
+    corpora against the same benchmark."""
+    return word_ngrams(bench, id_col, text_col, n).select("gram").distinct()
+
+
+def flag_contaminated(docs: DataFrame, bench_grams: DataFrame,
+                      n: int = 13, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      broadcast_threshold: int = 5_000_000) -> DataFrame:
+    """Per-document benchmark-overlap flags: (id, n_hits, contaminated)
+    for every input document, where ``n_hits`` counts DISTINCT document
+    n-grams that occur in the benchmark set.
+
+    Plan shape: corpus grams (narrow explode, never shuffled as text) ⋈
+    benchmark grams. The benchmark side broadcasts below
+    ``broadcast_threshold`` grams (bounded limit-probe, no full count),
+    so the corpus side never shuffles at all; past it the join degrades
+    to a gram-keyed shuffle — still |grams|, never all-pairs."""
+    grams = word_ngrams(docs, id_col, text_col, n)  # distinct per doc
+    bg = bench_grams.select("gram").distinct()
+    probe = bg.limit(broadcast_threshold + 1).count()
+    if probe <= broadcast_threshold:
+        bg = F.broadcast(bg)
+    hits = (grams.join(bg, "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    return (docs.select(id_col).distinct()
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") > 0))
+
+
+def repetition_scores(docs: DataFrame, n: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition measures per document:
+
+    - ``total_grams``  — word-n-gram occurrences (with duplicates);
+    - ``dup_frac``     — 1 − distinct/total (0 for gram-free docs);
+    - ``top_frac``     — share held by the most frequent n-gram.
+
+    One narrow explode + two hash aggregations, all JVM; at scale the
+    (id, gram) shuffle key is unskewed because every group is bounded by
+    its own document length."""
+    per_gram = (_ngram_stream(docs, id_col, text_col, n)
+                .groupBy(id_col, "gram")
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_gram.groupBy(id_col)
+            .agg(F.sum("c").alias("total"),
+                 F.count(F.lit(1)).alias("n_distinct"),
+                 F.max("c").alias("top"))
+            .select(
+                id_col,
+                F.col("total").cast("long").alias("total_grams"),
+                F.round(1 - F.col("n_distinct") / F.col("total"), 6)
+                .alias("dup_frac"),
+                F.round(F.col("top") / F.col("total"), 6)
+                .alias("top_frac")))
+
+
+def assign_splits(docs: DataFrame,
+                  splits: list[tuple[str, float]] = (
+                      ("train", 0.9), ("val", 0.05), ("test", 0.05)),
+                  id_col: str = "doc_id", seed: str = "v1",
+                  buckets: int = 1_000_000) -> DataFrame:
+    """Append a deterministic ``split`` column: md5(id ‖ 0x1F ‖ seed)
+    hashed into ``buckets``, thresholded by the cumulative split
+    weights. Engine-independent (md5 is md5 everywhere — the DuckDB
+    oracle reproduces the assignment bit-for-bit), partitioning-
+    independent, and a pure narrow projection: re-running on a
+    reshuffled 10^12-row corpus yields the identical assignment with
+    zero shuffle. Changing ``seed`` re-rolls every assignment."""
+    weights = [w for _, w in splits]
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {sum(weights)}")
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                              F.lit(seed))), 1, 8), 16, 10)
+        .cast("bigint") % buckets)
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn("split", expr)

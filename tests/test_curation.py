@@ -1,0 +1,135 @@
+"""Dataset-curation operators (operators/curation.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdflib_jsonld_spark.operators.curation import (
+    assign_splits, benchmark_ngram_set, flag_contaminated,
+    repetition_scores)
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def test_flag_contaminated_exact_and_partial(spark):
+    bench = docs_df(spark, ["the quick brown fox jumps over the lazy dog"])
+    corpus = docs_df(spark, [
+        "the quick brown fox jumps over the lazy dog",   # verbatim
+        "note the quick brown fox jumps right here",     # one shared 5-gram
+        "completely different text about nothing else",  # clean
+        "tiny",                                          # < n words
+    ])
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in flag_contaminated(
+               corpus, benchmark_ngram_set(bench, n=5), n=5).collect()}
+    assert out[0][1] and out[0][0] == 5        # 9 words → 5 distinct 5-grams
+    assert out[1] == (1, True)                 # "the quick brown fox jumps"
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)                # short doc: degenerate gram
+    assert len(out) == 4                       # every doc present
+
+
+def test_flag_contaminated_counts_distinct_doc_grams(spark):
+    bench = docs_df(spark, ["a b c d e"])
+    # the doc repeats the benchmark 5-gram twice → still 1 distinct hit
+    corpus = docs_df(spark, ["a b c d e x a b c d e"])
+    row = flag_contaminated(corpus, benchmark_ngram_set(bench, n=5),
+                            n=5).collect()[0]
+    assert row.n_hits == 1 and row.contaminated
+
+
+def test_flag_contaminated_shuffle_path_matches_broadcast(spark):
+    bench = docs_df(spark, ["one two three four five six"])
+    corpus = docs_df(spark, ["zero one two three four five seven",
+                             "unrelated words only here today now"])
+    bg = benchmark_ngram_set(bench, n=5)
+    a = sorted((r.doc_id, r.n_hits) for r in
+               flag_contaminated(corpus, bg, n=5).collect())
+    b = sorted((r.doc_id, r.n_hits) for r in
+               flag_contaminated(corpus, bg, n=5,
+                                 broadcast_threshold=0).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# repetition
+# ---------------------------------------------------------------------------
+
+def test_repetition_scores_formulas(spark):
+    docs = docs_df(spark, [
+        "a b a b a b a b",      # heavy 2-gram repetition
+        "w x y z q r s t",      # all distinct
+    ])
+    out = {r.doc_id: r for r in repetition_scores(docs, n=2).collect()}
+    # doc 0: grams = [ab, ba]*… → total 7, distinct 2, top 4
+    assert out[0].total_grams == 7
+    assert out[0].dup_frac == round(1 - 2 / 7, 6)
+    assert out[0].top_frac == round(4 / 7, 6)
+    # doc 1: 7 grams all distinct
+    assert out[1].total_grams == 7
+    assert out[1].dup_frac == 0.0
+    assert out[1].top_frac == round(1 / 7, 6)
+
+
+def test_repetition_scores_degenerate_docs(spark):
+    docs = docs_df(spark, ["", "one"])
+    out = {r.doc_id: r for r in repetition_scores(docs, n=3).collect()}
+    for i in (0, 1):  # single degenerate gram → no repetition signal
+        assert out[i].total_grams == 1 and out[i].dup_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# splits
+# ---------------------------------------------------------------------------
+
+def _expected_split(doc_id, seed="v1"):
+    h = hashlib.md5(f"{doc_id}\x1f{seed}".encode()).hexdigest()
+    b = int(h[:8], 16) % 1_000_000
+    return "train" if b < 900_000 else ("val" if b < 950_000 else "test")
+
+
+def test_assign_splits_matches_reference_md5(spark):
+    docs = docs_df(spark, [f"text {i}" for i in range(200)])
+    out = {r.doc_id: r.split for r in assign_splits(docs).collect()}
+    for i in range(200):
+        assert out[i] == _expected_split(i), i
+
+
+def test_assign_splits_partitioning_independent(spark):
+    docs = docs_df(spark, [f"text {i}" for i in range(100)])
+    a = {r.doc_id: r.split
+         for r in assign_splits(docs.repartition(1)).collect()}
+    b = {r.doc_id: r.split
+         for r in assign_splits(docs.repartition(16)).collect()}
+    assert a == b
+
+
+def test_assign_splits_seed_rerolls_and_weights_hold(spark):
+    docs = docs_df(spark, [f"text {i}" for i in range(2000)])
+    a = assign_splits(docs, seed="v1")
+    b = assign_splits(docs, seed="v2")
+    joined = a.select("doc_id", F.col("split").alias("s1")).join(
+        b.select("doc_id", F.col("split").alias("s2")), "doc_id")
+    changed = joined.where("s1 != s2").count()
+    assert changed > 0
+    counts = {r.split: r["count"] for r in a.groupBy("split").count()
+              .collect()}
+    assert 0.85 < counts["train"] / 2000 < 0.95
+    assert counts.get("val", 0) + counts.get("test", 0) == \
+        2000 - counts["train"]
+
+
+def test_assign_splits_bad_weights(spark):
+    docs = docs_df(spark, ["x"])
+    with pytest.raises(ValueError):
+        assign_splits(docs, splits=[("train", 0.5), ("val", 0.1)])
