@@ -278,6 +278,36 @@ def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
             .orderBy("e"))
 
 
+def q_kg_bgp_group_aggregates(spark, sf_dir) -> DataFrame:
+    """SPARQL SELECT aggregation layer (solutions.sparql_select): per
+    entity alias, COUNT / COUNT DISTINCT / SAMPLE / a BIND-derived alias
+    index, with HAVING + ORDER + LIMIT — every value doc_id arithmetic,
+    so the whole SELECT pipeline gets an exact SQL oracle. SAMPLE is the
+    documented deterministic min."""
+    from rdflib_jsonld_spark.operators.solutions import sparql_select
+    docs = _t(spark, sf_dir, "documents")
+    # persist: the 2-pattern BGP scans the Python expansion twice
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    vocab = KG + "vocab#"
+    return sparql_select(
+        quads,
+        [("?m", rdf_type, vocab + "Mention"), ("?m", vocab + "about", "?e")],
+        # ordered BINDs: the 2nd and 3rd reference the 1st
+        bind=[("cast(regexp_extract(e, 'e/([0-9]+)/', 1) as int)", "?ent"),
+              ("ent % 50", "?grp"),
+              ("cast(regexp_extract(e, 'a([0-9]+)$', 1) as int)", "?j")],
+        group_by=["?grp"],
+        aggregates=[("count", "?m", "n_mentions"),
+                    ("count_distinct", "?e", "n_aliases"),
+                    ("sample", "?m", "first_mention"),
+                    ("max", "?j", "max_alias_idx")],
+        having=["n_mentions > 1"],
+        order_by=["desc(n_mentions)", "?grp"],
+        limit=25)
+
+
 def q_kg_cc_distributed_documents(spark, sf_dir) -> DataFrame:
     """F2 connected components through the DISTRIBUTED large-star/small-
     star branch (driver_threshold=0 disables the driver union-find, so
@@ -955,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_by_source": q_doc_quality_by_source,
         "doc_exact_dup_groups": q_doc_exact_dup_groups,
         "doc_chunk_stats": q_doc_chunk_stats,
+        "kg_bgp_group_aggregates": q_kg_bgp_group_aggregates,
         "doc_decontam_flags": q_doc_decontam_flags,
         "doc_repetition_scores": q_doc_repetition_scores,
         "doc_split_counts": q_doc_split_counts,
@@ -1613,6 +1644,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(text)
             HAVING count(*) > 1
             ORDER BY keep_id
+        """,
+        "kg_bgp_group_aggregates": """
+            WITH m AS (
+              SELECT 'https://kg.example.org/m/doc/' || doc_id::varchar
+                         AS mention,
+                     'https://kg.example.org/e/' || (doc_id % 500)::varchar
+                         || '/a' ||
+                         (doc_id % (1 + (doc_id % 500) % 3))::varchar AS e,
+                     ((doc_id % 500) % 50)::INT AS grp,
+                     (doc_id % (1 + (doc_id % 500) % 3))::INT AS j
+              FROM documents)
+            SELECT grp,
+                   count(mention)::BIGINT AS n_mentions,
+                   count(DISTINCT e)::BIGINT AS n_aliases,
+                   min(mention) AS first_mention,
+                   max(j) AS max_alias_idx
+            FROM m
+            GROUP BY grp
+            HAVING count(*) > 1
+            ORDER BY n_mentions DESC, grp
+            LIMIT 25
         """,
         "doc_decontam_flags": r"""
             WITH corpus AS (
