@@ -308,6 +308,79 @@ def q_kg_bgp_group_aggregates(spark, sf_dir) -> DataFrame:
         limit=25)
 
 
+def q_kg_sparql_text_aggregate(spark, sf_dir) -> DataFrame:
+    """SPARQL *text* front-end (operators/sparql.py): a full query
+    string — prologue, ``a`` keyword, ``;`` elision, BIND over
+    STRBEFORE/STRAFTER, GROUP BY + 3 aggregate kinds, HAVING that
+    reuses a projected aggregate, ORDER BY + LIMIT — parsed and
+    compiled onto the same operators the kwargs surface uses. Every
+    value is doc_id arithmetic → exact SQL oracle."""
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    docs = _t(spark, sf_dir, "documents")
+    # persist: the 2-pattern BGP scans the Python expansion twice
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    return sparql(quads, f"""
+        PREFIX v: <{KG}vocab#>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?grp (COUNT(?m) AS ?n_mentions)
+               (COUNT(DISTINCT ?e) AS ?n_aliases)
+               (MIN(?m) AS ?first_mention)
+        WHERE {{
+          ?m a v:Mention ; v:about ?e .
+          BIND(xsd:integer(STRBEFORE(STRAFTER(STR(?e), "/e/"), "/a"))
+               AS ?enti)
+          BIND(xsd:integer(?enti - 50 * xsd:integer(FLOOR(?enti / 50)))
+               AS ?grp)
+        }}
+        GROUP BY ?grp
+        HAVING (COUNT(?m) > 5)
+        ORDER BY DESC(?n_mentions) ?grp
+        LIMIT 30""")
+
+
+def q_kg_sparql_text_union_negation(spark, sf_dir) -> DataFrame:
+    """Text-layer UNION + per-branch BIND + FILTER NOT EXISTS: three
+    branches tag their solutions with a kind; the third branch (mentions
+    without a turn edge) is provably empty, so its group must be absent.
+    alias_link count per entity = max alias index seen (doc_id
+    arithmetic — the dedup'd sameAs chain edges are {1..max_j})."""
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    return sparql(quads, f"""
+        PREFIX v: <{KG}vocab#>
+        PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        SELECT ?kind (COUNT(*) AS ?n)
+        WHERE {{
+          {{ ?m a v:Mention . BIND("mention" AS ?kind) }}
+          UNION
+          {{ ?x owl:sameAs ?y . BIND("alias_link" AS ?kind) }}
+          UNION
+          {{ ?m2 a v:Mention .
+             FILTER NOT EXISTS {{ ?m2 v:turn ?t }}
+             BIND("orphan" AS ?kind) }}
+        }}
+        GROUP BY ?kind ORDER BY ?kind""")
+
+
+def q_kg_sparql_text_path(spark, sf_dir) -> DataFrame:
+    """Text-layer property path: ``?src owl:sameAs+ ?dst`` parsed from
+    the query string (path grammar in predicate position → match_path
+    plus-closure). Reach counts are doc_id arithmetic: alias a_k
+    reaches exactly k lower aliases."""
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    return sparql(quads, """
+        PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        SELECT ?src (COUNT(?dst) AS ?n_reach)
+        WHERE { ?src owl:sameAs+ ?dst }
+        GROUP BY ?src ORDER BY ?src""")
+
+
 def q_kg_cc_distributed_documents(spark, sf_dir) -> DataFrame:
     """F2 connected components through the DISTRIBUTED large-star/small-
     star branch (driver_threshold=0 disables the driver union-find, so
@@ -953,6 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_construct_entity_graph": q_kg_construct_entity_graph,
         "kg_sameas_closure": q_kg_sameas_closure,
         "kg_path_alias_reach": q_kg_path_alias_reach,
+        "kg_sparql_text_aggregate": q_kg_sparql_text_aggregate,
+        "kg_sparql_text_union_negation": q_kg_sparql_text_union_negation,
+        "kg_sparql_text_path": q_kg_sparql_text_path,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -1344,6 +1420,45 @@ def oracle_sql() -> dict[str, str]:
                    n::BIGINT AS n_mentions
             FROM agg, UNNEST(range(0, mj + 1)) AS t(k)
             ORDER BY a
+        """,
+        "kg_sparql_text_aggregate": f"""
+            WITH m AS (
+              SELECT '{KG}m/doc/' || doc_id::varchar AS mention,
+                     '{KG}e/' || (doc_id % 500)::varchar || '/a' ||
+                         (doc_id % (1 + (doc_id % 500) % 3))::varchar AS e,
+                     ((doc_id % 500) % 50)::BIGINT AS grp
+              FROM documents)
+            SELECT grp,
+                   count(mention)::BIGINT AS n_mentions,
+                   count(DISTINCT e)::BIGINT AS n_aliases,
+                   min(mention) AS first_mention
+            FROM m
+            GROUP BY grp
+            HAVING count(mention) > 5
+            ORDER BY n_mentions DESC, grp
+            LIMIT 30
+        """,
+        "kg_sparql_text_union_negation": """
+            WITH mj AS (
+              SELECT doc_id % 500 AS ent,
+                     max(doc_id % (1 + (doc_id % 500) % 3)) AS m
+              FROM documents GROUP BY 1)
+            SELECT kind, n FROM (
+              SELECT 'alias_link' AS kind, sum(m)::BIGINT AS n FROM mj
+              UNION ALL
+              SELECT 'mention', count(*)::BIGINT FROM documents)
+            WHERE n > 0
+            ORDER BY kind
+        """,
+        "kg_sparql_text_path": f"""
+            WITH mj AS (
+              SELECT doc_id % 500 AS ent,
+                     max(doc_id % (1 + (doc_id % 500) % 3)) AS m
+              FROM documents GROUP BY 1)
+            SELECT '{KG}e/' || ent::varchar || '/a' || k::varchar AS src,
+                   k::BIGINT AS n_reach
+            FROM mj, UNNEST(range(1, m + 1)) AS t(k)
+            ORDER BY src
         """,
         # --- relational -----------------------------------------------------
         "tpch_q1_pricing_summary": """

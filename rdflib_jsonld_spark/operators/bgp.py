@@ -324,6 +324,16 @@ def construct(quads: DataFrame,
     sols = match_bgp_extended(quads, where, optional=optional,
                               filters=filters, distinct=True,
                               with_types=True)
+    return instantiate_template(sols, template)
+
+
+def instantiate_template(sols: DataFrame,
+                         template: list[tuple[str, str, str]]) -> DataFrame:
+    """Instantiate CONSTRUCT template triples over an arbitrary solution
+    table (one column per variable, optional ``__typ_*`` companions) —
+    the template half of :func:`construct`, reusable by callers that
+    build their solution set some other way (e.g. the SPARQL text
+    front-end's group-graph-pattern evaluator)."""
     have = set(sols.columns)
 
     out = None

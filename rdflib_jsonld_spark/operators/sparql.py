@@ -1,0 +1,1329 @@
+"""SPARQL 1.1 text front-end: query string → DataFrame plan.
+
+Everything below the text layer already exists as composable DataFrame
+algebra — BGP joins (operators/bgp.py), property paths
+(operators/paths.py), solution modifiers + aggregation
+(operators/solutions.py), CONSTRUCT templates
+(bgp.instantiate_template). This module adds the missing piece for a
+user coming from rdflib: ``graph.query("SELECT ...")`` — a tokenizer +
+recursive-descent parser for the SPARQL 1.1 query language ([spec]
+SPARQL 1.1 Query §19 grammar) and a group-graph-pattern evaluator that
+compiles the parse tree onto those operators, so Catalyst still owns
+every physical decision (the parser never executes anything — it only
+declares the logical plan).
+
+Supported surface (the subset a pipeline user actually types):
+
+- Prologue: ``PREFIX`` / ``BASE``; ``a`` ≡ rdf:type.
+- Query forms: ``SELECT [DISTINCT] (?v | (expr AS ?v) | *)``, ``ASK``,
+  ``CONSTRUCT { template }``, ``DESCRIBE (?v|<iri>)+ [WHERE ...]``.
+- Group graph patterns: triple blocks with ``;``/``,`` elision,
+  property paths in predicate position (full §9.1 grammar via
+  operators/paths.py ASTs), ``OPTIONAL``, ``{A} UNION {B}``,
+  ``FILTER`` (expressions, ``EXISTS``/``NOT EXISTS`` groups),
+  ``MINUS``, ``BIND (expr AS ?v)``, inline ``VALUES``, and
+  ``GRAPH (?g|<iri>) { ... }`` scoping.
+- Solution modifiers: ``GROUP BY`` (variables), ``HAVING``,
+  ``ORDER BY [ASC|DESC]``, ``LIMIT``/``OFFSET``, aggregates COUNT /
+  COUNT DISTINCT / SUM / AVG / MIN / MAX / SAMPLE / GROUP_CONCAT
+  (with SEPARATOR).
+- Expressions: ``&&  ||  !  =  !=  <  <=  >  >=  IN  NOT IN``,
+  arithmetic, and the builtins BOUND STR STRLEN UCASE LCASE CONTAINS
+  STRSTARTS STRENDS STRBEFORE STRAFTER SUBSTR CONCAT REPLACE REGEX ABS
+  CEIL FLOOR ROUND COALESCE IF LANG DATATYPE LANGMATCHES ISBLANK ISIRI
+  ISURI ISLITERAL + ``xsd:*`` casts — each compiled to a Spark SQL
+  expression (JVM whole-stage codegen; no Python in the filter path).
+
+Documented deviations (deterministic choices / v1 restrictions, each
+raising a clear error rather than silently mis-answering):
+
+- Terms are compared by their binding string (engine-wide convention);
+  a literal constant in a pattern matches on the lexical form only.
+- Unbound (NULL) bindings never satisfy a join key — the same
+  NULL-binding caveat as match_bgp_extended (bgp.py).
+- SPARQL's type-error-is-false filter semantics are approximated with
+  ``try_cast``: a failed numeric coercion yields NULL which drops the
+  row — the same observable outcome for comparisons.
+- Numeric coercion rule: an arithmetic operand or a comparison operand
+  facing a numeric expression is wrapped in ``try_cast(· AS DOUBLE)``;
+  everything else compares as strings (canonical lexical forms make
+  equality exact).
+- ``SUM``/``AVG`` aggregate over ``try_cast(· AS DOUBLE)``;
+  MIN/MAX over non-numeric terms use string ordering.
+- ``LANG``/``DATATYPE``/``ISIRI``/``ISLITERAL`` require object-position
+  type companions; the evaluator turns them on automatically when the
+  query mentions them.
+- Blank-node labels in WHERE act as internal variables (``_:b`` →
+  ``?__bn_b``, per spec); bnodes in CONSTRUCT templates and ``[...]``
+  anonymous nodes are not supported (v1).
+- Property paths inside ``GRAPH ?var`` are rejected (constant graph
+  scoping works).
+- Sub-SELECTs are not supported (v1).
+
+Scale: identical posture to the kwargs surface — every construct maps
+to the same joins/aggregations Catalyst already optimizes; ASK compiles
+to ``limit(1)`` + count (no full materialization); DESCRIBE's bnode
+closure runs bounded semi-join rounds.
+
+Parity note: the reference checkout is the v0.6.2 tombstone and rdflib
+itself owns SPARQL, so this layer is pipeline-extension breadth (the
+operator a switching rdflib user reaches for first), not checkout
+parity — same §2-G classification as operators/solutions.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bgp import (TYPED_PREFIX, _companion_cols, _is_var,
+                  instantiate_template, match_bgp)
+from .paths import match_path
+from .solutions import select_solutions
+
+__all__ = ["sparql", "parse_query", "SparqlError"]
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+class SparqlError(ValueError):
+    """Parse or unsupported-feature error with position context."""
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>"{}|^`\\\s]*>)
+  | (?P<VAR>[?$][A-Za-z_]\w*)
+  | (?P<BNODE>_:[A-Za-z_]\w*)
+  | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>(?:[A-Za-z_][\w-]*)?:[A-Za-z_]?[\w.-]*)
+  | (?P<NAME>[A-Za-z_]\w*)
+  | (?P<OP>\^\^|&&|\|\||!=|<=|>=|[{}().,;*/|^+?=<>!\[\]-])
+""", re.X)
+
+
+@dataclass
+class Tok:
+    kind: str   # IRIREF VAR BNODE STRING NUMBER PNAME NAME OP LITERAL
+    text: str   # surface text (IRIREF without <>, VAR without ?/$)
+    lang: str | None = None
+    datatype: str | None = None
+    pos: int = 0
+
+
+def _unescape(s: str) -> str:
+    return (s.replace("\\t", "\t").replace("\\n", "\n")
+             .replace("\\r", "\r").replace('\\"', '"')
+             .replace("\\'", "'").replace("\\\\", "\\"))
+
+
+def _tokenize(q: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i, n = 0, len(q)
+    while i < n:
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise SparqlError(f"cannot tokenize at ...{q[i:i + 30]!r}")
+        kind = m.lastgroup
+        text = m.group()
+        i = m.end()
+        if kind == "WS":
+            continue
+        if kind == "IRIREF":
+            toks.append(Tok("IRIREF", text[1:-1], pos=m.start()))
+        elif kind == "VAR":
+            toks.append(Tok("VAR", text[1:], pos=m.start()))
+        elif kind == "STRING":
+            toks.append(Tok("STRING", _unescape(text[1:-1]), pos=m.start()))
+        elif kind == "LANGTAG":
+            if toks and toks[-1].kind == "STRING":
+                toks[-1].lang = text[1:].lower()
+            else:
+                raise SparqlError(f"stray language tag {text!r}")
+        else:
+            toks.append(Tok(kind, text, pos=m.start()))
+    # fold  STRING ^^ datatype  into the string token
+    out: list[Tok] = []
+    j = 0
+    while j < len(toks):
+        t = toks[j]
+        if (t.kind == "STRING" and j + 2 < len(toks)
+                and toks[j + 1].kind == "OP" and toks[j + 1].text == "^^"
+                and toks[j + 2].kind in ("IRIREF", "PNAME")):
+            t.datatype = toks[j + 2].text   # expanded later
+            out.append(t)
+            j += 3
+        else:
+            out.append(t)
+            j += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parse tree
+# ---------------------------------------------------------------------------
+
+# Group elements (evaluated in document order):
+#   ("bgp", [(s, p, o)])          p: "?var" | constant IRI | path AST tuple
+#   ("optional", Group)
+#   ("union", [Group, ...])
+#   ("filter", sql: str)
+#   ("exists", Group, positive: bool)
+#   ("minus", Group)
+#   ("bind", sql: str, var: str)
+#   ("values", [vars], [rows])
+#   ("graph", term: str, Group)   term: "?var" | constant IRI
+
+
+@dataclass
+class Group:
+    elements: list = field(default_factory=list)
+
+
+@dataclass
+class Query:
+    form: str                       # select | ask | construct | describe
+    where: Group
+    distinct: bool = False
+    project: list | None = None     # [("var", name) | ("expr", sql, name)
+                                    #  | ("agg", fn, arg, name)]
+    select_star: bool = False
+    template: list | None = None    # construct triples
+    describe_terms: list | None = None   # ["?v" | iri]
+    group_by: list | None = None
+    having: list | None = None      # raw token slices, compiled later
+    order_by: list | None = None
+    limit: int | None = None
+    offset: int | None = None
+    needs_types: bool = False
+
+
+_KEYWORDS = {
+    "SELECT", "ASK", "CONSTRUCT", "DESCRIBE", "WHERE", "FROM", "PREFIX",
+    "BASE", "DISTINCT", "REDUCED", "OPTIONAL", "UNION", "FILTER", "MINUS",
+    "BIND", "VALUES", "GRAPH", "AS", "GROUP", "BY", "HAVING", "ORDER",
+    "ASC", "DESC", "LIMIT", "OFFSET", "UNDEF", "IN", "NOT", "EXISTS",
+    "SERVICE",
+}
+
+_AGG_TEXT = {
+    "COUNT": "count", "SUM": "sum", "AVG": "avg", "MIN": "min",
+    "MAX": "max", "SAMPLE": "sample", "GROUP_CONCAT": "group_concat",
+}
+
+_TYPE_FNS = {"LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL"}
+
+
+class _Parser:
+    def __init__(self, query: str):
+        self.q = query
+        self.toks = _tokenize(query)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.needs_types = False
+
+    # --- token helpers -----------------------------------------------------
+    def peek(self, ahead: int = 0) -> Tok | None:
+        k = self.pos + ahead
+        return self.toks[k] if k < len(self.toks) else None
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return (t is not None and t.kind == "NAME"
+                and t.text.upper() in words)
+
+    def take(self) -> Tok:
+        if self.pos >= len(self.toks):
+            raise SparqlError("unexpected end of query")
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect_op(self, op: str) -> None:
+        t = self.take()
+        if t.kind != "OP" or t.text != op:
+            raise SparqlError(f"expected {op!r}, got {t.text!r} "
+                              f"at char {t.pos} in query")
+
+    def expect_kw(self, word: str) -> None:
+        t = self.take()
+        if t.kind != "NAME" or t.text.upper() != word:
+            raise SparqlError(f"expected {word}, got {t.text!r}")
+
+    # --- terms -------------------------------------------------------------
+    def expand_pname(self, pname: str, pos: int = 0) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlError(f"undeclared prefix {pfx!r}: at char {pos}")
+        return self.prefixes[pfx] + local
+
+    def resolve_iri(self, iri: str) -> str:
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            return self.base + iri
+        return iri
+
+    def term(self, t: Tok) -> str:
+        """Token → pattern-position string (engine binding convention)."""
+        if t.kind == "VAR":
+            return "?" + t.text
+        if t.kind == "IRIREF":
+            return self.resolve_iri(t.text)
+        if t.kind == "PNAME":
+            return self.expand_pname(t.text, t.pos)
+        if t.kind == "BNODE":
+            return "?__bn_" + t.text[2:]     # bnode label = scoped variable
+        if t.kind == "STRING":
+            return t.text                     # lexical-form matching
+        if t.kind == "NUMBER":
+            return _canon_number(t.text)
+        if t.kind == "NAME":
+            if t.text == "a":
+                return RDF_TYPE
+            if t.text in ("true", "false"):
+                return t.text
+        raise SparqlError(f"unexpected term {t.text!r} at char {t.pos}")
+
+    # --- prologue ----------------------------------------------------------
+    def parse_prologue(self) -> None:
+        while self.at_kw("PREFIX", "BASE"):
+            kw = self.take().text.upper()
+            if kw == "PREFIX":
+                ns = self.take()
+                if ns.kind != "PNAME" or not ns.text.endswith(":"):
+                    raise SparqlError(f"bad PREFIX name {ns.text!r}")
+                iri = self.take()
+                if iri.kind != "IRIREF":
+                    raise SparqlError("PREFIX needs an <iri>")
+                self.prefixes[ns.text[:-1]] = self.resolve_iri(iri.text)
+            else:
+                iri = self.take()
+                if iri.kind != "IRIREF":
+                    raise SparqlError("BASE needs an <iri>")
+                self.base = iri.text
+
+    # --- property paths in predicate position ------------------------------
+    def parse_path(self):
+        node = self._path_seq()
+        while self._is_op("|"):
+            self.take()
+            node = ("alt", node, self._path_seq()) \
+                if node[0] != "alt" else (*node, self._path_seq())
+        return node
+
+    def _path_seq(self):
+        node = self._path_postfix()
+        while self._is_op("/"):
+            self.take()
+            node = ("seq", node, self._path_postfix()) \
+                if node[0] != "seq" else (*node, self._path_postfix())
+        return node
+
+    def _path_postfix(self):
+        node = self._path_primary()
+        while self._is_op("*") or self._is_op("+") or self._is_op("?"):
+            node = {"*": "star", "+": "plus", "?": "opt"}[self.take().text], node
+        return node
+
+    def _path_primary(self):
+        if self._is_op("^"):
+            self.take()
+            return ("inv", self._path_primary())
+        if self._is_op("!"):
+            self.take()
+            self.expect_op("(")
+            iris = [self._path_iri()]
+            while self._is_op("|"):
+                self.take()
+                iris.append(self._path_iri())
+            self.expect_op(")")
+            return ("nps", tuple(iris))
+        if self._is_op("("):
+            self.take()
+            node = self.parse_path()
+            self.expect_op(")")
+            return node
+        return ("link", self._path_iri())
+
+    def _path_iri(self) -> str:
+        t = self.take()
+        if t.kind == "IRIREF":
+            return self.resolve_iri(t.text)
+        if t.kind == "PNAME":
+            return self.expand_pname(t.text, t.pos)
+        if t.kind == "NAME" and t.text == "a":
+            return RDF_TYPE
+        raise SparqlError(f"expected IRI in path, got {t.text!r}")
+
+    def _is_op(self, op: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "OP" and t.text == op
+
+    # --- triples block -----------------------------------------------------
+    def parse_triples(self) -> list[tuple]:
+        """SubjectPredicateObject list with ';' and ',' elision."""
+        triples: list[tuple] = []
+        while True:
+            t = self.peek()
+            if t is None or (t.kind == "OP" and t.text in ("}",)):
+                break
+            if t.kind == "NAME" and t.text.upper() in _KEYWORDS:
+                break
+            if t.kind == "OP" and t.text == "{":
+                break
+            subj = self.term(self.take())
+            while True:
+                # predicate: VAR or a path expression
+                pt = self.peek()
+                if pt is None:
+                    raise SparqlError("triple missing predicate")
+                if pt.kind == "VAR":
+                    pred = "?" + self.take().text
+                else:
+                    ast = self.parse_path()
+                    pred = ast[1] if ast[0] == "link" else ast
+                while True:
+                    obj = self.term(self.take())
+                    triples.append((subj, pred, obj))
+                    if self._is_op(","):
+                        self.take()
+                        continue
+                    break
+                if self._is_op(";"):
+                    self.take()
+                    # allow trailing ';' before '.' or '}'
+                    nxt = self.peek()
+                    if nxt is None or (nxt.kind == "OP"
+                                       and nxt.text in (".", "}")):
+                        break
+                    continue
+                break
+            if self._is_op("."):
+                self.take()
+                continue
+            break
+        return triples
+
+    # --- group graph pattern ----------------------------------------------
+    def parse_group(self) -> Group:
+        self.expect_op("{")
+        g = Group()
+        while not self._is_op("}"):
+            if self._is_op("."):      # optional dot between group elements
+                self.take()
+            elif self.at_kw("OPTIONAL"):
+                self.take()
+                g.elements.append(("optional", self.parse_group()))
+            elif self.at_kw("FILTER"):
+                self.take()
+                g.elements.append(self._parse_filter())
+            elif self.at_kw("MINUS"):
+                self.take()
+                g.elements.append(("minus", self.parse_group()))
+            elif self.at_kw("BIND"):
+                self.take()
+                self.expect_op("(")
+                sql = self._compile_expr(self._parse_expr())
+                self.expect_kw("AS")
+                v = self.take()
+                if v.kind != "VAR":
+                    raise SparqlError("BIND needs (expr AS ?var)")
+                self.expect_op(")")
+                g.elements.append(("bind", sql, v.text))
+            elif self.at_kw("VALUES"):
+                self.take()
+                g.elements.append(self._parse_values())
+            elif self.at_kw("GRAPH"):
+                self.take()
+                t = self.take()
+                if t.kind == "VAR":
+                    term = "?" + t.text
+                elif t.kind == "IRIREF":
+                    term = self.resolve_iri(t.text)
+                elif t.kind == "PNAME":
+                    term = self.expand_pname(t.text, t.pos)
+                else:
+                    raise SparqlError(f"GRAPH needs ?var or IRI, "
+                                      f"got {t.text!r}")
+                g.elements.append(("graph", term, self.parse_group()))
+            elif self.at_kw("SERVICE"):
+                raise SparqlError("SERVICE (federation) is not supported")
+            elif self.at_kw("SELECT"):
+                raise SparqlError("sub-SELECT is not supported (v1)")
+            elif self._is_op("{"):
+                first = self.parse_group()
+                if self.at_kw("UNION"):
+                    branches = [first]
+                    while self.at_kw("UNION"):
+                        self.take()
+                        branches.append(self.parse_group())
+                    g.elements.append(("union", branches))
+                else:   # plain nested group = join
+                    g.elements.append(("union", [first]))
+                if self._is_op("."):
+                    self.take()
+            else:
+                triples = self.parse_triples()
+                if not triples:
+                    t = self.peek()
+                    if t is None:
+                        raise SparqlError(
+                            "unexpected end of query inside group "
+                            "(missing '}')")
+                    raise SparqlError(
+                        f"unexpected {t.text!r} in group at char {t.pos}")
+                g.elements.append(("bgp", triples))
+        self.expect_op("}")
+        return g
+
+    def _parse_filter(self):
+        neg = False
+        if self.at_kw("NOT"):
+            self.take()
+            self.expect_kw("EXISTS")
+            return ("exists", self.parse_group(), False)
+        if self.at_kw("EXISTS"):
+            self.take()
+            return ("exists", self.parse_group(), True)
+        del neg
+        return ("filter", self._compile_expr(self._parse_expr()))
+
+    def _parse_values(self):
+        multi = self._is_op("(")
+        names: list[str] = []
+        if multi:
+            self.take()
+            while not self._is_op(")"):
+                v = self.take()
+                if v.kind != "VAR":
+                    raise SparqlError("VALUES needs variables")
+                names.append(v.text)
+            self.take()
+        else:
+            v = self.take()
+            if v.kind != "VAR":
+                raise SparqlError("VALUES needs a variable")
+            names.append(v.text)
+        self.expect_op("{")
+        rows: list[tuple] = []
+        while not self._is_op("}"):
+            if multi:
+                self.expect_op("(")
+                row = []
+                while not self._is_op(")"):
+                    row.append(self._values_term())
+                self.take()
+                if len(row) != len(names):
+                    raise SparqlError("VALUES row arity mismatch")
+                rows.append(tuple(row))
+            else:
+                rows.append((self._values_term(),))
+        self.take()
+        return ("values", names, rows)
+
+    def _values_term(self):
+        if self.at_kw("UNDEF"):
+            self.take()
+            return None
+        return self.term(self.take())
+
+    # --- expressions → Spark SQL -------------------------------------------
+    # AST: ("num", sql) ("str", sql) ("bool", sql) ("any", sql)
+    #      where sql is a Spark SQL fragment
+
+    def _parse_expr(self):
+        return self._expr_or()
+
+    def _expr_or(self):
+        node = self._expr_and()
+        while self._is_op("||"):
+            self.take()
+            node = ("bool", f"({node[1]} OR {self._expr_and()[1]})")
+        return node
+
+    def _expr_and(self):
+        node = self._expr_rel()
+        while self._is_op("&&"):
+            self.take()
+            node = ("bool", f"({node[1]} AND {self._expr_rel()[1]})")
+        return node
+
+    _REL_OPS = {"=": "=", "!=": "<>", "<": "<", "<=": "<=",
+                ">": ">", ">=": ">="}
+
+    def _expr_rel(self):
+        node = self._expr_add()
+        t = self.peek()
+        if t is not None and t.kind == "OP" and t.text in self._REL_OPS:
+            op = self._REL_OPS[self.take().text]
+            rhs = self._expr_add()
+            lt, ls = node
+            rt, rs = rhs
+            if lt == "num" and rt != "num":
+                rs = f"try_cast({rs} AS DOUBLE)"
+            elif rt == "num" and lt != "num":
+                ls = f"try_cast({ls} AS DOUBLE)"
+            return ("bool", f"({ls} {op} {rs})")
+        if self.at_kw("IN"):
+            self.take()
+            return ("bool", f"({node[1]} IN {self._expr_list()})")
+        if self.at_kw("NOT") and self.peek(1) is not None \
+                and self.peek(1).kind == "NAME" \
+                and self.peek(1).text.upper() == "IN":
+            self.take()
+            self.take()
+            return ("bool", f"({node[1]} NOT IN {self._expr_list()})")
+        return node
+
+    def _expr_list(self) -> str:
+        self.expect_op("(")
+        items = [self._parse_expr()[1]]
+        while self._is_op(","):
+            self.take()
+            items.append(self._parse_expr()[1])
+        self.expect_op(")")
+        return "(" + ", ".join(items) + ")"
+
+    def _expr_add(self):
+        node = self._expr_mul()
+        while self._is_op("+") or self._is_op("-"):
+            op = self.take().text
+            rhs = self._expr_mul()
+            node = ("num", f"({_as_num(node)} {op} {_as_num(rhs)})")
+        return node
+
+    def _expr_mul(self):
+        node = self._expr_unary()
+        while self._is_op("*") or self._is_op("/"):
+            op = self.take().text
+            rhs = self._expr_unary()
+            node = ("num", f"({_as_num(node)} {op} {_as_num(rhs)})")
+        return node
+
+    def _expr_unary(self):
+        if self._is_op("!"):
+            self.take()
+            return ("bool", f"(NOT {self._expr_unary()[1]})")
+        if self._is_op("-"):
+            self.take()
+            return ("num", f"(- {_as_num(self._expr_unary())})")
+        if self._is_op("+"):
+            self.take()
+            return self._expr_unary()
+        return self._expr_primary()
+
+    def _expr_primary(self):
+        t = self.peek()
+        if t is None:
+            raise SparqlError("unexpected end of expression")
+        if t.kind == "OP" and t.text == "(":
+            self.take()
+            node = self._parse_expr()
+            self.expect_op(")")
+            return node
+        if t.kind == "VAR":
+            self.take()
+            return ("any", _qcol(t.text))
+        if t.kind == "NUMBER":
+            self.take()
+            return ("num", t.text)
+        if t.kind == "STRING":
+            self.take()
+            return ("str", _sql_str(t.text))
+        if t.kind == "IRIREF":
+            self.take()
+            return ("str", _sql_str(self.resolve_iri(t.text)))
+        if t.kind == "NAME":
+            up = t.text.upper()
+            if up in ("TRUE", "FALSE"):
+                self.take()
+                return ("bool", up)
+            nxt = self.peek(1)
+            if nxt is not None and nxt.kind == "OP" and nxt.text == "(":
+                return self._expr_call(self.take().text)
+            raise SparqlError(f"unexpected {t.text!r} in expression "
+                              f"at char {t.pos}")
+        if t.kind == "PNAME":
+            nxt = self.peek(1)
+            if nxt is not None and nxt.kind == "OP" and nxt.text == "(":
+                return self._expr_cast(self.take())
+            self.take()
+            return ("str", _sql_str(self.expand_pname(t.text, t.pos)))
+        raise SparqlError(f"unexpected {t.text!r} in expression "
+                          f"at char {t.pos}")
+
+    _CASTS = {"integer": "BIGINT", "int": "BIGINT", "long": "BIGINT",
+              "decimal": "DOUBLE", "double": "DOUBLE", "float": "DOUBLE",
+              "string": "STRING", "boolean": "BOOLEAN"}
+
+    def _expr_cast(self, t: Tok):
+        iri = self.expand_pname(t.text, t.pos)
+        if not iri.startswith(XSD):
+            raise SparqlError(f"only xsd:* cast functions supported, "
+                              f"got {t.text!r}")
+        local = iri[len(XSD):]
+        if local not in self._CASTS:
+            raise SparqlError(f"unsupported cast xsd:{local}")
+        self.expect_op("(")
+        arg = self._parse_expr()[1]
+        self.expect_op(")")
+        sqlt = self._CASTS[local]
+        tag = "num" if sqlt in ("BIGINT", "DOUBLE") else (
+            "bool" if sqlt == "BOOLEAN" else "str")
+        return (tag, f"try_cast({arg} AS {sqlt})")
+
+    def _expr_call(self, name: str):
+        up = name.upper()
+        self.expect_op("(")
+        args: list[tuple] = []
+        if not self._is_op(")"):
+            args.append(self._parse_expr())
+            while self._is_op(","):
+                self.take()
+                args.append(self._parse_expr())
+        self.expect_op(")")
+        return self._compile_call(up, args)
+
+    def _compile_call(self, up: str, args: list[tuple]):
+        def a(i: int) -> str:
+            return args[i][1]
+
+        def need(n: int, alt: int | None = None):
+            if len(args) != n and (alt is None or len(args) != alt):
+                raise SparqlError(f"{up} expects {n} argument(s), "
+                                  f"got {len(args)}")
+
+        if up in _TYPE_FNS:
+            self.needs_types = True
+            need(1)
+            var = _uncol(a(0))
+            if var is None:
+                raise SparqlError(f"{up} needs a variable argument")
+            kind = _qcol(f"{TYPED_PREFIX}{var}__kind")
+            if up == "LANG":
+                return ("str",
+                        f"coalesce({_qcol(TYPED_PREFIX + var + '__lang')},"
+                        f" '')")
+            if up == "DATATYPE":
+                dt = _qcol(f"{TYPED_PREFIX}{var}__datatype")
+                lang = _qcol(f"{TYPED_PREFIX}{var}__lang")
+                langstr = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                           "langString")
+                return ("str", f"coalesce({dt}, "
+                        f"if({lang} IS NOT NULL, '{langstr}', NULL), "
+                        f"if({kind} = 'literal', '{XSD}string', NULL))")
+            if up in ("ISIRI", "ISURI"):
+                return ("bool", f"({kind} = 'iri')")
+            return ("bool", f"({kind} = 'literal')")   # ISLITERAL
+        if up == "BOUND":
+            need(1)
+            return ("bool", f"({a(0)} IS NOT NULL)")
+        if up == "ISBLANK":
+            need(1)
+            return ("bool", f"startswith({a(0)}, '_:')")
+        if up == "STR":
+            need(1)
+            return ("str", f"CAST({a(0)} AS STRING)")
+        if up == "STRLEN":
+            need(1)
+            return ("num", f"length({a(0)})")
+        if up == "UCASE":
+            need(1)
+            return ("str", f"upper({a(0)})")
+        if up == "LCASE":
+            need(1)
+            return ("str", f"lower({a(0)})")
+        if up in ("CONTAINS", "STRSTARTS", "STRENDS"):
+            need(2)
+            fn = {"CONTAINS": "contains", "STRSTARTS": "startswith",
+                  "STRENDS": "endswith"}[up]
+            return ("bool", f"{fn}({a(0)}, {a(1)})")
+        if up == "STRBEFORE":
+            need(2)
+            return ("str", f"if(instr({a(0)}, {a(1)}) = 0, '', "
+                    f"substring({a(0)}, 1, instr({a(0)}, {a(1)}) - 1))")
+        if up == "STRAFTER":
+            need(2)
+            return ("str", f"if(instr({a(0)}, {a(1)}) = 0, '', "
+                    f"substring({a(0)}, instr({a(0)}, {a(1)}) "
+                    f"+ length({a(1)})))")
+        if up == "SUBSTR":
+            need(2, 3)
+            inner = ", ".join([a(0)] + [_as_num(x) for x in args[1:]])
+            return ("str", f"substring({inner})")
+        if up == "CONCAT":
+            return ("str", f"concat({', '.join(a(i) for i in range(len(args)))})")
+        if up == "REPLACE":
+            need(3)
+            return ("str", f"regexp_replace({a(0)}, {a(1)}, {a(2)})")
+        if up == "REGEX":
+            need(2, 3)
+            pat = a(1)
+            if len(args) == 3:
+                flags = args[2]
+                if flags[0] != "str" or not flags[1].startswith("'"):
+                    raise SparqlError("REGEX flags must be a string literal")
+                fl = flags[1].strip("'")
+                if fl and set(fl) - set("ismx"):
+                    raise SparqlError(f"unsupported REGEX flags {fl!r}")
+                if fl:
+                    pat = f"concat('(?{fl})', {pat})"
+            return ("bool", f"({a(0)} RLIKE {pat})")
+        if up in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            need(1) if up != "ROUND" else need(1, 2)
+            fn = up.lower()
+            inner = ", ".join(_as_num(x) for x in args)
+            return ("num", f"{fn}({inner})")
+        if up == "COALESCE":
+            return ("any", f"coalesce({', '.join(x[1] for x in args)})")
+        if up == "IF":
+            need(3)
+            return ("any", f"if({a(0)}, {a(1)}, {a(2)})")
+        if up == "LANGMATCHES":
+            need(2)
+            rng = a(1)
+            return ("bool",
+                    f"if({rng} = '*', {a(0)} <> '', "
+                    f"(lower({a(0)}) = lower({rng}) OR "
+                    f"startswith(lower({a(0)}), concat(lower({rng}), '-'))))")
+        if up in ("NOW", "RAND", "UUID", "STRUUID", "BNODE"):
+            raise SparqlError(f"{up}() is nondeterministic — unsupported")
+        raise SparqlError(f"unsupported function {up}")
+
+    def _compile_expr(self, node) -> str:
+        return node[1]
+
+    # --- aggregate / projection parsing ------------------------------------
+    def _parse_projection_item(self):
+        t = self.peek()
+        if t.kind == "VAR":
+            self.take()
+            return ("var", t.text)
+        if t.kind == "OP" and t.text == "(":
+            self.take()
+            item = self._parse_agg_or_expr()
+            self.expect_kw("AS")
+            v = self.take()
+            if v.kind != "VAR":
+                raise SparqlError("projection needs (expr AS ?var)")
+            self.expect_op(")")
+            if item[0] == "agg":
+                return ("agg", item[1], (item[2], item[3]), v.text)
+            return ("expr", item[1], v.text)
+        raise SparqlError(f"unexpected {t.text!r} in SELECT clause")
+
+    def _parse_agg_or_expr(self):
+        t = self.peek()
+        if (t is not None and t.kind == "NAME"
+                and t.text.upper() in _AGG_TEXT
+                and self.peek(1) is not None
+                and self.peek(1).kind == "OP" and self.peek(1).text == "("):
+            return self._parse_aggregate()
+        return ("expr", self._compile_expr(self._parse_expr()))
+
+    def _parse_aggregate(self):
+        name = self.take().text.upper()
+        fn = _AGG_TEXT[name]
+        self.expect_op("(")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.take()
+            distinct = True
+        if self._is_op("*"):
+            self.take()
+            arg = "*"
+        else:
+            node = self._parse_expr()
+            arg = node[1]
+            if fn in ("sum", "avg") and node[0] == "any":
+                arg = f"try_cast({arg} AS DOUBLE)"
+        sep = None
+        if self._is_op(";"):
+            self.take()
+            kw = self.take()
+            if kw.kind != "NAME" or kw.text.upper() != "SEPARATOR":
+                raise SparqlError("expected SEPARATOR in GROUP_CONCAT")
+            self.expect_op("=")
+            s = self.take()
+            if s.kind != "STRING":
+                raise SparqlError("SEPARATOR needs a string")
+            sep = s.text
+        self.expect_op(")")
+        if distinct:
+            if fn == "count":
+                fn = "count_distinct"
+            elif fn == "group_concat":
+                fn = "group_concat_distinct"
+            else:
+                raise SparqlError(f"DISTINCT not supported for {name}")
+        return ("agg", fn, arg, sep)
+
+    # --- query forms --------------------------------------------------------
+    def parse_query(self) -> Query:
+        self.parse_prologue()
+        if self.at_kw("SELECT"):
+            q = self._parse_select()
+        elif self.at_kw("ASK"):
+            self.take()
+            if self.at_kw("WHERE"):
+                self.take()
+            q = Query(form="ask", where=self.parse_group())
+        elif self.at_kw("CONSTRUCT"):
+            q = self._parse_construct()
+        elif self.at_kw("DESCRIBE"):
+            q = self._parse_describe()
+        else:
+            t = self.peek()
+            raise SparqlError(
+                f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, "
+                f"got {t.text if t else 'end of query'!r}")
+        q.needs_types = q.needs_types or self.needs_types
+        if self.pos != len(self.toks):
+            t = self.peek()
+            raise SparqlError(f"trailing tokens starting at {t.text!r} "
+                              f"(char {t.pos})")
+        return q
+
+    def _parse_select(self) -> Query:
+        self.expect_kw("SELECT")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.take()
+            distinct = True
+        elif self.at_kw("REDUCED"):
+            self.take()
+        project: list = []
+        star = False
+        if self._is_op("*"):
+            self.take()
+            star = True
+        else:
+            while True:
+                t = self.peek()
+                if t is None or self.at_kw("WHERE", "FROM") \
+                        or (t.kind == "OP" and t.text == "{"):
+                    break
+                project.append(self._parse_projection_item())
+            if not project:
+                raise SparqlError("empty SELECT clause")
+        if self.at_kw("FROM"):
+            raise SparqlError("FROM datasets unsupported — pass the quad "
+                              "DataFrame directly")
+        if self.at_kw("WHERE"):
+            self.take()
+        where = self.parse_group()
+        q = Query(form="select", where=where, distinct=distinct,
+                  project=project or None, select_star=star)
+        self._parse_modifiers(q)
+        return q
+
+    def _parse_construct(self) -> Query:
+        self.expect_kw("CONSTRUCT")
+        self.expect_op("{")
+        template = []
+        for s, p, o in self.parse_triples():
+            if not isinstance(p, str):
+                raise SparqlError("property paths not allowed in "
+                                  "CONSTRUCT template")
+            for pos in (s, o):
+                if isinstance(pos, str) and pos.startswith("?__bn_"):
+                    raise SparqlError("blank nodes in CONSTRUCT template "
+                                      "unsupported (v1)")
+            template.append((s, p, o))
+        self.expect_op("}")
+        if self.at_kw("WHERE"):
+            self.take()
+        q = Query(form="construct", where=self.parse_group(),
+                  template=template, needs_types=True)
+        self._parse_modifiers(q)
+        if q.group_by or q.having or q.order_by:
+            raise SparqlError("CONSTRUCT supports LIMIT/OFFSET only")
+        return q
+
+    def _parse_describe(self) -> Query:
+        self.expect_kw("DESCRIBE")
+        terms: list[str] = []
+        while True:
+            t = self.peek()
+            if t is None or self.at_kw("WHERE") \
+                    or (t.kind == "OP" and t.text == "{"):
+                break
+            tok = self.take()
+            if tok.kind == "VAR":
+                terms.append("?" + tok.text)
+            elif tok.kind == "IRIREF":
+                terms.append(self.resolve_iri(tok.text))
+            elif tok.kind == "PNAME":
+                terms.append(self.expand_pname(tok.text, tok.pos))
+            else:
+                raise SparqlError(f"DESCRIBE needs ?var or IRI, "
+                                  f"got {tok.text!r}")
+        if not terms:
+            raise SparqlError("empty DESCRIBE clause")
+        where = Group()
+        if self.at_kw("WHERE") or self._is_op("{"):
+            if self.at_kw("WHERE"):
+                self.take()
+            where = self.parse_group()
+        return Query(form="describe", where=where, describe_terms=terms)
+
+    def _parse_modifiers(self, q: Query) -> None:
+        if self.at_kw("GROUP"):
+            self.take()
+            self.expect_kw("BY")
+            q.group_by = []
+            while True:
+                t = self.peek()
+                if t is None or t.kind != "VAR":
+                    break
+                q.group_by.append(self.take().text)
+            if not q.group_by:
+                raise SparqlError("GROUP BY supports variables only (v1)")
+        if self.at_kw("HAVING"):
+            self.take()
+            q.having = []
+            while self._is_op("("):
+                self.take()
+                q.having.append(self._parse_having_constraint())
+                self.expect_op(")")
+            if not q.having:
+                raise SparqlError("HAVING needs (constraint)")
+        if self.at_kw("ORDER"):
+            self.take()
+            self.expect_kw("BY")
+            q.order_by = []
+            while True:
+                if self.at_kw("ASC", "DESC"):
+                    d = self.take().text.lower()
+                    self.expect_op("(")
+                    v = self.take()
+                    if v.kind != "VAR":
+                        raise SparqlError("ORDER BY supports variables (v1)")
+                    self.expect_op(")")
+                    q.order_by.append(f"{d}(?{v.text})")
+                elif self.peek() is not None and self.peek().kind == "VAR":
+                    q.order_by.append("?" + self.take().text)
+                else:
+                    break
+            if not q.order_by:
+                raise SparqlError("empty ORDER BY")
+        # LIMIT/OFFSET in either order
+        for _ in range(2):
+            if self.at_kw("LIMIT"):
+                self.take()
+                t = self.take()
+                if t.kind != "NUMBER":
+                    raise SparqlError("LIMIT needs an integer")
+                q.limit = int(t.text)
+            elif self.at_kw("OFFSET"):
+                self.take()
+                t = self.take()
+                if t.kind != "NUMBER":
+                    raise SparqlError("OFFSET needs an integer")
+                q.offset = int(t.text)
+
+    def _parse_having_constraint(self) -> tuple:
+        """HAVING constraint: either an aggregate comparison
+        (compiled to a hidden aggregate + filter) or a plain
+        expression over group keys / SELECT aliases."""
+        t = self.peek()
+        if (t is not None and t.kind == "NAME"
+                and t.text.upper() in _AGG_TEXT):
+            agg = self._parse_aggregate()
+            op_t = self.take()
+            if op_t.kind != "OP" or op_t.text not in self._REL_OPS:
+                raise SparqlError("HAVING aggregate needs a comparison")
+            rhs = self._parse_expr()
+            return ("agg_cmp", agg, self._REL_OPS[op_t.text], rhs[1])
+        return ("expr", self._compile_expr(self._parse_expr()))
+
+
+def _qcol(name: str) -> str:
+    return f"`{name}`"
+
+
+def _uncol(sql: str) -> str | None:
+    m = re.fullmatch(r"`(\w+)`", sql)
+    return m.group(1) if m else None
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _as_num(node) -> str:
+    tag, sql = node
+    return sql if tag in ("num", "bool") else f"try_cast({sql} AS DOUBLE)"
+
+
+def _canon_number(text: str) -> str:
+    """Numeric literal → the engine's canonical lexical form for
+    pattern matching (integers bare, decimals/doubles via repr)."""
+    if re.fullmatch(r"[+-]?\d+", text):
+        return str(int(text))
+    return repr(float(text))
+
+
+def parse_query(query: str) -> Query:
+    """Parse SPARQL text to the internal Query tree (exposed for tests)."""
+    return _Parser(query).parse_query()
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+
+def _merge(acc: DataFrame | None, df: DataFrame, how: str = "inner",
+           ) -> DataFrame:
+    """Join two solution tables on their shared variable columns.
+    Companion (``__typ_*``) columns never join; duplicated companions
+    keep the left side (first-binder-wins typing)."""
+    if acc is None:
+        return df
+    dup = [c for c in _companion_cols(df.columns) if c in acc.columns]
+    if dup:
+        df = df.drop(*dup)
+    shared = sorted((set(acc.columns) & set(df.columns))
+                    - set(_companion_cols(acc.columns)))
+    if shared:
+        return acc.join(df, on=shared, how=how)
+    if how == "left":     # OPTIONAL with no shared vars: keep all left rows
+        return acc.join(df, on=F.lit(True), how="left")
+    return acc.crossJoin(df)
+
+
+def _eval_bgp(quads: DataFrame, triples: list[tuple], graph: str | None,
+              with_types: bool, stats, max_iter: int) -> DataFrame:
+    plain = [(s, p, o) for s, p, o in triples if isinstance(p, str)]
+    paths = [(s, p, o) for s, p, o in triples if not isinstance(p, str)]
+    if paths and graph is not None and _is_var(graph):
+        raise SparqlError("property paths inside GRAPH ?var are "
+                          "unsupported (v1)")
+    acc: DataFrame | None = None
+    if plain:
+        acc = match_bgp(quads, plain, distinct=False, stats=stats,
+                        with_types=with_types, graph=graph)
+    for s, p, o in paths:
+        pg = "*" if graph == "*" else graph
+        acc = _merge(acc, match_path(quads, s, p, o, graph=pg,
+                                     max_iter=max_iter, distinct=True))
+    return acc
+
+
+def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
+                with_types: bool = False, stats=None,
+                max_iter: int = 20) -> DataFrame:
+    """Evaluate a group graph pattern to a solution DataFrame.
+    Elements join in document order; FILTER constraints (including
+    EXISTS groups) apply over the whole group, per spec."""
+    spark = quads.sparkSession
+    acc: DataFrame | None = None
+    deferred: list = []   # ("filter", sql) | ("exists", Group, positive)
+
+    def ev(g: Group) -> DataFrame:
+        return _eval_group(quads, g, graph=graph, with_types=with_types,
+                           stats=stats, max_iter=max_iter)
+
+    for el in group.elements:
+        kind = el[0]
+        if kind == "bgp":
+            acc = _merge(acc, _eval_bgp(quads, el[1], graph, with_types,
+                                        stats, max_iter))
+        elif kind == "optional":
+            acc = _merge(acc, ev(el[1]), how="left")
+        elif kind == "union":
+            branches = [ev(b) for b in el[1]]
+            u = branches[0]
+            for b in branches[1:]:
+                u = u.unionByName(b, allowMissingColumns=True)
+            acc = _merge(acc, u)
+        elif kind == "minus":
+            sub = ev(el[1])
+            shared = sorted(set(acc.columns if acc is not None else [])
+                            & set(sub.columns))
+            shared = [c for c in shared if not c.startswith(TYPED_PREFIX)]
+            if acc is not None and shared:
+                acc = acc.join(sub.select(*shared), on=shared,
+                               how="left_anti")
+            # domain-disjoint MINUS removes nothing (spec rule)
+        elif kind == "bind":
+            _, sql, var = el
+            if acc is None:
+                acc = spark.range(1).select(F.expr(sql).alias(var))
+            else:
+                if var in acc.columns:
+                    raise SparqlError(f"BIND would rebind ?{var}")
+                acc = acc.withColumn(var, F.expr(sql))
+        elif kind == "values":
+            _, names, rows = el
+            vdf = spark.createDataFrame(
+                [tuple(r) for r in rows],
+                schema=", ".join(f"{n} string" for n in names))
+            acc = _merge(acc, vdf)
+        elif kind == "graph":
+            _, term, sub = el
+            acc = _merge(acc, _eval_group(
+                quads, sub, graph=term, with_types=with_types,
+                stats=stats, max_iter=max_iter))
+        elif kind in ("filter", "exists"):
+            deferred.append(el)
+        else:  # pragma: no cover
+            raise SparqlError(f"unknown group element {kind}")
+
+    if acc is None:
+        acc = spark.range(1).select(F.lit(1).alias("__unit"))
+    for el in deferred:
+        if el[0] == "filter":
+            acc = acc.where(F.expr(el[1]))
+        else:
+            _, sub_g, positive = el
+            sub = ev(sub_g)
+            shared = sorted(
+                (set(acc.columns) & set(sub.columns))
+                - set(_companion_cols(acc.columns)))
+            if shared:
+                acc = acc.join(sub.select(*shared), on=shared,
+                               how="left_semi" if positive else "left_anti")
+            elif positive:
+                acc = acc.join(sub.limit(1), on=F.lit(True),
+                               how="left_semi")
+            else:
+                acc = acc.join(sub.limit(1), on=F.lit(True),
+                               how="left_anti")
+    if "__unit" in acc.columns:
+        acc = acc.drop("__unit")
+    return acc
+
+
+def _describe(quads: DataFrame, nodes: DataFrame,
+              max_rounds: int = 8) -> DataFrame:
+    """Concise bounded description: all quads whose subject is in
+    ``nodes``, plus (recursively) quads describing blank nodes reached
+    in object position — bounded semi-join rounds, each a small
+    broadcast-able frontier."""
+    seen = nodes.select(F.col("node")).distinct().localCheckpoint()
+    frontier = seen
+    for _ in range(max_rounds):
+        hop = (quads.join(frontier.withColumnRenamed("node", "s"),
+                          on="s", how="left_semi")
+               .where(F.col("o_kind") == "bnode")
+               .select(F.col("o_value").alias("node")).distinct())
+        frontier = hop.join(seen, on="node", how="left_anti") \
+            .localCheckpoint()
+        if frontier.limit(1).count() == 0:
+            break
+        seen = seen.unionByName(frontier).localCheckpoint()
+    return quads.join(seen.withColumnRenamed("node", "s"),
+                      on="s", how="left_semi")
+
+
+def sparql(quads: DataFrame, query: str, *, stats: dict | None = None,
+           max_iter: int = 20) -> DataFrame:
+    """Run a SPARQL query string over a quad table.
+
+    Returns a DataFrame: one column per projected variable (SELECT), a
+    single boolean ``ask`` row (ASK), or a quad-schema table
+    (CONSTRUCT / DESCRIBE). The text layer only *declares* the plan —
+    all physical decisions stay with Catalyst/AQE, identical to calling
+    the kwargs surface directly.
+    """
+    q = parse_query(query)
+    sols = _eval_group(quads, q.where, with_types=q.needs_types,
+                       stats=stats, max_iter=max_iter)
+
+    if q.form == "ask":
+        return sols.limit(1).agg(
+            (F.count(F.lit(1)) > F.lit(0)).alias("ask"))
+
+    if q.form == "construct":
+        out = instantiate_template(sols.distinct(), q.template)
+        if q.offset:
+            out = out.offset(q.offset)
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+
+    if q.form == "describe":
+        consts = [t for t in q.describe_terms if not _is_var(t)]
+        var_terms = [t[1:] for t in q.describe_terms if _is_var(t)]
+        spark = quads.sparkSession
+        parts = []
+        if consts:
+            parts.append(spark.createDataFrame([(c,) for c in consts],
+                                               ["node"]))
+        for v in var_terms:
+            if v not in sols.columns:
+                raise SparqlError(f"DESCRIBE variable ?{v} is not bound "
+                                  f"in WHERE")
+            parts.append(sols.select(F.col(v).alias("node")).distinct())
+        nodes = parts[0]
+        for p in parts[1:]:
+            nodes = nodes.unionByName(p)
+        return _describe(quads, nodes)
+
+    # SELECT
+    bind: list[tuple[str, str]] = []
+    aggregates: list[tuple] = []
+    project: list[str] = []
+    seps = set()
+    if q.select_star:
+        project = [c for c in sols.columns
+                   if not c.startswith(TYPED_PREFIX)]
+    else:
+        for item in q.project:
+            if item[0] == "var":
+                project.append(item[1])
+            elif item[0] == "expr":
+                bind.append((item[1], item[2]))
+                project.append(item[2])
+            else:   # ("agg", fn, (arg, sep), alias) flattened below
+                _, fn, arg_sep, alias = item
+                arg, sep = arg_sep if isinstance(arg_sep, tuple) \
+                    else (arg_sep, None)
+                if sep is not None:
+                    seps.add(sep)
+                aggregates.append((fn, arg, alias))
+                project.append(alias)
+    having_sql: list[str] = []
+    hidden = 0
+    for h in (q.having or []):
+        if h[0] == "expr":
+            having_sql.append(h[1])
+        else:
+            _, agg, op, rhs = h
+            fn, arg, sep = agg[1], agg[2], agg[3]
+            match = next((al for f2, a2, al in aggregates
+                          if (f2, a2) == (fn, arg)), None)
+            if match is None:
+                match = f"__having_{hidden}"
+                hidden += 1
+                aggregates.append((fn, arg, match))
+            having_sql.append(f"`{match}` {op} {rhs}")
+    if len(seps) > 1:
+        raise SparqlError("one GROUP_CONCAT separator per query (v1)")
+    if aggregates and not q.group_by and any(
+            i[0] == "var" for i in (q.project or [])):
+        raise SparqlError("projected variables require GROUP BY when "
+                          "aggregates are present")
+    out = select_solutions(
+        sols, bind=bind or None,
+        group_by=q.group_by,
+        aggregates=aggregates or None,
+        having=having_sql or None,
+        project=project or None,
+        distinct=q.distinct,
+        order_by=q.order_by,
+        offset=q.offset, limit=q.limit,
+        group_concat_sep=next(iter(seps)) if seps else " ")
+    drop = [c for c in out.columns if c.startswith("__having_")]
+    return out.drop(*drop) if drop else out

@@ -1,0 +1,296 @@
+"""SPARQL text front-end (operators/sparql.py): parser + evaluation.
+
+Strategy: a small fixed graph with every term flavor (typed literals,
+lang tags, bnodes, named graphs), each query family checked against
+hand-derived expected solutions, plus differential checks where the
+same query is expressible through the kwargs surface
+(match_bgp_extended / select_solutions) — the text layer must produce
+identical results, since it compiles onto the same operators.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
+from rdflib_jsonld_spark.operators.sparql import (SparqlError, parse_query,
+                                                  sparql)
+
+SCHEMA = ("g string, s string, s_is_bnode boolean, p string, o_kind string, "
+          "o_value string, o_datatype string, o_lang string")
+XSD = "http://www.w3.org/2001/XMLSchema#"
+V = "http://ex.org/v#"
+E = "http://ex.org/e/"
+
+ROWS = [
+    (None, E + "a", False, V + "name", "literal", "Alice", XSD + "string", None),
+    (None, E + "a", False, V + "age", "literal", "30", XSD + "integer", None),
+    (None, E + "a", False, V + "knows", "iri", E + "b", None, None),
+    (None, E + "b", False, V + "name", "literal", "Bob", None, "en"),
+    (None, E + "b", False, V + "age", "literal", "41", XSD + "integer", None),
+    (None, E + "b", False, V + "knows", "iri", E + "c", None, None),
+    (None, E + "c", False, V + "name", "literal", "Cara", None, None),
+    (None, E + "c", False, V + "addr", "bnode", "_:addr1", None, None),
+    (None, "_:addr1", True, V + "city", "literal", "Oslo", None, None),
+    ("urn:g1", E + "d", False, V + "name", "literal", "Dan", None, None),
+    ("urn:g2", E + "d", False, V + "age", "literal", "7", XSD + "integer", None),
+]
+
+PFX = f"PREFIX v: <{V}> PREFIX e: <{E}> "
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def vals(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# --- parser ----------------------------------------------------------------
+
+def test_parse_forms_and_prologue():
+    q = parse_query("PREFIX v: <v:> BASE <http://b/> "
+                    "SELECT DISTINCT ?x WHERE { ?x v:p <rel> }")
+    assert q.form == "select" and q.distinct
+    (kind, triples), = q.where.elements
+    assert kind == "bgp"
+    assert triples == [("?x", "v:p", "http://b/rel")]
+    assert parse_query("ASK { ?s ?p ?o }").form == "ask"
+    assert parse_query("DESCRIBE <urn:x>").describe_terms == ["urn:x"]
+
+
+def test_parse_triples_elision():
+    q = parse_query(PFX + "SELECT * { e:a v:p ?x , ?y ; v:q ?z . }")
+    (_, triples), = q.where.elements
+    assert triples == [(E + "a", V + "p", "?x"), (E + "a", V + "p", "?y"),
+                       (E + "a", V + "q", "?z")]
+
+
+def test_parse_a_keyword_and_path():
+    q = parse_query(PFX + "SELECT * { ?x a ?t . ?x v:p/v:q+ ?y }")
+    bgp = q.where.elements[0][1]
+    assert bgp[0][1].endswith("22-rdf-syntax-ns#type")
+    path = bgp[1][1]
+    assert path == ("seq", ("link", V + "p"), ("plus", ("link", V + "q")))
+
+
+def test_parse_literals():
+    q = parse_query(PFX + 'SELECT * { ?x v:p "s\\"x" ; v:q 5 ; v:r -2.5 }')
+    bgp = q.where.elements[0][1]
+    assert bgp[0][2] == 's"x' and bgp[1][2] == "5" and bgp[2][2] == "-2.5"
+
+
+def test_parse_errors():
+    for bad, msg in [
+        ("SELECT ?x WHERE { ?x v:p ?y }", "undeclared prefix"),
+        ("SELECT ?x { ?x <p> ?y ", "end of query"),
+        (PFX + "SELECT ?x { ?x v:p ?y } GARBAGE", "trailing"),
+        (PFX + "SELECT ?x { SELECT ?y { ?y v:p ?z } }", "sub-SELECT"),
+        (PFX + "SELECT (RAND() AS ?r) { ?x v:p ?y }", "nondeterministic"),
+        (PFX + "SELECT ?x { SERVICE <urn:x> { ?x v:p ?y } }", "SERVICE"),
+    ]:
+        with pytest.raises(SparqlError, match=msg):
+            parse_query(bad)
+
+
+# --- SELECT evaluation ------------------------------------------------------
+
+def test_basic_select_order(quads):
+    out = sparql(quads, PFX + "SELECT ?n WHERE { ?x v:name ?n } ORDER BY ?n")
+    assert [r.n for r in out.collect()] == ["Alice", "Bob", "Cara", "Dan"]
+
+
+def test_differential_vs_kwargs_surface(quads):
+    text = sparql(quads, PFX + """
+        SELECT ?x ?n ?a WHERE {
+            ?x v:name ?n .
+            OPTIONAL { ?x v:age ?a }
+            FILTER(?n != "Dan")
+        }""")
+    kwargs = match_bgp_extended(
+        quads, [("?x", V + "name", "?n")],
+        optional=[("?x", V + "age", "?a")],
+        filters=["n <> 'Dan'"]).select("x", "n", "a")
+    assert vals(text, "x", "n", "a") == vals(kwargs, "x", "n", "a")
+
+
+def test_union_and_values(quads):
+    out = sparql(quads, PFX + """
+        SELECT ?x ?n WHERE {
+          VALUES ?x { e:a e:c }
+          { ?x v:name ?n } UNION { ?x v:age ?n }
+        }""")
+    assert vals(out, "x", "n") == sorted([
+        (E + "a", "30"), (E + "a", "Alice"), (E + "c", "Cara")])
+
+
+def test_filters_numeric_and_string(quads):
+    out = sparql(quads, PFX + """
+        SELECT ?x WHERE { ?x v:age ?a . FILTER(?a > 20 && ?a <= 41) }""")
+    assert vals(out, "x") == [(E + "a",), (E + "b",)]
+    out = sparql(quads, PFX + """
+        SELECT ?n WHERE { ?x v:name ?n .
+            FILTER(REGEX(?n, "^[ab]", "i") && STRLEN(?n) = 5) }""")
+    assert vals(out, "n") == [("Alice",)]
+
+
+def test_negation_minus_vs_not_exists(quads):
+    # e:d's age quad lives in urn:g2 but default scoping matches ANY graph
+    ne = sparql(quads, PFX + """SELECT ?x WHERE {
+        ?x v:name ?n . FILTER NOT EXISTS { ?x v:age ?a } }""")
+    assert vals(ne, "x") == [(E + "c",)]
+    # MINUS with shared var: same
+    mi = sparql(quads, PFX + """SELECT ?x WHERE {
+        ?x v:name ?n . MINUS { ?x v:age ?a } }""")
+    assert vals(mi, "x") == vals(ne, "x")
+    # domain-disjoint MINUS removes nothing; NOT EXISTS gates globally
+    mi2 = sparql(quads, PFX + """SELECT ?x WHERE {
+        ?x v:name ?n . MINUS { ?y v:nope ?z } }""")
+    assert mi2.count() == 4
+    ne2 = sparql(quads, PFX + """SELECT ?x WHERE {
+        ?x v:name ?n . FILTER NOT EXISTS { ?y v:age ?z } }""")
+    assert ne2.count() == 0
+
+
+def test_exists_positive(quads):
+    out = sparql(quads, PFX + """SELECT ?x WHERE {
+        ?x v:name ?n . FILTER EXISTS { ?x v:knows ?y } }""")
+    assert vals(out, "x") == [(E + "a",), (E + "b",)]
+
+
+def test_property_path_in_text(quads):
+    out = sparql(quads, PFX + """
+        SELECT ?y WHERE { e:a v:knows+ ?y } ORDER BY ?y""")
+    assert [r.y for r in out.collect()] == [E + "b", E + "c"]
+    out = sparql(quads, PFX + """
+        SELECT ?n WHERE { e:a (v:knows*)/v:name ?n } ORDER BY ?n""")
+    assert [r.n for r in out.collect()] == ["Alice", "Bob", "Cara"]
+
+
+def test_graph_scoping(quads):
+    named = sparql(quads, PFX + "SELECT ?n { GRAPH ?g { ?x v:name ?n } }")
+    assert vals(named, "n") == [("Dan",)]
+    const = sparql(quads, PFX + 'SELECT ?n { GRAPH <urn:g1> { ?x v:name ?n } }')
+    assert vals(const, "n") == [("Dan",)]
+    # co-occurrence in ONE graph required: name in g1, age in g2 → no row
+    both = sparql(quads, PFX +
+                  "SELECT ?x { GRAPH ?g { ?x v:name ?n ; v:age ?a } }")
+    assert both.count() == 0
+
+
+def test_bind_and_expr_projection(quads):
+    out = sparql(quads, PFX + """
+        SELECT ?x ?a2 (UCASE(?n) AS ?u) WHERE {
+          ?x v:age ?a ; v:name ?n .
+          BIND(?a * 2 AS ?a2)
+        } ORDER BY ?x""")
+    assert vals(out, "a2", "u") == [(14.0, "DAN"), (60.0, "ALICE"),
+                                    (82.0, "BOB")]
+
+
+def test_aggregates_group_having(quads):
+    out = sparql(quads, PFX + """
+        SELECT ?x (COUNT(*) AS ?c) (GROUP_CONCAT(?o; SEPARATOR="|") AS ?os)
+        WHERE { ?x ?p ?o }
+        GROUP BY ?x HAVING (COUNT(*) > 2) ORDER BY ?x""")
+    rows = out.collect()
+    assert [(r.x, r.c) for r in rows] == [(E + "a", 3), (E + "b", 3)]
+    assert rows[0].os == "30|Alice|" + E + "b"
+    # implicit group + sum/avg casts
+    one = sparql(quads, PFX + """
+        SELECT (SUM(?a) AS ?s) (AVG(?a) AS ?m) (COUNT(DISTINCT ?x) AS ?d)
+        WHERE { ?x v:age ?a }""").collect()[0]
+    assert (one.s, one.m, one.d) == (78.0, 26.0, 3)
+
+
+def test_having_hidden_aggregate_dropped(quads):
+    out = sparql(quads, PFX + """
+        SELECT ?x (COUNT(*) AS ?c) WHERE { ?x ?p ?o }
+        GROUP BY ?x HAVING (SUM(?c2) = 0)""".replace(
+        "SUM(?c2) = 0", "MAX(?o) >= \"Alice\""))
+    assert set(out.columns) == {"x", "c"}
+
+
+def test_limit_offset_distinct(quads):
+    q = PFX + "SELECT DISTINCT ?p WHERE { ?s ?p ?o } ORDER BY ?p"
+    allp = [r.p for r in sparql(quads, q).collect()]
+    page = [r.p for r in
+            sparql(quads, q + " LIMIT 2 OFFSET 1").collect()]
+    assert page == allp[1:3]
+
+
+def test_type_functions(quads):
+    out = sparql(quads, PFX + """
+        SELECT ?n (LANG(?n) AS ?l) (DATATYPE(?n) AS ?dt)
+        WHERE { ?x v:name ?n } ORDER BY ?n""")
+    got = [(r.n, r.l, r.dt) for r in out.collect()]
+    assert got[0] == ("Alice", "", XSD + "string")
+    assert got[1] == ("Bob", "en",
+                      "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")
+    assert got[2] == ("Cara", "", XSD + "string")
+    out = sparql(quads, PFX + """
+        SELECT ?v WHERE { e:c v:addr ?v . FILTER(ISBLANK(?v)) }""")
+    assert out.count() == 1
+    out = sparql(quads, PFX + """
+        SELECT ?o WHERE { ?s v:knows ?o . FILTER(ISIRI(?o)) }""")
+    assert out.count() == 2
+
+
+def test_bnode_label_is_scoped_variable(quads):
+    out = sparql(quads, PFX + """
+        SELECT ?c WHERE { e:c v:addr _:w . _:w v:city ?c }""")
+    assert vals(out, "c") == [("Oslo",)]
+
+
+# --- ASK / CONSTRUCT / DESCRIBE --------------------------------------------
+
+def test_ask(quads):
+    yes = sparql(quads, PFX + "ASK { e:a v:knows/v:knows e:c }")
+    no = sparql(quads, PFX + "ASK { e:c v:knows ?y }")
+    assert yes.collect()[0].ask is True
+    assert no.collect()[0].ask is False
+
+
+def test_construct_preserves_typing(quads):
+    out = sparql(quads, PFX + """
+        CONSTRUCT { ?x <urn:p:label> ?n . ?x a <urn:c:Person> }
+        WHERE { ?x v:name ?n . ?x v:age ?a }""")
+    rows = {(r.p, r.o_value): r for r in out.collect()}
+    assert len(rows) == 4
+    lbl = rows[("urn:p:label", "Bob")]
+    assert lbl.o_kind == "literal" and lbl.o_lang == "en"
+    typ = rows[("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                "urn:c:Person")]
+    assert typ.o_kind == "iri"
+
+
+def test_describe_follows_bnodes(quads):
+    out = sparql(quads, PFX + "DESCRIBE e:c")
+    got = vals(out, "s", "p")
+    assert (E + "c", V + "name") in got
+    assert ("_:addr1", V + "city") in got      # CBD pulls the bnode closure
+    assert len(got) == 3
+    byvar = sparql(quads, PFX + "DESCRIBE ?x WHERE { ?x v:age 41 }")
+    assert {r.s for r in byvar.collect()} == {E + "b"}
+
+
+def test_describe_unbound_var_errors(quads):
+    with pytest.raises(SparqlError, match="not bound"):
+        sparql(quads, PFX + "DESCRIBE ?zz WHERE { ?x v:name ?n }")
+
+
+# --- plan sanity ------------------------------------------------------------
+
+def test_filter_constant_pushdown(quads, tmp_path):
+    """A constant-subject text query must push the predicate constant
+    into the parquet scan, same as the kwargs surface."""
+    p = str(tmp_path / "q.parquet")
+    quads.write.parquet(p)
+    pq = quads.sparkSession.read.parquet(p)
+    plan = sparql(pq, PFX + "SELECT ?n { ?x v:name ?n }") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(p), EqualTo(p," in plan
