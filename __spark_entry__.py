@@ -794,6 +794,47 @@ def q_doc_split_counts(spark, sf_dir) -> DataFrame:
             .orderBy("source", "split"))
 
 
+def q_doc_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII detection + scrubbing (curation.pii_counts/scrub_pii): PII
+    is PLANTED arithmetically (email when doc_id%3=0, ssn %11, ipv4 %5,
+    phone %7 — appended in scrub order), then detection counts and the
+    masked-length delta are aggregated per doc_id%10 group. The oracle
+    replants identically and runs the SAME RE2-compatible regexes in
+    DuckDB, so counts AND the character-exact replacement must match."""
+    from rdflib_jsonld_spark.operators.curation import pii_counts, scrub_pii
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.format_string(
+                " reach user%d@example.com", did)).otherwise(""),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" id 123-45-"),
+                F.lpad((did % 10000).cast("string"), 4, "0")))
+            .otherwise(""),
+            F.when(did % 5 == 0, F.format_string(
+                " host 10.1.%d.7", did % 256)).otherwise(""),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" call +1555"),
+                F.lpad(did.cast("string"), 7, "0"))).otherwise(""),
+        ).alias("text"))
+    counts = pii_counts(planted)
+    scrubbed = scrub_pii(planted).select(
+        "doc_id", F.length("text").alias("len_scrub"))
+    joined = (planted.select("doc_id", F.length("text").alias("len_raw"))
+              .join(counts, "doc_id").join(scrubbed, "doc_id"))
+    return (joined.groupBy((did % 10).cast("int").alias("grp"))
+            .agg(F.sum("n_email").cast("long").alias("n_email"),
+                 F.sum("n_ssn").cast("long").alias("n_ssn"),
+                 F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+                 F.sum("n_phone").cast("long").alias("n_phone"),
+                 F.sum(F.col("len_raw") - F.col("len_scrub"))
+                 .cast("long").alias("chars_delta"))
+            .orderBy("grp"))
+
+
 def q_doc_exact_dup_groups(spark, sf_dir) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     planted = (docs.where(F.col("doc_id") < 5)
@@ -1065,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam_flags": q_doc_decontam_flags,
         "doc_repetition_scores": q_doc_repetition_scores,
         "doc_split_counts": q_doc_split_counts,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "doc_lang_pred_counts": q_doc_lang_pred_counts,
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
@@ -1839,6 +1881,56 @@ def oracle_sql() -> dict[str, str]:
             FROM assigned
             GROUP BY 1, 2
             ORDER BY source, split
+        """,
+        "doc_pii_scrub": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 3 = 0 THEN ' reach user'
+                          || doc_id::varchar || '@example.com'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-'
+                          || lpad((doc_id % 10000)::varchar, 4, '0')
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 5 = 0 THEN ' host 10.1.'
+                          || (doc_id % 256)::varchar || '.7'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 7 = 0 THEN ' call +1555'
+                          || lpad(doc_id::varchar, 7, '0')
+                          ELSE '' END AS text
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     length(text) AS len_raw,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                         AS n_email,
+                     len(regexp_extract_all(text,
+                       '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                     len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                         AS n_ipv4,
+                     len(regexp_extract_all(text, '\+\d{7,15}\b'))
+                         AS n_phone,
+                     length(
+                       regexp_replace(regexp_replace(regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                         '<IPV4>', 'g'),
+                         '\+\d{7,15}\b', '<PHONE>', 'g')) AS len_scrub
+              FROM planted)
+            SELECT (doc_id % 10)::INT AS grp,
+                   sum(n_email)::BIGINT AS n_email,
+                   sum(n_ssn)::BIGINT AS n_ssn,
+                   sum(n_ipv4)::BIGINT AS n_ipv4,
+                   sum(n_phone)::BIGINT AS n_phone,
+                   sum(len_raw - len_scrub)::BIGINT AS chars_delta
+            FROM scored
+            GROUP BY 1
+            ORDER BY grp
         """,
         "emb_topk_cosine": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

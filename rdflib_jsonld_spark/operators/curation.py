@@ -18,6 +18,14 @@ dedup (operators/dedup.py) and quality stats (operators/textstats.py):
   partitionings (no sampling shuffle — a pure narrow projection), the
   property that matters when 10^12 rows must land in the SAME split on
   every rerun.
+- **PII detection + scrubbing** — regex detection counts and
+  typed-token masking for emails / phone numbers / IPv4 addresses /
+  SSN-shaped ids (the C4/Dolma-style pre-training redaction pass;
+  public methodology — Raffel et al. 2020 §2.2 filters, Soldaini et
+  al. 2024 Dolma §4). Patterns are RE2-compatible (no lookarounds) so
+  the DuckDB oracle runs the IDENTICAL expressions; detection is a
+  narrow projection (zero shuffle), masking a sequential
+  ``regexp_replace`` chain in a documented fixed order.
 
 All stages are JVM-side column algebra (split/slice/explode/aggregate)
 — no Python in the hot path; every operator is oracle-checked in DuckDB
@@ -143,3 +151,52 @@ def assign_splits(docs: DataFrame,
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return docs.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# PII detection + scrubbing
+# ---------------------------------------------------------------------------
+
+#: Detection patterns, in SCRUB ORDER (email before ipv4 so dotted
+#: digits inside a local part are claimed by the email rule first;
+#: ssn before phone so a "+"-less digit-dash id is not half-eaten).
+#: All RE2-compatible: character classes + \b only, no lookarounds —
+#: the same literal pattern strings run in Spark (Java regex) and
+#: DuckDB (RE2) with identical match semantics.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}\b",
+}
+
+
+def pii_counts(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               patterns: dict[str, str] | None = None) -> DataFrame:
+    """Per-document PII detection counts: one ``n_<class>`` column per
+    pattern, each counted INDEPENDENTLY on the raw text (a span matched
+    by two classes counts in both — detection is a reporting surface,
+    scrub order is what resolves overlaps). Pure narrow projection:
+    no shuffle, no Python — ``regexp_count`` is JVM codegen."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    return docs.select(
+        id_col,
+        *[F.regexp_count(F.col(text_col), F.lit(p)).cast("long")
+          .alias(f"n_{name}") for name, p in pats.items()])
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text",
+              out_col: str | None = None,
+              patterns: dict[str, str] | None = None,
+              token_fmt: str = "<{}>") -> DataFrame:
+    """Mask every PII match with a typed token (``<EMAIL>``, ``<SSN>``,
+    ``<IPV4>``, ``<PHONE>`` by default), applying the patterns in dict
+    order — the order is part of the contract (see PII_PATTERNS).
+    Idempotent: tokens contain no digits or ``@``, so a second pass
+    matches nothing. Narrow projection, zero shuffle at any scale."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    col = F.col(text_col)
+    for name, p in pats.items():
+        col = F.regexp_replace(col, p, token_fmt.format(name.upper()))
+    return docs.withColumn(out_col or text_col, col)

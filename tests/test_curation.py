@@ -8,8 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from rdflib_jsonld_spark.operators.curation import (
-    assign_splits, benchmark_ngram_set, flag_contaminated,
-    repetition_scores)
+    assign_splits, benchmark_ngram_set, flag_contaminated, pii_counts,
+    repetition_scores, scrub_pii)
 
 
 def docs_df(spark, texts):
@@ -133,3 +133,49 @@ def test_assign_splits_bad_weights(spark):
     docs = docs_df(spark, ["x"])
     with pytest.raises(ValueError):
         assign_splits(docs, splits=[("train", 0.5), ("val", 0.1)])
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+def test_pii_counts_per_class(spark):
+    docs = docs_df(spark, [
+        "mail a.b-c_d%x+1@sub.example.org or other@example.com now",
+        "ssn 123-45-6789 and ip 192.168.0.1 and call +15551234567",
+        "no pii here at all",
+        "",
+    ])
+    out = {r.doc_id: r for r in pii_counts(docs).collect()}
+    assert (out[0].n_email, out[0].n_ssn, out[0].n_ipv4,
+            out[0].n_phone) == (2, 0, 0, 0)
+    assert (out[1].n_email, out[1].n_ssn, out[1].n_ipv4,
+            out[1].n_phone) == (0, 1, 1, 1)
+    assert (out[2].n_email, out[3].n_email) == (0, 0)
+
+
+def test_scrub_pii_order_and_tokens(spark):
+    docs = docs_df(spark, [
+        "mail x@y.example ssn 123-45-6789 ip 10.0.0.1 tel +12345678",
+    ])
+    row = scrub_pii(docs).collect()[0]
+    assert row.text == ("mail <EMAIL> ssn <SSN> ip <IPV4> tel <PHONE>")
+    # email claims dotted digits in its local part before ipv4 can
+    tricky = docs_df(spark, ["ping 1.2.3.4@example.com end"])
+    assert scrub_pii(tricky).collect()[0].text == "ping <EMAIL> end"
+
+
+def test_scrub_pii_idempotent_and_out_col(spark):
+    docs = docs_df(spark, ["reach user1@example.com at +15550001111"])
+    once = scrub_pii(docs)
+    assert scrub_pii(once).collect()[0].text == once.collect()[0].text
+    kept = scrub_pii(docs, out_col="clean").collect()[0]
+    assert "@" in kept.text and "<EMAIL>" in kept.clean
+
+
+def test_pii_custom_patterns(spark):
+    docs = docs_df(spark, ["key AKIA1234 other"])
+    pats = {"awskey": r"\bAKIA[0-9A-Z]{4}\b"}
+    assert pii_counts(docs, patterns=pats).collect()[0].n_awskey == 1
+    assert scrub_pii(docs, patterns=pats).collect()[0].text == \
+        "key <AWSKEY> other"
