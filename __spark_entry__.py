@@ -381,6 +381,32 @@ def q_kg_sparql_text_path(spark, sf_dir) -> DataFrame:
         GROUP BY ?src ORDER BY ?src""")
 
 
+def q_kg_sparql_text_subquery(spark, sf_dir) -> DataFrame:
+    """Text-layer sub-SELECT (§12): an aggregate subquery (per-alias
+    mention counts) joins an outer property-path pattern, then the
+    outer query re-aggregates — the analytics shape (aggregate →
+    join → aggregate) that needs nesting. Oracle is doc_id
+    arithmetic: alias a_k of entity e is mentioned by docs with
+    doc_id%500==e and doc_id%(1+e%3)==k, and reaches exactly k lower
+    aliases through the sameAs chain."""
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    return sparql(quads, f"""
+        PREFIX v: <{KG}vocab#>
+        PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        SELECT ?e ?n_m (COUNT(?y) AS ?n_reach)
+        WHERE {{
+          {{ SELECT ?e (COUNT(?m) AS ?n_m)
+             WHERE {{ ?m a v:Mention ; v:about ?e }}
+             GROUP BY ?e }}
+          ?e owl:sameAs+ ?y .
+        }}
+        GROUP BY ?e ?n_m
+        ORDER BY ?e""")
+
+
 def q_kg_cc_distributed_documents(spark, sf_dir) -> DataFrame:
     """F2 connected components through the DISTRIBUTED large-star/small-
     star branch (driver_threshold=0 disables the driver union-find, so
@@ -1070,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_text_aggregate": q_kg_sparql_text_aggregate,
         "kg_sparql_text_union_negation": q_kg_sparql_text_union_negation,
         "kg_sparql_text_path": q_kg_sparql_text_path,
+        "kg_sparql_text_subquery": q_kg_sparql_text_subquery,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -1501,6 +1528,17 @@ def oracle_sql() -> dict[str, str]:
                    k::BIGINT AS n_reach
             FROM mj, UNNEST(range(1, m + 1)) AS t(k)
             ORDER BY src
+        """,
+        "kg_sparql_text_subquery": f"""
+            WITH mc AS (
+              SELECT doc_id % 500 AS ent,
+                     doc_id % (1 + (doc_id % 500) % 3) AS al,
+                     count(*)::BIGINT AS n_m
+              FROM documents GROUP BY 1, 2)
+            SELECT '{KG}e/' || ent::varchar || '/a' || al::varchar AS e,
+                   n_m, al::BIGINT AS n_reach
+            FROM mc WHERE al >= 1
+            ORDER BY e
         """,
         # --- relational -----------------------------------------------------
         "tpch_q1_pricing_summary": """

@@ -21,8 +21,11 @@ Supported surface (the subset a pipeline user actually types):
   property paths in predicate position (full §9.1 grammar via
   operators/paths.py ASTs), ``OPTIONAL``, ``{A} UNION {B}``,
   ``FILTER`` (expressions, ``EXISTS``/``NOT EXISTS`` groups),
-  ``MINUS``, ``BIND (expr AS ?v)``, inline ``VALUES``, and
-  ``GRAPH (?g|<iri>) { ... }`` scoping.
+  ``MINUS``, ``BIND (expr AS ?v)``, inline ``VALUES``,
+  ``GRAPH (?g|<iri>) { ... }`` scoping, and sub-SELECTs
+  (``{ SELECT ... }`` with full modifiers; only projected variables
+  are visible outside, per §12 — typed companions do not cross the
+  boundary).
 - Solution modifiers: ``GROUP BY`` (variables), ``HAVING``,
   ``ORDER BY [ASC|DESC]``, ``LIMIT``/``OFFSET``, aggregates COUNT /
   COUNT DISTINCT / SUM / AVG / MIN / MAX / SAMPLE / GROUP_CONCAT
@@ -417,6 +420,13 @@ class _Parser:
     def parse_group(self) -> Group:
         self.expect_op("{")
         g = Group()
+        if self.at_kw("SELECT"):
+            # GroupGraphPattern ::= '{' ( SubSelect | ... ) '}' — a
+            # sub-SELECT is the ENTIRE content of its enclosing braces.
+            sub = self._parse_select()
+            self.expect_op("}")
+            g.elements.append(("subselect", sub))
+            return g
         while not self._is_op("}"):
             if self._is_op("."):      # optional dot between group elements
                 self.take()
@@ -458,7 +468,8 @@ class _Parser:
             elif self.at_kw("SERVICE"):
                 raise SparqlError("SERVICE (federation) is not supported")
             elif self.at_kw("SELECT"):
-                raise SparqlError("sub-SELECT is not supported (v1)")
+                raise SparqlError("a sub-SELECT must be wrapped in its "
+                                  "own braces: { SELECT ... }")
             elif self._is_op("{"):
                 first = self.parse_group()
                 if self.at_kw("UNION"):
@@ -1175,6 +1186,18 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
             acc = _merge(acc, _eval_group(
                 quads, sub, graph=term, with_types=with_types,
                 stats=stats, max_iter=max_iter))
+        elif kind == "subselect":
+            # Bottom-up per spec: the subquery evaluates against the
+            # dataset (inheriting any active GRAPH scope), its solution
+            # modifiers apply, and ONLY its projected variables join the
+            # enclosing group. Typed companions do not cross the
+            # boundary (outer LANG/DATATYPE on a subquery-projected var
+            # sees the plain lexical form — documented v1 narrowing).
+            subq = el[1]
+            ssols = _eval_group(quads, subq.where, graph=graph,
+                                with_types=with_types, stats=stats,
+                                max_iter=max_iter)
+            acc = _merge(acc, _eval_select(ssols, subq))
         elif kind in ("filter", "exists"):
             deferred.append(el)
         else:  # pragma: no cover
@@ -1272,6 +1295,13 @@ def sparql(quads: DataFrame, query: str, *, stats: dict | None = None,
         return _describe(quads, nodes)
 
     # SELECT
+    return _eval_select(sols, q)
+
+
+def _eval_select(sols: DataFrame, q: Query) -> DataFrame:
+    """Apply a parsed SELECT clause (projection, aggregation, solution
+    modifiers) over an evaluated solution table — shared by the
+    top-level SELECT form and nested sub-SELECTs."""
     bind: list[tuple[str, str]] = []
     aggregates: list[tuple] = []
     project: list[str] = []

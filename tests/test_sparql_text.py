@@ -89,7 +89,8 @@ def test_parse_errors():
         ("SELECT ?x WHERE { ?x v:p ?y }", "undeclared prefix"),
         ("SELECT ?x { ?x <p> ?y ", "end of query"),
         (PFX + "SELECT ?x { ?x v:p ?y } GARBAGE", "trailing"),
-        (PFX + "SELECT ?x { SELECT ?y { ?y v:p ?z } }", "sub-SELECT"),
+        (PFX + "SELECT ?x { ?x v:p ?y . SELECT ?z { ?z v:p ?w } }",
+         "sub-SELECT"),
         (PFX + "SELECT (RAND() AS ?r) { ?x v:p ?y }", "nondeterministic"),
         (PFX + "SELECT ?x { SERVICE <urn:x> { ?x v:p ?y } }", "SERVICE"),
     ]:
@@ -169,6 +170,64 @@ def test_property_path_in_text(quads):
     out = sparql(quads, PFX + """
         SELECT ?n WHERE { e:a (v:knows*)/v:name ?n } ORDER BY ?n""")
     assert [r.n for r in out.collect()] == ["Alice", "Bob", "Cara"]
+
+
+def test_subselect_aggregate_joins_outer(quads):
+    # per-node knows-count from the subquery, name from the outer BGP
+    out = sparql(quads, PFX + """
+        SELECT ?name ?n WHERE {
+          { SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x v:knows ?y }
+            GROUP BY ?x }
+          ?x v:name ?name .
+        } ORDER BY ?name""")
+    assert vals(out, "name", "n") == [("Alice", 1), ("Bob", 1)]
+
+
+def test_subselect_topk_modifiers(quads):
+    # ORDER+LIMIT apply INSIDE the subquery, before the outer join;
+    # plain ?a orders by lexical form ("7" > "41"), a numeric BIND
+    # orders by value (41 wins)
+    out = sparql(quads, PFX + """
+        SELECT ?name WHERE {
+          { SELECT ?x WHERE { ?x v:age ?a } ORDER BY DESC(?a) LIMIT 1 }
+          ?x v:name ?name .
+        }""")
+    assert vals(out, "name") == [("Dan",)]
+    out = sparql(quads, PFX + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?name WHERE {
+          { SELECT ?x WHERE { ?x v:age ?a .
+                              BIND(xsd:integer(?a) AS ?ai) }
+            ORDER BY DESC(?ai) LIMIT 1 }
+          ?x v:name ?name .
+        }""")
+    assert vals(out, "name") == [("Bob",)]
+
+
+def test_subselect_projection_scopes_vars(quads):
+    # inner ?y is NOT projected → the outer ?y is a fresh variable,
+    # so the outer pattern cross-joins (2 subjects-with-knows × 4 names)
+    out = sparql(quads, PFX + """
+        SELECT ?x ?name WHERE {
+          { SELECT ?x WHERE { ?x v:knows ?y } }
+          ?y v:name ?name .
+        }""")
+    assert out.count() == 8
+
+
+def test_subselect_differential_vs_kwargs(quads):
+    from rdflib_jsonld_spark.operators.bgp import match_bgp
+    from rdflib_jsonld_spark.operators.solutions import select_solutions
+    text = sparql(quads, PFX + """
+        SELECT ?x ?n WHERE {
+          { SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x v:knows ?y }
+            GROUP BY ?x }
+        }""")
+    kwargs = select_solutions(
+        match_bgp(quads, [("?x", V + "knows", "?y")]),
+        group_by=["x"], aggregates=[("count", "?y", "n")],
+        project=["x", "n"])
+    assert vals(text, "x", "n") == vals(kwargs, "x", "n")
 
 
 def test_graph_scoping(quads):
