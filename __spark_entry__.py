@@ -407,6 +407,33 @@ def q_kg_sparql_text_subquery(spark, sf_dir) -> DataFrame:
         ORDER BY ?e""")
 
 
+def q_kg_sparql_update_rewrite(spark, sf_dir) -> DataFrame:
+    """SPARQL 1.1 Update (operators/update.py) as graph curation: a
+    3-op sequence — DELETE WHERE drops every confidence quad, a
+    DELETE/INSERT modify rewrites the sameAs alias edges to
+    v:linked + a per-subject v:status tag, INSERT DATA stamps a
+    revision quad — then per-predicate counts over the NEW store.
+    Every count is doc_id arithmetic on the dedup'd transcript KG:
+    about/surface/turn/type = n_docs, linked = Σ_e max_j(e) (dedup'd
+    chain edges), status = distinct sources = the same Σ, rev = 1,
+    confidence/sameAs gone."""
+    from rdflib_jsonld_spark.operators.update import update
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    updated = update(quads, f"""
+        PREFIX v: <{KG}vocab#>
+        PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        DELETE WHERE {{ ?m v:confidence ?c }} ;
+        DELETE {{ ?x owl:sameAs ?y }}
+        INSERT {{ ?x v:linked ?y . ?x v:status "merged" }}
+        WHERE {{ ?x owl:sameAs ?y }} ;
+        INSERT DATA {{ <urn:job> v:rev "r3" }}""")
+    return (updated.groupBy("p")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_quads"))
+            .orderBy("p"))
+
+
 def q_kg_cc_distributed_documents(spark, sf_dir) -> DataFrame:
     """F2 connected components through the DISTRIBUTED large-star/small-
     star branch (driver_threshold=0 disables the driver union-find, so
@@ -1097,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_text_union_negation": q_kg_sparql_text_union_negation,
         "kg_sparql_text_path": q_kg_sparql_text_path,
         "kg_sparql_text_subquery": q_kg_sparql_text_subquery,
+        "kg_sparql_update_rewrite": q_kg_sparql_update_rewrite,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -1528,6 +1556,25 @@ def oracle_sql() -> dict[str, str]:
                    k::BIGINT AS n_reach
             FROM mj, UNNEST(range(1, m + 1)) AS t(k)
             ORDER BY src
+        """,
+        "kg_sparql_update_rewrite": f"""
+            WITH d AS (
+              SELECT doc_id % 500 AS e,
+                     doc_id % (1 + (doc_id % 500) % 3) AS j
+              FROM documents),
+            mx AS (SELECT e, max(j) AS m FROM d GROUP BY e),
+            nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            lk AS (SELECT coalesce(sum(m), 0)::BIGINT AS n FROM mx)
+            SELECT p, n_quads FROM (
+              SELECT '{KG}vocab#about' AS p, n AS n_quads FROM nd
+              UNION ALL SELECT '{KG}vocab#surface', n FROM nd
+              UNION ALL SELECT '{KG}vocab#turn', n FROM nd
+              UNION ALL SELECT
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', n FROM nd
+              UNION ALL SELECT '{KG}vocab#linked', n FROM lk
+              UNION ALL SELECT '{KG}vocab#status', n FROM lk
+              UNION ALL SELECT '{KG}vocab#rev', 1)
+            ORDER BY p
         """,
         "kg_sparql_text_subquery": f"""
             WITH mc AS (

@@ -328,13 +328,25 @@ def construct(quads: DataFrame,
 
 
 def instantiate_template(sols: DataFrame,
-                         template: list[tuple[str, str, str]]) -> DataFrame:
+                         template: list[tuple[str, str, str]],
+                         graph: str | None = None) -> DataFrame:
     """Instantiate CONSTRUCT template triples over an arbitrary solution
     table (one column per variable, optional ``__typ_*`` companions) —
     the template half of :func:`construct`, reusable by callers that
     build their solution set some other way (e.g. the SPARQL text
-    front-end's group-graph-pattern evaluator)."""
+    front-end's group-graph-pattern evaluator).
+
+    ``graph`` names the target graph for every produced quad: ``None``
+    (default graph), a constant IRI, or a ``?var`` bound in ``sols``
+    (rows where it is unbound are skipped, mirroring s/p/o) — used by
+    SPARQL Update's ``GRAPH {}`` template blocks."""
     have = set(sols.columns)
+    if graph is None:
+        g_col = F.lit(None).cast("string")
+    elif _is_var(graph):
+        g_col = F.col(graph[1:])
+    else:
+        g_col = F.lit(graph)
 
     out = None
     for s, p, o in template:
@@ -369,7 +381,7 @@ def instantiate_template(sols: DataFrame,
                 F.lit(None).cast("string"))
             lang = F.lit(None).cast("string")
         row = sols.select(
-            F.lit(None).cast("string").alias("g"),
+            g_col.alias("g"),
             s_col.alias("s"),
             s_col.startswith("_:").alias("s_is_bnode"),
             p_col.alias("p"),
@@ -378,6 +390,8 @@ def instantiate_template(sols: DataFrame,
             dt.alias("o_datatype"),
             lang.alias("o_lang"),
         ).where(s_col.isNotNull() & p_col.isNotNull() & o_col.isNotNull())
+        if graph is not None and _is_var(graph):
+            row = row.where(F.col("g").isNotNull())
         out = row if out is None else out.unionByName(row)
     return out.dropDuplicates(
         ["g", "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"])

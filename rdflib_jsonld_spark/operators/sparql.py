@@ -216,6 +216,8 @@ _KEYWORDS = {
     "BIND", "VALUES", "GRAPH", "AS", "GROUP", "BY", "HAVING", "ORDER",
     "ASC", "DESC", "LIMIT", "OFFSET", "UNDEF", "IN", "NOT", "EXISTS",
     "SERVICE",
+    # SPARQL 1.1 Update (operators/update.py builds on this parser)
+    "INSERT", "DELETE", "DATA", "WITH", "USING",
 }
 
 _AGG_TEXT = {

@@ -1,0 +1,343 @@
+"""SPARQL 1.1 Update over quad DataFrames — functional, Spark-first.
+
+``update(quads, text)`` parses a ``;``-separated sequence of update
+operations and returns a NEW quad DataFrame (the next snapshot of the
+store). Nothing mutates: each operation is pure set algebra over the
+input — a deletion is a null-safe anti-join on the quad identity key,
+an insertion is an anti-joined union — so the whole sequence stays one
+lazy Catalyst plan that AQE sizes at runtime, and at warehouse scale
+the result is simply what gets written back as the next table version.
+
+Supported operations (SPARQL 1.1 Update §3.1, ``[spec]``
+https://www.w3.org/TR/sparql11-update/):
+
+- ``INSERT DATA { quads }`` / ``DELETE DATA { quads }`` — ground quads,
+  with ``GRAPH <iri> { ... }`` blocks; typed/lang literals keep their
+  datatype/language. Blank nodes in DATA blocks are rejected (v1:
+  deterministic output is a repo invariant; fresh-bnode minting would
+  need a run id — documented narrowing).
+- ``DELETE WHERE { pattern }`` — the pattern is both template and WHERE.
+- ``[WITH <g>] [DELETE { t }] [INSERT { t }] WHERE { pattern }`` — the
+  full modify form. Per spec, both templates are instantiated from the
+  SAME solution set evaluated against the pre-operation store; the
+  result is ``(G ∖ deletes) ∪ inserts``. ``WITH`` scopes the WHERE and
+  any template quad outside an explicit ``GRAPH`` block. ``USING`` is
+  rejected (pass the dataset as the input DataFrame instead).
+
+Quad identity is the 7-column key (g s p o_kind o_value o_datatype
+o_lang) — lineage columns (conv_id, turn_idx) ride along unchanged on
+surviving rows and are NULL on inserted rows. All joins are null-safe
+equi-joins (``eqNullSafe`` — g/datatype/lang are nullable), which Spark
+still plans as hash joins, so deletes/inserts scale like any other
+equi-join on the quad table.
+
+The reference checkout has no update engine (tombstone; rdflib itself
+owns SPARQL Update) — this is pipeline-extension breadth on the
+engine's own quad model, same as the query front-end.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from .bgp import instantiate_template
+from .sparql import (Group, SparqlError, XSD, _canon_number, _eval_group,
+                     _Parser)
+
+#: Quad identity — graph set semantics; lineage columns excluded.
+QUAD_KEY = ["g", "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"]
+
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+_CORE_SCHEMA = ("g string, s string, s_is_bnode boolean, p string, "
+                "o_kind string, o_value string, o_datatype string, "
+                "o_lang string")
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+# Operations:
+#   ("insert_data", rows) / ("delete_data", rows)
+#       rows: [(g, s, p, o_kind, o_value, o_datatype, o_lang)]
+#   ("modify", delete_tmpl, insert_tmpl, where: Group, with_graph)
+#       tmpl: [(graph_term | None, [(s, p, o), ...])]
+
+
+class _UpdateParser(_Parser):
+    def __init__(self, text: str):
+        super().__init__(text)
+        self._data_mode = False
+
+    def parse_update(self) -> list[tuple]:
+        ops = []
+        while True:
+            self.parse_prologue()
+            ops.append(self._parse_op())
+            if self._is_op(";"):
+                self.take()
+                if self.pos == len(self.toks):   # trailing ';'
+                    break
+                continue
+            break
+        if self.pos != len(self.toks):
+            t = self.peek()
+            raise SparqlError(f"trailing tokens starting at {t.text!r} "
+                              f"(char {t.pos})")
+        if not ops:
+            raise SparqlError("empty update request")
+        return ops
+
+    def _parse_op(self) -> tuple:
+        with_g = None
+        if self.at_kw("WITH"):
+            self.take()
+            t = self.take()
+            if t.kind == "IRIREF":
+                with_g = self.resolve_iri(t.text)
+            elif t.kind == "PNAME":
+                with_g = self.expand_pname(t.text, t.pos)
+            else:
+                raise SparqlError("WITH needs an IRI")
+        if self.at_kw("USING"):
+            raise SparqlError("USING is not supported — pass the dataset "
+                              "as the quad DataFrame")
+        if self.at_kw("INSERT"):
+            self.take()
+            if self.at_kw("DATA"):
+                if with_g is not None:
+                    raise SparqlError("WITH does not apply to INSERT DATA")
+                self.take()
+                return ("insert_data", self._parse_ground_quads())
+            ins = self._parse_quad_templates("INSERT")
+            self.expect_kw("WHERE")
+            return ("modify", None, ins, self.parse_group(), with_g)
+        if self.at_kw("DELETE"):
+            self.take()
+            if self.at_kw("DATA"):
+                if with_g is not None:
+                    raise SparqlError("WITH does not apply to DELETE DATA")
+                self.take()
+                return ("delete_data", self._parse_ground_quads())
+            if self.at_kw("WHERE"):
+                self.take()
+                tmpl = self._parse_quad_templates("DELETE")
+                return ("modify", tmpl, None, _template_as_group(tmpl),
+                        with_g)
+            dels = self._parse_quad_templates("DELETE")
+            ins = None
+            if self.at_kw("INSERT"):
+                self.take()
+                ins = self._parse_quad_templates("INSERT")
+            self.expect_kw("WHERE")
+            return ("modify", dels, ins, self.parse_group(), with_g)
+        t = self.peek()
+        raise SparqlError(f"expected INSERT/DELETE/WITH, got "
+                          f"{t.text if t else 'end of update'!r}")
+
+    # --- quad templates (pattern position) ---------------------------------
+    def _parse_quad_templates(self, op: str) -> list[tuple]:
+        self.expect_op("{")
+        groups: list[tuple] = []
+        while not self._is_op("}"):
+            if self._is_op("."):
+                self.take()
+            elif self.at_kw("GRAPH"):
+                self.take()
+                t = self.take()
+                if t.kind == "VAR":
+                    term = "?" + t.text
+                elif t.kind == "IRIREF":
+                    term = self.resolve_iri(t.text)
+                elif t.kind == "PNAME":
+                    term = self.expand_pname(t.text, t.pos)
+                else:
+                    raise SparqlError(f"GRAPH needs ?var or IRI, "
+                                      f"got {t.text!r}")
+                self.expect_op("{")
+                groups.append((term, self._template_triples(op)))
+                self.expect_op("}")
+            else:
+                trips = self._template_triples(op)
+                if not trips:
+                    t = self.peek()
+                    raise SparqlError(
+                        f"unexpected {t.text!r} in {op} template"
+                        if t else f"unterminated {op} template")
+                groups.append((None, trips))
+        self.expect_op("}")
+        return groups
+
+    def _template_triples(self, op: str) -> list[tuple]:
+        trips = self.parse_triples()
+        for s, p, o in trips:
+            if not isinstance(p, str):
+                raise SparqlError(f"property paths not allowed in {op} "
+                                  f"template")
+            for pos in (s, p, o):
+                if isinstance(pos, str) and pos.startswith("?__bn_"):
+                    raise SparqlError(
+                        f"blank nodes in {op} templates are unsupported "
+                        f"(v1: deterministic output)")
+        return trips
+
+    # --- ground quad data ---------------------------------------------------
+    def _parse_ground_quads(self) -> list[tuple]:
+        self._data_mode = True
+        try:
+            groups = self._parse_quad_templates("DATA")
+        finally:
+            self._data_mode = False
+        rows: list[tuple] = []
+        for term, trips in groups:
+            if term is not None and term.startswith("?"):
+                raise SparqlError("variables not allowed in DATA blocks")
+            for s, p, o in trips:
+                for pos, what in ((s, "subject"), (p, "predicate")):
+                    if isinstance(pos, str) and pos.startswith("?"):
+                        raise SparqlError(
+                            f"variable {what} not allowed in DATA blocks")
+                    if not isinstance(pos, str):
+                        raise SparqlError(f"literal {what} is not valid RDF")
+                if isinstance(o, tuple):        # literal with metadata
+                    _, val, dt, lang = o
+                    rows.append((term, s, p, "literal", val, dt, lang))
+                elif o.startswith("?"):
+                    raise SparqlError(
+                        "variable object not allowed in DATA blocks")
+                else:
+                    rows.append((term, s, p, "iri", o, None, None))
+        return rows
+
+    def term(self, t):
+        """In DATA mode, literals keep their datatype/lang as a
+        ``("lit", value, datatype, lang)`` tuple instead of collapsing
+        to the pattern-position lexical form."""
+        if self._data_mode:
+            if t.kind == "STRING":
+                # engine identity convention (jsonld/tordf.py): plain
+                # strings carry explicit xsd:string, tagged ones
+                # rdf:langString — DATA quads must match to delete
+                dt = self._expand_datatype(t.datatype) if t.datatype \
+                    else (_RDF_LANGSTRING if t.lang else XSD + "string")
+                return ("lit", t.text, dt, t.lang)
+            if t.kind == "NUMBER":
+                lex = _canon_number(t.text)
+                if re.fullmatch(r"[+-]?\d+", t.text):
+                    dt = XSD + "integer"
+                elif "e" in t.text.lower():
+                    dt = XSD + "double"
+                else:
+                    dt = XSD + "decimal"
+                return ("lit", lex, dt, None)
+            if t.kind == "NAME" and t.text in ("true", "false"):
+                return ("lit", t.text, XSD + "boolean", None)
+            if t.kind == "BNODE":
+                raise SparqlError("blank nodes in DATA blocks are "
+                                  "unsupported (v1: deterministic output)")
+        return super().term(t)
+
+    def _expand_datatype(self, raw: str) -> str:
+        try:
+            return self.expand_pname(raw)
+        except SparqlError:
+            return self.resolve_iri(raw)
+
+
+def _template_as_group(tmpl: list[tuple]) -> Group:
+    """DELETE WHERE shorthand: the quad pattern is its own WHERE."""
+    g = Group()
+    for term, trips in tmpl:
+        if term is None:
+            g.elements.append(("bgp", trips))
+        else:
+            inner = Group()
+            inner.elements.append(("bgp", trips))
+            g.elements.append(("graph", term, inner))
+    return g
+
+
+def parse_update(text: str) -> list[tuple]:
+    """Parse SPARQL Update text to the operation list (for tests)."""
+    return _UpdateParser(text).parse_update()
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def _conform(df: DataFrame, like: DataFrame) -> DataFrame:
+    """Give ``df`` exactly ``like``'s columns: missing ones NULL-filled
+    with the target dtype (lineage columns on inserted quads)."""
+    for f in like.schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df.select(*[f.name for f in like.schema.fields])
+
+
+def _anti_on_key(base: DataFrame, other: DataFrame) -> DataFrame:
+    """base ∖ other on the quad identity key — null-safe equi-join
+    (still a hash join), right side deduped and renamed so the anti
+    never self-references."""
+    d = other.select(
+        *[F.col(c).alias(f"__u_{c}") for c in QUAD_KEY]).dropDuplicates()
+    cond = reduce(lambda a, b: a & b,
+                  [base[c].eqNullSafe(F.col(f"__u_{c}")) for c in QUAD_KEY])
+    return base.join(d, cond, "left_anti")
+
+
+def _instantiate_quads(sols: DataFrame, tmpl: list[tuple],
+                       with_g: str | None) -> DataFrame:
+    out = None
+    for term, trips in tmpl:
+        part = instantiate_template(sols, trips,
+                                    graph=term if term is not None
+                                    else with_g)
+        out = part if out is None else out.unionByName(part)
+    return out.dropDuplicates(QUAD_KEY)
+
+
+def update(quads: DataFrame, text: str, *, max_iter: int = 20,
+           stats: dict | None = None) -> DataFrame:
+    """Apply a SPARQL Update request to a quad table, returning the new
+    quad table (input columns preserved; inserted rows carry NULL in
+    non-quad columns). Operations in a ``;``-sequence apply in order,
+    each over the previous result, as one lazy plan."""
+    spark = quads.sparkSession
+    cur = quads
+    for op in _UpdateParser(text).parse_update():
+        kind = op[0]
+        if kind in ("insert_data", "delete_data"):
+            rows = spark.createDataFrame(
+                [(g, s, s.startswith("_:"), p, k, v, dt, lang)
+                 for g, s, p, k, v, dt, lang in op[1]],
+                schema=_CORE_SCHEMA)
+            if kind == "insert_data":
+                fresh = _anti_on_key(_conform(rows, cur), cur)
+                cur = cur.unionByName(fresh)
+            else:
+                cur = _anti_on_key(cur, rows)
+        else:
+            _, dels, ins, where, with_g = op
+            sols = _eval_group(cur, where, graph=with_g, with_types=True,
+                               stats=stats, max_iter=max_iter)
+            n_branches = sum(len(t[1]) for t in (dels or [])) \
+                + sum(len(t[1]) for t in (ins or []))
+            if n_branches > 1:
+                # each template triple scans the solution set once —
+                # don't re-run the WHERE joins per branch (r02 lesson)
+                sols = sols.persist()
+            base = cur
+            if dels is not None:
+                cur = _anti_on_key(cur, _instantiate_quads(sols, dels,
+                                                           with_g))
+            if ins is not None:
+                fresh = _anti_on_key(
+                    _conform(_instantiate_quads(sols, ins, with_g), base),
+                    cur)
+                cur = cur.unionByName(fresh)
+    return cur

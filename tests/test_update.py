@@ -1,0 +1,189 @@
+"""SPARQL 1.1 Update (operators/update.py): parser + set-algebra
+evaluation over quad DataFrames. Fixture mirrors test_sparql_text's
+graph; identity checks use the engine's literal conventions
+(xsd:string explicit, rdf:langString for tagged)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdflib_jsonld_spark.operators.update import (SparqlError, parse_update,
+                                                  update)
+
+SCHEMA = ("g string, s string, s_is_bnode boolean, p string, o_kind string, "
+          "o_value string, o_datatype string, o_lang string, "
+          "conv_id string, turn_idx int")
+XSD = "http://www.w3.org/2001/XMLSchema#"
+V = "http://ex.org/v#"
+E = "http://ex.org/e/"
+
+ROWS = [
+    (None, E + "a", False, V + "name", "literal", "Alice", XSD + "string",
+     None, "c0", 0),
+    (None, E + "a", False, V + "age", "literal", "30", XSD + "integer",
+     None, "c0", 0),
+    (None, E + "a", False, V + "knows", "iri", E + "b", None, None, "c0", 1),
+    (None, E + "b", False, V + "name", "literal", "Bob", XSD + "string",
+     None, "c1", 0),
+    (None, E + "b", False, V + "knows", "iri", E + "c", None, None, "c1", 0),
+    ("urn:g1", E + "d", False, V + "name", "literal", "Dan", XSD + "string",
+     None, "c2", 0),
+]
+
+PFX = f"PREFIX v: <{V}> PREFIX e: <{E}> "
+KEY = ["g", "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def keyset(df):
+    return {tuple(r[c] for c in KEY) for r in df.collect()}
+
+
+# --- parser ----------------------------------------------------------------
+
+def test_parse_forms():
+    ops = parse_update(PFX + """
+        INSERT DATA { e:x v:p "1"^^<http://www.w3.org/2001/XMLSchema#int> };
+        DELETE DATA { GRAPH <urn:g> { e:x v:p e:y } } ;
+        DELETE WHERE { ?s v:gone ?o } ;
+        WITH <urn:g> DELETE { ?s v:old ?o } INSERT { ?s v:new ?o }
+        WHERE { ?s v:old ?o }""")
+    kinds = [op[0] for op in ops]
+    assert kinds == ["insert_data", "delete_data", "modify", "modify"]
+    g, s, p, k, val, dt, lang = ops[0][1][0]
+    assert (g, k, val, dt) == (None, "literal", "1", XSD + "int")
+    assert ops[1][1][0][0] == "urn:g"
+    assert ops[3][4] == "urn:g"                      # WITH graph
+
+
+def test_parse_literal_datatypes():
+    (_, rows), = parse_update(PFX + """INSERT DATA {
+        e:x v:a "plain" . e:x v:b "hei"@no . e:x v:c 5 .
+        e:x v:d 2.5 . e:x v:e 1e3 . e:x v:f true }""")
+    by_p = {p: (v, dt, lang) for _, _, p, _, v, dt, lang in rows}
+    assert by_p[V + "a"] == ("plain", XSD + "string", None)
+    assert by_p[V + "b"] == (
+        "hei", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "no")
+    assert by_p[V + "c"] == ("5", XSD + "integer", None)
+    assert by_p[V + "d"] == ("2.5", XSD + "decimal", None)
+    assert by_p[V + "e"] == ("1000.0", XSD + "double", None)
+    assert by_p[V + "f"] == ("true", XSD + "boolean", None)
+
+
+def test_parse_errors():
+    for bad, msg in [
+        ("INSERT DATA { ?x <urn:p> 1 }", "variable"),
+        ("INSERT DATA { _:b <urn:p> 1 }", "blank nodes"),
+        ("DELETE { <urn:s> <urn:p>+ ?o } WHERE { ?s ?p ?o }",
+         "property paths"),
+        ("INSERT { _:n <urn:p> ?o } WHERE { ?s ?p ?o }", "blank nodes"),
+        ("WITH <urn:g> INSERT DATA { <urn:s> <urn:p> 1 }", "WITH"),
+        ("DELETE { ?s <urn:p> ?o } USING <urn:g> WHERE { ?s ?p ?o }",
+         "trailing|USING"),
+        ("SELECT ?x WHERE { ?x ?p ?o }", "INSERT/DELETE"),
+    ]:
+        with pytest.raises(SparqlError, match=msg):
+            parse_update(bad)
+
+
+# --- ground data -----------------------------------------------------------
+
+def test_insert_data_and_set_semantics(quads):
+    out = update(quads, PFX + """INSERT DATA {
+        e:z v:name "Zoe" .
+        GRAPH <urn:g1> { e:z v:age 9 } .
+        e:a v:name "Alice" }""")          # already present → no dup
+    assert out.count() == quads.count() + 2
+    added = keyset(out) - keyset(quads)
+    assert added == {
+        (None, E + "z", V + "name", "literal", "Zoe", XSD + "string", None),
+        ("urn:g1", E + "z", V + "age", "literal", "9", XSD + "integer",
+         None)}
+    # inserted rows carry NULL lineage; originals keep theirs
+    assert out.where(F.col("s") == E + "z")
+    assert out.where((F.col("s") == E + "z")
+                     & F.col("conv_id").isNull()).count() == 2
+    assert out.where(F.col("conv_id").isNull()).count() == 2
+
+
+def test_delete_data_exact_identity(quads):
+    # datatype must match the stored quad exactly
+    miss = update(quads, PFX + 'DELETE DATA { e:a v:name "Alice" }')
+    assert miss.count() == quads.count() - 1
+    wrong_dt = update(quads, PFX + 'DELETE DATA { e:a v:name "Alice"@en }')
+    assert wrong_dt.count() == quads.count()
+    graph_scoped = update(quads, PFX + 'DELETE DATA { e:d v:name "Dan" }')
+    assert graph_scoped.count() == quads.count()   # lives in urn:g1
+    hit = update(quads, PFX +
+                 'DELETE DATA { GRAPH <urn:g1> { e:d v:name "Dan" } }')
+    assert hit.count() == quads.count() - 1
+
+
+# --- pattern forms ---------------------------------------------------------
+
+def test_delete_where(quads):
+    out = update(quads, PFX + "DELETE WHERE { ?s v:knows ?o }")
+    assert out.count() == quads.count() - 2
+    assert out.where(F.col("p") == V + "knows").count() == 0
+
+
+def test_modify_rename_predicate(quads):
+    out = update(quads, PFX + """
+        DELETE { ?s v:knows ?o } INSERT { ?s v:friend ?o }
+        WHERE { ?s v:knows ?o }""")
+    assert out.count() == quads.count()
+    assert out.where(F.col("p") == V + "knows").count() == 0
+    pairs = {(r.s, r.o_value)
+             for r in out.where(F.col("p") == V + "friend").collect()}
+    assert pairs == {(E + "a", E + "b"), (E + "b", E + "c")}
+
+
+def test_modify_preserves_literal_typing(quads):
+    # template object var bound to a typed literal keeps datatype
+    out = update(quads, PFX + """
+        DELETE { ?s v:age ?a } INSERT { ?s v:years ?a }
+        WHERE { ?s v:age ?a }""")
+    r, = out.where(F.col("p") == V + "years").collect()
+    assert (r.o_kind, r.o_value, r.o_datatype) == \
+        ("literal", "30", XSD + "integer")
+
+
+def test_modify_insert_into_graph_var(quads):
+    # GRAPH ?g in the template routes per-solution
+    out = update(quads, PFX + """
+        INSERT { GRAPH ?g { ?s v:copied "y" } }
+        WHERE { GRAPH ?g { ?s v:name ?n } }""")
+    r, = out.where(F.col("p") == V + "copied").collect()
+    assert (r.g, r.s) == ("urn:g1", E + "d")
+
+
+def test_with_scopes_where_and_template(quads):
+    out = update(quads, PFX + """
+        WITH <urn:g1> DELETE { ?s v:name ?n } INSERT { ?s v:label ?n }
+        WHERE { ?s v:name ?n }""")
+    # only the urn:g1 name matched; default-graph names untouched
+    assert out.where(F.col("p") == V + "name").count() == 2
+    r, = out.where(F.col("p") == V + "label").collect()
+    assert (r.g, r.o_value) == ("urn:g1", "Dan")
+
+
+def test_reinsert_of_deleted_quad_survives(quads):
+    out = update(quads, PFX + """
+        DELETE { ?s v:knows ?o } INSERT { e:a v:knows e:b }
+        WHERE { ?s v:knows ?o }""")
+    rows = out.where(F.col("p") == V + "knows").collect()
+    assert [(r.s, r.o_value) for r in rows] == [(E + "a", E + "b")]
+
+
+def test_sequence_applies_in_order(quads):
+    out = update(quads, PFX + """
+        INSERT DATA { e:t v:flag "x" } ;
+        DELETE WHERE { e:t v:flag ?o } ;
+        INSERT DATA { e:t v:flag "x" }""")
+    assert out.where(F.col("s") == E + "t").count() == 1
