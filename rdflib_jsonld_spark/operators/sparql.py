@@ -218,6 +218,8 @@ _KEYWORDS = {
     "SERVICE",
     # SPARQL 1.1 Update (operators/update.py builds on this parser)
     "INSERT", "DELETE", "DATA", "WITH", "USING",
+    "LOAD", "SILENT", "INTO", "CLEAR", "DROP", "CREATE", "ADD", "TO",
+    "COPY", "MOVE", "DEFAULT", "NAMED", "ALL",
 }
 
 _AGG_TEXT = {

@@ -17,6 +17,15 @@ https://www.w3.org/TR/sparql11-update/):
   deterministic output is a repo invariant; fresh-bnode minting would
   need a run id — documented narrowing).
 - ``DELETE WHERE { pattern }`` — the pattern is both template and WHERE.
+- Graph management (§3.2): ``CLEAR``/``DROP`` ``(GRAPH <g> | DEFAULT |
+  NAMED | ALL)`` (identical here — the quad model has no empty-graph
+  bookkeeping, so DROP ≡ CLEAR, documented), ``CREATE GRAPH <g>``
+  (no-op: graphs exist implicitly), ``ADD``/``COPY``/``MOVE``
+  ``(GRAPH <g>|DEFAULT) TO (GRAPH <g>|DEFAULT)``, and
+  ``LOAD <file-iri> [INTO GRAPH <g>]`` via the repo's distributed
+  N-Quads source (``file:`` IRIs or plain paths; INTO GRAPH overrides
+  every loaded label). ``SILENT`` parses and is ignored — no failure
+  modes exist for absent graphs.
 - ``[WITH <g>] [DELETE { t }] [INSERT { t }] WHERE { pattern }`` — the
   full modify form. Per spec, both templates are instantiated from the
   SAME solution set evaluated against the pre-operation store; the
@@ -93,6 +102,33 @@ class _UpdateParser(_Parser):
         return ops
 
     def _parse_op(self) -> tuple:
+        if self.at_kw("CLEAR", "DROP"):
+            self.take()
+            self._skip_silent()
+            return ("clear", self._parse_graph_selector())
+        if self.at_kw("CREATE"):
+            self.take()
+            self._skip_silent()
+            self.expect_kw("GRAPH")
+            self._take_iri("CREATE GRAPH")
+            return ("create",)
+        if self.at_kw("ADD", "COPY", "MOVE"):
+            op = self.take().text.upper().lower()
+            self._skip_silent()
+            src = self._parse_graph_or_default()
+            self.expect_kw("TO")
+            dst = self._parse_graph_or_default()
+            return (op, src, dst)
+        if self.at_kw("LOAD"):
+            self.take()
+            self._skip_silent()
+            path = self._take_iri("LOAD")
+            into = None
+            if self.at_kw("INTO"):
+                self.take()
+                self.expect_kw("GRAPH")
+                into = self._take_iri("INTO GRAPH")
+            return ("load", path, into)
         with_g = None
         if self.at_kw("WITH"):
             self.take()
@@ -138,6 +174,44 @@ class _UpdateParser(_Parser):
         t = self.peek()
         raise SparqlError(f"expected INSERT/DELETE/WITH, got "
                           f"{t.text if t else 'end of update'!r}")
+
+    # --- graph-management helpers ------------------------------------------
+    def _skip_silent(self) -> None:
+        if self.at_kw("SILENT"):
+            self.take()
+
+    def _take_iri(self, what: str) -> str:
+        t = self.take()
+        if t.kind == "IRIREF":
+            return self.resolve_iri(t.text)
+        if t.kind == "PNAME":
+            return self.expand_pname(t.text, t.pos)
+        raise SparqlError(f"{what} needs an IRI, got {t.text!r}")
+
+    def _parse_graph_selector(self) -> tuple:
+        if self.at_kw("GRAPH"):
+            self.take()
+            return ("graph", self._take_iri("GRAPH"))
+        if self.at_kw("DEFAULT"):
+            self.take()
+            return ("default",)
+        if self.at_kw("NAMED"):
+            self.take()
+            return ("named",)
+        if self.at_kw("ALL"):
+            self.take()
+            return ("all",)
+        t = self.peek()
+        raise SparqlError(f"expected GRAPH <iri>/DEFAULT/NAMED/ALL, got "
+                          f"{t.text if t else 'end of update'!r}")
+
+    def _parse_graph_or_default(self) -> str | None:
+        if self.at_kw("DEFAULT"):
+            self.take()
+            return None
+        if self.at_kw("GRAPH"):
+            self.take()
+        return self._take_iri("graph name")
 
     # --- quad templates (pattern position) ---------------------------------
     def _parse_quad_templates(self, op: str) -> list[tuple]:
@@ -311,7 +385,46 @@ def update(quads: DataFrame, text: str, *, max_iter: int = 20,
     cur = quads
     for op in _UpdateParser(text).parse_update():
         kind = op[0]
-        if kind in ("insert_data", "delete_data"):
+        if kind == "create":
+            continue                      # graphs exist implicitly
+        if kind == "clear":
+            sel = op[1]
+            if sel[0] == "default":
+                cur = cur.where(F.col("g").isNotNull())
+            elif sel[0] == "named":
+                cur = cur.where(F.col("g").isNull())
+            elif sel[0] == "all":
+                cur = cur.where(F.lit(False))
+            else:
+                cur = cur.where(
+                    ~F.col("g").eqNullSafe(F.lit(sel[1]).cast("string")))
+        elif kind in ("add", "copy", "move"):
+            _, src, dst = op
+            if src == dst:
+                continue                  # spec: same graph is a no-op
+            src_lit = F.lit(src).cast("string")
+            dst_lit = F.lit(dst).cast("string")
+            moved = cur.where(F.col("g").eqNullSafe(src_lit)) \
+                .withColumn("g", dst_lit)
+            base = cur
+            if kind in ("copy", "move"):  # COPY/MOVE overwrite the target
+                base = base.where(~F.col("g").eqNullSafe(dst_lit))
+            if kind == "move":
+                base = base.where(~F.col("g").eqNullSafe(src_lit))
+            cur = base.unionByName(
+                moved if kind != "add" else _anti_on_key(moved, base))
+        elif kind == "load":
+            from ..sources.nquads_io import read_nquads
+            path = op[1]
+            for prefix in ("file://", "file:"):
+                if path.startswith(prefix):
+                    path = path[len(prefix):]
+                    break
+            loaded = read_nquads(spark, path)
+            if op[2] is not None:
+                loaded = loaded.withColumn("g", F.lit(op[2]))
+            cur = cur.unionByName(_anti_on_key(_conform(loaded, cur), cur))
+        elif kind in ("insert_data", "delete_data"):
             rows = spark.createDataFrame(
                 [(g, s, s.startswith("_:"), p, k, v, dt, lang)
                  for g, s, p, k, v, dt, lang in op[1]],

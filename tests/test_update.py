@@ -187,3 +187,53 @@ def test_sequence_applies_in_order(quads):
         DELETE WHERE { e:t v:flag ?o } ;
         INSERT DATA { e:t v:flag "x" }""")
     assert out.where(F.col("s") == E + "t").count() == 1
+
+
+# --- graph management ------------------------------------------------------
+
+def test_clear_selectors(quads):
+    n_named = 1            # only the urn:g1 quad
+    assert update(quads, "CLEAR DEFAULT").count() == n_named
+    assert update(quads, "CLEAR NAMED").count() == quads.count() - n_named
+    assert update(quads, "CLEAR ALL").count() == 0
+    assert update(quads, "DROP SILENT GRAPH <urn:g1>").count() == \
+        quads.count() - n_named
+    assert update(quads, "CLEAR GRAPH <urn:nope>").count() == quads.count()
+    assert update(quads, "CREATE GRAPH <urn:new>").count() == quads.count()
+
+
+def test_add_copy_move(quads):
+    # ADD keeps the source and set-unions into the target
+    added = update(quads, "ADD DEFAULT TO GRAPH <urn:g1>")
+    assert added.where(F.col("g") == "urn:g1").count() == \
+        1 + (quads.count() - 1)
+    assert added.where(F.col("g").isNull()).count() == quads.count() - 1
+    # COPY overwrites the target, source intact
+    copied = update(quads, "COPY GRAPH <urn:g1> TO DEFAULT")
+    assert copied.where(F.col("g").isNull()).count() == 1
+    assert copied.where(F.col("g") == "urn:g1").count() == 1
+    # MOVE overwrites the target and clears the source
+    moved = update(quads, "MOVE GRAPH <urn:g1> TO DEFAULT")
+    assert moved.where(F.col("g") == "urn:g1").count() == 0
+    r, = moved.where(F.col("g").isNull()).collect()
+    assert r.o_value == "Dan"
+    # same-graph is a no-op
+    assert update(quads, "MOVE DEFAULT TO DEFAULT").count() == quads.count()
+
+
+def test_load_nquads(quads, tmp_path):
+    from rdflib_jsonld_spark.sources.nquads_io import write_nquads
+    spark = quads.sparkSession
+    src = spark.createDataFrame(
+        [(None, E + "n", False, V + "name", "literal", "New",
+          XSD + "string", None, "cx", 0)], SCHEMA)
+    p = str(tmp_path / "ext.nq")
+    write_nquads(src, p)
+    out = update(quads, f"LOAD <file://{p}>")
+    assert out.count() == quads.count() + 1
+    into = update(quads, f"LOAD <file://{p}> INTO GRAPH <urn:ext>")
+    r, = into.where(F.col("s") == E + "n").collect()
+    assert r.g == "urn:ext"
+    # loading twice is idempotent (set semantics)
+    twice = update(quads, f"LOAD <file://{p}> ; LOAD <file://{p}>")
+    assert twice.count() == quads.count() + 1
