@@ -168,6 +168,12 @@ def main() -> None:
     timed("cc_distributed",
           lambda: em.q_kg_cc_distributed_documents(spark, sf_dir).collect())
 
+    # late-r03 surface (trailing, keeps the prefix comparable): the
+    # SPARQL Update 3-op curation sequence — anti-join deletes +
+    # template inserts over the persisted quad table
+    timed("sparql_update_rewrite",
+          lambda: em.q_kg_sparql_update_rewrite(spark, sf_dir).collect())
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kg_pipeline_e2e_plus_operator_suite",

@@ -27,7 +27,8 @@ import json as _json
 
 from . import keys
 from .errors import (ContextNotAvailable, InvalidContext,
-                     ProtectedTermRedefinition, RecursiveContextInclusion)
+                     InvalidTermDefinition, ProtectedTermRedefinition,
+                     RecursiveContextInclusion)
 
 
 class _Undef:
@@ -52,12 +53,13 @@ class Term:
     __slots__ = (
         "name", "id", "type", "container", "language", "direction",
         "reverse", "prefix", "protected", "context", "propagate",
+        "index",
     )
 
     def __init__(self, name, id=None, type=UNDEF, container=None,
                  language=UNDEF, direction=UNDEF, reverse=False,
                  prefix=False, protected=False, context=UNDEF,
-                 propagate=True):
+                 propagate=True, index=None):
         self.name = name
         self.id = id
         self.type = type
@@ -69,6 +71,7 @@ class Term:
         self.protected = protected
         self.context = context  # property-scoped context ([spec] 1.1 §4.1.9)
         self.propagate = propagate
+        self.index = index      # property-based indexing ([spec] 1.1 §4.6.3)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Term({self.name!r} -> {self.id!r})"
@@ -370,6 +373,17 @@ class Context:
         if keys.DIRECTION in dfn:
             direction = dfn[keys.DIRECTION]
 
+        index = None
+        if keys.INDEX in dfn:
+            # property-based data indexing ([spec] 1.1 §4.6.3; §6.1
+            # create-term-definition step 20): a string naming the index
+            # property, valid only alongside @container:@index
+            index = dfn[keys.INDEX]
+            if not isinstance(index, str) or keys.INDEX not in cset:
+                raise InvalidTermDefinition(
+                    f"{name}: @index must be a string and requires "
+                    f"@container:@index")
+
         self.terms[name] = Term(
             name, id=iri, type=typ, container=cset, language=lang,
             direction=direction, reverse=rev,
@@ -377,6 +391,7 @@ class Context:
             protected=bool(dfn.get(keys.PROTECTED, protected_default)),
             context=dfn.get(keys.CONTEXT, UNDEF),
             propagate=bool(dfn.get(keys.PROPAGATE, True)),
+            index=index,
         )
 
     def _same_definition(self, prev: Term, dfn) -> bool:

@@ -45,6 +45,18 @@ class InvalidContextNullification(JsonLdError):
     code = "invalid context nullification"
 
 
+class InvalidValueObject(JsonLdError):
+    # [spec] 1.1 expansion step 13.8.3.7.1: property-based indexing
+    # requires node objects — a value object under such a map fails.
+    code = "invalid value object"
+
+
+class InvalidTermDefinition(JsonLdError):
+    # [spec] 1.1 §6.1 create-term-definition step 20: @index in a term
+    # definition must be a string and requires @container:@index.
+    code = "invalid term definition"
+
+
 class InvalidListOfLists(JsonLdError):
     # [v0.5.0] parser.py to_rdf(allow_lists_of_lists=...) gate; [spec]
     # JSON-LD 1.0 toRdf ("list of lists" error).

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from . import keys
 from .context import Context, UNDEF
+from .errors import InvalidValueObject
 
 
 def expand(data, context_data=None, base: str | None = None,
@@ -309,7 +310,22 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
                                 gobj = {keys.ID: iri, **gobj}
                         out.append(gobj)
                         continue
-                    if keys.INDEX in container and mkey != keys.NONE \
+                    if keys.INDEX in container and term is not None \
+                            and term.index is not None:
+                        # property-based data indexing ([spec] 1.1
+                        # §4.6.3; expansion step 13.8.3.7): the map key
+                        # becomes a VALUE of the index property on each
+                        # indexed NODE; @none adds nothing
+                        if mkey not in (keys.NONE, ctx.alias(keys.NONE)):
+                            if keys.VALUE in node:
+                                raise InvalidValueObject(
+                                    f"{key}: property-based index over "
+                                    f"a value object")
+                            prop = ctx.expand_iri(term.index, vocab=True)
+                            val = _expand_value(ctx, term.index, mkey)
+                            node = {**node,
+                                    prop: [val] + list(node.get(prop, []))}
+                    elif keys.INDEX in container and mkey != keys.NONE \
                             and keys.INDEX not in node:
                         node = {**node, keys.INDEX: mkey}
                     elif keys.ID in container and mkey != keys.NONE \

@@ -31,7 +31,7 @@ import re as _re
 
 from . import keys
 from .context import Context, UNDEF
-from .errors import InvalidListOfLists
+from .errors import InvalidListOfLists, InvalidValueObject
 
 IRI = "iri"
 BNODE = "bnode"
@@ -311,7 +311,24 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
             for mkey, vals in value.items():
                 for v in _as_list(vals):
                     v2 = v
-                    if keys.ID in container and isinstance(v, dict) and keys.ID not in v \
+                    if keys.INDEX in container and term is not None \
+                            and term.index is not None:
+                        # property-based data indexing ([spec] 1.1
+                        # §4.6.3): the map key becomes a value of the
+                        # index property on each NODE; @none adds none
+                        if mkey not in (keys.NONE,
+                                        sub_ctx.alias(keys.NONE)):
+                            if not isinstance(v, dict) or any(
+                                    sub_ctx.expand_key(k) == keys.VALUE
+                                    for k in v):
+                                raise InvalidValueObject(
+                                    f"{term.name}: property-based index "
+                                    f"over a non-node value")
+                            v2 = dict(v)
+                            prev = v2.get(term.index)
+                            v2[term.index] = [mkey] + _as_list(prev) \
+                                if prev is not None else mkey
+                    elif keys.ID in container and isinstance(v, dict) and keys.ID not in v \
                             and mkey != keys.NONE:
                         v2 = dict(v)
                         v2[keys.ID] = mkey
