@@ -207,6 +207,27 @@ def q_kg_construct_entity_graph(spark, sf_dir) -> DataFrame:
             .orderBy("p"))
 
 
+def q_kg_framed_mentions(spark, sf_dir) -> DataFrame:
+    """Document-level JSON-LD 1.1 FRAMING (jsonld/frame.py via
+    operators/docops.frame_documents_stage): every block framed by
+    ``{"@type": "Mention"}`` — exactly one match per block, and the
+    @once-embedded ``about`` alias node carries an owl:sameAs edge iff
+    its alias index j = doc_id %% (1 + (doc_id%%500)%%3) >= 1, so
+    per-source match/embed totals are pure doc_id arithmetic."""
+    from rdflib_jsonld_spark.operators.docops import frame_documents_stage
+    from rdflib_jsonld_spark.sources.registry import CONTEXT_V1_IRI
+    docs = _t(spark, sf_dir, "documents")
+    framed = frame_documents_stage(
+        documents_as_transcripts(docs),
+        {"@context": CONTEXT_V1_IRI, "@type": "Mention"})
+    return (framed.groupBy(F.col("conv_id").alias("source"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                 F.sum("n_nodes").cast("long").alias("n_matched"),
+                 F.sum(F.col("doc_json").contains("sameAs").cast("long"))
+                 .cast("long").alias("n_embedded"))
+            .orderBy("source"))
+
+
 def q_kg_expanded_node_counts(spark, sf_dir) -> DataFrame:
     """Document-level Expansion ([spec] JLD-API §5.1) as a Spark stage:
     per-conversation expanded block/node totals, arithmetically
@@ -1125,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_text_path": q_kg_sparql_text_path,
         "kg_sparql_text_subquery": q_kg_sparql_text_subquery,
         "kg_sparql_update_rewrite": q_kg_sparql_update_rewrite,
+        "kg_framed_mentions": q_kg_framed_mentions,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -1352,6 +1374,16 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN doc_id % (1 + (doc_id % 500) % 3) >= 1
                        THEN 1 ELSE 0 END)::BIGINT AS n_with_sameas
             FROM documents
+        """,
+        "kg_framed_mentions": """
+            SELECT source,
+                   count(*)::BIGINT AS n_blocks,
+                   count(*)::BIGINT AS n_matched,
+                   sum(CASE WHEN doc_id % (1 + (doc_id % 500) % 3) >= 1
+                       THEN 1 ELSE 0 END)::BIGINT AS n_embedded
+            FROM documents
+            GROUP BY source
+            ORDER BY source
         """,
         "kg_expanded_node_counts": """
             SELECT source AS conv_id,

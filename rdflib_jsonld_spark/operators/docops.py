@@ -99,6 +99,28 @@ def flatten_documents_stage(transcripts: DataFrame) -> DataFrame:
     return _doc_stage(transcripts, tf)
 
 
+def frame_documents_stage(transcripts: DataFrame, frame_doc: dict,
+                          **flags) -> DataFrame:
+    """Each fenced block → its FRAMED node array (JSON string) +
+    matched-node count. [spec] JSON-LD 1.1 Framing via the pure core
+    (jsonld/frame.py); the frame document and flags ship in the UDF
+    closure, the registry resolves the frame's @context per executor.
+    Same narrow zero-shuffle shape as the other document stages."""
+    from rdflib_jsonld_spark.jsonld.frame import frame as _frame
+    cache: dict = {}   # per-executor: resolve the frame context ONCE
+
+    def tf(doc, ctx):
+        fctx = cache.get("fctx")
+        if fctx is None:
+            fctx = Context(registry=REGISTRY)
+            if "@context" in frame_doc:
+                fctx = fctx.load(frame_doc["@context"])
+            cache["fctx"] = fctx
+        return _frame(doc, frame_doc, registry=REGISTRY, ctx=ctx,
+                      frame_ctx=fctx, compact_output=False, **flags)
+    return _doc_stage(transcripts, tf)
+
+
 def compact_roundtrip_stage(transcripts: DataFrame) -> DataFrame:
     """Each fenced block → whether expand→compact→to-rdf reproduces the
     directly-emitted graph (bnode-iso). A distributed conformance gate:

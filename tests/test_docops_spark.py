@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from rdflib_jsonld_spark.operators.docops import (
     compact_roundtrip_stage, expand_documents_stage, expanded_node_counts,
-    flatten_documents_stage)
+    flatten_documents_stage, frame_documents_stage)
 from rdflib_jsonld_spark.sources.doc_transcripts import documents_as_transcripts
 
 SF = "/root/testdata/sf0.001"
@@ -90,6 +90,35 @@ def test_expanded_node_counts_aggregate(spark, transcripts):
     got = expanded_node_counts(transcripts).collect()
     assert [(r["conv_id"], r["n_blocks"], r["n_nodes"]) for r in got] == \
         [(r["conv_id"], r["n_blocks"], r["n_nodes"]) for r in expected]
+
+
+def test_frame_stage_matches_arithmetic(spark, transcripts):
+    # frame every block by @type Mention: exactly 1 match per block;
+    # the embedded `about` alias node carries sameAs iff j >= 1
+    from rdflib_jsonld_spark.sources.registry import CONTEXT_V1_IRI
+    framed = frame_documents_stage(
+        transcripts, {"@context": CONTEXT_V1_IRI, "@type": "Mention"})
+    got = framed.agg(
+        F.count("*").alias("n"),
+        F.sum("n_nodes").alias("n_matched"),
+        F.sum(F.col("doc_json").contains("sameAs").cast("long"))
+        .alias("n_embedded")).first()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exp = docs.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("doc_id") % (F.lit(1) + (F.col("doc_id") % 500) % 3)
+               >= 1).cast("long")).alias("n_embedded")).first()
+    assert (got["n"], got["n_matched"], got["n_embedded"]) == \
+        (exp["n"], exp["n"], exp["n_embedded"])
+
+
+def test_frame_stage_is_narrow(transcripts):
+    from rdflib_jsonld_spark.sources.registry import CONTEXT_V1_IRI
+    base = transcripts._jdf.queryExecution().executedPlan().toString()
+    plan = frame_documents_stage(
+        transcripts, {"@context": CONTEXT_V1_IRI, "@type": "Mention"}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == base.count("Exchange")
 
 
 def test_random_docs_spark_stage_matches_pure_core(spark):

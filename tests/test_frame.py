@@ -1,0 +1,166 @@
+"""JSON-LD 1.1 Framing (jsonld/frame.py) — pure core.
+
+The library/book/chapter document is the framing spec's own running
+example ([spec] json-ld11-framing §1); expected shapes hand-derived."""
+
+import pytest
+
+from rdflib_jsonld_spark.jsonld.frame import frame
+
+EX = "http://example.org/"
+
+LIBRARY = {
+    "@context": {"@vocab": EX},
+    "@graph": [
+        {"@id": f"{EX}library", "@type": "Library",
+         "contains": {"@id": f"{EX}library/the-republic"}},
+        {"@id": f"{EX}library/the-republic", "@type": "Book",
+         "creator": "Plato", "title": "The Republic",
+         "contains": {"@id": f"{EX}library/the-republic#introduction"}},
+        {"@id": f"{EX}library/the-republic#introduction",
+         "@type": "Chapter", "title": "The Introduction",
+         "description": "An introductory chapter on The Republic."},
+    ],
+}
+
+CTX = {"@vocab": EX}
+
+
+def test_library_nested_embed():
+    out = frame(LIBRARY, {"@context": CTX, "@type": "Library",
+                          "contains": {"@type": "Book",
+                                       "contains": {"@type": "Chapter"}}},
+                compact_output=False)
+    lib, = out
+    assert lib["@id"] == f"{EX}library"
+    book, = lib[f"{EX}contains"]
+    assert book["@type"] == [f"{EX}Book"]
+    assert book[f"{EX}creator"] == [{"@value": "Plato"}]
+    chapter, = book[f"{EX}contains"]
+    assert chapter["@type"] == [f"{EX}Chapter"]
+    assert chapter[f"{EX}title"] == [{"@value": "The Introduction"}]
+
+
+def test_library_compacted_output():
+    out = frame(LIBRARY, {"@context": CTX, "@type": "Library"})
+    assert out["@context"] == CTX
+    node, = out["@graph"]
+    assert node["@type"] == "Library"
+    # default @embed "@once": the chain embeds through contains
+    assert node["contains"]["contains"]["title"] == "The Introduction"
+
+
+def test_type_match_selects_only_that_type():
+    out = frame(LIBRARY, {"@context": CTX, "@type": "Book"},
+                compact_output=False)
+    ids = [n["@id"] for n in out]
+    assert ids == [f"{EX}library/the-republic"]
+
+
+def test_id_match():
+    out = frame(LIBRARY,
+                {"@context": CTX, "@id": f"{EX}library/the-republic"},
+                compact_output=False)
+    node, = out
+    assert node[f"{EX}title"] == [{"@value": "The Republic"}]
+
+
+def test_embed_never_keeps_references():
+    out = frame(LIBRARY, {"@context": CTX, "@type": "Library",
+                          "@embed": "@never"}, compact_output=False)
+    lib, = out
+    assert lib[f"{EX}contains"] == [{"@id": f"{EX}library/the-republic"}]
+
+
+def test_embed_once_second_reference_stays_ref():
+    doc = {
+        "@context": {"@vocab": EX},
+        "@graph": [
+            {"@id": f"{EX}a", "@type": "T", "p": {"@id": f"{EX}shared"}},
+            {"@id": f"{EX}b", "@type": "T", "p": {"@id": f"{EX}shared"}},
+            {"@id": f"{EX}shared", "q": "v"},
+        ],
+    }
+    out = frame(doc, {"@context": CTX, "@type": "T"},
+                compact_output=False)
+    a, b = out
+    embedded = [n[f"{EX}p"][0] for n in (a, b)]
+    full = [e for e in embedded if f"{EX}q" in e]
+    refs = [e for e in embedded if set(e) == {"@id"}]
+    assert len(full) == 1 and len(refs) == 1
+    # @always embeds everywhere
+    out2 = frame(doc, {"@context": CTX, "@type": "T",
+                       "@embed": "@always"}, compact_output=False)
+    assert all(f"{EX}q" in n[f"{EX}p"][0] for n in out2)
+
+
+def test_explicit_restricts_properties():
+    out = frame(LIBRARY, {"@context": CTX, "@type": "Book",
+                          "@explicit": True, "title": {}},
+                compact_output=False)
+    book, = out
+    assert f"{EX}title" in book
+    assert f"{EX}creator" not in book and f"{EX}contains" not in book
+
+
+def test_default_fills_missing_property():
+    out = frame(LIBRARY, {"@context": CTX, "@type": "Chapter",
+                          "isbn": {"@default": "unknown"}},
+                compact_output=False)
+    chapter, = out
+    assert chapter[f"{EX}isbn"] == [{"@value": "unknown"}]
+    out2 = frame(LIBRARY, {"@context": CTX, "@type": "Chapter",
+                           "@omitDefault": True,
+                           "isbn": {"@default": "unknown"}},
+                 compact_output=False)
+    assert f"{EX}isbn" not in out2[0]
+
+
+def test_require_all_and_property_presence():
+    fr = {"@context": CTX, "title": {}, "creator": {}}
+    # default (any-property): Chapter matches via title
+    any_ids = {n["@id"] for n in frame(LIBRARY, fr,
+                                       compact_output=False)}
+    assert f"{EX}library/the-republic#introduction" in any_ids
+    # requireAll: only the Book has BOTH title and creator
+    all_ids = {n["@id"] for n in frame(LIBRARY,
+                                       {**fr, "@requireAll": True},
+                                       compact_output=False)}
+    assert all_ids == {f"{EX}library/the-republic"}
+
+
+def test_match_none_type():
+    doc = {"@context": {"@vocab": EX},
+           "@graph": [{"@id": f"{EX}x", "@type": "T", "p": "1"},
+                      {"@id": f"{EX}y", "p": "2"}]}
+    out = frame(doc, {"@context": CTX, "@type": []},
+                compact_output=False)
+    assert [n["@id"] for n in out] == [f"{EX}y"]
+
+
+def test_value_pattern_match():
+    out = frame(LIBRARY, {"@context": CTX,
+                          "creator": {"@value": "Plato"}},
+                compact_output=False)
+    node, = out
+    assert node["@id"] == f"{EX}library/the-republic"
+    assert frame(LIBRARY, {"@context": CTX,
+                           "creator": {"@value": "Homer"}},
+                 compact_output=False) == []
+
+
+def test_cycle_protection():
+    doc = {"@context": {"@vocab": EX},
+           "@graph": [{"@id": f"{EX}a", "@type": "T",
+                       "p": {"@id": f"{EX}b"}},
+                      {"@id": f"{EX}b", "p": {"@id": f"{EX}a"}}]}
+    out = frame(doc, {"@context": CTX, "@type": "T",
+                      "@embed": "@always"}, compact_output=False)
+    a, = out
+    b = a[f"{EX}p"][0]
+    assert b[f"{EX}p"] == [{"@id": f"{EX}a"}]   # back-ref, not loop
+
+
+def test_bad_embed_mode():
+    with pytest.raises(ValueError, match="@embed"):
+        frame(LIBRARY, {"@context": CTX, "@embed": "@sometimes"})
