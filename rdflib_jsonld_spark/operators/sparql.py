@@ -810,6 +810,35 @@ class _Parser:
                     f"if({rng} = '*', {a(0)} <> '', "
                     f"(lower({a(0)}) = lower({rng}) OR "
                     f"startswith(lower({a(0)}), concat(lower({rng}), '-'))))")
+        if up in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            need(1)
+            if up == "MD5":
+                return ("str", f"md5({a(0)})")
+            if up == "SHA1":
+                return ("str", f"sha1({a(0)})")
+            return ("str", f"sha2({a(0)}, {up[3:]})")
+        if up == "SAMETERM":
+            need(2)
+            return ("bool", f"({a(0)} <=> {a(1)})")
+        if up == "ENCODE_FOR_URI":
+            need(1)
+            # [spec] §17.4.2.8 percent-encodes all but unreserved chars;
+            # Spark's url_encode is form-encoding — normalize its two
+            # divergences (space → '+', '~' → %7E)
+            return ("str", f"replace(replace(url_encode({a(0)}), "
+                    f"'+', '%20'), '%7E', '~')")
+        if up in ("IRI", "URI"):
+            need(1)
+            # terms are IRI strings in this engine; IRI() of a literal
+            # is its lexical form (base resolution is a parse-time
+            # concern for constants)
+            return ("str", f"CAST({a(0)} AS STRING)")
+        if up in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            need(1)
+            fn = {"YEAR": "year", "MONTH": "month", "DAY": "day",
+                  "HOURS": "hour", "MINUTES": "minute",
+                  "SECONDS": "second"}[up]
+            return ("num", f"{fn}(CAST({a(0)} AS TIMESTAMP))")
         if up in ("NOW", "RAND", "UUID", "STRUUID", "BNODE"):
             raise SparqlError(f"{up}() is nondeterministic — unsupported")
         raise SparqlError(f"unsupported function {up}")

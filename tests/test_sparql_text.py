@@ -282,6 +282,36 @@ def test_limit_offset_distinct(quads):
     assert page == allp[1:3]
 
 
+def test_hash_and_term_functions(quads):
+    import hashlib
+    out = sparql(quads, PFX + """
+        SELECT ?h ?h2 ?same ?enc WHERE {
+          ?x v:name ?n . FILTER(?n = "Alice")
+          BIND(MD5(?n) AS ?h)
+          BIND(SHA256(?n) AS ?h2)
+          BIND(SAMETERM(?x, ?x) AS ?same)
+          BIND(ENCODE_FOR_URI("a b~c/d") AS ?enc)
+        }""").collect()[0]
+    assert out.h == hashlib.md5(b"Alice").hexdigest()
+    assert out.h2 == hashlib.sha256(b"Alice").hexdigest()
+    assert out.same is True
+    assert out.enc == "a%20b~c%2Fd"
+
+
+def test_datetime_accessors(spark):
+    rows = [(None, E + "e1", False, V + "ts", "literal",
+             "2024-03-05T07:08:09", XSD + "dateTime", None)]
+    q = spark.createDataFrame(rows, SCHEMA)
+    out = sparql(q, PFX + """
+        SELECT ?y ?mo ?d ?h ?mi WHERE {
+          ?x v:ts ?t .
+          BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo)
+          BIND(DAY(?t) AS ?d) BIND(HOURS(?t) AS ?h)
+          BIND(MINUTES(?t) AS ?mi)
+        }""").collect()[0]
+    assert (out.y, out.mo, out.d, out.h, out.mi) == (2024, 3, 5, 7, 8)
+
+
 def test_type_functions(quads):
     out = sparql(quads, PFX + """
         SELECT ?n (LANG(?n) AS ?l) (DATATYPE(?n) AS ?dt)
