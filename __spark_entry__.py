@@ -228,6 +228,36 @@ def q_kg_framed_mentions(spark, sf_dir) -> DataFrame:
             .orderBy("source"))
 
 
+def q_kg_graph_dedup_canonical(spark, sf_dir) -> DataFrame:
+    """GRAPH-level dedup via RDFC-1.0 canonical hashing
+    (jsonld/canonicalize.py + docops.canonical_hash_stage): strip the
+    instance-unique mention id + turn edge, canonicalize each block's
+    dataset, and count DISTINCT canonical hashes per source. Two blocks
+    collide iff they are isomorphic, which by construction happens iff
+    they share (entity, alias j, surface variant) = (doc_id%%500,
+    doc_id%%(1+ent%%3), doc_id%%5) — exact doc_id arithmetic."""
+    from rdflib_jsonld_spark.operators.docops import canonical_hash_stage
+
+    def strip_instance_ids(doc):
+        nodes = doc.get("@graph", [])
+        out = []
+        for n in nodes:
+            if isinstance(n, dict) and n.get("@type") == "Mention":
+                n = {k: v for k, v in n.items()
+                     if k not in ("id", "turn")}
+            out.append(n)
+        return {**doc, "@graph": out}
+
+    docs = _t(spark, sf_dir, "documents")
+    hashes = canonical_hash_stage(documents_as_transcripts(docs),
+                                  prepare=strip_instance_ids)
+    return (hashes.groupBy(F.col("conv_id").alias("source"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                 F.countDistinct("canon_hash").cast("long")
+                 .alias("n_graphs"))
+            .orderBy("source"))
+
+
 def q_kg_expanded_node_counts(spark, sf_dir) -> DataFrame:
     """Document-level Expansion ([spec] JLD-API §5.1) as a Spark stage:
     per-conversation expanded block/node totals, arithmetically
@@ -1147,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_text_subquery": q_kg_sparql_text_subquery,
         "kg_sparql_update_rewrite": q_kg_sparql_update_rewrite,
         "kg_framed_mentions": q_kg_framed_mentions,
+        "kg_graph_dedup_canonical": q_kg_graph_dedup_canonical,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -1374,6 +1405,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN doc_id % (1 + (doc_id % 500) % 3) >= 1
                        THEN 1 ELSE 0 END)::BIGINT AS n_with_sameas
             FROM documents
+        """,
+        "kg_graph_dedup_canonical": """
+            SELECT source,
+                   count(*)::BIGINT AS n_blocks,
+                   count(DISTINCT
+                         (doc_id % 500)::varchar || '_' ||
+                         (doc_id % (1 + (doc_id % 500) % 3))::varchar
+                         || '_' || (doc_id % 5)::varchar)::BIGINT
+                       AS n_graphs
+            FROM documents
+            GROUP BY source
+            ORDER BY source
         """,
         "kg_framed_mentions": """
             SELECT source,

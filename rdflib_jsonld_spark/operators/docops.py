@@ -121,6 +121,51 @@ def frame_documents_stage(transcripts: DataFrame, frame_doc: dict,
     return _doc_stage(transcripts, tf)
 
 
+CANON_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("block_idx", T.IntegerType(), False),
+    T.StructField("n_quads", T.IntegerType(), False),
+    T.StructField("canon_hash", T.StringType(), False),
+])
+
+
+def canonical_hash_stage(transcripts: DataFrame,
+                         prepare=None) -> DataFrame:
+    """Each fenced block → its RDFC-1.0 canonical dataset hash
+    (jsonld/canonicalize.py): equal hash ⇔ isomorphic graphs, so
+    GRAPH-LEVEL dedup becomes ``groupBy(canon_hash)`` — no pairwise
+    isomorphism, joinable at any scale. ``prepare`` (optional callable
+    shipped in the UDF closure, the multimodal ``decoders=`` pattern)
+    rewrites the parsed document before to-rdf — e.g. strip
+    instance-unique ids so content-identical graphs collide."""
+    from rdflib_jsonld_spark.jsonld.canonicalize import canonical_hash
+    pruned = transcripts.select("conv_id", "turn_idx", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = Context(registry=REGISTRY).load(CONTEXT_V1_IRI)
+        for pdf in batches:
+            out: list[tuple] = []
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                for k, block in enumerate(extract_blocks(text)):
+                    try:
+                        doc, fast_ctx = _parse_fast(block, ctx)
+                        if prepare is not None:
+                            doc = prepare(doc)
+                        quads = to_rdf(doc, ctx=fast_ctx,
+                                       registry=REGISTRY)
+                        h = canonical_hash(quads)
+                    except Exception:
+                        continue
+                    out.append((conv_id, int(turn_idx), k, len(quads), h))
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in
+                                                 CANON_SCHEMA.fields])
+
+    return pruned.mapInPandas(run, schema=CANON_SCHEMA)
+
+
 def compact_roundtrip_stage(transcripts: DataFrame) -> DataFrame:
     """Each fenced block → whether expand→compact→to-rdf reproduces the
     directly-emitted graph (bnode-iso). A distributed conformance gate:

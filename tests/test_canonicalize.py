@@ -1,0 +1,124 @@
+"""RDFC-1.0 canonicalization (jsonld/canonicalize.py): label
+determinism, isomorphism⇔hash-equality (differential vs
+jsonld/compare.isomorphic), N-degree tie-breaking, poison guard."""
+
+import random
+
+import pytest
+
+from rdflib_jsonld_spark.jsonld.canonicalize import (
+    canonical_hash, canonical_nquads, canonicalize)
+from rdflib_jsonld_spark.jsonld.compare import isomorphic
+from rdflib_jsonld_spark.jsonld.tordf import BNODE, IRI, LIT, to_rdf
+
+EX = "http://example.org/"
+
+
+def iri(v):
+    return (IRI, EX + v)
+
+
+def bn(v):
+    return (BNODE, v)
+
+
+def lit(v):
+    return (LIT, v, "http://www.w3.org/2001/XMLSchema#string", None)
+
+
+def relabel(quads, mapping):
+    def r(t):
+        if t is not None and t[0] == BNODE:
+            return (BNODE, mapping[t[1]])
+        return t
+    return [tuple(r(t) for t in q) for q in quads]
+
+
+def test_ground_quads_pass_through():
+    quads = [(None, iri("s"), iri("p"), lit("v"))]
+    assert canonicalize(quads) == quads
+    assert canonical_nquads(quads) == \
+        f'<{EX}s> <{EX}p> "v" .\n'
+
+
+def test_labeling_invariance_simple():
+    quads = [(None, bn("x"), iri("p"), lit("1")),
+             (None, bn("x"), iri("q"), bn("y")),
+             (None, bn("y"), iri("p"), lit("2"))]
+    other = relabel(quads, {"x": "n7", "y": "n3"})
+    random.Random(0).shuffle(other)
+    assert canonical_hash(quads) == canonical_hash(other)
+    labels = {t[1] for q in canonicalize(quads) for t in q
+              if t is not None and t[0] == BNODE}
+    assert labels == {"c14n0", "c14n1"}
+
+
+def test_non_isomorphic_differ():
+    a = [(None, bn("x"), iri("p"), lit("1"))]
+    b = [(None, bn("x"), iri("p"), lit("2"))]
+    assert canonical_hash(a) != canonical_hash(b)
+
+
+def test_symmetric_cycle_needs_n_degree():
+    # _:x <p> _:y . _:y <p> _:x . + distinguishing leaf on one side
+    quads = [(None, bn("x"), iri("p"), bn("y")),
+             (None, bn("y"), iri("p"), bn("x")),
+             (None, bn("x"), iri("leaf"), lit("L"))]
+    other = relabel(quads, {"x": "b", "y": "a"})
+    assert canonical_hash(quads) == canonical_hash(other)
+    # fully symmetric cycle (no leaf): still deterministic
+    sym = quads[:2]
+    sym2 = relabel(sym, {"x": "q", "y": "p"})
+    assert canonical_hash(sym) == canonical_hash(sym2)
+
+
+def test_named_graph_bnode_position():
+    quads = [((BNODE, "g"), bn("s"), iri("p"), lit("v"))]
+    other = relabel(quads, {"g": "h", "s": "t"})
+    assert canonical_hash(quads) == canonical_hash(other)
+    assert "_:c14n" in canonical_nquads(quads)
+
+
+def test_differential_vs_isomorphic_random_graphs():
+    rng = random.Random(42)
+    graphs = []
+    for gi in range(12):
+        n_b = rng.randint(1, 4)
+        quads = []
+        for _ in range(rng.randint(2, 6)):
+            s = bn(f"b{rng.randrange(n_b)}") if rng.random() < 0.7 \
+                else iri(f"s{rng.randrange(3)}")
+            o = bn(f"b{rng.randrange(n_b)}") if rng.random() < 0.5 \
+                else lit(str(rng.randrange(3)))
+            quads.append((None, s, iri(f"p{rng.randrange(2)}"), o))
+        graphs.append(list(dict.fromkeys(quads)))
+    for i, a in enumerate(graphs):
+        for b in graphs[i:]:
+            # shuffle + relabel b
+            names = sorted({t[1] for q in b for t in q
+                            if t is not None and t[0] == BNODE})
+            mapping = {n: f"z{j + 17}" for j, n in enumerate(
+                rng.sample(names, len(names)))}
+            b2 = relabel(b, mapping)
+            rng.shuffle(b2)
+            same_hash = canonical_hash(a) == canonical_hash(b2)
+            assert same_hash == isomorphic(a, b2), (a, b2)
+
+
+def test_to_rdf_anonymous_node_order_invariance():
+    d1 = {"@context": {"@vocab": EX},
+          "@graph": [{"p": [{"q": "1"}, {"q": "2"}]}]}
+    d2 = {"@context": {"@vocab": EX},
+          "@graph": [{"p": [{"q": "2"}, {"q": "1"}]}]}
+    assert canonical_hash(to_rdf(d1)) == canonical_hash(to_rdf(d2))
+
+
+def test_poison_guard():
+    # complete bipartite-ish blob of indistinguishable bnodes
+    quads = []
+    for i in range(30):
+        quads.append((None, bn(f"a{i}"), iri("p"),
+                      bn(f"a{(i + 1) % 30}")))
+    with pytest.raises(ValueError, match="blank nodes share"):
+        canonical_hash(quads)
+    assert canonical_hash(quads, max_degree_nodes=40)  # opt-in works
