@@ -115,6 +115,16 @@ Why each stage survives 1000×:
   input partitioning.
 - **Non-scaling structures**: the context registry and centroid/LSH
   plates are driver-side kilobytes→megabytes, broadcast once.
+- **SPARQL Update is set algebra on the quad key**: deletes are
+  null-safe ANTI equi-joins (SortMergeJoin/broadcast, AQE-sized),
+  inserts anti-joined unions — both shuffle on the same 7-column quad
+  identity the dedup stage already uses; a ;-sequence stays one lazy
+  plan and the result is simply the next table version to write back.
+- **Framing / canonical hashing are per-document** (narrow Arrow
+  stages, zero shuffle): graph-level dedup joins on the RDFC-1.0
+  canonical sha256 — an 8-byte-ish key groupBy, never pairwise
+  isomorphism; the N-degree poison guard turns pathological documents
+  into per-row errors instead of runaway tasks.
 
 Raw audit JSON: `python tools/scale_audit.py` regenerates this file.
 """
