@@ -65,6 +65,72 @@ def deduplicate_content(stream: DataFrame, text_col: str = "text",
             .drop("fingerprint"))
 
 
+def with_canonical_graph_hash(transcripts: DataFrame) -> DataFrame:
+    """Annotate each turn with the RDFC-1.0 canonical sha256 of the
+    dataset formed by ALL its fenced blocks (jsonld/canonicalize.py) —
+    NULL when no block parses. Narrow Arrow pass; works identically on
+    batch and streaming DataFrames."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from rdflib_jsonld_spark.jsonld.canonicalize import canonical_hash
+    from rdflib_jsonld_spark.jsonld.context import Context
+    from rdflib_jsonld_spark.jsonld.tordf import to_rdf
+    from rdflib_jsonld_spark.operators.expand import extract_blocks
+    from rdflib_jsonld_spark.sources.registry import (CONTEXT_V1_IRI,
+                                                      REGISTRY)
+    import json
+
+    schema = T.StructType(list(transcripts.schema.fields)
+                          + [T.StructField("canon_hash", T.StringType(),
+                                           True)])
+
+    def run(batches):
+        ctx = Context(registry=REGISTRY).load(CONTEXT_V1_IRI)
+        for pdf in batches:
+            hashes = []
+            for text in pdf["text"]:
+                quads: list = []
+                for block in extract_blocks(text):
+                    try:
+                        doc = json.loads(block)
+                        if isinstance(doc, dict) \
+                                and doc.get("@context") == CONTEXT_V1_IRI:
+                            doc = {k: v for k, v in doc.items()
+                                   if k != "@context"}
+                            quads.extend(to_rdf(doc, ctx=ctx,
+                                                registry=REGISTRY))
+                        else:
+                            quads.extend(to_rdf(doc, registry=REGISTRY))
+                    except Exception:
+                        continue
+                hashes.append(canonical_hash(quads) if quads else None)
+            pdf = pdf.copy()
+            pdf["canon_hash"] = pd.Series(hashes, index=pdf.index,
+                                          dtype="object")
+            yield pdf
+
+    return transcripts.mapInPandas(run, schema=schema)
+
+
+def deduplicate_graphs(stream: DataFrame,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming SEMANTIC graph dedup: drop turns whose KG blocks are
+    ISOMORPHIC to an already-seen turn's (same canonical dataset hash —
+    bnode relabelings and JSON key/array-order differences collide),
+    within the watermark horizon. Turns with no parseable block pass
+    through (keyed by their own identity, never each other's). State =
+    one 64-hex key per distinct graph in the horizon."""
+    hashed = with_canonical_graph_hash(stream)
+    keyed = hashed.withColumn(
+        "_dedup_key",
+        F.coalesce(F.col("canon_hash"),
+                   F.concat_ws("#", "conv_id", "turn_idx")))
+    return (keyed.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["_dedup_key"])
+            .drop("_dedup_key", "canon_hash"))
+
+
 def stream_expand(spark: SparkSession, input_path: str, output_path: str,
                   checkpoint_path: str, await_termination: bool = True,
                   dedup: bool = False):

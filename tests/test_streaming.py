@@ -86,6 +86,45 @@ def test_stream_content_dedup(spark, tmp_path):
     assert got.count() * 2 == spark.read.parquet(inp).count()
 
 
+def test_stream_graph_dedup_isomorphic(spark, tmp_path):
+    """Semantic graph dedup: turns whose fenced blocks are ISOMORPHIC
+    (different bnode-free JSON key order, different surrounding prose,
+    different keys) collapse; distinct graphs and no-block turns all
+    pass through."""
+    import datetime
+    from rdflib_jsonld_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from rdflib_jsonld_spark.streaming.incremental import (
+        deduplicate_graphs, read_transcript_stream)
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    blk_a1 = ('```ld\n{"@context":{"@vocab":"http://x.org/"},'
+              '"p":[{"q":"1"},{"q":"2"}]}\n```')
+    blk_a2 = ('```ld\n{"p":[{"q":"2"},{"q":"1"}],'
+              '"@context":{"@vocab":"http://x.org/"}}\n```')   # iso to a1
+    blk_b = ('```ld\n{"@context":{"@vocab":"http://x.org/"},'
+             '"p":[{"q":"3"}]}\n```')
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "note " + blk_a1, None, ts),
+        ("c2", 0, "user", "other prose " + blk_a2, None, ts),  # dup of c1
+        ("c3", 0, "user", blk_b, None, ts),                    # distinct
+        ("c4", 0, "user", "no block here", None, ts),          # passes
+        ("c5", 0, "user", "also blockless", None, ts),         # passes
+    ]
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(inp)
+    stream = deduplicate_graphs(read_transcript_stream(spark, inp))
+    q = (stream.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 4                       # one of c1/c2 dropped
+    kept = {r.conv_id for r in got.collect()}
+    assert {"c3", "c4", "c5"} <= kept
+    assert len({"c1", "c2"} & kept) == 1
+
+
 def test_stateful_conversation_progress(spark, tmp_path):
     from rdflib_jsonld_spark.streaming.stateful import (
         run_conversation_progress)
