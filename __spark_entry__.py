@@ -258,6 +258,40 @@ def q_kg_graph_dedup_canonical(spark, sf_dir) -> DataFrame:
             .orderBy("source"))
 
 
+def q_kg_directmap_nation_quads(spark, sf_dir) -> DataFrame:
+    """W3C Direct Mapping (operators/directmap.py): the nation table →
+    quads, VALUE-EXACT — row IRIs, type triples, xsd-typed literals and
+    the FK reference triple to region are all reconstructed string-for-
+    string by the DuckDB oracle."""
+    from rdflib_jsonld_spark.operators.directmap import table_to_quads
+    quads = table_to_quads(
+        _t(spark, sf_dir, "nation"), "nation", pk=["n_nationkey"],
+        fks={"n_regionkey": ("region", ["r_regionkey"])})
+    return (quads.select("s", "p", "o_kind", "o_value", "o_datatype")
+            .orderBy("s", "p", "o_value"))
+
+
+def q_kg_directmap_sparql_join(spark, sf_dir) -> DataFrame:
+    """Relational→KG→SPARQL round trip: direct-map region + nation,
+    then a SPARQL text query joins them through the FK reference
+    triple — the answer must equal the plain SQL join on the source
+    tables."""
+    from rdflib_jsonld_spark.operators.directmap import tables_to_quads
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    quads = tables_to_quads(
+        {"nation": _t(spark, sf_dir, "nation"),
+         "region": _t(spark, sf_dir, "region")},
+        pks={"nation": ["n_nationkey"], "region": ["r_regionkey"]},
+        fks={"nation": {"n_regionkey": ("region", ["r_regionkey"])}})
+    return sparql(quads, """
+        SELECT ?rname (COUNT(?n) AS ?n_nations)
+        WHERE {
+          ?n <http://example.org/db/nation#ref-n_regionkey> ?r .
+          ?r <http://example.org/db/region#r_name> ?rname .
+        }
+        GROUP BY ?rname ORDER BY ?rname""")
+
+
 def q_kg_expanded_node_counts(spark, sf_dir) -> DataFrame:
     """Document-level Expansion ([spec] JLD-API §5.1) as a Spark stage:
     per-conversation expanded block/node totals, arithmetically
@@ -1178,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update_rewrite": q_kg_sparql_update_rewrite,
         "kg_framed_mentions": q_kg_framed_mentions,
         "kg_graph_dedup_canonical": q_kg_graph_dedup_canonical,
+        "kg_directmap_nation_quads": q_kg_directmap_nation_quads,
+        "kg_directmap_sparql_join": q_kg_directmap_sparql_join,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
@@ -1405,6 +1441,43 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN doc_id % (1 + (doc_id % 500) % 3) >= 1
                        THEN 1 ELSE 0 END)::BIGINT AS n_with_sameas
             FROM documents
+        """,
+        "kg_directmap_nation_quads": """
+            WITH s AS (
+              SELECT 'http://example.org/db/nation/n_nationkey='
+                     || n_nationkey::varchar AS s, * FROM nation),
+            q AS (
+              SELECT s,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                         AS p,
+                     'iri' AS o_kind,
+                     'http://example.org/db/nation' AS o_value,
+                     NULL::varchar AS o_datatype
+              FROM s
+              UNION ALL
+              SELECT s, 'http://example.org/db/nation#n_nationkey',
+                     'literal', n_nationkey::varchar,
+                     'http://www.w3.org/2001/XMLSchema#integer' FROM s
+              UNION ALL
+              SELECT s, 'http://example.org/db/nation#n_name',
+                     'literal', n_name,
+                     'http://www.w3.org/2001/XMLSchema#string' FROM s
+              UNION ALL
+              SELECT s, 'http://example.org/db/nation#ref-n_regionkey',
+                     'iri',
+                     'http://example.org/db/region/r_regionkey='
+                     || n_regionkey::varchar,
+                     NULL::varchar FROM s)
+            SELECT s, p, o_kind, o_value, o_datatype FROM q
+            ORDER BY s, p, o_value
+        """,
+        "kg_directmap_sparql_join": """
+            SELECT r.r_name AS rname,
+                   count(*)::BIGINT AS n_nations
+            FROM nation n JOIN region r
+              ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+            ORDER BY rname
         """,
         "kg_graph_dedup_canonical": """
             SELECT source,
