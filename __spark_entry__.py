@@ -292,6 +292,51 @@ def q_kg_directmap_sparql_join(spark, sf_dir) -> DataFrame:
         GROUP BY ?rname ORDER BY ?rname""")
 
 
+def q_kg_rdfs_customer_types(spark, sf_dir) -> DataFrame:
+    """RDFS entailment materialization (operators/inference.py):
+    customers typed by their nation class, nation ⊑ region ⊑ urn:Geo
+    — after rdfs_closure every customer carries its nation, region AND
+    urn:Geo types, so per-class instance counts equal the plain SQL
+    rollups (depth-2 rdfs9 through the rdfs11 closure)."""
+    from rdflib_jsonld_spark.operators.inference import (RDF_TYPE, RDFS,
+                                                         rdfs_closure)
+    B = "http://example.org/db/"
+
+    def quad(df, s, p, o):
+        return df.select(
+            F.lit(None).cast("string").alias("g"), s.alias("s"),
+            F.lit(False).alias("s_is_bnode"), F.lit(p).alias("p"),
+            F.lit("iri").alias("o_kind"), o.alias("o_value"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("o_lang"))
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nation_cls = F.concat(F.lit(f"{B}nation/n_nationkey="),
+                          F.col("c_nationkey").cast("string"))
+    quads = quad(cust, F.concat(F.lit(f"{B}customer/c_custkey="),
+                                F.col("c_custkey").cast("string")),
+                 RDF_TYPE, nation_cls) \
+        .unionByName(quad(
+            nation,
+            F.concat(F.lit(f"{B}nation/n_nationkey="),
+                     F.col("n_nationkey").cast("string")),
+            RDFS + "subClassOf",
+            F.concat(F.lit(f"{B}region/r_regionkey="),
+                     F.col("n_regionkey").cast("string")))) \
+        .unionByName(quad(
+            region,
+            F.concat(F.lit(f"{B}region/r_regionkey="),
+                     F.col("r_regionkey").cast("string")),
+            RDFS + "subClassOf", F.lit("urn:Geo")))
+    closed = rdfs_closure(quads)
+    return (closed.where(F.col("p") == RDF_TYPE)
+            .groupBy(F.col("o_value").alias("cls"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_instances"))
+            .orderBy("cls"))
+
+
 def q_kg_expanded_node_counts(spark, sf_dir) -> DataFrame:
     """Document-level Expansion ([spec] JLD-API §5.1) as a Spark stage:
     per-conversation expanded block/node totals, arithmetically
@@ -1213,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_framed_mentions": q_kg_framed_mentions,
         "kg_graph_dedup_canonical": q_kg_graph_dedup_canonical,
         "kg_directmap_nation_quads": q_kg_directmap_nation_quads,
+        "kg_rdfs_customer_types": q_kg_rdfs_customer_types,
         "kg_directmap_sparql_join": q_kg_directmap_sparql_join,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
@@ -1441,6 +1487,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN doc_id % (1 + (doc_id % 500) % 3) >= 1
                        THEN 1 ELSE 0 END)::BIGINT AS n_with_sameas
             FROM documents
+        """,
+        "kg_rdfs_customer_types": """
+            WITH ct AS (
+              SELECT c_nationkey AS k, count(*)::BIGINT AS n
+              FROM customer GROUP BY 1),
+            nt AS (
+              SELECT n_regionkey AS r, sum(n)::BIGINT AS n
+              FROM ct JOIN nation ON k = n_nationkey GROUP BY 1)
+            SELECT cls, n_instances FROM (
+              SELECT 'http://example.org/db/nation/n_nationkey='
+                     || k::varchar AS cls, n AS n_instances FROM ct
+              UNION ALL
+              SELECT 'http://example.org/db/region/r_regionkey='
+                     || r::varchar, n FROM nt
+              UNION ALL
+              SELECT 'urn:Geo',
+                     (SELECT count(*)::BIGINT FROM customer))
+            ORDER BY cls
         """,
         "kg_directmap_nation_quads": """
             WITH s AS (

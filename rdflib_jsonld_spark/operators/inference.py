@@ -1,0 +1,152 @@
+"""RDFS entailment materialization over quad tables — Spark-first.
+
+``rdfs_closure(quads)`` returns the input plus the triples entailed by
+the core RDFS rules, computed in ONE ordered pass of joins (no
+fixpoint loop):
+
+1. rdfs5 / rdfs11 — transitive closure of ``rdfs:subPropertyOf`` /
+   ``rdfs:subClassOf`` via path doubling (reuses
+   linking.transitive_closure: O(log diameter) shuffle rounds).
+2. rdfs7 — ``(s p o) ∧ p ⊑ q → (s q o)`` (property inheritance).
+3. rdfs2 — ``(p domain C) ∧ (s p o) → (s rdf:type C)``.
+4. rdfs3 — ``(p range C) ∧ (s p o)``, o non-literal ``→ (o rdf:type C)``.
+5. rdfs9 — ``(s rdf:type C) ∧ C ⊑ D → (s rdf:type D)``.
+
+The order is complete for this rule set: property inheritance feeds
+domain/range, whose types feed subclass propagation, and no later rule
+produces input for an earlier one. (Exotic chains — a property
+declared ``⊑ rdf:type``, or domains declared ON ``rdf:type`` firing
+over freshly-inferred type triples — would need a second pass; they
+are outside the materialized subset and documented here. [spec] RDF
+1.1 Semantics §9.2 RDFS entailment rules,
+https://www.w3.org/TR/rdf11-mt/#rdfs-entailment.)
+
+Scale posture: ontology terms (sub-class/-property, domain, range
+declarations) are a tiny fraction of any real dataset — Catalyst/AQE
+broadcast them into every rule join, so each rule is one broadcast
+hash join over the quad table, and the closures run on the
+ontology-sized edge sets only. Inference lands in the default graph
+(dataset-wide RDFS semantics; per-graph entailment is a documented
+narrowing), with NULL lineage columns like every derived quad.
+
+The reference checkout has no inference (tombstone; rdflib owns RDFS
+entailment) — KG-construction breadth on the engine's quad model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .linking import transitive_closure
+from .update import QUAD_KEY, _anti_on_key, _conform
+
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _edges(quads: DataFrame, pred: str) -> DataFrame:
+    return (quads.where((F.col("p") == pred)
+                        & (F.col("o_kind") != "literal"))
+            .select(F.col("s").alias("src"),
+                    F.col("o_value").alias("dst")))
+
+
+def _quad_rows(df: DataFrame, s, s_is_bnode, p, o_kind, o_value
+               ) -> DataFrame:
+    return df.select(
+        F.lit(None).cast("string").alias("g"),
+        s.alias("s"),
+        s_is_bnode.alias("s_is_bnode"),
+        p.alias("p"),
+        o_kind.alias("o_kind"),
+        o_value.alias("o_value"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"))
+
+
+def rdfs_closure(quads: DataFrame, max_iter: int = 20,
+                 include_schema_closure: bool = True) -> DataFrame:
+    """Materialize RDFS entailment; returns input ∪ inferred, set-
+    deduped on the quad key (input columns preserved, inferred rows
+    carry NULL lineage). ``include_schema_closure`` also emits the
+    closed ⊑ edges themselves (rdfs5/rdfs11) as triples."""
+    has = set()
+    for r in quads.where(F.col("p").isin(
+            RDFS + "subClassOf", RDFS + "subPropertyOf",
+            RDFS + "domain", RDFS + "range")) \
+            .select("p").distinct().collect():
+        has.add(r["p"])
+
+    sco = transitive_closure(_edges(quads, RDFS + "subClassOf"),
+                             max_iter) \
+        if RDFS + "subClassOf" in has else None
+    spo = transitive_closure(_edges(quads, RDFS + "subPropertyOf"),
+                             max_iter) \
+        if RDFS + "subPropertyOf" in has else None
+
+    inferred: list[DataFrame] = []
+    core = quads.select("g", "s", "s_is_bnode", "p", "o_kind",
+                        "o_value", "o_datatype", "o_lang")
+
+    # rdfs7: property inheritance (also the input for domain/range)
+    ext = core
+    if spo is not None:
+        inh = (core.join(F.broadcast(spo.withColumnRenamed("src", "p")),
+                         on="p")
+               .select(F.lit(None).cast("string").alias("g"), "s",
+                       "s_is_bnode", F.col("dst").alias("p"),
+                       "o_kind", "o_value", "o_datatype", "o_lang"))
+        inferred.append(inh)
+        ext = core.unionByName(inh)
+
+    # rdfs2/rdfs3: domain and range typing
+    if RDFS + "domain" in has:
+        dom = quads.where(F.col("p") == RDFS + "domain") \
+            .select(F.col("s").alias("p"),
+                    F.col("o_value").alias("cls"))
+        inferred.append(_quad_rows(
+            ext.join(F.broadcast(dom), on="p"),
+            F.col("s"), F.col("s_is_bnode"), F.lit(RDF_TYPE),
+            F.lit("iri"), F.col("cls")))
+    if RDFS + "range" in has:
+        rng = quads.where(F.col("p") == RDFS + "range") \
+            .select(F.col("s").alias("p"),
+                    F.col("o_value").alias("cls"))
+        inferred.append(_quad_rows(
+            ext.join(F.broadcast(rng), on="p")
+            .where(F.col("o_kind") != "literal"),
+            F.col("o_value"), F.col("o_kind") == "bnode",
+            F.lit(RDF_TYPE), F.lit("iri"), F.col("cls")))
+
+    # rdfs9: subclass type propagation over original + inferred types
+    if sco is not None:
+        all_types = ext.where(F.col("p") == RDF_TYPE) \
+            .select("s", "s_is_bnode", F.col("o_value").alias("src"))
+        for part in inferred:
+            all_types = all_types.unionByName(
+                part.where(F.col("p") == RDF_TYPE)
+                .select("s", "s_is_bnode",
+                        F.col("o_value").alias("src")))
+        inferred.append(_quad_rows(
+            all_types.join(F.broadcast(sco), on="src"),
+            F.col("s"), F.col("s_is_bnode"), F.lit(RDF_TYPE),
+            F.lit("iri"), F.col("dst")))
+
+    # rdfs5/rdfs11: the closed schema edges as triples
+    if include_schema_closure:
+        for closure, pred in ((sco, RDFS + "subClassOf"),
+                              (spo, RDFS + "subPropertyOf")):
+            if closure is not None:
+                inferred.append(_quad_rows(
+                    closure, F.col("src"),
+                    F.col("src").startswith("_:"), F.lit(pred),
+                    F.lit("iri"), F.col("dst")))
+
+    if not inferred:
+        return quads
+    new = inferred[0]
+    for part in inferred[1:]:
+        new = new.unionByName(part)
+    new = new.dropDuplicates(QUAD_KEY)
+    fresh = _anti_on_key(_conform(new, quads), quads)
+    return quads.unionByName(fresh)
