@@ -337,6 +337,31 @@ def q_kg_rdfs_customer_types(spark, sf_dir) -> DataFrame:
             .orderBy("cls"))
 
 
+def q_kg_shacl_report(spark, sf_dir) -> DataFrame:
+    """SHACL-core validation (operators/validation.py) over the
+    transcript KG: the about-target class constraint fails for EVERY
+    mention (alias nodes carry no rdf:type), the surface lowercase
+    pattern fails exactly for the Initcap/UPPER variants
+    (doc_id%%5 ∈ {1,3}), and min/max-count constraints hold — so the
+    per-constraint violation counts are pure doc_id arithmetic."""
+    from rdflib_jsonld_spark.operators.validation import validate
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    report = validate(quads, [{
+        "id": "MentionShape",
+        "target_class": f"{KG}vocab#Mention",
+        "properties": [
+            {"path": f"{KG}vocab#about", "min_count": 1,
+             "class": f"{KG}vocab#Entity"},
+            {"path": f"{KG}vocab#surface", "pattern": "^[a-z]"},
+            {"path": f"{KG}vocab#turn", "max_count": 1},
+        ]}])
+    return (report.groupBy("path", "constraint")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .orderBy("path", "constraint"))
+
+
 def q_kg_expanded_node_counts(spark, sf_dir) -> DataFrame:
     """Document-level Expansion ([spec] JLD-API §5.1) as a Spark stage:
     per-conversation expanded block/node totals, arithmetically
@@ -1259,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_dedup_canonical": q_kg_graph_dedup_canonical,
         "kg_directmap_nation_quads": q_kg_directmap_nation_quads,
         "kg_rdfs_customer_types": q_kg_rdfs_customer_types,
+        "kg_shacl_report": q_kg_shacl_report,
         "kg_directmap_sparql_join": q_kg_directmap_sparql_join,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
@@ -1487,6 +1513,17 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN doc_id % (1 + (doc_id % 500) % 3) >= 1
                        THEN 1 ELSE 0 END)::BIGINT AS n_with_sameas
             FROM documents
+        """,
+        "kg_shacl_report": f"""
+            WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),
+            p AS (SELECT count(*)::BIGINT AS c FROM documents
+                  WHERE doc_id % 5 IN (1, 3))
+            SELECT path, "constraint", n_violations FROM (
+              SELECT '{KG}vocab#about' AS path,
+                     'class' AS "constraint", c AS n_violations FROM n
+              UNION ALL
+              SELECT '{KG}vocab#surface', 'pattern', c FROM p)
+            ORDER BY path, "constraint"
         """,
         "kg_rdfs_customer_types": """
             WITH ct AS (

@@ -1,0 +1,147 @@
+"""SHACL-core shape validation over quad tables — Spark-first.
+
+``validate(quads, shapes)`` evaluates the common SHACL core constraint
+set and returns a VIOLATIONS DataFrame ``(shape_id, focus, path,
+constraint, value)`` — empty means conformant, and the row set is the
+Spark-native ValidationReport (aggregate it, join it back to sources,
+write it next to the data). Shapes are plain Python dicts (the
+shapes-graph-as-RDF parser is a documented narrowing — pipelines
+version shapes in code):
+
+    {"id": "PersonShape",
+     "target_class": iri,            # or target_subjects_of: pred
+     "properties": [
+        {"path": pred,
+         "min_count": n, "max_count": n,
+         "datatype": xsd_iri, "node_kind": "iri"|"literal"|"bnode",
+         "class": iri,               # values must be instances of iri
+         "pattern": regex,           # on the lexical form
+         "in": [lexical values],
+         "min_inclusive": x, "max_inclusive": x}]}
+
+[spec] W3C SHACL, https://www.w3.org/TR/shacl/ — §2 shapes/targets,
+§4 core constraint components (sh:minCount/maxCount §4.2,
+sh:datatype/nodeKind/class §4.1, sh:pattern §4.4, sh:in §4.5,
+sh:minInclusive/maxInclusive §4.3). The reference checkout has no
+validation (tombstone; SHACL post-dates it) — KG-QA breadth.
+
+Every constraint is JVM column algebra over one (focus ⋈ values)
+join per property shape: counting constraints are a groupBy on the
+focus key, value constraints are narrow filters, sh:class is one
+anti-join against the type table. The shapes themselves are
+driver-side constants — nothing here scales with anything but the
+quad table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_REPORT_COLS = ("shape_id", "focus", "path", "constraint", "value")
+
+
+def _report(df: DataFrame, shape_id: str, path: str, constraint: str,
+            has_value: bool = True) -> DataFrame:
+    return df.select(
+        F.lit(shape_id).alias("shape_id"),
+        F.col("focus"),
+        F.lit(path).alias("path"),
+        F.lit(constraint).alias("constraint"),
+        (F.col("value") if has_value
+         else F.lit(None).cast("string")).alias("value"))
+
+
+def _focus_nodes(quads: DataFrame, shape: dict) -> DataFrame:
+    if "target_class" in shape:
+        return (quads.where((F.col("p") == RDF_TYPE)
+                            & (F.col("o_value") == shape["target_class"]))
+                .select(F.col("s").alias("focus")).distinct())
+    if "target_subjects_of" in shape:
+        return (quads.where(F.col("p") == shape["target_subjects_of"])
+                .select(F.col("s").alias("focus")).distinct())
+    if "target_node" in shape:
+        spark = quads.sparkSession
+        return spark.createDataFrame(
+            [(n,) for n in shape["target_node"]], "focus string")
+    raise ValueError(f"shape {shape.get('id')}: needs target_class / "
+                     f"target_subjects_of / target_node")
+
+
+def validate(quads: DataFrame, shapes: list[dict]) -> DataFrame:
+    """Evaluate ``shapes`` against ``quads`` → violations DataFrame
+    (empty ⇔ conformant)."""
+    spark = quads.sparkSession
+    out: DataFrame | None = None
+
+    def add(df: DataFrame):
+        nonlocal out
+        out = df if out is None else out.unionByName(df)
+
+    for shape in shapes:
+        sid = shape.get("id", "shape")
+        focus = _focus_nodes(quads, shape)
+        for ps in shape.get("properties", []):
+            path = ps["path"]
+            vals = focus.join(
+                quads.where(F.col("p") == path)
+                .select(F.col("s").alias("focus"),
+                        F.col("o_kind"),
+                        F.col("o_value").alias("value"),
+                        F.col("o_datatype")),
+                on="focus", how="left")
+            present = vals.where(F.col("value").isNotNull())
+
+            if "min_count" in ps or "max_count" in ps:
+                counts = vals.groupBy("focus").agg(
+                    F.count("value").alias("_n"))
+                if "min_count" in ps:
+                    add(_report(
+                        counts.where(F.col("_n") < ps["min_count"]),
+                        sid, path, "min_count", has_value=False))
+                if "max_count" in ps:
+                    add(_report(
+                        counts.where(F.col("_n") > ps["max_count"]),
+                        sid, path, "max_count", has_value=False))
+            if "datatype" in ps:
+                add(_report(present.where(
+                    (F.col("o_kind") != "literal")
+                    | ~F.col("o_datatype").eqNullSafe(ps["datatype"])),
+                    sid, path, "datatype"))
+            if "node_kind" in ps:
+                add(_report(
+                    present.where(F.col("o_kind") != ps["node_kind"]),
+                    sid, path, "node_kind"))
+            if "class" in ps:
+                types = quads.where(
+                    (F.col("p") == RDF_TYPE)
+                    & (F.col("o_value") == ps["class"])) \
+                    .select(F.col("s").alias("value")).distinct()
+                add(_report(
+                    present.join(types, on="value", how="left_anti"),
+                    sid, path, "class"))
+            if "pattern" in ps:
+                add(_report(
+                    present.where(~F.col("value").rlike(ps["pattern"])),
+                    sid, path, "pattern"))
+            if "in" in ps:
+                add(_report(
+                    present.where(~F.col("value").isin(ps["in"])),
+                    sid, path, "in"))
+            if "min_inclusive" in ps:
+                add(_report(present.where(
+                    F.col("value").cast("double")
+                    < float(ps["min_inclusive"])), sid, path,
+                    "min_inclusive"))
+            if "max_inclusive" in ps:
+                add(_report(present.where(
+                    F.col("value").cast("double")
+                    > float(ps["max_inclusive"])), sid, path,
+                    "max_inclusive"))
+
+    if out is None:
+        return spark.createDataFrame(
+            [], "shape_id string, focus string, path string, "
+                "constraint string, value string")
+    return out
