@@ -520,6 +520,38 @@ def q_kg_sparql_text_union_negation(spark, sf_dir) -> DataFrame:
         GROUP BY ?kind ORDER BY ?kind""")
 
 
+def q_kg_sparql_text_ask(spark, sf_dir) -> DataFrame:
+    """ASK form through the text layer: a provably-true pattern (any
+    mention exists) and a provably-false one (a mention with no turn
+    edge), labeled and unioned — limit(1)+count gate, no full scan
+    materialization."""
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    pfx = f"PREFIX v: <{KG}vocab#>\n"
+    a1 = sparql(quads, pfx + "ASK { ?m a v:Mention }") \
+        .select(F.lit("any_mention").alias("which"), "ask")
+    a2 = sparql(quads, pfx + """ASK { ?m a v:Mention .
+        FILTER NOT EXISTS { ?m v:turn ?t } }""") \
+        .select(F.lit("orphan_mention").alias("which"), "ask")
+    return a1.unionByName(a2).orderBy("which")
+
+
+def q_kg_sparql_text_describe(spark, sf_dir) -> DataFrame:
+    """DESCRIBE form through the text layer: the mention node of doc 0
+    — per-predicate quad counts of its concise description (exactly
+    one quad for each of the 5 mention properties)."""
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    res = sparql(quads, f"DESCRIBE <{KG}m/doc/0>")
+    return (res.groupBy("p")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_quads"))
+            .orderBy("p"))
+
+
 def q_kg_sparql_text_path(spark, sf_dir) -> DataFrame:
     """Text-layer property path: ``?src owl:sameAs+ ?dst`` parsed from
     the query string (path grammar in predicate position → match_path
@@ -1279,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_text_union_negation": q_kg_sparql_text_union_negation,
         "kg_sparql_text_path": q_kg_sparql_text_path,
         "kg_sparql_text_subquery": q_kg_sparql_text_subquery,
+        "kg_sparql_text_ask": q_kg_sparql_text_ask,
+        "kg_sparql_text_describe": q_kg_sparql_text_describe,
         "kg_sparql_update_rewrite": q_kg_sparql_update_rewrite,
         "kg_framed_mentions": q_kg_framed_mentions,
         "kg_graph_dedup_canonical": q_kg_graph_dedup_canonical,
@@ -1805,6 +1839,24 @@ def oracle_sql() -> dict[str, str]:
                    k::BIGINT AS n_reach
             FROM mj, UNNEST(range(1, m + 1)) AS t(k)
             ORDER BY src
+        """,
+        "kg_sparql_text_ask": """
+            SELECT which, ask FROM (
+              SELECT 'any_mention' AS which,
+                     (SELECT count(*) FROM documents) > 0 AS ask
+              UNION ALL
+              SELECT 'orphan_mention', false)
+            ORDER BY which
+        """,
+        "kg_sparql_text_describe": f"""
+            SELECT p, n_quads FROM (
+              SELECT '{KG}vocab#about' AS p, 1::BIGINT AS n_quads
+              UNION ALL SELECT '{KG}vocab#confidence', 1
+              UNION ALL SELECT '{KG}vocab#surface', 1
+              UNION ALL SELECT '{KG}vocab#turn', 1
+              UNION ALL SELECT
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 1)
+            ORDER BY p
         """,
         "kg_sparql_update_rewrite": f"""
             WITH d AS (
