@@ -413,6 +413,24 @@ def q_kg_nquads_roundtrip(spark, sf_dir) -> DataFrame:
             .orderBy("o_kind"))
 
 
+def q_kg_turtle_roundtrip(spark, sf_dir) -> DataFrame:
+    """Turtle/TriG sink/source round trip fully in-plan: dedup the quad
+    stream (the sink is set-semantic — [spec] RDF 1.1 §3.1), serialize
+    each partition to a standalone TriG document, re-parse with the
+    pure-core grammar, count objects by kind. Counts are doc_id
+    arithmetic: iri = type+about+turn per doc + DISTINCT sameAs pairs
+    (dedup collapses cross-document repeats); literal = surface+
+    confidence per doc."""
+    from rdflib_jsonld_spark.sources.turtle_io import (
+        parse_turtle_documents, turtle_part_documents)
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    back = parse_turtle_documents(turtle_part_documents(quads, trig=True))
+    return (back.groupBy("o_kind")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy("o_kind"))
+
+
 def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
     """BGP matching over the constructed graph: mentions typed Mention
     with an about edge, counted per (pre-canonicalization) entity alias —
@@ -1324,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
+        "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_cc_distributed_documents": q_kg_cc_distributed_documents,
         "kg_expand_error_metrics": q_kg_expand_error_metrics,
@@ -1669,6 +1688,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'iri' AS o_kind, sum(3 + j)::BIGINT AS n FROM d
               UNION ALL
               SELECT 'literal', (2 * count(*))::BIGINT FROM d)
+            ORDER BY o_kind
+        """,
+        "kg_turtle_roundtrip": """
+            WITH d AS (
+              SELECT doc_id % 500 AS e,
+                     doc_id % (1 + (doc_id % 500) % 3) AS j
+              FROM documents),
+            links AS (
+              SELECT DISTINCT e, m
+              FROM d, unnest(generate_series(1, j)) AS t(m)
+              WHERE j >= 1)
+            SELECT o_kind, n FROM (
+              SELECT 'iri' AS o_kind,
+                     ((SELECT 3 * count(*) FROM d)
+                      + (SELECT count(*) FROM links))::BIGINT AS n
+              UNION ALL
+              SELECT 'literal', (SELECT 2 * count(*) FROM d)::BIGINT)
             ORDER BY o_kind
         """,
         "kg_predicate_counts_documents": f"""
