@@ -431,6 +431,25 @@ def q_kg_turtle_roundtrip(spark, sf_dir) -> DataFrame:
             .orderBy("o_kind"))
 
 
+def q_kg_entity_pagerank(spark, sf_dir) -> DataFrame:
+    """Entity-importance ranking over the alias graph: symmetrized
+    owl:sameAs edges → 5 fixed PageRank power iterations
+    (operators/graphstats.py). Fixed iteration count makes the recurrence
+    exactly replicable by an unrolled SQL oracle; ranks rounded to 8
+    decimals on both sides (the star sums are ≤3 doubles, so fp
+    accumulation-order noise is ≪ the rounding grain)."""
+    from rdflib_jsonld_spark.operators.graphstats import pagerank
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    sameas = quads.where(F.col("p") == _OWL_SAMEAS) \
+        .select(F.col("s").alias("src"), F.col("o_value").alias("dst"))
+    edges = sameas.unionByName(
+        sameas.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iterations=5)
+    return (pr.select("node", F.round("rank", 8).alias("rank"))
+            .orderBy("node"))
+
+
 def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
     """BGP matching over the constructed graph: mentions typed Mention
     with an about edge, counted per (pre-canonicalization) entity alias —
@@ -1343,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_compact_roundtrip": q_kg_compact_roundtrip,
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
+        "kg_entity_pagerank": q_kg_entity_pagerank,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_cc_distributed_documents": q_kg_cc_distributed_documents,
         "kg_expand_error_metrics": q_kg_expand_error_metrics,
@@ -1550,6 +1570,53 @@ def _lang_id_oracle_sql() -> str:
     """
 
 
+def _pagerank_oracle_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled PageRank recurrence over the symmetrized sameAs alias
+    graph — one CTE per power iteration, exactly the fixed-iteration
+    computation operators/graphstats.pagerank runs (no dangling term:
+    the symmetric graph makes every node a source)."""
+    pre = f"""
+        WITH d0 AS (
+          SELECT doc_id % 500 AS e,
+                 doc_id % (1 + (doc_id % 500) % 3) AS j
+          FROM documents),
+        links AS (
+          SELECT DISTINCT e, m
+          FROM d0, unnest(generate_series(1, j)) AS t(m)
+          WHERE j >= 1),
+        edges AS (
+          -- alias CHAIN: a_m owl:sameAs a_(m-1), symmetrized
+          SELECT '{KG}e/' || e::VARCHAR || '/a' || m::VARCHAR AS src,
+                 '{KG}e/' || e::VARCHAR || '/a' || (m - 1)::VARCHAR AS dst
+          FROM links
+          UNION ALL
+          SELECT '{KG}e/' || e::VARCHAR || '/a' || (m - 1)::VARCHAR,
+                 '{KG}e/' || e::VARCHAR || '/a' || m::VARCHAR
+          FROM links),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        deg AS (SELECT src AS node, count(*)::DOUBLE AS od
+                FROM edges GROUP BY src),
+        np AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM np) AS rank FROM nodes)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+        r{i} AS (
+          SELECT nd.node,
+                 (1.0 - {d}) / (SELECT n FROM np)
+                 + {d} * coalesce(c.contrib, 0.0) AS rank
+          FROM nodes nd LEFT JOIN (
+            SELECT ed.dst AS node, sum(r.rank / dg.od) AS contrib
+            FROM edges ed
+            JOIN r{i - 1} r ON r.node = ed.src
+            JOIN deg dg ON dg.node = ed.src
+            GROUP BY ed.dst) c ON c.node = nd.node)"""
+    return pre + body + f"""
+        SELECT node, round(rank, 8) AS rank FROM r{iters} ORDER BY node
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # --- KG pipeline, predictable from doc_id arithmetic -------------
@@ -1690,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'literal', (2 * count(*))::BIGINT FROM d)
             ORDER BY o_kind
         """,
+        "kg_entity_pagerank": _pagerank_oracle_sql(5, 0.85),
         "kg_turtle_roundtrip": """
             WITH d AS (
               SELECT doc_id % 500 AS e,

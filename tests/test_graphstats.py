@@ -1,0 +1,89 @@
+"""Graph analytics (degrees, PageRank) vs an independent hand-rolled
+reference implementation."""
+
+import pytest
+
+from rdflib_jsonld_spark.operators.graphstats import degree_stats, pagerank
+
+
+def ref_pagerank(edges, iterations=10, d=0.85):
+    """Independent dict-based power iteration (no Spark, no shared code)."""
+    edges = sorted(set(edges))
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        rank = {v: (1 - d) / n + d * (contrib[v] + dangling / n)
+                for v in nodes}
+    return rank
+
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+         ("c", "d"), ("e", "a")]  # e is a source-only node; none dangling
+DANGLING = [("a", "b"), ("b", "c"), ("a", "c")]  # c has no out-edges
+
+
+@pytest.mark.usefixtures("spark")
+class TestPageRank:
+    def _run(self, spark, edges, **kw):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {r.node: r.rank for r in pagerank(df, **kw).collect()}
+
+    def test_matches_independent_reference(self, spark):
+        got = self._run(spark, EDGES, iterations=10)
+        want = ref_pagerank(EDGES, iterations=10)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+    def test_dangling_mass_redistributed_sum_is_one(self, spark):
+        got = self._run(spark, DANGLING, iterations=12)
+        want = ref_pagerank(DANGLING, iterations=12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+    def test_duplicate_edges_count_once(self, spark):
+        got = self._run(spark, EDGES + EDGES[:3], iterations=6)
+        want = ref_pagerank(EDGES, iterations=6)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+    def test_hub_outranks_leaves_in_star(self, spark):
+        star = [("hub", f"l{i}") for i in range(5)] + \
+               [(f"l{i}", "hub") for i in range(5)]
+        got = self._run(spark, star, iterations=8)
+        assert all(got["hub"] > got[f"l{i}"] for i in range(5))
+
+    def test_empty_graph(self, spark):
+        df = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(df).collect() == []
+
+
+@pytest.mark.usefixtures("spark")
+class TestDegrees:
+    def test_degree_stats_excludes_literals_and_type(self, spark):
+        rows = [
+            # g, s, s_is_bnode, p, o_kind, o_value, o_datatype, o_lang
+            (None, "A", False, "http://e/p", "iri", "B", None, None),
+            (None, "A", False, "http://e/p", "literal", "x", None, None),
+            (None, "A", False,
+             "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             "iri", "T", None, None),
+            (None, "B", False, "http://e/q", "iri", "A", None, None),
+            (None, "C", False, "http://e/q", "iri", "A", None, None),
+        ]
+        schema = ("g string, s string, s_is_bnode boolean, p string, "
+                  "o_kind string, o_value string, o_datatype string, "
+                  "o_lang string")
+        got = {r.node: (r.out_degree, r.in_degree)
+               for r in degree_stats(
+                   spark.createDataFrame(rows, schema)).collect()}
+        assert got == {"A": (1, 2), "B": (1, 1), "C": (1, 0)}
