@@ -1071,6 +1071,32 @@ def q_doc_split_counts(spark, sf_dir) -> DataFrame:
             .orderBy("source", "split"))
 
 
+def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
+    """Deterministic weighted source mixing (curation.sample_mixture):
+    per-source keep-rates applied as a seeded md5 Bernoulli filter; the
+    oracle reproduces the identical bucketing, so per-source kept
+    counts match exactly — partitioning- and engine-independent."""
+    from rdflib_jsonld_spark.operators.curation import sample_mixture
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
+             "src4": 0.0}
+    return (sample_mixture(docs, rates, default_rate=0.6)
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+            .orderBy("source"))
+
+
+def q_doc_pack_manifest(spark, sf_dir) -> DataFrame:
+    """Sequence-packing manifest (curation.pack_sequences): seeded md5
+    sharding + per-shard ordered token cumsum → per-document sequence
+    spans. The FULL manifest is compared (every offset, span and
+    straddle flag), not an aggregate — the oracle replays the identical
+    shard hash and window arithmetic in SQL."""
+    from rdflib_jsonld_spark.operators.curation import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    return (pack_sequences(docs, seq_len=64, shards=8)
+            .orderBy("doc_id"))
+
+
 def q_doc_pii_scrub(spark, sf_dir) -> DataFrame:
     """PII detection + scrubbing (curation.pii_counts/scrub_pii): PII
     is PLANTED arithmetically (email when doc_id%3=0, ssn %11, ipv4 %5,
@@ -1395,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam_flags": q_doc_decontam_flags,
         "doc_repetition_scores": q_doc_repetition_scores,
         "doc_split_counts": q_doc_split_counts,
+        "doc_mixture_counts": q_doc_mixture_counts,
+        "doc_pack_manifest": q_doc_pack_manifest,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
         "doc_lang_pred_counts": q_doc_lang_pred_counts,
@@ -2356,6 +2384,53 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY dup_frac DESC, doc_id
             LIMIT 20
+        """,
+        "doc_mixture_counts": """
+            WITH b AS (
+              SELECT source,
+                     ('0x' || substr(md5(doc_id::varchar || chr(31)
+                                         || 'mix-v1'), 1, 8))::BIGINT
+                     % 1000000 AS bucket
+              FROM documents)
+            SELECT source, count(*)::BIGINT AS n_kept
+            FROM b
+            WHERE bucket < CASE source
+                             WHEN 'src0' THEN 1000000
+                             WHEN 'src1' THEN 750000
+                             WHEN 'src2' THEN 500000
+                             WHEN 'src3' THEN 250000
+                             WHEN 'src4' THEN 0
+                             ELSE 600000 END
+            GROUP BY source
+            ORDER BY source
+        """,
+        "doc_pack_manifest": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::varchar || chr(31)
+                                         || 'pack-v1'), 1, 8))::BIGINT
+                     % 8 AS shard,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\s+')) END
+                     ::BIGINT AS n_tokens
+              FROM documents),
+            packed AS (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+              FROM base)
+            SELECT doc_id, shard, n_tokens, tok_offset,
+                   (tok_offset // 64)::BIGINT AS first_seq,
+                   ((tok_offset + greatest(n_tokens - 1, 0)) // 64)::BIGINT
+                       AS last_seq,
+                   (n_tokens > 0 AND tok_offset // 64
+                    <> (tok_offset + greatest(n_tokens - 1, 0)) // 64)
+                       AS straddles
+            FROM packed
+            ORDER BY doc_id
         """,
         "doc_split_counts": """
             WITH assigned AS (

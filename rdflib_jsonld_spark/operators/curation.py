@@ -200,3 +200,141 @@ def scrub_pii(docs: DataFrame, text_col: str = "text",
     for name, p in pats.items():
         col = F.regexp_replace(col, p, token_fmt.format(name.upper()))
     return docs.withColumn(out_col or text_col, col)
+
+
+# ---------------------------------------------------------------------------
+# weighted source mixing
+# ---------------------------------------------------------------------------
+
+def _split_bucket(id_col: str, seed: str, buckets: int):
+    """The shared deterministic bucket: md5(id ‖ 0x1F ‖ seed) → [0, buckets).
+    Same construction as assign_splits, so mixing and splitting draw from
+    INDEPENDENT hash streams only when their seeds differ — callers pass
+    distinct seeds (documented; identical seeds would correlate the two
+    Bernoulli streams)."""
+    return (F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                          F.lit(seed))), 1, 8), 16, 10)
+        .cast("bigint") % buckets)
+
+
+def sample_mixture(docs: DataFrame, rates: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   default_rate: float = 0.0, seed: str = "mix-v1",
+                   buckets: int = 1_000_000) -> DataFrame:
+    """Deterministic per-source subsampling: keep a document iff its
+    seeded md5 bucket falls under ``rates[source] · buckets``
+    (sources absent from ``rates`` use ``default_rate``).
+
+    This is the mixture-weights stage of a pre-training pipeline (the
+    multinomial source-weighting of Lample & Conneau 2019 §3.1 /
+    GPT-3-style corpus weighting — public methodology) made
+    REPRODUCIBLE: the kept set is a pure function of (id, seed, rates),
+    independent of partitioning and execution order — a narrow
+    zero-shuffle projection, identical on every rerun of a 10^12-row
+    corpus. Rates must be in [0, 1]: epoch-style oversampling (>1×) is
+    a dataloader concern, not a filter; the operator rejects it loudly.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1]")
+    bucket = _split_bucket(id_col, seed, buckets)
+    thresh = None
+    for s, r in sorted(rates.items()):
+        cond = F.col(source_col) == s
+        lim = F.lit(int(round(r * buckets)))
+        thresh = F.when(cond, lim) if thresh is None \
+            else thresh.when(cond, lim)
+    thresh = F.lit(int(round(default_rate * buckets))) if thresh is None \
+        else thresh.otherwise(F.lit(int(round(default_rate * buckets))))
+    return docs.where(bucket < thresh)
+
+
+def temperature_rates(counts: dict[str, int], temperature: float = 2.0,
+                      target_fraction: float = 0.5) -> dict[str, float]:
+    """Driver-side helper: per-source keep-rates from corpus counts via
+    temperature-scaled multinomial weights (q_s ∝ c_s^(1/T), Lample &
+    Conneau 2019 §3.1), scaled so the expected kept total is
+    ``target_fraction`` of the corpus, with per-source rates capped at 1
+    and the excess redistributed over uncapped sources (water-filling,
+    deterministic iteration order). Pure arithmetic over a dict of
+    counts — the counts come from one tiny groupBy().count() collect."""
+    if not counts:
+        return {}
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    total = sum(counts.values())
+    target = target_fraction * total
+    weights = {s: c ** (1.0 / temperature) for s, c in counts.items()}
+    rates: dict[str, float] = {}
+    live = dict(weights)
+    remaining = target
+    # water-filling: sources whose proportional share exceeds their size
+    # get rate 1; their surplus re-spreads over the rest
+    while live:
+        wsum = sum(live.values())
+        capped = {s for s in live
+                  if remaining * live[s] / wsum >= counts[s]}
+        if not capped:
+            for s in live:
+                rates[s] = remaining * live[s] / wsum / counts[s]
+            break
+        for s in sorted(capped):
+            rates[s] = 1.0
+            remaining -= counts[s]
+            del live[s]
+        remaining = max(remaining, 0.0)
+    return rates
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   shards: int = 1024, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   seed: str = "pack-v1") -> DataFrame:
+    """Concat-and-chunk packing manifest: which fixed-length training
+    sequences each document lands in.
+
+    The classic pre-training input pipeline concatenates documents and
+    slices the token stream every ``seq_len`` tokens (GPT-style packing
+    — Brown et al. 2020 §2.1, public methodology). A single global
+    concatenation is a one-partition bottleneck at 10^12 docs, so the
+    corpus is first sharded by a seeded md5 of the id (deterministic,
+    partitioning-independent) and each shard packs independently — the
+    parallel unit a real dataloader consumes (shard = worker file).
+
+    Per document the manifest gives its shard, deterministic position,
+    token offset, and first/last sequence index within the shard
+    (``floor(offset / seq_len)`` / ``floor((offset + n_tokens - 1) /
+    seq_len)``), plus whether it straddles a sequence boundary. ONE
+    shuffle (by shard, for the per-shard ordered cumulative sum); token
+    counts are the whitespace convention of textstats.with_token_counts.
+    Empty documents carry zero tokens and never straddle.
+    """
+    if seq_len <= 0 or shards <= 0:
+        raise ValueError("seq_len and shards must be positive")
+    from pyspark.sql import Window
+    c = F.col(text_col)
+    ws = F.size(F.split(F.trim(c), r"\s+"))
+    n_tok = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(ws) \
+        .cast("long")
+    shard = _split_bucket(id_col, seed, shards).alias("shard")
+    base = docs.select(F.col(id_col), shard, n_tok.alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    off = (F.coalesce(F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    out = base.select(
+        id_col, "shard", "n_tokens",
+        off.alias("tok_offset"),
+        F.floor(off / seq_len).cast("long").alias("first_seq"),
+        F.floor((off + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+                / seq_len).cast("long").alias("last_seq"))
+    return out.withColumn(
+        "straddles",
+        (F.col("n_tokens") > 0)
+        & (F.col("first_seq") != F.col("last_seq")))
