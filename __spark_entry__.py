@@ -1327,6 +1327,47 @@ def q_doc_winnowing_overlap(spark, sf_dir) -> DataFrame:
             .orderBy(F.desc("n_shared"), "id_a", "id_b").limit(50))
 
 
+def q_emb_kmeans_sizes(spark, sf_dir) -> DataFrame:
+    """Distributed Lloyd k-means (operators/clustering.py): seeded
+    md5-order init + 3 full-corpus iterations, cluster sizes. The
+    oracle replays the ENTIRE recurrence in SQL (init row_number over
+    the same md5, per-iteration argmin with the same lower-index
+    tie-break, per-dimension avg update). fp note: both engines rank by
+    L2 in double; argmin flips would need two centroids equidistant to
+    ~1e-10 — not present in continuous data (empirically exact here)."""
+    from rdflib_jsonld_spark.operators.clustering import kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    assign, _ = kmeans(emb, k=6, iterations=3)
+    return (assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("cluster"))
+
+
+def q_emb_semantic_dedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup (cluster-then-cosine-prune, operators/clustering.py):
+    8 planted near-exact clones (the emb_near_dup_pairs planting
+    pattern) must be exactly the dropped set — the clone co-clusters
+    with its original (perturbation ≪ centroid margins) and is its only
+    cosine-0.99 neighbor (random 64-dim corpus: max background cosine
+    ≈ 0.5). Planted-truth oracle, corpus-validated geometry."""
+    from rdflib_jsonld_spark.operators.clustering import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = (emb.where(F.col("vec_id") < 8)
+               .withColumn("vec_id", F.col("vec_id") + 5_000_000)
+               .withColumn("embedding",
+                           F.transform("embedding",
+                                       lambda x: x + F.lit(0.0005))))
+    out = semantic_dedup(emb.unionByName(planted), threshold=0.99,
+                         k=6, iterations=2)
+    return out.select(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(~F.col("keep"), F.col("vec_id"))).cast("long")
+        .alias("dropped_id_sum"))
+
+
 def q_emb_near_dup_pairs(spark, sf_dir) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     planted = (emb.where(F.col("vec_id") < 8)
@@ -1437,6 +1478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_join_topk": q_emb_ivf_join_topk,
         "doc_winnowing_overlap": q_doc_winnowing_overlap,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "emb_kmeans_sizes": q_emb_kmeans_sizes,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1643,6 +1686,45 @@ def _pagerank_oracle_sql(iters: int = 5, d: float = 0.85) -> str:
     return pre + body + f"""
         SELECT node, round(rank, 8) AS rank FROM r{iters} ORDER BY node
     """
+
+
+def _kmeans_oracle_sql(k: int = 6, iters: int = 3, dim: int = 64) -> str:
+    """Full Lloyd recurrence unrolled in SQL: the same md5-order init,
+    per-iteration argmin (rank by distance then cluster index — the
+    lower-index tie-break of clustering._assign_col) and per-dimension
+    avg update that operators/clustering.kmeans runs."""
+    pre = f"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT row_number() OVER (
+                 ORDER BY md5(vec_id::VARCHAR || chr(31) || 'km-v1')) - 1
+                 AS c, v
+             FROM e
+             ORDER BY md5(vec_id::VARCHAR || chr(31) || 'km-v1')
+             LIMIT {k})"""
+    body = ""
+    for i in range(iters + 1):
+        body += f""",
+      a{i} AS (
+        SELECT vec_id, c FROM (
+          SELECT e.vec_id, ci.c,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, ci.v), ci.c) AS rn
+          FROM e CROSS JOIN c{i} ci) t WHERE rn = 1)"""
+        if i < iters:
+            body += f""",
+      u{i + 1} AS (
+        SELECT a.c, r.i, avg(e.v[r.i]) AS m
+        FROM a{i} a JOIN e USING (vec_id)
+        CROSS JOIN range(1, {dim + 1}) r(i)
+        GROUP BY a.c, r.i),
+      c{i + 1} AS (
+        SELECT c, list(m ORDER BY i) AS v FROM u{i + 1} GROUP BY c
+        UNION ALL
+        SELECT c, v FROM c{i}
+        WHERE c NOT IN (SELECT DISTINCT c FROM u{i + 1}))"""
+    return pre + body + f"""
+      SELECT c AS cluster, count(*)::BIGINT AS n
+      FROM a{iters} GROUP BY c ORDER BY cluster"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2738,6 +2820,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, nbr_id, cosine, rank
             FROM ranked WHERE rank <= 3
             ORDER BY query_id, rank
+        """,
+        "emb_kmeans_sizes": _kmeans_oracle_sql(6, 3, 64),
+        "emb_semantic_dedup": """
+            SELECT ((SELECT count(*) FROM embeddings) + 8)::BIGINT
+                       AS n_total,
+                   (SELECT count(*) FROM embeddings)::BIGINT AS n_kept,
+                   8::BIGINT AS n_dropped,
+                   (8 * 5000000 + 28)::BIGINT AS dropped_id_sum
         """,
         "emb_near_dup_pairs": """
             WITH both_vecs AS (

@@ -27,6 +27,10 @@ CORPUS_VALIDATED = {
     "doc_minhash_near_dups", "doc_simhash_near_dups",
     "doc_near_dup_clusters", "emb_ann_topk", "emb_ivf_topk",
     "emb_ivf_multi_topk", "emb_ivf_join_topk",
+    # planted-truth geometry: clones co-cluster with originals and are
+    # their only cosine-0.99 neighbors ON THIS CORPUS (random 64-dim,
+    # max background cosine ~0.5)
+    "emb_semantic_dedup",
 }
 
 
