@@ -450,6 +450,37 @@ def q_kg_entity_pagerank(spark, sf_dir) -> DataFrame:
             .orderBy("node"))
 
 
+def q_kg_cooccurrence_triangles(spark, sf_dir) -> DataFrame:
+    """Triangle census (operators/graphstats.triangle_stats) over the
+    entity co-occurrence graph mined from the quad table: entities whose
+    mentions share a conversation get an edge (about ⋈ turn on the
+    mention subject). By construction each source is a disjoint entity
+    clique, so the census is exact combinatorics per source-group size —
+    the SQL oracle computes Σ C(n_k,2) / Σ C(n_k,3) / Σ n_k·C(n_k-1,2)."""
+    from rdflib_jsonld_spark.operators.graphstats import triangle_stats
+    docs = _t(spark, sf_dir, "documents")
+    # persist: about + turn branches both scan the Python expansion
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    vocab = KG + "vocab#"
+    about = quads.where(F.col("p") == vocab + "about").select(
+        F.col("s").alias("m"),
+        F.regexp_extract("o_value", r"e/([0-9]+)/", 1).alias("ent"))
+    turn = quads.where(F.col("p") == vocab + "turn").select(
+        F.col("s").alias("m"),
+        F.regexp_extract("o_value", r"conv/([^/]+)/", 1).alias("conv"))
+    occ = (about.join(turn, "m").select("conv", "ent").distinct()
+           .persist())
+    a = occ.select("conv", F.col("ent").alias("src"))
+    b = occ.select(F.col("conv").alias("cb"), F.col("ent").alias("dst"))
+    edges = (a.join(b, (a.conv == b.cb) & (a.src < b.dst))
+             .select("src", "dst"))
+    res = triangle_stats(edges)
+    return res.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        F.round("clustering_coefficient", 6).alias("clustering_coefficient"))
+
+
 def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
     """BGP matching over the constructed graph: mentions typed Mention
     with an about edge, counted per (pre-canonicalization) entity alias —
@@ -1430,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads_roundtrip": q_kg_nquads_roundtrip,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_entity_pagerank": q_kg_entity_pagerank,
+        "kg_cooccurrence_triangles": q_kg_cooccurrence_triangles,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_cc_distributed_documents": q_kg_cc_distributed_documents,
         "kg_expand_error_metrics": q_kg_expand_error_metrics,
@@ -1868,6 +1900,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_kind
         """,
         "kg_entity_pagerank": _pagerank_oracle_sql(5, 0.85),
+        "kg_cooccurrence_triangles": """
+            WITH occ AS (
+              SELECT DISTINCT source, doc_id % 500 AS e FROM documents),
+            grp AS (
+              SELECT source, count(*)::BIGINT AS n FROM occ
+              GROUP BY source)
+            SELECT sum(n)::BIGINT AS n_nodes,
+                   sum(n * (n - 1) / 2)::BIGINT AS n_edges,
+                   sum(n * (n - 1) * (n - 2) / 2)::BIGINT AS n_wedges,
+                   sum(n * (n - 1) * (n - 2) / 6)::BIGINT AS n_triangles,
+                   round(CASE WHEN sum(n * (n - 1) * (n - 2) / 2) > 0
+                         THEN 3.0 * sum(n * (n - 1) * (n - 2) / 6)
+                              / sum(n * (n - 1) * (n - 2) / 2)
+                         ELSE 0.0 END, 6) AS clustering_coefficient
+            FROM grp
+        """,
         "kg_turtle_roundtrip": """
             WITH d AS (
               SELECT doc_id % 500 AS e,

@@ -99,3 +99,65 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     e.unpersist()
     nodes.unpersist()
     return ranks.select("node", "rank")
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Undirected triangle census: one row with ``n_nodes, n_edges,
+    n_wedges, n_triangles, clustering_coefficient``.
+
+    Algorithm: compact-forward / degree orientation (Latapy 2008, public
+    methodology — the same orientation GraphX's TriangleCount uses).
+    Each undirected edge is oriented from the lower-(degree, id) endpoint
+    to the higher one; every triangle then has EXACTLY one wedge
+    a→b, a→c with b→c, so one wedge join + one edge semi-join counts each
+    triangle once. The orientation is the skew story at 10^12 edges: a
+    celebrity node with degree 10^8 has near-zero OUT-degree after
+    orientation, so the wedge join never explodes on hot keys (wedge
+    volume is Σ out_deg², bounded by m^1.5 — the theoretical optimum).
+
+    Wedges (open + closed paths of length 2) come from Σ C(deg, 2), one
+    hash aggregate; the global clustering coefficient is 3·triangles /
+    wedges.
+    """
+    e = (edges.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .dropDuplicates(["a", "b"]))
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+           .persist())  # scanned by both endpoints' joins + wedge agg
+    # orient by (deg, node): lower endpoint keeps the out-edge
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    oriented = (e.join(da, "a").join(db, "b")
+                .select(F.when((F.col("da") < F.col("db"))
+                               | ((F.col("da") == F.col("db"))
+                                  & (F.col("a") < F.col("b"))),
+                               F.struct(F.col("a").alias("u"),
+                                        F.col("b").alias("v")))
+                        .otherwise(F.struct(F.col("b").alias("u"),
+                                            F.col("a").alias("v")))
+                        .alias("d"))
+                .select("d.u", "d.v").persist())
+    w1 = oriented.select(F.col("u").alias("ctr"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("ctr"), F.col("v").alias("y"))
+    wedges = (w1.join(w2, "ctr").where(F.col("x") < F.col("y")))
+    tri = (wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionByName(
+            oriented.select(F.col("v").alias("x"), F.col("u").alias("y"))),
+        ["x", "y"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    counts = (deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+        .alias("n_wedges")))
+    out = (counts.crossJoin(tri)
+           .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                   F.when(F.col("n_wedges") > 0,
+                          3.0 * F.col("n_triangles") / F.col("n_wedges"))
+                   .otherwise(F.lit(0.0))
+                   .alias("clustering_coefficient")))
+    return out

@@ -87,3 +87,55 @@ class TestDegrees:
                for r in degree_stats(
                    spark.createDataFrame(rows, schema)).collect()}
         assert got == {"A": (1, 2), "B": (1, 1), "C": (1, 0)}
+
+
+@pytest.mark.usefixtures("spark")
+class TestTriangles:
+    @staticmethod
+    def ref_triangles(edges):
+        """Brute-force reference: count unordered node triples with all
+        three edges present."""
+        und = {frozenset(e) for e in edges if e[0] != e[1]}
+        nodes = sorted({n for e in und for n in e})
+        tri = 0
+        import itertools
+        for a, b, c in itertools.combinations(nodes, 3):
+            if ({frozenset((a, b)), frozenset((b, c)),
+                 frozenset((a, c))} <= und):
+                tri += 1
+        deg = {n: sum(1 for e in und if n in e) for n in nodes}
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        return len(nodes), len(und), wedges, tri
+
+    def _run(self, spark, edges):
+        from rdflib_jsonld_spark.operators.graphstats import triangle_stats
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return triangle_stats(df).collect()[0]
+
+    def test_random_graph_matches_bruteforce(self, spark):
+        import random
+        rng = random.Random(11)
+        edges = [(f"n{rng.randint(0, 19)}", f"n{rng.randint(0, 19)}")
+                 for _ in range(70)]
+        got = self._run(spark, edges)
+        n, m, w, t = self.ref_triangles(edges)
+        assert (got.n_nodes, got.n_edges, got.n_wedges,
+                got.n_triangles) == (n, m, w, t)
+
+    def test_clique_coefficient_is_one(self, spark):
+        import itertools
+        edges = list(itertools.combinations([f"k{i}" for i in range(6)], 2))
+        got = self._run(spark, edges)
+        assert got.n_triangles == 20 and got.clustering_coefficient == 1.0
+
+    def test_triangle_free_star(self, spark):
+        edges = [("hub", f"l{i}") for i in range(6)]
+        got = self._run(spark, edges)
+        assert got.n_triangles == 0 and got.clustering_coefficient == 0.0
+        assert got.n_wedges == 15
+
+    def test_duplicates_and_reversals_collapse(self, spark):
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+                 ("a", "b"), ("a", "a")]
+        got = self._run(spark, edges)
+        assert (got.n_edges, got.n_triangles) == (3, 1)
