@@ -362,6 +362,31 @@ def q_kg_shacl_report(spark, sf_dir) -> DataFrame:
             .orderBy("path", "constraint"))
 
 
+def q_kg_shacl_extended(spark, sf_dir) -> DataFrame:
+    """The r03 SHACL constraint families on planted arithmetic:
+    has_value misses for every mention (confidence is 0.9, target 0.95
+    → n_docs focus violations), equals between about and turn fails in
+    both directions (2·n_docs value rows), the closed shape flags
+    exactly the undeclared turn edge (n_docs), and unique_lang over the
+    lang-free surface stays silent (no row)."""
+    from rdflib_jsonld_spark.operators.validation import validate
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    report = validate(quads, [{
+        "id": "MentionExt",
+        "target_class": f"{KG}vocab#Mention",
+        "closed": True,
+        "properties": [
+            {"path": f"{KG}vocab#confidence", "has_value": "0.95"},
+            {"path": f"{KG}vocab#surface", "unique_lang": True},
+            {"path": f"{KG}vocab#about", "equals": f"{KG}vocab#turn"},
+        ]}])
+    return (report.groupBy("constraint")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .orderBy("constraint"))
+
+
 def q_kg_expanded_node_counts(spark, sf_dir) -> DataFrame:
     """Document-level Expansion ([spec] JLD-API §5.1) as a Spark stage:
     per-conversation expanded block/node totals, arithmetically
@@ -1454,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_directmap_nation_quads": q_kg_directmap_nation_quads,
         "kg_rdfs_customer_types": q_kg_rdfs_customer_types,
         "kg_shacl_report": q_kg_shacl_report,
+        "kg_shacl_extended": q_kg_shacl_extended,
         "kg_directmap_sparql_join": q_kg_directmap_sparql_join,
         "kg_expanded_node_counts": q_kg_expanded_node_counts,
         "kg_flattened_node_counts": q_kg_flattened_node_counts,
@@ -1775,6 +1801,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN doc_id % (1 + (doc_id % 500) % 3) >= 1
                        THEN 1 ELSE 0 END)::BIGINT AS n_with_sameas
             FROM documents
+        """,
+        "kg_shacl_extended": """
+            WITH n AS (SELECT count(*)::BIGINT AS c FROM documents)
+            SELECT "constraint", n_violations FROM (
+              SELECT 'closed' AS "constraint", c AS n_violations FROM n
+              UNION ALL SELECT 'equals', 2 * c FROM n
+              UNION ALL SELECT 'has_value', c FROM n)
+            ORDER BY "constraint"
         """,
         "kg_shacl_report": f"""
             WITH n AS (SELECT count(*)::BIGINT AS c FROM documents),

@@ -10,6 +10,8 @@ version shapes in code):
 
     {"id": "PersonShape",
      "target_class": iri,            # or target_subjects_of: pred
+     "closed": True,                 # only declared paths allowed
+     "ignored_properties": [iris],   # exempt from closed (rdf:type always)
      "properties": [
         {"path": pred,
          "min_count": n, "max_count": n,
@@ -17,13 +19,22 @@ version shapes in code):
          "class": iri,               # values must be instances of iri
          "pattern": regex,           # on the lexical form
          "in": [lexical values],
-         "min_inclusive": x, "max_inclusive": x}]}
+         "min_inclusive": x, "max_inclusive": x,
+         "has_value": lexical,       # some value must equal this
+         "unique_lang": True,        # ≤1 value per language tag
+         "min_length": n, "max_length": n,
+         "language_in": ["en", ...],
+         "equals": pred2,            # same value set as pred2
+         "disjoint": pred2,          # no shared values with pred2
+         "less_than": pred2}]}       # every pair v < v2 (numeric-aware)
 
 [spec] W3C SHACL, https://www.w3.org/TR/shacl/ — §2 shapes/targets,
 §4 core constraint components (sh:minCount/maxCount §4.2,
-sh:datatype/nodeKind/class §4.1, sh:pattern §4.4, sh:in §4.5,
-sh:minInclusive/maxInclusive §4.3). The reference checkout has no
-validation (tombstone; SHACL post-dates it) — KG-QA breadth.
+sh:datatype/nodeKind/class §4.1, sh:minInclusive/maxInclusive +
+sh:min/maxLength §4.3, sh:pattern/languageIn/uniqueLang §4.4,
+sh:equals/disjoint/lessThan §4.5, sh:in/hasValue §4.6, sh:closed
+§4.8). The reference checkout has no validation (tombstone; SHACL
+post-dates it) — KG-QA breadth.
 
 Every constraint is JVM column algebra over one (focus ⋈ values)
 join per property shape: counting constraints are a groupBy on the
@@ -89,7 +100,8 @@ def validate(quads: DataFrame, shapes: list[dict]) -> DataFrame:
                 .select(F.col("s").alias("focus"),
                         F.col("o_kind"),
                         F.col("o_value").alias("value"),
-                        F.col("o_datatype")),
+                        F.col("o_datatype"),
+                        F.col("o_lang")),
                 on="focus", how="left")
             present = vals.where(F.col("value").isNotNull())
 
@@ -139,6 +151,90 @@ def validate(quads: DataFrame, shapes: list[dict]) -> DataFrame:
                     F.col("value").cast("double")
                     > float(ps["max_inclusive"])), sid, path,
                     "max_inclusive"))
+            if "min_length" in ps:
+                add(_report(present.where(
+                    (F.col("o_kind") == "bnode")
+                    | (F.length("value") < ps["min_length"])),
+                    sid, path, "min_length"))
+            if "max_length" in ps:
+                add(_report(present.where(
+                    (F.col("o_kind") == "bnode")
+                    | (F.length("value") > ps["max_length"])),
+                    sid, path, "max_length"))
+            if "has_value" in ps:
+                # violation is on the FOCUS: no value equals the target
+                hv = vals.groupBy("focus").agg(
+                    F.max(F.col("value")
+                          .eqNullSafe(ps["has_value"]).cast("int"))
+                    .alias("_hit"))
+                add(_report(hv.where(F.col("_hit") < 1),
+                            sid, path, "has_value", has_value=False))
+            if ps.get("unique_lang"):
+                dupl = (present.where(F.col("o_lang").isNotNull())
+                        .groupBy("focus", "o_lang")
+                        .agg(F.count(F.lit(1)).alias("_n"))
+                        .where(F.col("_n") > 1)
+                        .select("focus", F.col("o_lang").alias("value")))
+                add(_report(dupl, sid, path, "unique_lang"))
+            if "language_in" in ps:
+                add(_report(present.where(
+                    ~F.coalesce(F.col("o_lang"), F.lit(""))
+                    .isin([lang.lower() for lang in ps["language_in"]])),
+                    sid, path, "language_in"))
+            for key, how in (("equals", "equals"),
+                             ("disjoint", "disjoint")):
+                if key not in ps:
+                    continue
+                other = focus.join(
+                    quads.where(F.col("p") == ps[key])
+                    .select(F.col("s").alias("focus"),
+                            F.col("o_value").alias("value")),
+                    on="focus")
+                mine = present.select("focus", "value")
+                if how == "equals":
+                    # every value not in BOTH sets is a violation
+                    only_mine = mine.join(other, ["focus", "value"],
+                                          "left_anti")
+                    only_other = other.join(mine, ["focus", "value"],
+                                            "left_anti")
+                    add(_report(only_mine.unionByName(only_other)
+                                .distinct(), sid, path, "equals"))
+                else:
+                    add(_report(mine.join(other, ["focus", "value"],
+                                          "left_semi").distinct(),
+                                sid, path, "disjoint"))
+            if "less_than" in ps:
+                other = focus.join(
+                    quads.where(F.col("p") == ps["less_than"])
+                    .select(F.col("s").alias("focus"),
+                            F.col("o_value").alias("_v2")),
+                    on="focus")
+                pairs = present.select("focus", "value").join(other,
+                                                              "focus")
+                num = (F.col("value").cast("double").isNotNull()
+                       & F.col("_v2").cast("double").isNotNull())
+                bad = pairs.where(
+                    F.when(num, F.col("value").cast("double")
+                           >= F.col("_v2").cast("double"))
+                    .otherwise(F.col("value") >= F.col("_v2")))
+                add(_report(bad.select("focus", "value").distinct(),
+                            sid, path, "less_than"))
+
+        if shape.get("closed"):
+            allowed = ({ps["path"] for ps in shape.get("properties", [])}
+                       | set(shape.get("ignored_properties", []))
+                       | {RDF_TYPE})
+            offending = (focus.join(
+                quads.select(F.col("s").alias("focus"), "p",
+                             F.col("o_value")),
+                on="focus")
+                .where(~F.col("p").isin(sorted(allowed)))
+                .select("focus", F.col("p").alias("_path"),
+                        F.col("o_value").alias("value")))
+            add(offending.select(
+                F.lit(sid).alias("shape_id"), "focus",
+                F.col("_path").alias("path"),
+                F.lit("closed").alias("constraint"), "value"))
 
     if out is None:
         return spark.createDataFrame(

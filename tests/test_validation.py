@@ -104,3 +104,92 @@ def test_targets_and_conformance(quads, spark):
     assert validate(quads, []).count() == 0
     with pytest.raises(ValueError, match="target"):
         validate(quads, [{"id": "bad", "properties": []}])
+
+
+def test_lengths_hasvalue_uniquelang(spark):
+    rows = [
+        (None, EX + "d1", False, RDF_TYPE, "iri", EX + "Doc", None, None),
+        (None, EX + "d1", False, EX + "code", "literal", "abcde",
+         XSD + "string", None),
+        (None, EX + "d1", False, EX + "label", "literal", "hi",
+         "rdf:langString", "en"),
+        (None, EX + "d1", False, EX + "label", "literal", "hello",
+         "rdf:langString", "en"),
+        (None, EX + "d1", False, EX + "label", "literal", "salut",
+         "rdf:langString", "fr"),
+        (None, EX + "d2", False, RDF_TYPE, "iri", EX + "Doc", None, None),
+        (None, EX + "d2", False, EX + "code", "literal", "x",
+         XSD + "string", None),
+        (None, EX + "d2", False, EX + "status", "literal", "ok",
+         XSD + "string", None),
+    ]
+    shapes = [{
+        "id": "DocShape", "target_class": EX + "Doc",
+        "properties": [
+            {"path": EX + "code", "min_length": 2, "max_length": 4},
+            {"path": EX + "label", "unique_lang": True,
+             "language_in": ["en", "fr"]},
+            {"path": EX + "status", "has_value": "ok"},
+        ]}]
+    got = viol(validate(q(spark, rows), shapes))
+    assert got == {
+        ("DocShape", EX + "d1", EX + "code", "max_length", "abcde"),
+        ("DocShape", EX + "d2", EX + "code", "min_length", "x"),
+        ("DocShape", EX + "d1", EX + "label", "unique_lang", "en"),
+        ("DocShape", EX + "d1", EX + "status", "has_value", None),
+    }
+
+
+def test_property_pairs_equals_disjoint_lessthan(spark):
+    rows = [
+        (None, EX + "e1", False, RDF_TYPE, "iri", EX + "Ev", None, None),
+        (None, EX + "e1", False, EX + "start", "literal", "5",
+         XSD + "integer", None),
+        (None, EX + "e1", False, EX + "end", "literal", "10",
+         XSD + "integer", None),
+        (None, EX + "e1", False, EX + "a", "literal", "x", None, None),
+        (None, EX + "e1", False, EX + "b", "literal", "x", None, None),
+        (None, EX + "e2", False, RDF_TYPE, "iri", EX + "Ev", None, None),
+        (None, EX + "e2", False, EX + "start", "literal", "9",
+         XSD + "integer", None),
+        (None, EX + "e2", False, EX + "end", "literal", "9",
+         XSD + "integer", None),
+        (None, EX + "e2", False, EX + "a", "literal", "x", None, None),
+        (None, EX + "e2", False, EX + "b", "literal", "y", None, None),
+        (None, EX + "e2", False, EX + "same", "literal", "x", None, None),
+    ]
+    shapes = [{
+        "id": "EvShape", "target_class": EX + "Ev",
+        "properties": [
+            {"path": EX + "start", "less_than": EX + "end"},
+            {"path": EX + "a", "equals": EX + "b"},
+            {"path": EX + "a", "disjoint": EX + "same"},
+        ]}]
+    got = viol(validate(q(spark, rows), shapes))
+    assert got == {
+        ("EvShape", EX + "e2", EX + "start", "less_than", "9"),
+        ("EvShape", EX + "e2", EX + "a", "equals", "x"),
+        ("EvShape", EX + "e2", EX + "a", "equals", "y"),
+        ("EvShape", EX + "e2", EX + "a", "disjoint", "x"),
+    }
+    # numeric comparison, not lexical: "5" < "10" numerically
+    assert ("EvShape", EX + "e1", EX + "start", "less_than", "5") not in got
+
+
+def test_closed_shape(spark):
+    rows = [
+        (None, EX + "c1", False, RDF_TYPE, "iri", EX + "C", None, None),
+        (None, EX + "c1", False, EX + "name", "literal", "n", None, None),
+        (None, EX + "c1", False, EX + "extra", "literal", "boom",
+         None, None),
+        (None, EX + "c1", False, EX + "meta", "literal", "m", None, None),
+    ]
+    shapes = [{
+        "id": "CShape", "target_class": EX + "C", "closed": True,
+        "ignored_properties": [EX + "meta"],
+        "properties": [{"path": EX + "name", "min_count": 1}],
+    }]
+    got = viol(validate(q(spark, rows), shapes))
+    assert got == {
+        ("CShape", EX + "c1", EX + "extra", "closed", "boom"),
+    }
