@@ -1127,6 +1127,18 @@ def q_doc_split_counts(spark, sf_dir) -> DataFrame:
             .orderBy("source", "split"))
 
 
+def q_doc_bm25_topk(spark, sf_dir) -> DataFrame:
+    """Lexical retrieval (operators/search.py): inverted index over the
+    documents corpus + BM25 top-15 for a multi-term query; the oracle
+    recomputes the identical tokenization, collection stats and Lucene-
+    smoothed scoring in SQL (scores rounded to 6 decimals)."""
+    from rdflib_jsonld_spark.operators.search import bm25_topk, build_index
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_index(docs)
+    res = bm25_topk(idx, "spark window merge", k=15)
+    return res.select("doc", F.round("score", 6).alias("score"))
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1521,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_scores": q_doc_repetition_scores,
         "doc_split_counts": q_doc_split_counts,
         "doc_mixture_counts": q_doc_mixture_counts,
+        "doc_bm25_topk": q_doc_bm25_topk,
         "doc_pack_manifest": q_doc_pack_manifest,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
@@ -2548,6 +2561,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY dup_frac DESC, doc_id
             LIMIT 20
+        """,
+        "doc_bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id AS doc, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS term,
+                     len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''))::BIGINT AS dl
+              FROM documents),
+            postings AS (
+              SELECT term, doc, count(*)::BIGINT AS tf, first(dl) AS dl
+              FROM toks GROUP BY term, doc),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM (
+                SELECT DISTINCT doc, dl FROM postings)),
+            hits AS (
+              SELECT * FROM postings
+              WHERE term IN ('spark', 'window', 'merge')),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM hits
+                    GROUP BY term)
+            SELECT doc,
+                   round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                             * h.tf * 2.2
+                             / (h.tf + 1.2 * (0.25 + 0.75 * h.dl
+                                              / s.avgdl))), 6) AS score
+            FROM hits h JOIN dfs d USING (term) CROSS JOIN stats s
+            GROUP BY doc
+            ORDER BY sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                         * h.tf * 2.2
+                         / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl)))
+                     DESC, doc
+            LIMIT 15
         """,
         "doc_mixture_counts": """
             WITH b AS (
