@@ -506,6 +506,34 @@ def q_kg_cooccurrence_triangles(spark, sf_dir) -> DataFrame:
         F.round("clustering_coefficient", 6).alias("clustering_coefficient"))
 
 
+def q_kg_lpa_communities(spark, sf_dir) -> DataFrame:
+    """Label-propagation community detection
+    (operators/graphstats.label_propagation) on the entity co-occurrence
+    graph: 2 synchronous rounds with the min-label tie-break. The oracle
+    replays the recurrence generically in SQL (per-round vote counts +
+    row_number argmax with the same (count DESC, label ASC) order) —
+    per-community member counts must match exactly."""
+    from rdflib_jsonld_spark.operators.graphstats import label_propagation
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
+        .persist()
+    vocab = KG + "vocab#"
+    about = quads.where(F.col("p") == vocab + "about").select(
+        F.col("s").alias("m"),
+        F.regexp_extract("o_value", r"e/([0-9]+)/", 1).alias("ent"))
+    turn = quads.where(F.col("p") == vocab + "turn").select(
+        F.col("s").alias("m"),
+        F.regexp_extract("o_value", r"conv/([^/]+)/", 1).alias("conv"))
+    occ = about.join(turn, "m").select("conv", "ent").distinct()
+    a = occ.select("conv", F.col("ent").alias("src"))
+    b = occ.select(F.col("conv").alias("cb"), F.col("ent").alias("dst"))
+    edges = (a.join(b, (a.conv == b.cb) & (a.src < b.dst))
+             .select("src", "dst"))
+    res = label_propagation(edges, iterations=2)
+    return (res.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("label"))
+
+
 def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
     """BGP matching over the constructed graph: mentions typed Mention
     with an about edge, counted per (pre-canonicalization) entity alias —
@@ -1500,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_entity_pagerank": q_kg_entity_pagerank,
         "kg_cooccurrence_triangles": q_kg_cooccurrence_triangles,
+        "kg_lpa_communities": q_kg_lpa_communities,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_cc_distributed_documents": q_kg_cc_distributed_documents,
         "kg_expand_error_metrics": q_kg_expand_error_metrics,
@@ -1947,6 +1976,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_kind
         """,
         "kg_entity_pagerank": _pagerank_oracle_sql(5, 0.85),
+        "kg_lpa_communities": """
+            WITH occ AS (
+              SELECT DISTINCT source, (doc_id % 500)::VARCHAR AS e
+              FROM documents),
+            edges AS (
+              SELECT a.e AS src, b.e AS dst
+              FROM occ a JOIN occ b
+                ON a.source = b.source AND a.e <> b.e),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+            v1 AS (SELECT e.src, l.label, count(*) AS cnt
+                   FROM edges e JOIN l0 l ON l.node = e.dst
+                   GROUP BY e.src, l.label),
+            l1 AS (SELECT src AS node, label FROM (
+                     SELECT src, label, row_number() OVER (
+                       PARTITION BY src ORDER BY cnt DESC, label) AS rn
+                     FROM v1) t WHERE rn = 1),
+            v2 AS (SELECT e.src, l.label, count(*) AS cnt
+                   FROM edges e JOIN l1 l ON l.node = e.dst
+                   GROUP BY e.src, l.label),
+            l2 AS (SELECT src AS node, label FROM (
+                     SELECT src, label, row_number() OVER (
+                       PARTITION BY src ORDER BY cnt DESC, label) AS rn
+                     FROM v2) t WHERE rn = 1)
+            SELECT label, count(*)::BIGINT AS n_members
+            FROM l2 GROUP BY label ORDER BY label
+        """,
         "kg_cooccurrence_triangles": """
             WITH occ AS (
               SELECT DISTINCT source, doc_id % 500 AS e FROM documents),

@@ -161,3 +161,42 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
                    .otherwise(F.lit(0.0))
                    .alias("clustering_coefficient")))
     return out
+
+
+def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, public) → ``(node, label)`` after a fixed number of
+    rounds. Deterministic: labels start as the node's own id, every
+    round each node adopts the most frequent label among its neighbors,
+    ties broken toward the SMALLEST label — no RNG, no asynchronous
+    order-dependence, so the recurrence is exactly replicable (SQL
+    oracle, resume) like the PageRank loop above.
+
+    Per round: one join (labels ⋈ symmetrized edges) and two hash
+    aggregates ((node, label) counts → per-node argmax). Same
+    localCheckpoint/unpersist storage discipline as CC/PageRank; at
+    10^12 edges the (node, label) aggregate is the same shuffle shape
+    as one CC round, AQE-skew-tolerant.
+    """
+    e = (edges.select("src", "dst")
+         .unionByName(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .dropDuplicates(["src", "dst"]).persist())
+    labels = (e.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(iterations):
+        votes = (e.join(labels, e.dst == labels.node)
+                 .groupBy(e.src, "label")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        nxt = (votes.groupBy("src")
+               .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                   F.col("label"))).alias("w"))
+               .select(F.col("src").alias("node"),
+                       F.col("w.label").alias("label"))
+               .localCheckpoint(eager=True))
+        labels.unpersist()
+        labels = nxt
+    e.unpersist()
+    return labels

@@ -139,3 +139,52 @@ class TestTriangles:
                  ("a", "b"), ("a", "a")]
         got = self._run(spark, edges)
         assert (got.n_edges, got.n_triangles) == (3, 1)
+
+
+@pytest.mark.usefixtures("spark")
+class TestLabelPropagation:
+    @staticmethod
+    def ref_lpa(edges, iterations):
+        """Independent synchronous reference with min-label tie-break."""
+        adj = {}
+        for s, d in edges:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        label = {n: n for n in adj}
+        for _ in range(iterations):
+            nxt = {}
+            for n, nbrs in adj.items():
+                counts = {}
+                for b in nbrs:
+                    counts[label[b]] = counts.get(label[b], 0) + 1
+                best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                nxt[n] = best[0]
+            label = nxt
+        return label
+
+    def _run(self, spark, edges, iterations):
+        from rdflib_jsonld_spark.operators.graphstats import (
+            label_propagation)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {r.node: r.label
+                for r in label_propagation(df, iterations).collect()}
+
+    def test_matches_reference_on_random_graph(self, spark):
+        import random
+        rng = random.Random(23)
+        edges = list({(f"n{rng.randint(0, 14)}", f"n{rng.randint(0, 14)}")
+                      for _ in range(40)})
+        for it in (1, 3):
+            assert self._run(spark, edges, it) == self.ref_lpa(edges, it)
+
+    def test_two_cliques_with_bridge(self, spark):
+        import itertools
+        a = [f"a{i}" for i in range(4)]
+        b = [f"b{i}" for i in range(4)]
+        edges = (list(itertools.combinations(a, 2))
+                 + list(itertools.combinations(b, 2)) + [("a0", "b0")])
+        got = self._run(spark, edges, 4)
+        assert {got[x] for x in a} == {"a0"}
+        assert {got[x] for x in b} == {"b0"}
