@@ -328,11 +328,15 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     w = Window.partitionBy("shard").orderBy(id_col)
     off = (F.coalesce(F.sum("n_tokens").over(
         w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
-    out = base.select(
-        id_col, "shard", "n_tokens",
-        off.alias("tok_offset"),
-        F.floor(off / seq_len).cast("long").alias("first_seq"),
-        F.floor((off + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+    # materialize the cumsum ONCE, then derive the spans from the column
+    # (inlining `off` three times leaves 3 identical window expressions
+    # in the Window operator — same pass, triple the evaluation)
+    out = base.withColumn("tok_offset", off).select(
+        id_col, "shard", "n_tokens", "tok_offset",
+        F.floor(F.col("tok_offset") / seq_len).cast("long")
+        .alias("first_seq"),
+        F.floor((F.col("tok_offset")
+                 + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
                 / seq_len).cast("long").alias("last_seq"))
     return out.withColumn(
         "straddles",
