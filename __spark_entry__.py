@@ -1167,6 +1167,27 @@ def q_doc_bm25_topk(spark, sf_dir) -> DataFrame:
     return res.select("doc", F.round("score", 6).alias("score"))
 
 
+_CLF_WEIGHTS = {b: (b % 7 - 3) * 0.8 for b in range(0, 64, 3)}
+
+
+def q_doc_clf_scores(spark, sf_dir) -> DataFrame:
+    """Hashed linear text classifier (operators/classify.py): per-source
+    mean sigmoid score + positives under a fixed arithmetic weight
+    vector. Scoring is a zero-shuffle map-literal projection; the oracle
+    reproduces the identical md5 bucketing and weights in SQL (scores
+    rounded to 6 decimals)."""
+    from rdflib_jsonld_spark.operators.classify import (
+        linear_text_classifier)
+    docs = _t(spark, sf_dir, "documents")
+    out = linear_text_classifier(docs, _CLF_WEIGHTS, bias=0.1,
+                                 n_buckets=64)
+    return (out.groupBy("source")
+            .agg(F.round(F.avg("clf_score"), 6).alias("avg_score"),
+                 F.sum(F.col("clf_label").cast("long")).cast("long")
+                 .alias("n_positive"))
+            .orderBy("source"))
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1563,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": q_doc_split_counts,
         "doc_mixture_counts": q_doc_mixture_counts,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_clf_scores": q_doc_clf_scores,
         "doc_pack_manifest": q_doc_pack_manifest,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
@@ -2616,6 +2638,53 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY dup_frac DESC, doc_id
             LIMIT 20
+        """,
+        "doc_clf_scores": r"""
+            WITH w(b, wt) AS (VALUES (0, -2.4000000000000004),
+                      (3, 0.0),
+                      (6, 2.4000000000000004),
+                      (9, -0.8),
+                      (12, 1.6),
+                      (15, -1.6),
+                      (18, 0.8),
+                      (21, -2.4000000000000004),
+                      (24, 0.0),
+                      (27, 2.4000000000000004),
+                      (30, -0.8),
+                      (33, 1.6),
+                      (36, -1.6),
+                      (39, 0.8),
+                      (42, -2.4000000000000004),
+                      (45, 0.0),
+                      (48, 2.4000000000000004),
+                      (51, -0.8),
+                      (54, 1.6),
+                      (57, -1.6),
+                      (60, 0.8),
+                      (63, -2.4000000000000004)),
+            toks AS (
+              SELECT doc_id, source, unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS tok,
+                     len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> ''))::DOUBLE AS n
+              FROM documents),
+            per_doc AS (
+              SELECT t.doc_id, t.source,
+                     1.0 / (1.0 + exp(-(0.1 + sum(coalesce(w.wt, 0.0))
+                                        / first(t.n)))) AS score
+              FROM toks t LEFT JOIN w
+                ON w.b = ('0x' || substr(md5(t.tok || chr(31)
+                                             || 'clf-v1'), 1, 8))::BIGINT
+                         % 64
+              GROUP BY t.doc_id, t.source)
+            SELECT source,
+                   round(avg(score), 6) AS avg_score,
+                   sum((score >= 0.5)::BIGINT)::BIGINT AS n_positive
+            FROM per_doc
+            GROUP BY source
+            ORDER BY source
         """,
         "doc_bm25_topk": r"""
             WITH toks AS (

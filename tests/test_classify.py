@@ -1,0 +1,72 @@
+"""Hashed linear classifier vs an independent scorer."""
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from rdflib_jsonld_spark.operators.classify import linear_text_classifier
+
+
+def ref_score(text, weights, bias, n_buckets, seed="clf-v1"):
+    toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+    if not toks:
+        mean = 0.0
+    else:
+        tot = 0.0
+        for t in toks:
+            b = int(hashlib.md5(f"{t}\x1f{seed}".encode())
+                    .hexdigest()[:8], 16) % n_buckets
+            tot += weights.get(b, 0.0)
+        mean = tot / len(toks)
+    return 1.0 / (1.0 + math.exp(-(bias + mean)))
+
+
+WEIGHTS = {b: (b % 7 - 3) * 0.8 for b in range(0, 64, 3)}
+
+
+@pytest.mark.usefixtures("spark")
+class TestClassifier:
+    DOCS = [
+        (0, "the quick brown fox"),
+        (1, "Spark SQL window merge JOIN!"),
+        (2, ""),
+        (3, "aaa aaa aaa"),
+        (4, "mixed CASE tokens, with. punctuation?"),
+    ]
+
+    def test_scores_match_reference(self, spark):
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        out = linear_text_classifier(df, WEIGHTS, bias=0.2, n_buckets=64)
+        got = {r.doc_id: (r.clf_score, r.clf_label) for r in out.collect()}
+        for d, t in self.DOCS:
+            want = ref_score(t, WEIGHTS, 0.2, 64)
+            assert got[d][0] == pytest.approx(want, rel=1e-12)
+            assert got[d][1] == (want >= 0.5)
+
+    def test_empty_doc_scores_sigmoid_bias(self, spark):
+        df = spark.createDataFrame([(0, "")], ["doc_id", "text"])
+        r = linear_text_classifier(df, WEIGHTS, bias=-1.0,
+                                   n_buckets=64).collect()[0]
+        assert r.clf_score == pytest.approx(1 / (1 + math.exp(1.0)))
+        assert not r.clf_label
+
+    def test_partitioning_independent(self, spark):
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        a = {(r.doc_id, r.clf_score) for r in
+             linear_text_classifier(df, WEIGHTS).collect()}
+        b = {(r.doc_id, r.clf_score) for r in
+             linear_text_classifier(df.repartition(4), WEIGHTS).collect()}
+        assert a == b
+
+    def test_bad_bucket_rejected(self, spark):
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            linear_text_classifier(df, {9999: 1.0}, n_buckets=64)
+
+    def test_zero_shuffle_plan(self, spark):
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        plan = linear_text_classifier(df, WEIGHTS) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
