@@ -980,6 +980,18 @@ def q_events_sessionize(spark, sf_dir) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_events_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered-funnel analysis (operators/temporal.funnel_counts):
+    signup → view → purchase with a 2-hour window from the anchor,
+    leftmost-greedy binding (documented semantics). The oracle replays
+    the identical greedy recurrence as chained min-aggregates in SQL."""
+    from rdflib_jsonld_spark.operators.temporal import funnel_counts
+    ev = _t(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    return funnel_counts(ev, ["signup", "view", "purchase"],
+                         within_seconds=7200).orderBy("step_idx")
+
+
 def q_events_rolling_value_sum(spark, sf_dir) -> DataFrame:
     """Window FRAME coverage (G1 beyond row_number/lag): per-user rolling
     sum over ROWS 2 PRECEDING..CURRENT — the deterministic frame makes
@@ -1567,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_percentiles": q_lineitem_percentiles,
         "orders_rank_window": q_orders_rank_window,
         "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
         "events_rolling_value_sum": q_events_rolling_value_sum,
         "events_asof_attribution": q_events_asof_attribution,
         "events_hourly_windows": q_events_hourly_windows,
@@ -2417,6 +2430,32 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_orderdate, o_orderkey) AS rn
               FROM orders)
             WHERE rn <= 3
+        """,
+        "events_funnel": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t0
+              FROM events WHERE event_type = 'signup'
+              GROUP BY user_id),
+            s1 AS (
+              SELECT s0.user_id, s0.t0, min(e.ts) AS t
+              FROM s0 JOIN events e
+                ON e.user_id = s0.user_id AND e.event_type = 'view'
+                   AND e.ts > s0.t0
+                   AND epoch(e.ts) <= epoch(s0.t0) + 7200
+              GROUP BY s0.user_id, s0.t0),
+            s2 AS (
+              SELECT s1.user_id, s1.t0, min(e.ts) AS t
+              FROM s1 JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+                   AND e.ts > s1.t
+                   AND epoch(e.ts) <= epoch(s1.t0) + 7200
+              GROUP BY s1.user_id, s1.t0)
+            SELECT step_idx, step, n_users FROM (
+              SELECT 0 AS step_idx, 'signup' AS step,
+                     count(*)::BIGINT AS n_users FROM s0
+              UNION ALL SELECT 1, 'view', count(*)::BIGINT FROM s1
+              UNION ALL SELECT 2, 'purchase', count(*)::BIGINT FROM s2)
+            ORDER BY step_idx
         """,
         "events_sessionize": """
             SELECT user_id,

@@ -79,3 +79,55 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
         *[F.col(f"__p.{c}").alias(f"{payload_prefix}{c}") for c in rpay],
     )
     return out
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  within_seconds: float | None = None,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel analysis: how many users reach each step of
+    ``steps`` in sequence → ``(step_idx, step, n_users)``.
+
+    Semantics (deterministic, leftmost-greedy — the convention of the
+    standard funnel tools, documented narrowing vs. exhaustive
+    subsequence search): the anchor is the user's EARLIEST step-1
+    event; each later step binds to the earliest matching event
+    strictly after the previous step's time; with ``within_seconds``
+    every step must also fall within that window of the anchor.
+
+    Plan shape: one filtered min-aggregate per step plus one equi-join
+    per step transition, all keyed on the user column — k-1 shuffles
+    for a k-step funnel, each AQE-skew-tolerant; no windows, no
+    per-user sort, no Python. At 10^12 events the per-step candidate
+    sets shrink monotonically (each join is a semi-filter on the
+    previous survivors).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    u, t = F.col(user_col), F.col(ts_col)
+    cur = (events.where(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias("_t0"))
+           .withColumn("_t", F.col("_t0")))
+    counts = [("0", steps[0], cur)]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt_events = (events.where(F.col(type_col) == step)
+                      .select(u.alias("_u"), t.alias("_ts")))
+        joined = cur.join(nxt_events, cur[user_col] == F.col("_u"))
+        cond = F.col("_ts") > F.col("_t")
+        if within_seconds is not None:
+            cond = cond & (F.col("_ts").cast("double")
+                           <= F.col("_t0").cast("double")
+                           + float(within_seconds))
+        cur = (joined.where(cond)
+               .groupBy(user_col)
+               .agg(F.min("_t0").alias("_t0"),
+                    F.min("_ts").alias("_t")))
+        counts.append((str(i), step, cur))
+    spark = events.sparkSession
+    out = None
+    for idx, step, df in counts:
+        row = df.agg(F.count(F.lit(1)).cast("long").alias("n_users")) \
+            .select(F.lit(int(idx)).alias("step_idx"),
+                    F.lit(step).alias("step"), "n_users")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3,6 +3,7 @@ semantics, ties, tolerance, and the one-shuffle plan shape."""
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from rdflib_jsonld_spark.operators.temporal import asof_join
@@ -60,3 +61,69 @@ def test_single_shuffle_plan(spark):
     # key, no join node at all
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+@pytest.mark.usefixtures("spark")
+class TestFunnel:
+    ROWS = [
+        # user 1: full funnel in order
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 00:10:00", "view"),
+        (1, "2024-01-01 00:20:00", "purchase"),
+        # user 2: steps out of order (purchase before view)
+        (2, "2024-01-01 00:00:00", "signup"),
+        (2, "2024-01-01 00:05:00", "purchase"),
+        (2, "2024-01-01 00:30:00", "view"),
+        # user 3: signup+view only
+        (3, "2024-01-01 01:00:00", "signup"),
+        (3, "2024-01-01 01:30:00", "view"),
+        # user 4: view without signup — never enters
+        (4, "2024-01-01 02:00:00", "view"),
+        # user 5: completes but outside a 15-min window
+        (5, "2024-01-01 03:00:00", "signup"),
+        (5, "2024-01-01 03:20:00", "view"),
+        (5, "2024-01-01 03:25:00", "purchase"),
+        # user 6: greedy anchor — early signup, later signup would fit
+        # the window, leftmost-greedy still anchors at the first
+        (6, "2024-01-01 04:00:00", "signup"),
+        (6, "2024-01-01 05:00:00", "signup"),
+        (6, "2024-01-01 05:05:00", "view"),
+    ]
+
+    def _events(self, spark):
+        from pyspark.sql import functions as SF
+        df = spark.createDataFrame(self.ROWS,
+                                   ["user_id", "ts_s", "event_type"])
+        return df.withColumn("ts", SF.to_timestamp("ts_s")).drop("ts_s")
+
+    def test_unwindowed_funnel(self, spark):
+        from rdflib_jsonld_spark.operators.temporal import funnel_counts
+        got = {r.step_idx: (r.step, r.n_users)
+               for r in funnel_counts(
+                   self._events(spark),
+                   ["signup", "view", "purchase"]).collect()}
+        # signup: users 1,2,3,5,6 → 5; view after signup: 1,2,3,5,6 → 5;
+        # purchase after that view: 1,5 → 2
+        assert got == {0: ("signup", 5), 1: ("view", 5),
+                       2: ("purchase", 2)}
+
+    def test_windowed_funnel_measures_from_anchor(self, spark):
+        from rdflib_jsonld_spark.operators.temporal import funnel_counts
+        got = {r.step_idx: r.n_users
+               for r in funnel_counts(
+                   self._events(spark), ["signup", "view", "purchase"],
+                   within_seconds=1800).collect()}
+        # 30-min window from the anchor: views qualify for users
+        # 1 (+10), 2 (+30, inclusive), 3 (+30), 5 (+20) but NOT 6
+        # (+65 from the FIRST signup — leftmost-greedy anchor,
+        # documented); purchases then qualify for 1 (+20) and 5 (+25)
+        # but not 2 (purchase precedes its view)
+        assert got == {0: 5, 1: 4, 2: 2}
+
+    def test_single_step_and_empty(self, spark):
+        from rdflib_jsonld_spark.operators.temporal import funnel_counts
+        got = funnel_counts(self._events(spark), ["purchase"]).collect()
+        assert [(r.step_idx, r.n_users) for r in got] == [(0, 3)]
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            funnel_counts(self._events(spark), [])
