@@ -980,6 +980,19 @@ def q_events_sessionize(spark, sf_dir) -> DataFrame:
             .orderBy("user_id"))
 
 
+def q_lineitem_cube(spark, sf_dir) -> DataFrame:
+    """Grouping-sets breadth (SURVEY §2.E5): CUBE over
+    (returnflag, linestatus) with sum/count metrics — Catalyst expands
+    to one Expand + hash aggregate; the oracle is DuckDB's native
+    GROUP BY CUBE. NULL group keys are the roll-up rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .orderBy(F.asc_nulls_first("l_returnflag"),
+                     F.asc_nulls_first("l_linestatus")))
+
+
 def q_events_funnel(spark, sf_dir) -> DataFrame:
     """Ordered-funnel analysis (operators/temporal.funnel_counts):
     signup → view → purchase with a 2-hour window from the anchor,
@@ -1580,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rank_window": q_orders_rank_window,
         "events_sessionize": q_events_sessionize,
         "events_funnel": q_events_funnel,
+        "lineitem_cube": q_lineitem_cube,
         "events_rolling_value_sum": q_events_rolling_value_sum,
         "events_asof_attribution": q_events_asof_attribution,
         "events_hourly_windows": q_events_hourly_windows,
@@ -2430,6 +2444,14 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY o_orderdate, o_orderkey) AS rn
               FROM orders)
             WHERE rn <= 3
+        """,
+        "lineitem_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity)::BIGINT AS sum_qty,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """,
         "events_funnel": """
             WITH s0 AS (

@@ -125,6 +125,25 @@ Why each stage survives 1000×:
   canonical sha256 — an 8-byte-ish key groupBy, never pairwise
   isomorphism; the N-degree poison guard turns pathological documents
   into per-row errors instead of runaway tasks.
+- **Graph analytics iterate on the edge set, never the quad table**:
+  PageRank/label-propagation are one key-partitioned join + hash agg
+  per fixed round with localCheckpoint/unpersist (storage O(1)
+  rounds); the triangle census orients edges by degree first, so wedge
+  volume is Σ out_deg² ≤ m^1.5 — a celebrity node contributes ~zero
+  out-wedges. Driver state per round: one scalar.
+- **Curation/scoring stages are pure functions of (id, seed)**:
+  hash splits, source mixing, classifier scoring and PII scrubbing are
+  zero-shuffle projections (the classifier's weight map rides in the
+  plan); sequence packing pays exactly ONE shuffle (md5 shard) and
+  k-means one assignment projection + one k×dim aggregate per round.
+  Reruns on a reshuffled 10^12-row corpus reproduce identical outputs.
+- **Retrieval indexes on spread keys**: BM25 postings aggregate on
+  (term, doc) so stopword lists spread across reducers; query scoring
+  prunes to the query's terms before any shuffle and broadcasts the
+  per-term document frequencies. Turtle I/O parallelism = file count
+  on read (documented non-splittable grammar), partition count on
+  write; bnode labels are file-scoped (D11), so re-reads are
+  deterministic.
 
 Raw audit JSON: `python tools/scale_audit.py` regenerates this file.
 """
