@@ -174,6 +174,14 @@ def main() -> None:
     timed("sparql_update_rewrite",
           lambda: em.q_kg_sparql_update_rewrite(spark, sf_dir).collect())
 
+    # late-r03 analytics/retrieval wave (trailing): lexical index+score,
+    # iterative graph rounds over the sameAs graph, distributed Lloyd
+    timed("bm25_topk", lambda: em.q_doc_bm25_topk(spark, sf_dir).collect())
+    timed("entity_pagerank",
+          lambda: em.q_kg_entity_pagerank(spark, sf_dir).collect())
+    timed("emb_kmeans",
+          lambda: em.q_emb_kmeans_sizes(spark, sf_dir).collect())
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kg_pipeline_e2e_plus_operator_suite",
