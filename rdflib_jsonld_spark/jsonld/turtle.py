@@ -478,8 +478,11 @@ def _shorten(iri: str, rev: list) -> str | None:
 def _term_to_turtle(t: tuple, rev: list) -> str:
     kind = t[0]
     if kind == IRI:
-        if t[1] == RDF_NIL:
-            return "()"
+        # NOTE: rdf:nil is NOT abbreviated to "()" — the collection form
+        # is only grammatical in subject/object position, and a graph
+        # name or predicate of rdf:nil (found by the hypothesis
+        # round-trip) must stay an IRI term. "<...>"/prefixed round-trips
+        # identically in every position.
         short = _shorten(t[1], rev)
         return short if short is not None else term_to_nq(t)
     if kind == BNODE:
