@@ -506,6 +506,38 @@ def q_kg_cooccurrence_triangles(spark, sf_dir) -> DataFrame:
         F.round("clustering_coefficient", 6).alias("clustering_coefficient"))
 
 
+def q_kg_owl_property_closure(spark, sf_dir) -> DataFrame:
+    """OWL property-rule materialization
+    (operators/inference.owl_property_closure): plant three ontology
+    declarations over the documents KG — about owl:inverseOf aboutOf,
+    owl:sameAs Symmetric + Transitive — then count the materialized
+    about/aboutOf/sameAs edges. aboutOf = |about| = n_docs; the
+    sameAs count is the symmetric-transitive closure of the alias
+    chains (complete digraphs with self-loops per chain), which the
+    oracle computes with a recursive CTE."""
+    from rdflib_jsonld_spark.operators.inference import (
+        OWL, RDF_TYPE as _RT, owl_property_closure)
+    docs = _t(spark, sf_dir, "documents")
+    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    vocab = KG + "vocab#"
+    decl = spark.createDataFrame([
+        (None, vocab + "about", False, OWL + "inverseOf", "iri",
+         vocab + "aboutOf", None, None),
+        (None, _OWL_SAMEAS, False, _RT, "iri",
+         OWL + "SymmetricProperty", None, None),
+        (None, _OWL_SAMEAS, False, _RT, "iri",
+         OWL + "TransitiveProperty", None, None),
+    ], quads.select("g", "s", "s_is_bnode", "p", "o_kind", "o_value",
+                    "o_datatype", "o_lang").schema)
+    out = owl_property_closure(
+        quads.select("g", "s", "s_is_bnode", "p", "o_kind", "o_value",
+                     "o_datatype", "o_lang").unionByName(decl))
+    return (out.where(F.col("p").isin(vocab + "about", vocab + "aboutOf",
+                                      _OWL_SAMEAS))
+            .groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("p"))
+
+
 def q_kg_lpa_communities(spark, sf_dir) -> DataFrame:
     """Label-propagation community detection
     (operators/graphstats.label_propagation) on the entity co-occurrence
@@ -1575,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_pagerank": q_kg_entity_pagerank,
         "kg_cooccurrence_triangles": q_kg_cooccurrence_triangles,
         "kg_lpa_communities": q_kg_lpa_communities,
+        "kg_owl_property_closure": q_kg_owl_property_closure,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_cc_distributed_documents": q_kg_cc_distributed_documents,
         "kg_expand_error_metrics": q_kg_expand_error_metrics,
@@ -2025,6 +2058,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_kind
         """,
         "kg_entity_pagerank": _pagerank_oracle_sql(5, 0.85),
+        "kg_owl_property_closure": f"""
+            WITH d AS (
+              SELECT doc_id % 500 AS e,
+                     doc_id % (1 + (doc_id % 500) % 3) AS j
+              FROM documents),
+            links AS (
+              SELECT DISTINCT e, m
+              FROM d, unnest(generate_series(1, j)) AS t(m)
+              WHERE j >= 1),
+            sym AS (
+              SELECT '{KG}e/' || e::VARCHAR || '/a' || m::VARCHAR AS src,
+                     '{KG}e/' || e::VARCHAR || '/a' || (m-1)::VARCHAR
+                       AS dst
+              FROM links
+              UNION
+              SELECT '{KG}e/' || e::VARCHAR || '/a' || (m-1)::VARCHAR,
+                     '{KG}e/' || e::VARCHAR || '/a' || m::VARCHAR
+              FROM links),
+            reach AS (
+              WITH RECURSIVE r(src, dst) AS (
+                SELECT src, dst FROM sym
+                UNION
+                SELECT r.src, s.dst FROM r JOIN sym s ON r.dst = s.src)
+              SELECT * FROM r)
+            SELECT p, n FROM (
+              SELECT '{KG}vocab#about' AS p,
+                     (SELECT count(*) FROM documents)::BIGINT AS n
+              UNION ALL
+              SELECT '{KG}vocab#aboutOf',
+                     (SELECT count(*) FROM documents)::BIGINT
+              UNION ALL
+              SELECT 'http://www.w3.org/2002/07/owl#sameAs',
+                     (SELECT count(*) FROM reach)::BIGINT)
+            ORDER BY p
+        """,
         "kg_lpa_communities": """
             WITH occ AS (
               SELECT DISTINCT source, (doc_id % 500)::VARCHAR AS e

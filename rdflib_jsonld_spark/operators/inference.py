@@ -150,3 +150,88 @@ def rdfs_closure(quads: DataFrame, max_iter: int = 20,
     new = new.dropDuplicates(QUAD_KEY)
     fresh = _anti_on_key(_conform(new, quads), quads)
     return quads.unionByName(fresh)
+
+
+OWL = "http://www.w3.org/2002/07/owl#"
+
+
+def owl_property_closure(quads: DataFrame, max_iter: int = 20
+                         ) -> DataFrame:
+    """Materialize the OWL property-characteristic rules that are safe
+    as one ordered pass ([spec] OWL 2 RL, W3C Rec — rules prp-inv1/2,
+    prp-symp, prp-trp; the reference has no inference, same breadth
+    note as :func:`rdfs_closure`):
+
+    1. ``p owl:inverseOf q`` → every ``(s p o)`` yields ``(o q s)`` and
+       every ``(s q o)`` yields ``(o p s)``  (literal objects cannot
+       invert — skipped per RDF abstract syntax).
+    2. ``p rdf:type owl:SymmetricProperty`` → ``(s p o)`` yields
+       ``(o p s)``.
+    3. ``p rdf:type owl:TransitiveProperty`` → per property, the
+       transitive closure of its edge set (path doubling —
+       O(log diameter) rounds on property-sized edge sets).
+
+    Ordering is complete for these three: inverse/symmetric feed the
+    transitive stage (their outputs are unioned in before closure);
+    nothing transitive feeds back into inverse/symmetric for a FIXED
+    property vocabulary (a property both symmetric and inverse of a
+    transitive one converges here too because closure runs last on the
+    extended edges). Property lists are ontology-sized → driver
+    collect + broadcast joins, like the RDFS rules.
+    """
+    inv = (quads.where((F.col("p") == OWL + "inverseOf")
+                       & (F.col("o_kind") == "iri"))
+           .select(F.col("s").alias("pa"), F.col("o_value").alias("pb")))
+    inv_rows = inv.collect()
+    sym = [r["s"] for r in quads.where(
+        (F.col("p") == RDF_TYPE)
+        & (F.col("o_value") == OWL + "SymmetricProperty"))
+        .select("s").distinct().collect()]
+    trans = [r["s"] for r in quads.where(
+        (F.col("p") == RDF_TYPE)
+        & (F.col("o_value") == OWL + "TransitiveProperty"))
+        .select("s").distinct().collect()]
+
+    core = quads.select("g", "s", "s_is_bnode", "p", "o_kind",
+                        "o_value", "o_datatype", "o_lang")
+
+    def flipped(df: DataFrame, new_p) -> DataFrame:
+        src = df.where(F.col("o_kind") != "literal")
+        return _quad_rows(
+            src, F.col("o_value"), F.col("o_kind") == "bnode", new_p,
+            F.when(F.col("s_is_bnode"), F.lit("bnode"))
+            .otherwise(F.lit("iri")), F.col("s"))
+
+    inferred: list[DataFrame] = []
+    for r in inv_rows:
+        inferred.append(flipped(core.where(F.col("p") == r["pa"]),
+                                F.lit(r["pb"])))
+        inferred.append(flipped(core.where(F.col("p") == r["pb"]),
+                                F.lit(r["pa"])))
+    for p in sym:
+        inferred.append(flipped(core.where(F.col("p") == p), F.lit(p)))
+
+    # transitive stage sees the symmetric/inverse output too
+    ext = core
+    for part in inferred:
+        ext = ext.unionByName(part)
+    for p in trans:
+        edges = (ext.where((F.col("p") == p)
+                           & (F.col("o_kind") != "literal"))
+                 .select(F.col("s").alias("src"),
+                         F.col("o_value").alias("dst")))
+        closure = transitive_closure(edges, max_iter)
+        inferred.append(_quad_rows(
+            closure, F.col("src"), F.col("src").startswith("_:"),
+            F.lit(p), F.when(F.col("dst").startswith("_:"),
+                             F.lit("bnode")).otherwise(F.lit("iri")),
+            F.col("dst")))
+
+    if not inferred:
+        return quads
+    new = inferred[0]
+    for part in inferred[1:]:
+        new = new.unionByName(part)
+    new = new.dropDuplicates(QUAD_KEY)
+    fresh = _anti_on_key(_conform(new, quads), quads)
+    return quads.unionByName(fresh)

@@ -1,5 +1,6 @@
 """RDFS entailment materialization (operators/inference.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from rdflib_jsonld_spark.operators.inference import (RDF_TYPE, RDFS,
@@ -89,3 +90,75 @@ def test_idempotent_and_preserves_columns(spark):
 def test_no_ontology_is_identity(spark):
     quads = q(spark, [(EX + "a", EX + "p", EX + "b", False)])
     assert rdfs_closure(quads) is quads
+
+
+@pytest.mark.usefixtures("spark")
+class TestOwlPropertyClosure:
+    OWL = "http://www.w3.org/2002/07/owl#"
+    EX = "http://ex.org/"
+
+    def _quads(self, spark, rows):
+        schema = ("g string, s string, s_is_bnode boolean, p string, "
+                  "o_kind string, o_value string, o_datatype string, "
+                  "o_lang string")
+        return spark.createDataFrame(rows, schema)
+
+    def _row(self, s, p, o, o_kind="iri"):
+        return (None, s, s.startswith("_:"), p, o_kind, o,
+                "http://www.w3.org/2001/XMLSchema#string"
+                if o_kind == "literal" else None, None)
+
+    def test_inverse_symmetric_transitive(self, spark):
+        from rdflib_jsonld_spark.operators.inference import (
+            owl_property_closure)
+        EX, OWL = self.EX, self.OWL
+        RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        rows = [
+            self._row(EX + "parentOf", OWL + "inverseOf", EX + "childOf"),
+            self._row(EX + "knows", RDF_TYPE, OWL + "SymmetricProperty"),
+            self._row(EX + "anc", RDF_TYPE, OWL + "TransitiveProperty"),
+            self._row(EX + "a", EX + "parentOf", EX + "b"),
+            self._row(EX + "c", EX + "childOf", EX + "d"),
+            self._row(EX + "a", EX + "knows", EX + "b"),
+            self._row(EX + "x", EX + "anc", EX + "y"),
+            self._row(EX + "y", EX + "anc", EX + "z"),
+            # literal object: must NOT invert
+            self._row(EX + "a", EX + "parentOf", "lit", o_kind="literal"),
+        ]
+        out = owl_property_closure(self._quads(spark, rows))
+        got = {(r.s, r.p, r.o_value) for r in out.collect()}
+        assert (EX + "b", EX + "childOf", EX + "a") in got
+        assert (EX + "d", EX + "parentOf", EX + "c") in got
+        assert (EX + "b", EX + "knows", EX + "a") in got
+        assert (EX + "x", EX + "anc", EX + "z") in got
+        # no literal-subject garbage
+        assert not any(s == "lit" for s, _, _ in got)
+        # idempotent: second pass adds nothing
+        again = owl_property_closure(out)
+        assert again.count() == out.count()
+
+    def test_symmetric_plus_transitive_composes(self, spark):
+        from rdflib_jsonld_spark.operators.inference import (
+            owl_property_closure)
+        EX, OWL = self.EX, self.OWL
+        RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        rows = [
+            self._row(EX + "same", RDF_TYPE, OWL + "SymmetricProperty"),
+            self._row(EX + "same", RDF_TYPE, OWL + "TransitiveProperty"),
+            self._row(EX + "a", EX + "same", EX + "b"),
+            self._row(EX + "b", EX + "same", EX + "c"),
+        ]
+        out = owl_property_closure(self._quads(spark, rows))
+        got = {(r.s, r.o_value) for r in out.collect()
+               if r.p == EX + "same"}
+        nodes = {EX + "a", EX + "b", EX + "c"}
+        # symmetric chain a-b-c closes to the complete digraph with
+        # self-loops (every node sits on a 2-cycle)
+        assert got == {(u, v) for u in nodes for v in nodes}
+
+    def test_no_declarations_is_identity(self, spark):
+        from rdflib_jsonld_spark.operators.inference import (
+            owl_property_closure)
+        rows = [self._row(self.EX + "a", self.EX + "p", self.EX + "b")]
+        df = self._quads(spark, rows)
+        assert owl_property_closure(df).count() == 1
