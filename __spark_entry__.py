@@ -1245,6 +1245,25 @@ def q_doc_clf_scores(spark, sf_dir) -> DataFrame:
             .orderBy("source"))
 
 
+def q_kg_chat_render(spark, sf_dir) -> DataFrame:
+    """Training-document assembly (curation.render_chat_documents):
+    one document per conversation with turns in stable turn order — the
+    north rule's per-turn-text-equality invariant as an operator. The
+    oracle rebuilds the identical string with ORDER BY string_agg and
+    compares md5 + length per conversation."""
+    from rdflib_jsonld_spark.operators.curation import (
+        render_chat_documents)
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(F.col("source").alias("conv_id"),
+                     F.col("doc_id").cast("int").alias("turn_idx"),
+                     F.lit("user").alias("role"), "text")
+    out = render_chat_documents(tr)
+    return (out.select("conv_id", "n_turns",
+                       F.length("doc_text").cast("long").alias("n_chars"),
+                       F.md5("doc_text").alias("doc_md5"))
+            .orderBy("conv_id"))
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1643,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_scores": q_doc_repetition_scores,
         "doc_split_counts": q_doc_split_counts,
         "doc_mixture_counts": q_doc_mixture_counts,
+        "kg_chat_render": q_kg_chat_render,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_clf_scores": q_doc_clf_scores,
         "doc_pack_manifest": q_doc_pack_manifest,
@@ -2767,6 +2787,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY dup_frac DESC, doc_id
             LIMIT 20
+        """,
+        "kg_chat_render": """
+            SELECT source AS conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   length(string_agg('user: ' || text, chr(10) || chr(10)
+                                     ORDER BY doc_id))::BIGINT AS n_chars,
+                   md5(string_agg('user: ' || text, chr(10) || chr(10)
+                                  ORDER BY doc_id)) AS doc_md5
+            FROM documents
+            GROUP BY source
+            ORDER BY conv_id
         """,
         "doc_clf_scores": r"""
             WITH w(b, wt) AS (VALUES (0, -2.4000000000000004),

@@ -342,3 +342,40 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         "straddles",
         (F.col("n_tokens") > 0)
         & (F.col("first_seq") != F.col("last_seq")))
+
+
+# ---------------------------------------------------------------------------
+# chat-transcript rendering (training-document assembly)
+# ---------------------------------------------------------------------------
+
+def render_chat_documents(transcripts: DataFrame,
+                          turn_fmt: str = "%s: %s",
+                          sep: str = "\n\n",
+                          conv_col: str = "conv_id",
+                          turn_col: str = "turn_idx",
+                          role_col: str = "role",
+                          text_col: str = "text") -> DataFrame:
+    """Assemble one training document per conversation: turns rendered
+    as ``turn_fmt % (role, text)`` and joined by ``sep`` in stable
+    ``turn_idx`` order → ``(conv_id, n_turns, doc_text)``.
+
+    This is the transcripts→pre-training-text step of the pipeline (the
+    per-row invariant the north rule names — "per-turn text equality
+    under stable turn ordering" — IS this operator's correctness
+    property). One hash aggregate keyed on the conversation id:
+    ``sort_array(collect_list(struct(turn_idx, …)))`` gives the stable
+    order WITHOUT a window (no second shuffle, no skewed
+    partition-by-conversation sort at 10^12 turns); rendering is
+    whole-stage-codegen string algebra.
+    """
+    packed = F.sort_array(F.collect_list(F.struct(
+        F.col(turn_col).alias("i"),
+        F.col(role_col).alias("r"),
+        F.col(text_col).alias("t"))))
+    return (transcripts.groupBy(conv_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_turns"),
+                 F.array_join(
+                     F.transform(packed,
+                                 lambda s: F.format_string(
+                                     turn_fmt, s["r"], s["t"])),
+                     sep).alias("doc_text")))

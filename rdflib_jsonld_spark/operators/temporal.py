@@ -107,7 +107,8 @@ def funnel_counts(events: DataFrame, steps: list[str],
     u, t = F.col(user_col), F.col(ts_col)
     cur = (events.where(F.col(type_col) == steps[0])
            .groupBy(user_col).agg(F.min(ts_col).alias("_t0"))
-           .withColumn("_t", F.col("_t0")))
+           .withColumn("_t", F.col("_t0"))
+           .persist())  # consumed by the next step AND its count row
     counts = [("0", steps[0], cur)]
     for i, step in enumerate(steps[1:], start=1):
         nxt_events = (events.where(F.col(type_col) == step)
@@ -121,7 +122,8 @@ def funnel_counts(events: DataFrame, steps: list[str],
         cur = (joined.where(cond)
                .groupBy(user_col)
                .agg(F.min("_t0").alias("_t0"),
-                    F.min("_ts").alias("_t")))
+                    F.min("_ts").alias("_t"))
+               .persist())
         counts.append((str(i), step, cur))
     spark = events.sparkSession
     out = None

@@ -145,3 +145,35 @@ class TestPackSequences:
     def test_bad_params_rejected(self, spark):
         with pytest.raises(ValueError):
             pack_sequences(self._docs(spark), seq_len=0)
+
+
+@pytest.mark.usefixtures("spark")
+class TestRenderChat:
+    def test_stable_turn_order_and_format(self, spark):
+        from rdflib_jsonld_spark.operators.curation import (
+            render_chat_documents)
+        rows = [
+            ("c1", 2, "assistant", "second"),
+            ("c1", 1, "user", "first"),
+            ("c1", 10, "user", "tenth"),
+            ("c2", 0, "system", "solo"),
+        ]
+        df = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "text"])
+        got = {r.conv_id: (r.n_turns, r.doc_text)
+               for r in render_chat_documents(df).collect()}
+        # numeric turn order (10 after 2), not lexicographic
+        assert got["c1"] == (3, "user: first\n\n"
+                                "assistant: second\n\nuser: tenth")
+        assert got["c2"] == (1, "system: solo")
+
+    def test_partitioning_independent(self, spark):
+        from rdflib_jsonld_spark.operators.curation import (
+            render_chat_documents)
+        rows = [(f"c{i % 5}", i, "user", f"t{i}") for i in range(60)]
+        df = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "text"])
+        a = sorted(map(tuple, render_chat_documents(df).collect()))
+        b = sorted(map(tuple,
+                       render_chat_documents(df.repartition(7)).collect()))
+        assert a == b
