@@ -1264,6 +1264,19 @@ def q_kg_chat_render(spark, sf_dir) -> DataFrame:
             .orderBy("conv_id"))
 
 
+def q_supplier_fuzzy_pairs(spark, sf_dir) -> DataFrame:
+    """Exact-recall fuzzy string join (operators/fuzzy.py, PassJoin-
+    style segment pigeonhole): supplier names within edit distance 1 —
+    the numbered-name corpus is dense in distance-1 pairs (digit
+    substitutions). The oracle is an INDEPENDENT brute-force
+    levenshtein over all pairs, so it checks the candidate scheme's
+    recall, not just the verify stage."""
+    from rdflib_jsonld_spark.operators.fuzzy import fuzzy_pairs
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("s"))
+    return fuzzy_pairs(sup, max_dist=1).orderBy("id_a", "id_b")
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1663,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": q_doc_split_counts,
         "doc_mixture_counts": q_doc_mixture_counts,
         "kg_chat_render": q_kg_chat_render,
+        "supplier_fuzzy_pairs": q_supplier_fuzzy_pairs,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_clf_scores": q_doc_clf_scores,
         "doc_pack_manifest": q_doc_pack_manifest,
@@ -2787,6 +2801,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY dup_frac DESC, doc_id
             LIMIT 20
+        """,
+        "supplier_fuzzy_pairs": """
+            SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                   levenshtein(a.s_name, b.s_name)::INT AS dist
+            FROM supplier a JOIN supplier b
+              ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
+            ORDER BY id_a, id_b
         """,
         "kg_chat_render": """
             SELECT source AS conv_id,
