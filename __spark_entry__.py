@@ -1063,6 +1063,23 @@ def q_events_hourly_windows(spark, sf_dir) -> DataFrame:
             .orderBy("window_start", "event_type"))
 
 
+def q_events_sliding_windows(spark, sf_dir) -> DataFrame:
+    """SLIDING-window aggregation (1-hour window every 30 minutes —
+    the overlapping-window face of G1/I that tumbling windows don't
+    exercise): every event lands in exactly window÷slide = 2 windows.
+    F.window is epoch-aligned, so the oracle materializes both
+    candidate starts per event (trunc-to-30min and 30min earlier) and
+    aggregates the union."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes")
+    return (ev.groupBy(w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").cast("timestamp_ntz")
+                    .alias("window_start"), "n", "sum_value")
+            .orderBy("window_start"))
+
+
 def q_events_json_stats(spark, sf_dir) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -1658,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rank_window": q_orders_rank_window,
         "events_sessionize": q_events_sessionize,
         "events_funnel": q_events_funnel,
+        "events_sliding_windows": q_events_sliding_windows,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling_value_sum": q_events_rolling_value_sum,
         "events_asof_attribution": q_events_asof_attribution,
@@ -2554,6 +2572,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "events_sliding_windows": """
+            WITH starts AS (
+              SELECT to_timestamp(floor(epoch(ts))::BIGINT
+                       - (floor(epoch(ts))::BIGINT % 1800))::TIMESTAMP
+                       AS w,
+                     value
+              FROM events
+              UNION ALL
+              SELECT to_timestamp(floor(epoch(ts))::BIGINT
+                       - (floor(epoch(ts))::BIGINT % 1800)
+                       - 1800)::TIMESTAMP,
+                     value
+              FROM events)
+            SELECT w AS window_start,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM starts
+            GROUP BY w
+            ORDER BY window_start
         """,
         "events_funnel": """
             WITH s0 AS (
