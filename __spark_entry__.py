@@ -1294,6 +1294,29 @@ def q_supplier_fuzzy_pairs(spark, sf_dir) -> DataFrame:
     return fuzzy_pairs(sup, max_dist=1).orderBy("id_a", "id_b")
 
 
+def q_supplier_fuzzy_clusters(spark, sf_dir) -> DataFrame:
+    """Fuzzy-surface clustering: exact-recall distance-1 pairs
+    (operators/fuzzy.py) → connected components (linking.py) →
+    (member, cluster_root) for every non-root member. The oracle
+    recomputes components with a recursive closure over the
+    brute-force pair graph — an independent path end to end."""
+    from rdflib_jsonld_spark.operators.fuzzy import fuzzy_pairs
+    from rdflib_jsonld_spark.operators.linking import connected_components
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("s"))
+    pairs = fuzzy_pairs(sup, max_dist=1)
+    # keep ids NUMERIC through CC: the component root is the min, and
+    # lexicographic string-min ("10" < "9") would disagree with the
+    # oracle's numeric least()
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")))
+    return (comp.select(F.col("node").cast("long").alias("s_suppkey"),
+                        F.col("root").cast("long").alias("cluster_root"))
+            .where(F.col("s_suppkey") != F.col("cluster_root"))
+            .orderBy("s_suppkey"))
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1695,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_counts": q_doc_mixture_counts,
         "kg_chat_render": q_kg_chat_render,
         "supplier_fuzzy_pairs": q_supplier_fuzzy_pairs,
+        "supplier_fuzzy_clusters": q_supplier_fuzzy_clusters,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_clf_scores": q_doc_clf_scores,
         "doc_pack_manifest": q_doc_pack_manifest,
@@ -2839,6 +2863,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY dup_frac DESC, doc_id
             LIMIT 20
+        """,
+        "supplier_fuzzy_clusters": """
+            WITH RECURSIVE pg AS (
+              SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+              FROM supplier a JOIN supplier b
+                ON a.s_suppkey < b.s_suppkey
+              WHERE levenshtein(a.s_name, b.s_name) <= 1),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pg
+              UNION SELECT id_b, id_a FROM pg),
+            closure(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT c.a, e.b FROM closure c JOIN edges e ON e.a = c.b
+              WHERE e.b != c.a),
+            roots AS (
+              SELECT a AS node, least(a, min(b)) AS root
+              FROM closure GROUP BY a)
+            SELECT node::BIGINT AS s_suppkey, root::BIGINT AS cluster_root
+            FROM roots WHERE root != node
+            ORDER BY s_suppkey
         """,
         "supplier_fuzzy_pairs": """
             SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
