@@ -162,3 +162,42 @@ def test_stream_turn_rates(spark, tmp_path):
     assert len(rows) > 0
     assert {r.role for r in rows} <= {"user", "assistant", "tool"}
     assert all(r.n_turns > 0 for r in rows)
+
+
+def test_stream_static_canonical_rewrite(spark, tmp_path):
+    """Stream-static enrichment: the canonical-mapping table (static,
+    broadcast-sized) rewrites a STREAM of freshly-expanded quads — the
+    composition a production incremental KG build runs per micro-batch.
+    Incremental output must equal the batch pipeline on the same
+    input."""
+    from rdflib_jsonld_spark.operators.expand import dedup_quads
+    from rdflib_jsonld_spark.operators.linking import (
+        canonical_mapping, canonicalize_quads)
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, inp, 0, 8)
+
+    # static side from the batch view (entity dictionary)
+    batch_quads = dedup_quads(
+        expand_transcripts(spark.read.parquet(inp))).persist()
+    mapping = canonical_mapping(batch_quads).persist()
+    mapping.count()
+
+    stream = (spark.readStream.schema(
+        spark.read.parquet(inp).schema).parquet(inp))
+    squads = expand_transcripts(stream)
+    rewritten = canonicalize_quads(squads, mapping)
+    q = (rewritten.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = canonicalize_quads(expand_transcripts(
+        spark.read.parquet(inp)), mapping)
+    assert {tuple(r) for r in got.collect()} \
+        == {tuple(r) for r in want.collect()}
+    batch_quads.unpersist()
+    mapping.unpersist()
