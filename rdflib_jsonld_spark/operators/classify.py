@@ -48,8 +48,13 @@ def linear_text_classifier(docs: DataFrame, weights: dict[int, float],
             raise ValueError(f"bucket {b} outside [0, {n_buckets})")
     wmap = F.create_map(*[x for b, w in sorted(weights.items())
                           for x in (F.lit(int(b)), F.lit(float(w)))])
-    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
-                    lambda t: t != "")
+    # materialize the token array once — inlining it into transform AND
+    # both size() calls would re-run the split+filter three times
+    toked = docs.withColumn(
+        "_clf_toks",
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                 lambda t: t != ""))
+    toks = F.col("_clf_toks")
     bucket_w = F.transform(
         toks, lambda t: F.coalesce(wmap[_bucket(t, n_buckets, seed)],
                                    F.lit(0.0)))
@@ -59,6 +64,6 @@ def linear_text_classifier(docs: DataFrame, weights: dict[int, float],
         / F.size(toks)).otherwise(F.lit(0.0))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias))
                                                + mean_w)))
-    out = docs.withColumn(score_col, score)
+    out = toked.withColumn(score_col, score).drop("_clf_toks")
     return out.withColumn("clf_label",
                           F.col(score_col) >= F.lit(float(threshold)))

@@ -46,10 +46,14 @@ def build_index(docs: DataFrame, id_col: str = "doc_id",
     """Postings DataFrame ``(term, doc, tf, dl)`` — one row per distinct
     (term, document), with the document's token length carried on every
     posting so scoring needs no extra join."""
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(_tokens_col(F.col(text_col))).alias("term"),
-        F.size(_tokens_col(F.col(text_col))).alias("dl"))
+    # materialize the token array ONCE per row — inlining _tokens_col
+    # into both explode and size would run the split+filter twice
+    arr = docs.select(F.col(id_col).alias("doc"),
+                      _tokens_col(F.col(text_col)).alias("_toks"))
+    toks = arr.select(
+        "doc",
+        F.explode("_toks").alias("term"),
+        F.size("_toks").alias("dl"))
     return (toks.groupBy("term", "doc")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"),
                  F.first("dl").alias("dl")))
