@@ -1317,6 +1317,36 @@ def q_supplier_fuzzy_clusters(spark, sf_dir) -> DataFrame:
             .orderBy("s_suppkey"))
 
 
+def q_kg_r2rml_customer_quads(spark, sf_dir) -> DataFrame:
+    """R2RML-style custom mapping (operators/r2rml.py): customer rows
+    through IRI templates, a class map, a language-tagged label, and a
+    nation-reference template. VALUE-sensitive gate: per predicate, the
+    row count plus a sum of 32-bit md5 prefixes over (s ‖ o) — the
+    oracle rebuilds every subject/object string in SQL and must land on
+    the identical checksum."""
+    from rdflib_jsonld_spark.operators.r2rml import triples_map_to_quads
+    cust = _t(spark, sf_dir, "customer")
+    ex = "http://e/"
+    quads = triples_map_to_quads(cust, {
+        "table": "customer",
+        "subject": {"template": ex + "cust/{c_custkey}",
+                    "class": ex + "Customer"},
+        "predicates": [
+            {"predicate": ex + "name", "column": "c_name"},
+            {"predicate": ex + "label", "column": "c_name", "lang": "en"},
+            {"predicate": ex + "nation",
+             "template": ex + "nation/{c_nationkey}"},
+            {"predicate": ex + "segment", "column": "c_mktsegment"},
+        ]})
+    chk = (F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.col("s"), F.col("o_value"))), 1, 8),
+        16, 10).cast("bigint"))
+    return (quads.groupBy("p")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(chk).cast("long").alias("checksum"))
+            .orderBy("p"))
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1717,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": q_doc_split_counts,
         "doc_mixture_counts": q_doc_mixture_counts,
         "kg_chat_render": q_kg_chat_render,
+        "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
         "supplier_fuzzy_pairs": q_supplier_fuzzy_pairs,
         "supplier_fuzzy_clusters": q_supplier_fuzzy_clusters,
         "doc_bm25_topk": q_doc_bm25_topk,
@@ -2892,6 +2923,35 @@ def oracle_sql() -> dict[str, str]:
               ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
             ORDER BY id_a, id_b
+        """,
+        "kg_r2rml_customer_quads": """
+            WITH q AS (
+              SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS p,
+                     'http://e/cust/' || c_custkey::VARCHAR AS s,
+                     'http://e/Customer' AS o
+              FROM customer
+              UNION ALL
+              SELECT 'http://e/name',
+                     'http://e/cust/' || c_custkey::VARCHAR, c_name
+              FROM customer
+              UNION ALL
+              SELECT 'http://e/label',
+                     'http://e/cust/' || c_custkey::VARCHAR, c_name
+              FROM customer
+              UNION ALL
+              SELECT 'http://e/nation',
+                     'http://e/cust/' || c_custkey::VARCHAR,
+                     'http://e/nation/' || c_nationkey::VARCHAR
+              FROM customer
+              UNION ALL
+              SELECT 'http://e/segment',
+                     'http://e/cust/' || c_custkey::VARCHAR, c_mktsegment
+              FROM customer)
+            SELECT p, count(*)::BIGINT AS n,
+                   sum(('0x' || substr(md5(s || chr(31) || o), 1, 8))
+                       ::BIGINT)::BIGINT AS checksum
+            FROM q GROUP BY p ORDER BY p
         """,
         "kg_chat_render": """
             SELECT source AS conv_id,
