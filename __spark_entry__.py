@@ -1347,6 +1347,34 @@ def q_kg_r2rml_customer_quads(spark, sf_dir) -> DataFrame:
             .orderBy("p"))
 
 
+def q_kg_ifp_sameas(spark, sf_dir) -> DataFrame:
+    """Ontology-driven entity resolution (inference.owl_sameas_rules):
+    customers mapped through R2RML with an InverseFunctionalProperty
+    nation key → every same-nation customer pair is derived sameAs;
+    per-nation pair counts are C(n_k, 2) — exact SQL arithmetic."""
+    from rdflib_jsonld_spark.operators.inference import (
+        OWL, RDF_TYPE as _RT, owl_sameas_rules)
+    from rdflib_jsonld_spark.operators.r2rml import triples_map_to_quads
+    cust = _t(spark, sf_dir, "customer")
+    ex = "http://e/"
+    quads = triples_map_to_quads(cust, {
+        "table": "customer",
+        "subject": {"template": ex + "cust/{c_custkey}"},
+        "predicates": [
+            {"predicate": ex + "nationKey",
+             "template": ex + "nation/{c_nationkey}"}]})
+    decl = spark.createDataFrame(
+        [(None, ex + "nationKey", False, _RT, "iri",
+          OWL + "InverseFunctionalProperty", None, None,
+          "decl", 0)], quads.schema)
+    pairs = owl_sameas_rules(quads.unionByName(decl))
+    # group pairs by the shared nation (recoverable from either member)
+    return (pairs
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.count_distinct(F.col("src")).cast("long")
+                 .alias("n_src_distinct")))
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1748,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_counts": q_doc_mixture_counts,
         "kg_chat_render": q_kg_chat_render,
         "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
+        "kg_ifp_sameas": q_kg_ifp_sameas,
         "supplier_fuzzy_pairs": q_supplier_fuzzy_pairs,
         "supplier_fuzzy_clusters": q_supplier_fuzzy_clusters,
         "doc_bm25_topk": q_doc_bm25_topk,
@@ -2923,6 +2952,14 @@ def oracle_sql() -> dict[str, str]:
               ON a.s_suppkey < b.s_suppkey
             WHERE levenshtein(a.s_name, b.s_name) <= 1
             ORDER BY id_a, id_b
+        """,
+        "kg_ifp_sameas": """
+            WITH g AS (
+              SELECT c_nationkey, count(*)::BIGINT AS n
+              FROM customer GROUP BY 1)
+            SELECT sum(n * (n - 1) / 2)::BIGINT AS n_pairs,
+                   sum(n - 1)::BIGINT AS n_src_distinct
+            FROM g
         """,
         "kg_r2rml_customer_quads": """
             WITH q AS (

@@ -235,3 +235,66 @@ def owl_property_closure(quads: DataFrame, max_iter: int = 20
     new = new.dropDuplicates(QUAD_KEY)
     fresh = _anti_on_key(_conform(new, quads), quads)
     return quads.unionByName(fresh)
+
+
+OWL_SAMEAS = OWL + "sameAs"
+
+
+def owl_sameas_rules(quads: DataFrame) -> DataFrame:
+    """Derive owl:sameAs pairs from (inverse-)functional property
+    declarations ([spec] OWL 2 RL rules prp-fp / prp-ifp) — the
+    ontology-driven face of entity resolution:
+
+    - ``p rdf:type owl:FunctionalProperty`` ∧ (x p y₁) ∧ (x p y₂)
+      → y₁ owl:sameAs y₂  (non-literal objects only);
+    - ``p rdf:type owl:InverseFunctionalProperty`` ∧ (x₁ p y) ∧ (x₂ p y)
+      → x₁ owl:sameAs x₂  (the "same email ⇒ same person" rule;
+      literal keys compare on (lexical, datatype, language)).
+
+    Returns the DERIVED canonical pairs (src < dst, one row each) —
+    feed them to linking.connected_components / canonicalize_quads,
+    which is where a KG pipeline closes the equivalence. Per declared
+    property: one self-join keyed on the subject (fp) or the full
+    object identity (ifp); AQE handles hot keys the same way the
+    blocking join does.
+    """
+    fp = [r["s"] for r in quads.where(
+        (F.col("p") == RDF_TYPE)
+        & (F.col("o_value") == OWL + "FunctionalProperty"))
+        .select("s").distinct().collect()]
+    ifp = [r["s"] for r in quads.where(
+        (F.col("p") == RDF_TYPE)
+        & (F.col("o_value") == OWL + "InverseFunctionalProperty"))
+        .select("s").distinct().collect()]
+    spark = quads.sparkSession
+    empty = spark.createDataFrame([], "src string, dst string")
+    outs: list[DataFrame] = []
+    for p in fp:
+        vals = (quads.where((F.col("p") == p)
+                            & (F.col("o_kind") != "literal"))
+                .select(F.col("s").alias("x"),
+                        F.col("o_value").alias("y")).distinct())
+        a = vals.select("x", F.col("y").alias("ya"))
+        b = vals.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+        outs.append(a.join(b, (a.x == b.xb) & (a.ya < b.yb))
+                    .select(F.col("ya").alias("src"),
+                            F.col("yb").alias("dst")))
+    for p in ifp:
+        vals = (quads.where(F.col("p") == p)
+                .select(F.col("s").alias("x"), "o_kind", "o_value",
+                        "o_datatype", "o_lang").distinct())
+        key = ["o_kind", "o_value", "o_datatype", "o_lang"]
+        a = vals.select(F.col("x").alias("xa"), *key)
+        b = vals.toDF(*(["xb"] + key))
+        cond = (F.col("xa") < F.col("xb"))
+        for k in key:
+            cond = cond & a[k].eqNullSafe(b[k])
+        outs.append(a.join(b, cond)
+                    .select(F.col("xa").alias("src"),
+                            F.col("xb").alias("dst")))
+    if not outs:
+        return empty
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.dropDuplicates(["src", "dst"])

@@ -162,3 +162,56 @@ class TestOwlPropertyClosure:
         rows = [self._row(self.EX + "a", self.EX + "p", self.EX + "b")]
         df = self._quads(spark, rows)
         assert owl_property_closure(df).count() == 1
+
+
+@pytest.mark.usefixtures("spark")
+class TestOwlSameasRules:
+    OWL = "http://www.w3.org/2002/07/owl#"
+    EX = "http://ex.org/"
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def _quads(self, spark, rows):
+        schema = ("g string, s string, s_is_bnode boolean, p string, "
+                  "o_kind string, o_value string, o_datatype string, "
+                  "o_lang string")
+        return spark.createDataFrame(rows, schema)
+
+    def test_fp_and_ifp_pairs(self, spark):
+        from rdflib_jsonld_spark.operators.inference import (
+            owl_sameas_rules)
+        EX, OWL, RT = self.EX, self.OWL, self.RT
+        xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+        rows = [
+            (None, EX + "bornIn", False, RT, "iri",
+             OWL + "FunctionalProperty", None, None),
+            (None, EX + "email", False, RT, "iri",
+             OWL + "InverseFunctionalProperty", None, None),
+            # FP: one subject, two (alias) objects → objects identified
+            (None, EX + "p1", False, EX + "bornIn", "iri", EX + "paris",
+             None, None),
+            (None, EX + "p1", False, EX + "bornIn", "iri",
+             EX + "paris-fr", None, None),
+            # FP with a literal object: ignored
+            (None, EX + "p2", False, EX + "bornIn", "literal", "Paris",
+             xsd_s, None),
+            # IFP: two subjects, same literal key → subjects identified
+            (None, EX + "a", False, EX + "email", "literal", "x@y.z",
+             xsd_s, None),
+            (None, EX + "b", False, EX + "email", "literal", "x@y.z",
+             xsd_s, None),
+            # same lexical, DIFFERENT language → not the same key
+            (None, EX + "c", False, EX + "email", "literal", "x@y.z",
+             "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+             "en"),
+        ]
+        got = {(r.src, r.dst) for r in
+               owl_sameas_rules(self._quads(spark, rows)).collect()}
+        assert got == {(EX + "paris", EX + "paris-fr"),
+                       (EX + "a", EX + "b")}
+
+    def test_no_declarations_empty(self, spark):
+        from rdflib_jsonld_spark.operators.inference import (
+            owl_sameas_rules)
+        rows = [(None, self.EX + "a", False, self.EX + "p", "iri",
+                 self.EX + "b", None, None)]
+        assert owl_sameas_rules(self._quads(spark, rows)).collect() == []
