@@ -1080,6 +1080,26 @@ def q_events_sliding_windows(spark, sf_dir) -> DataFrame:
             .orderBy("window_start"))
 
 
+def q_events_session_windows(spark, sf_dir) -> DataFrame:
+    """NATIVE session windows (F.session_window, 30-minute gap) — the
+    engine-managed counterpart of the lag/cumsum sessionization in
+    events_sessionize, usable identically under Structured Streaming.
+    The oracle derives the same sessions relationally: a new session
+    starts where the gap from the previous event exceeds the timeout,
+    session id = running sum of starts, then per-session start/end/
+    count."""
+    ev = _t(spark, sf_dir, "events") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").cast("timestamp_ntz")
+                    .alias("session_start"),
+                    "n_events")
+            .orderBy("user_id", "session_start"))
+
+
 def q_events_json_stats(spark, sf_dir) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -1757,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_funnel": q_events_funnel,
         "events_sliding_windows": q_events_sliding_windows,
+        "events_session_windows": q_events_session_windows,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling_value_sum": q_events_rolling_value_sum,
         "events_asof_attribution": q_events_asof_attribution,
@@ -2656,6 +2677,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "events_session_windows": """
+            WITH seq AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w)
+                                  > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            tagged AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts ROWS UNBOUNDED
+                                      PRECEDING) AS sid
+              FROM seq)
+            SELECT user_id,
+                   min(ts)::TIMESTAMP AS session_start,
+                   count(*)::BIGINT AS n_events
+            FROM tagged
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "events_sliding_windows": """
             WITH starts AS (
