@@ -201,3 +201,48 @@ def test_stream_static_canonical_rewrite(spark, tmp_path):
         == {tuple(r) for r in want.collect()}
     batch_quads.unpersist()
     mapping.unpersist()
+
+
+def test_stream_stream_watermarked_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks on both sides (the
+    Structured Streaming join the incremental pipeline uses to marry
+    expanded mentions with late-arriving turn metadata): output equals
+    the batch join on the same inputs."""
+    inp_a = str(tmp_path / "a")
+    inp_b = str(tmp_path / "b")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, inp_a, 0, 6)
+    # metadata side: one row per (conv, turn) with a derived score
+    (spark.read.parquet(inp_a)
+     .select("conv_id", "turn_idx", "ts",
+             (F.length("text") % 97).alias("score"))
+     .write.parquet(inp_b))
+
+    a = (spark.readStream.schema(spark.read.parquet(inp_a).schema)
+         .parquet(inp_a)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .withWatermark("ts", "1 hour"))
+    b = (spark.readStream.schema(spark.read.parquet(inp_b).schema)
+         .parquet(inp_b)
+         .select("conv_id", "turn_idx",
+                 F.col("ts").cast("timestamp").alias("ts_b"), "score")
+         .withWatermark("ts_b", "1 hour"))
+    joined = a.join(
+        b, (a.conv_id == b.conv_id) & (a.turn_idx == b.turn_idx)
+        & (b.ts_b.between(a.ts - F.expr("interval 1 hour"),
+                          a.ts + F.expr("interval 1 hour")))) \
+        .select(a.conv_id, a.turn_idx, "score")
+    q = (joined.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple,
+                      spark.read.parquet(inp_a)
+                      .join(spark.read.parquet(inp_b)
+                            .select("conv_id", "turn_idx", "score"),
+                            ["conv_id", "turn_idx"])
+                      .select("conv_id", "turn_idx", "score").collect()))
+    assert got == want and got
