@@ -149,3 +149,18 @@ class ResumableQuadWriter:
     def reset(self) -> None:
         shutil.rmtree(self.out_dir, ignore_errors=True)
         os.makedirs(self.lineage_dir, exist_ok=True)
+
+
+def write_quads_bucketed_table(quads: DataFrame, table: str,
+                               path: str, n_buckets: int = 32) -> None:
+    """Materialize the graph as a NATIVE Spark bucketed table
+    (``bucketBy(n, s).sortBy(s)``, external at ``path``): both sides of
+    any subject-keyed self-join or entity join then read pre-bucketed
+    and pre-sorted, so the join plans WITHOUT a shuffle — the Spark
+    face of Iceberg's bucket-transform write distribution, and the
+    co-located-join half of the directory-bucketed layout
+    :func:`write_quads` keeps for pruning."""
+    (quads.write.mode("overwrite")
+     .bucketBy(n_buckets, "s").sortBy("s")
+     .option("path", path)
+     .format("parquet").saveAsTable(table))

@@ -145,3 +145,40 @@ def test_q14_broadcasts_part_dim(spark):
     import __spark_entry__ as em
     p = formatted(em.q_tpch_q14_promo_revenue(spark, SF))
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_bucketed_table_self_join_has_no_shuffle(spark, tmp_path):
+    """The bucketed SPO table makes subject-keyed self-joins
+    exchange-free: both sides read pre-bucketed, pre-sorted buckets
+    (the co-located-join evidence SCALE.md's write posture claims)."""
+    from rdflib_jsonld_spark.operators.expand import (
+        dedup_quads, expand_transcripts)
+    from rdflib_jsonld_spark.sources.quads_io import (
+        write_quads_bucketed_table)
+    from rdflib_jsonld_spark.sources.transcripts import transcripts_df
+
+    quads = dedup_quads(expand_transcripts(transcripts_df(spark, 6)))
+    write_quads_bucketed_table(quads, "spo_bucketed",
+                               str(tmp_path / "spo"), n_buckets=4)
+    # force the shuffle-join path: at test scale the tiny table would
+    # otherwise BROADCAST (which is also exchange-free in the shuffle
+    # sense, but is not the plan shape under test)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("spo_bucketed")
+        a = t.select(F.col("s"), F.col("p").alias("pa"))
+        b = t.select(F.col("s"), F.col("p").alias("pb"))
+        joined = a.join(b, "s").where(F.col("pa") < F.col("pb"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        # and it still computes the right thing
+        n = joined.count()
+        cross = (quads.select("s", F.col("p").alias("pa"))
+                 .join(quads.select("s", F.col("p").alias("pb")), "s")
+                 .where(F.col("pa") < F.col("pb")).count())
+        assert n == cross and n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS spo_bucketed")
