@@ -1395,6 +1395,38 @@ def q_kg_ifp_sameas(spark, sf_dir) -> DataFrame:
                  .alias("n_src_distinct")))
 
 
+def q_doc_c4_flags(spark, sf_dir) -> DataFrame:
+    """C4 cleaning heuristics (curation.c4_quality_flags): line
+    structure is PLANTED arithmetically (three terminal sentences for
+    doc_id%3=0, a brace for %7=0, lorem ipsum for %11=0), and the
+    oracle re-applies the identical construction AND the identical
+    line analysis (regex + word count) in SQL."""
+    from rdflib_jsonld_spark.operators.curation import c4_quality_flags
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(
+                "\nThis is a planted terminal sentence number one.\n"
+                "And a second good planted line for keeping!\n"
+                "Plus a third planted line that also qualifies."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" {"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" lorem ipsum"))
+            .otherwise(F.lit(""))))
+    flags = c4_quality_flags(planted)
+    return flags.agg(
+        F.sum("n_lines").cast("long").alias("total_lines"),
+        F.sum("n_kept_lines").cast("long").alias("total_kept"),
+        F.sum(F.col("has_lorem_ipsum").cast("long")).cast("long")
+        .alias("n_lorem"),
+        F.sum(F.col("has_brace").cast("long")).cast("long")
+        .alias("n_brace"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"))
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1795,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_scores": q_doc_repetition_scores,
         "doc_split_counts": q_doc_split_counts,
         "doc_mixture_counts": q_doc_mixture_counts,
+        "doc_c4_flags": q_doc_c4_flags,
         "kg_chat_render": q_kg_chat_render,
         "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
         "kg_ifp_sameas": q_kg_ifp_sameas,
@@ -3123,6 +3156,39 @@ def oracle_sql() -> dict[str, str]:
                          / (h.tf + 1.2 * (0.25 + 0.75 * h.dl / s.avgdl)))
                      DESC, doc
             LIMIT 15
+        """,
+        "doc_c4_flags": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0 THEN
+                          chr(10) || 'This is a planted terminal sentence number one.'
+                          || chr(10) || 'And a second good planted line for keeping!'
+                          || chr(10) || 'Plus a third planted line that also qualifies.'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' {' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum'
+                        ELSE '' END AS t
+              FROM documents),
+            flags AS (
+              SELECT doc_id,
+                     len(string_split(t, chr(10)))::BIGINT AS n_lines,
+                     len(list_filter(string_split(t, chr(10)),
+                       ln -> regexp_matches(trim(ln), '[.!?"]$')
+                             AND len(list_filter(
+                                   regexp_split_to_array(trim(ln), '\s+'),
+                                   w -> w <> '')) >= 5))::BIGINT
+                       AS n_kept,
+                     contains(lower(t), 'lorem ipsum') AS has_li,
+                     contains(t, '{') AS has_br
+              FROM planted)
+            SELECT sum(n_lines)::BIGINT AS total_lines,
+                   sum(n_kept)::BIGINT AS total_kept,
+                   sum(has_li::BIGINT)::BIGINT AS n_lorem,
+                   sum(has_br::BIGINT)::BIGINT AS n_brace,
+                   sum((n_kept >= 3 AND NOT has_li AND NOT has_br)
+                       ::BIGINT)::BIGINT AS n_keep
+            FROM flags
         """,
         "doc_mixture_counts": """
             WITH b AS (

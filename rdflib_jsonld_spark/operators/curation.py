@@ -379,3 +379,45 @@ def render_chat_documents(transcripts: DataFrame,
                                  lambda s: F.format_string(
                                      turn_fmt, s["r"], s["t"])),
                      sep).alias("doc_text")))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/document heuristics
+# ---------------------------------------------------------------------------
+
+def c4_quality_flags(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_words_per_line: int = 5,
+                     min_kept_lines: int = 3) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2, public
+    methodology) as one zero-shuffle projection of per-document flags:
+
+    - ``n_lines`` / ``n_kept_lines`` — a line is KEPT when it ends in
+      terminal punctuation (``.`` ``!`` ``?`` ``"``) and has at least
+      ``min_words_per_line`` whitespace words;
+    - ``has_lorem_ipsum`` / ``has_brace`` — the placeholder-text and
+      source-code markers C4 drops documents for;
+    - ``keep`` — ≥ ``min_kept_lines`` kept lines and neither marker.
+
+    Returns flags rather than filtering so pipelines can audit the
+    would-drop set (join it back, sample it) before committing — the
+    same report-first posture as SHACL validation.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"),
+                           lambda w: w != "")) >= min_words_per_line))
+    lower = F.lower(c)
+    out = docs.select(
+        id_col,
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        lower.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        c.contains("{").alias("has_brace"))
+    return out.withColumn(
+        "keep",
+        (F.col("n_kept_lines") >= min_kept_lines)
+        & ~F.col("has_lorem_ipsum") & ~F.col("has_brace"))

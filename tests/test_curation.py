@@ -179,3 +179,38 @@ def test_pii_custom_patterns(spark):
     assert pii_counts(docs, patterns=pats).collect()[0].n_awskey == 1
     assert scrub_pii(docs, patterns=pats).collect()[0].text == \
         "key <AWSKEY> other"
+
+
+@pytest.mark.usefixtures("spark")
+class TestC4Flags:
+    def test_flags_and_keep_rule(self, spark):
+        from rdflib_jsonld_spark.operators.curation import c4_quality_flags
+        rows = [
+            (0, "This is a fine first sentence.\n"
+                "Here is another good long line!\n"
+                'And a third quoted line ends well."'),
+            (1, "short line.\nno terminal punctuation here\nums"),
+            (2, "Lorem ipsum dolor sit amet makes this one vanish.\n"
+                "Even with other good sentences in the document.\n"
+                "Three of them, to be safe and sure."),
+            (3, "function f() { return 1; } is code-like text here.\n"
+                "Second proper sentence for the line counter too.\n"
+                "Third proper sentence for the line counter too."),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in c4_quality_flags(df).collect()}
+        assert got[0].n_lines == 3 and got[0].n_kept_lines == 3
+        assert got[0].keep
+        # doc 1: line 1 ends in '.' but has <5 words; others unpunctuated
+        assert got[1].n_kept_lines == 0 and not got[1].keep
+        assert got[2].has_lorem_ipsum and not got[2].keep
+        assert got[3].has_brace and not got[3].keep
+        assert got[4].n_kept_lines == 0 and not got[4].keep
+
+    def test_zero_shuffle(self, spark):
+        from rdflib_jsonld_spark.operators.curation import c4_quality_flags
+        df = spark.createDataFrame([(0, "x.")], ["doc_id", "text"])
+        plan = c4_quality_flags(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
