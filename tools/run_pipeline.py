@@ -39,6 +39,15 @@ def main() -> None:
     ap.add_argument("--export-nquads", action="store_true",
                     help="also materialize the canonical graph as N-Quads "
                          "text under <output>/nquads (JVM-side serializer)")
+    ap.add_argument("--export-trig", action="store_true",
+                    help="also materialize the canonical graph as TriG "
+                         "text under <output>/trig (per-partition "
+                         "standalone documents)")
+    ap.add_argument("--query", default=None,
+                    help="SPARQL query string (or @file) evaluated against "
+                         "the canonical graph; results land under "
+                         "<output>/query_result as parquet and the first "
+                         "20 rows print to stdout")
     ap.add_argument("--master", default=None,
                     help="override master (default: from spark-submit)")
     args = ap.parse_args()
@@ -126,6 +135,21 @@ def main() -> None:
         from rdflib_jsonld_spark.sources.nquads_io import write_nquads
         write_nquads(canon, os.path.join(args.output, "nquads"),
                      mode="overwrite")
+    if args.export_trig:
+        from rdflib_jsonld_spark.sources.turtle_io import write_turtle
+        write_turtle(canon, os.path.join(args.output, "trig"),
+                     trig=True, mode="overwrite")
+    if args.query:
+        from rdflib_jsonld_spark.operators.sparql import sparql
+        qtext = args.query
+        if qtext.startswith("@"):
+            with open(qtext[1:]) as qf:
+                qtext = qf.read()
+        res = sparql(canon, qtext)
+        res.write.mode("overwrite").parquet(
+            os.path.join(args.output, "query_result"))
+        for row in res.limit(20).collect():
+            print(json.dumps(row.asDict(), default=str))
 
     metrics = {
         "expansion": summary,
