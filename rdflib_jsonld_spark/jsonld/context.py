@@ -24,6 +24,7 @@ from __future__ import annotations
 from urllib.parse import urljoin, urlsplit
 
 import json as _json
+import re as _re
 
 from . import keys
 from .errors import (ContextNotAvailable, InvalidContext,
@@ -41,6 +42,11 @@ class _Undef:
 
 
 UNDEF = _Undef()
+
+#: "has the form of a keyword": "@" followed by one or more ALPHA
+#: ([spec] 1.1 API §4.2.2 step 5 / §4.2.3 IRI-expansion step 3) — such
+#: terms/values are ignored (definition) or expand to null (use).
+_KEYWORD_FORM_RE = _re.compile(r"@[A-Za-z]+$")
 
 
 class Term:
@@ -300,6 +306,14 @@ class Context:
         """Create one term definition. [spec] JLD-API §6.2;
         [v0.5.0] context.py _read_term/add_term (~L230-330)."""
         if name in keys.KEYWORDS:
+            return
+        if name == "":
+            # [spec] 1.1 API Create Term Definition step 2: the empty
+            # string is an invalid term definition
+            raise InvalidTermDefinition('term "" (empty string)')
+        if _KEYWORD_FORM_RE.match(name):
+            # [spec] 1.1 API Create Term Definition step 5: terms with
+            # the FORM of a keyword ("@"1*ALPHA) are ignored
             return
         prev = self.terms.get(name)
         if prev is not None and prev.protected and not override_protected:
@@ -572,6 +586,11 @@ class Context:
     def _expand_iri_uncached(self, value: str, vocab: bool) -> str | None:
         if value in keys.KEYWORDS:
             return value
+        if _KEYWORD_FORM_RE.match(value):
+            # keyword-FORM but not a keyword → null ([spec] 1.1 API IRI
+            # expansion step 3); drops "@foo" keys/values instead of
+            # minting IRIs for them
+            return None
         if value.startswith("_:"):
             return value
         if vocab:
