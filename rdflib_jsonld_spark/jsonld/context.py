@@ -27,9 +27,9 @@ import json as _json
 import re as _re
 
 from . import keys
-from .errors import (ContextNotAvailable, InvalidContext,
-                     InvalidTermDefinition, ProtectedTermRedefinition,
-                     RecursiveContextInclusion)
+from .errors import (ContextNotAvailable, InvalidBaseDirection,
+                     InvalidContext, InvalidTermDefinition,
+                     ProtectedTermRedefinition, RecursiveContextInclusion)
 
 
 class _Undef:
@@ -277,7 +277,11 @@ class Context:
             lang = src[keys.LANG]
             self.language = lang.lower() if isinstance(lang, str) else None
         if keys.DIRECTION in src:
-            self.direction = src[keys.DIRECTION]
+            d = src[keys.DIRECTION]
+            if d is not None and d not in ("ltr", "rtl"):
+                # [spec] 1.1 API context processing step 5.10.3
+                raise InvalidBaseDirection(repr(d))
+            self.direction = d
         if keys.PROPAGATE in src:
             self.propagate = bool(src[keys.PROPAGATE])
 
@@ -386,6 +390,8 @@ class Context:
         direction = UNDEF
         if keys.DIRECTION in dfn:
             direction = dfn[keys.DIRECTION]
+            if direction is not None and direction not in ("ltr", "rtl"):
+                raise InvalidBaseDirection(repr(direction))
 
         index = None
         if keys.INDEX in dfn:

@@ -61,3 +61,43 @@ class InvalidListOfLists(JsonLdError):
     # [v0.5.0] parser.py to_rdf(allow_lists_of_lists=...) gate; [spec]
     # JSON-LD 1.0 toRdf ("list of lists" error).
     code = "list of lists"
+
+
+class InvalidIdValue(JsonLdError):
+    # [spec] 1.1 API expansion step 13.4.3.1: @id value must be a string.
+    code = "invalid @id value"
+
+
+class InvalidTypeValue(JsonLdError):
+    # [spec] 1.1 API expansion step 13.4.4: @type must be a string or an
+    # array of strings (or a scoped-context map key set).
+    code = "invalid type value"
+
+
+class InvalidValueObjectValue(JsonLdError):
+    # [spec] 1.1 API expansion step 13.4.7.x: @value must be a scalar,
+    # null, or (for @json) any JSON — never a non-@json list/dict.
+    code = "invalid value object value"
+
+
+class InvalidBaseDirection(JsonLdError):
+    # [spec] 1.1 API context processing step 5.10.3: @direction must be
+    # "ltr", "rtl", or null.
+    code = "invalid base direction"
+
+
+class InvalidIndexValue(JsonLdError):
+    # [spec] 1.1 API expansion step 13.4.8: @index value must be a string.
+    code = "invalid @index value"
+
+
+class InvalidLanguageTaggedString(JsonLdError):
+    # [spec] 1.1 API expansion step 13.4.5 / value expansion: @language
+    # in a value object must be a string.
+    code = "invalid language-tagged string"
+
+
+class InvalidReversePropertyValue(JsonLdError):
+    # [spec] 1.1 API expansion step 13.4.9 / 14: values of properties
+    # under @reverse must be node objects, never literals.
+    code = "invalid reverse property value"

@@ -24,7 +24,10 @@ from __future__ import annotations
 
 from . import keys
 from .context import Context, UNDEF
-from .errors import InvalidValueObject
+from .errors import (InvalidIdValue, InvalidIndexValue,
+                     InvalidLanguageTaggedString,
+                     InvalidReversePropertyValue, InvalidTypeValue,
+                     InvalidValueObject, InvalidValueObjectValue)
 
 
 def expand(data, context_data=None, base: str | None = None,
@@ -130,17 +133,20 @@ def _expand_element(ctx: Context, active_key: str | None, element,
             continue  # B2: unmapped keys are dropped
 
         if expanded_key == keys.ID:
-            if isinstance(value, str):
-                iri = _expand_id(ctx, value)
-                if iri is not None:
-                    result[keys.ID] = iri
+            if not isinstance(value, str):
+                # [spec] §5.1 step 13.4.3.1
+                raise InvalidIdValue(repr(value))
+            iri = _expand_id(ctx, value)
+            if iri is not None:
+                result[keys.ID] = iri
             continue
 
         if expanded_key == keys.TYPE:
             types = []
             for t in _raw_array(value):
                 if not isinstance(t, str):
-                    continue
+                    # [spec] §5.1 step 13.4.4
+                    raise InvalidTypeValue(repr(t))
                 t_iri = ctx.expand_iri(t, vocab=True)
                 if t_iri is not None and t_iri not in keys.KEYWORDS:
                     types.append(t_iri)
@@ -170,9 +176,12 @@ def _expand_element(ctx: Context, active_key: str | None, element,
                     if p_iri is None or p_iri in keys.KEYWORDS:
                         continue
                     vals = _ensure_array(_expand_element(rev_ctx, rk, rv))
-                    rmap.setdefault(p_iri, []).extend(
-                        v for v in vals if isinstance(v, dict)
-                        and keys.VALUE not in v and keys.LIST not in v)
+                    for v in vals:
+                        if not isinstance(v, dict) or keys.VALUE in v \
+                                or keys.LIST in v:
+                            # [spec] §5.1 step 13.4.9
+                            raise InvalidReversePropertyValue(repr(v))
+                        rmap.setdefault(p_iri, []).append(v)
             continue
 
         if expanded_key == keys.NEST:  # [spec] 1.1 §9.10
@@ -193,8 +202,10 @@ def _expand_element(ctx: Context, active_key: str | None, element,
             return _expand_element(ctx, active_key, value, in_list=in_list)
 
         if expanded_key == keys.INDEX:
-            if isinstance(value, str):
-                result[keys.INDEX] = value
+            if not isinstance(value, str):
+                # [spec] §5.1 step 13.4.8
+                raise InvalidIndexValue(repr(value))
+            result[keys.INDEX] = value
             continue
 
         if expanded_key in keys.KEYWORDS:
@@ -212,9 +223,12 @@ def _expand_element(ctx: Context, active_key: str | None, element,
             continue
         if is_reverse:
             rmap = result.setdefault(keys.REV, {})
-            rmap.setdefault(expanded_key, []).extend(
-                v for v in expanded_value if isinstance(v, dict)
-                and keys.VALUE not in v and keys.LIST not in v)
+            for v in expanded_value:
+                if not isinstance(v, dict) or keys.VALUE in v \
+                        or keys.LIST in v:
+                    # [spec] §5.1 step 14 (reverse terms take nodes only)
+                    raise InvalidReversePropertyValue(repr(v))
+                rmap.setdefault(expanded_key, []).append(v)
         else:
             result.setdefault(expanded_key, []).extend(expanded_value)
 
@@ -408,6 +422,15 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
     ([spec] §5.1 steps 13.4.3-13.4.16)."""
     value = element[val_key]
     result = {}
+    is_json = any(
+        e == keys.TYPE and (
+            element[k] == keys.JSON
+            or (isinstance(element[k], str)
+                and ctx.expand_key(element[k]) == keys.JSON))
+        for k, e in kmap.items())
+    if not is_json and isinstance(value, (list, dict)):
+        # [spec] §5.1 step 13.4.7.x: compound @value only under @json
+        raise InvalidValueObjectValue(repr(value))
     for key, expanded_key in kmap.items():
         if expanded_key == keys.VALUE:
             result[keys.VALUE] = value
@@ -422,14 +445,18 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
                     result[keys.TYPE] = t_iri
         elif expanded_key == keys.LANG:
             lang = element[key]
+            if lang is not None and not isinstance(lang, str):
+                # [spec] §5.1 step 13.4.5
+                raise InvalidLanguageTaggedString(repr(lang))
             if isinstance(lang, str):
                 result[keys.LANG] = lang.lower()
         elif expanded_key == keys.DIRECTION:
             if isinstance(element[key], str):
                 result[keys.DIRECTION] = element[key]
         elif expanded_key == keys.INDEX:
-            if isinstance(element[key], str):
-                result[keys.INDEX] = element[key]
+            if not isinstance(element[key], str):
+                raise InvalidIndexValue(repr(element[key]))
+            result[keys.INDEX] = element[key]
         # all other keys are dropped inside value objects ([spec] 13.4.2)
     if result.get(keys.VALUE) is None and result.get(keys.TYPE) != keys.JSON:
         # null @value → dropped (B3); EXCEPT @json-typed value objects,

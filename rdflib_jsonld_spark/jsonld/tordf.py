@@ -31,7 +31,10 @@ import re as _re
 
 from . import keys
 from .context import Context, UNDEF
-from .errors import InvalidListOfLists, InvalidValueObject
+from .errors import (InvalidIdValue, InvalidIndexValue,
+                     InvalidLanguageTaggedString, InvalidListOfLists,
+                     InvalidReversePropertyValue, InvalidTypeValue,
+                     InvalidValueObject, InvalidValueObjectValue)
 
 IRI = "iri"
 BNODE = "bnode"
@@ -185,7 +188,10 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     # Subject: @id → IRI/bnode, else fresh bnode (D2).
     subj = None
     id_key = next((k for k, e in kmap.items() if e == keys.ID), None)
-    if id_key is not None and isinstance(node[id_key], str):
+    if id_key is not None:
+        if not isinstance(node[id_key], str):
+            # [spec] 1.1 API expansion step 13.4.3.1
+            raise InvalidIdValue(repr(node[id_key]))
         subj = _to_rdf_id(node[id_key], ctx, state)
     if subj is None and not only_graph:
         subj = state.fresh_bnode()
@@ -193,12 +199,18 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
 
     for key, expanded in kmap.items():
         value = node[key]
+        if expanded == keys.INDEX and not isinstance(value, str):
+            # [spec] 1.1 API expansion step 13.4.8
+            raise InvalidIndexValue(repr(value))
         if expanded in (None, keys.CONTEXT, keys.ID, keys.INDEX, keys.VALUE,
                         keys.LANG, keys.DIRECTION, keys.NONE):
             continue  # B1: skip handled / non-semantic / unmapped keys
 
         if expanded == keys.TYPE:
             for t in _as_list(value):
+                if not isinstance(t, str):
+                    # [spec] 1.1 API expansion step 13.4.4
+                    raise InvalidTypeValue(repr(t))
                 t_iri = ctx.expand_iri(t, vocab=True) if isinstance(t, str) else None
                 if t_iri is None or t_iri in keys.KEYWORDS:
                     continue
@@ -236,7 +248,10 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                     pred = _iri_or_bnode(p_iri, state)
                     for v in _as_list(rv):
                         obj = _to_object(v, ctx.terms.get(rk), ctx, state, graph)
-                        if obj is not None and obj[0] != LIT:
+                        if obj is not None:
+                            if obj[0] == LIT:
+                                # [spec] 1.1 API expansion step 13.4.9
+                                raise InvalidReversePropertyValue(repr(v))
                             _emit(state, graph, obj, pred, subj)
             continue
 
@@ -259,7 +274,11 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                 vals = [v for mv in value.values() for v in _as_list(mv)]
             for v in _as_list(vals):
                 obj = _to_object(v, term, sub_ctx, state, graph)
-                if obj is not None and obj[0] != LIT:
+                if obj is not None:
+                    if obj[0] == LIT:
+                        # [spec] 1.1 API expansion step 14 (reverse
+                        # terms never take literal values)
+                        raise InvalidReversePropertyValue(repr(v))
                     _emit(state, graph, obj, pred, subj)
             continue
 
@@ -577,7 +596,18 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
         return (LIT, canonical_json(value), keys.RDF_JSON, None)
     if value is None:
         return None  # B3
+    if isinstance(value, (list, dict)):
+        # [spec] 1.1 API expansion step 13.4.7.x: only @json-typed values
+        # may be compound (handled above)
+        raise InvalidValueObjectValue(repr(value))
+    idx_key = next((k for k, e in kmap.items() if e == keys.INDEX), None)
+    if idx_key is not None and not isinstance(v[idx_key], str):
+        raise InvalidIndexValue(repr(v[idx_key]))
     lang_key = next((k for k, e in kmap.items() if e == keys.LANG), None)
+    if lang_key is not None and v[lang_key] is not None \
+            and not isinstance(v[lang_key], str):
+        # [spec] 1.1 API expansion step 13.4.5
+        raise InvalidLanguageTaggedString(repr(v[lang_key]))
     dir_key = next((k for k, e in kmap.items() if e == keys.DIRECTION), None)
     i18n = state is not None and state.rdf_direction == "i18n-datatype"
     # explicit value objects take ONLY their own @direction — defaults

@@ -69,8 +69,12 @@ def node_objects(depth: int):
                                st.floats(allow_nan=False, allow_infinity=False,
                                          width=32)),
             "ex:other": st.one_of(scalar, st.lists(scalar, max_size=2)),
+            # reverse values must be node objects/references — a bare
+            # string under @reverse is a spec ERROR (1.1 API step
+            # 13.4.9, enforced since the r03 error-behavior sweep)
             "@reverse": st.fixed_dictionaries(
-                {"ex:rev": st.one_of(iri_local, child)}),
+                {"ex:rev": st.one_of(
+                    iri_local.map(lambda i: {"@id": i}), child)}),
             "@graph": st.lists(child, max_size=2),
             # r02 surface: nested-property attachment, property-scoped
             # term inside the branch child, type-scoped term when @type
