@@ -28,7 +28,10 @@ import re as _re
 
 from . import keys
 from .errors import (ContextNotAvailable, InvalidBaseDirection,
-                     InvalidContext, InvalidTermDefinition,
+                     InvalidBaseIRI, InvalidContainerMapping,
+                     InvalidContext, InvalidIRIMapping,
+                     InvalidPropagateValue, InvalidReverseProperty,
+                     InvalidTermDefinition, InvalidVocabMapping,
                      ProtectedTermRedefinition, RecursiveContextInclusion)
 
 
@@ -265,9 +268,15 @@ class Context:
             self.version = float(src[keys.VERSION])
         if keys.BASE in src:
             b = src[keys.BASE]
+            if b is not None and not isinstance(b, str):
+                # [spec] §6.1 step 5.7.2
+                raise InvalidBaseIRI(repr(b))
             self.base = norm_url(self.base, b) if b else None
         if keys.VOCAB in src:
             v = src[keys.VOCAB]
+            if v is not None and not isinstance(v, str):
+                # [spec] §6.1 step 5.8.2
+                raise InvalidVocabMapping(repr(v))
             if v is None:
                 self.vocab = None
             else:
@@ -283,7 +292,10 @@ class Context:
                 raise InvalidBaseDirection(repr(d))
             self.direction = d
         if keys.PROPAGATE in src:
-            self.propagate = bool(src[keys.PROPAGATE])
+            if not isinstance(src[keys.PROPAGATE], bool):
+                # [spec] §6.1 step 5.11.2
+                raise InvalidPropagateValue(repr(src[keys.PROPAGATE]))
+            self.propagate = src[keys.PROPAGATE]
 
         protected_default = bool(src.get(keys.PROTECTED, False))
         handled = {keys.BASE, keys.VOCAB, keys.LANG, keys.DIRECTION,
@@ -347,10 +359,16 @@ class Context:
 
         rev = False
         if keys.REV in dfn:
+            if not isinstance(dfn[keys.REV], str):
+                # [spec] §6.2 step 14.1
+                raise InvalidIRIMapping(f"{name}: @reverse {dfn[keys.REV]!r}")
             iri = self._expand_term_iri(local_src, dfn[keys.REV])
             rev = True
         elif keys.ID in dfn:
             idval = dfn[keys.ID]
+            if idval is not None and not isinstance(idval, str):
+                # [spec] §6.2 step 13.2 (null handled earlier)
+                raise InvalidIRIMapping(f"{name}: @id {idval!r}")
             if idval in keys.KEYWORDS and idval != keys.TYPE:
                 self.alias_of[name] = idval
                 self.aliases[idval] = name
@@ -373,6 +391,15 @@ class Context:
             cset = set(container)
         else:
             cset = {container}
+        _VALID_CONTAINERS = {keys.LIST, keys.SET, keys.INDEX, keys.LANG,
+                             keys.ID, keys.TYPE, keys.GRAPH}
+        if not cset <= _VALID_CONTAINERS or not all(
+                isinstance(c, str) for c in cset):
+            # [spec] §6.2 step 19
+            raise InvalidContainerMapping(f"{name}: {container!r}")
+        if keys.REV in dfn and not cset <= {keys.SET, keys.INDEX}:
+            # [spec] §6.2 step 13.5: reverse terms allow only @set/@index
+            raise InvalidReverseProperty(f"{name}: {container!r}")
 
         typ = UNDEF
         if keys.TYPE in dfn:

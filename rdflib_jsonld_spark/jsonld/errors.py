@@ -101,3 +101,35 @@ class InvalidReversePropertyValue(JsonLdError):
     # [spec] 1.1 API expansion step 13.4.9 / 14: values of properties
     # under @reverse must be node objects, never literals.
     code = "invalid reverse property value"
+
+
+class InvalidVocabMapping(JsonLdError):
+    # [spec] 1.1 API context processing step 5.8.2.
+    code = "invalid vocab mapping"
+
+
+class InvalidBaseIRI(JsonLdError):
+    # [spec] 1.1 API context processing step 5.7.2.
+    code = "invalid base IRI"
+
+
+class InvalidContainerMapping(JsonLdError):
+    # [spec] 1.1 API create term definition step 19.
+    code = "invalid container mapping"
+
+
+class InvalidReverseProperty(JsonLdError):
+    # [spec] 1.1 API create term definition step 13.5: reverse terms
+    # may carry only @set/@index containers.
+    code = "invalid reverse property"
+
+
+class InvalidIRIMapping(JsonLdError):
+    # [spec] 1.1 API create term definition steps 13.2/14.1: @id /
+    # @reverse in a term definition must be strings.
+    code = "invalid IRI mapping"
+
+
+class InvalidPropagateValue(JsonLdError):
+    # [spec] 1.1 API context processing step 5.11.2.
+    code = "invalid @propagate value"
