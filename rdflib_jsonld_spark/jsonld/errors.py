@@ -133,3 +133,14 @@ class InvalidIRIMapping(JsonLdError):
 class InvalidPropagateValue(JsonLdError):
     # [spec] 1.1 API context processing step 5.11.2.
     code = "invalid @propagate value"
+
+
+class InvalidEmbedValue(JsonLdError):
+    # [spec] JSON-LD 1.1 Framing §2.2 / framing API: @embed takes
+    # @always/@once/@never.
+    code = "invalid @embed value"
+
+
+class InvalidFrame(JsonLdError):
+    # [spec] JSON-LD 1.1 Framing: the frame must be a map.
+    code = "invalid frame"

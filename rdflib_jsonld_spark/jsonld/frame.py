@@ -32,6 +32,7 @@ call and per (sub)frame via @embed/@explicit/@requireAll/@omitDefault.
 from __future__ import annotations
 
 from . import keys
+from .errors import InvalidEmbedValue, InvalidFrame
 from .context import Context
 from .expansion import expand
 from .flatten import DEFAULT, _Issuer, _append_unique, _generate
@@ -297,7 +298,7 @@ def frame(data, frame_doc, *, base: str | None = None,
     as expand/compact/flatten).
     """
     if not isinstance(frame_doc, dict):
-        raise ValueError("frame must be a map")
+        raise InvalidFrame("frame must be a map")
     ctx_data = frame_doc.get(keys.CONTEXT)
     if frame_ctx is not None:
         fctx = frame_ctx
@@ -307,7 +308,7 @@ def frame(data, frame_doc, *, base: str | None = None,
             fctx = fctx.load(ctx_data)
     embed = _flag(frame_doc, "@embed", embed)
     if embed not in _EMBED_MODES:
-        raise ValueError(f"@embed must be one of {_EMBED_MODES}")
+        raise InvalidEmbedValue(f"@embed must be one of {_EMBED_MODES}")
     explicit = bool(_flag(frame_doc, "@explicit", explicit))
     require_all = bool(_flag(frame_doc, "@requireAll", require_all))
     omit_default = bool(_flag(frame_doc, "@omitDefault", omit_default))

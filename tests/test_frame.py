@@ -162,5 +162,6 @@ def test_cycle_protection():
 
 
 def test_bad_embed_mode():
-    with pytest.raises(ValueError, match="@embed"):
+    from rdflib_jsonld_spark.jsonld.errors import InvalidEmbedValue
+    with pytest.raises(InvalidEmbedValue, match="@embed"):
         frame(LIBRARY, {"@context": CTX, "@embed": "@sometimes"})
