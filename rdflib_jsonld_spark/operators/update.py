@@ -414,13 +414,26 @@ def update(quads: DataFrame, text: str, *, max_iter: int = 20,
             cur = base.unionByName(
                 moved if kind != "add" else _anti_on_key(moved, base))
         elif kind == "load":
-            from ..sources.nquads_io import read_nquads
             path = op[1]
             for prefix in ("file://", "file:"):
                 if path.startswith(prefix):
                     path = path[len(prefix):]
                     break
-            loaded = read_nquads(spark, path)
+            low = path.rstrip("/").lower()
+            if low.endswith((".ttl", ".trig")):
+                from ..sources.turtle_io import read_turtle
+                loaded = read_turtle(spark, path).drop("src")
+            elif low.endswith((".jsonld", ".json")):
+                from ..sources.jsonld_files import read_jsonld_files
+                loaded = read_jsonld_files(spark, path) \
+                    .drop("conv_id", "turn_idx")
+            elif low.endswith((".jsonldl", ".jsonl")):
+                from ..sources.jsonld_files import read_jsonld_lines
+                loaded = read_jsonld_lines(spark, path) \
+                    .drop("conv_id", "turn_idx")
+            else:
+                from ..sources.nquads_io import read_nquads
+                loaded = read_nquads(spark, path)
             if op[2] is not None:
                 loaded = loaded.withColumn("g", F.lit(op[2]))
             cur = cur.unionByName(_anti_on_key(_conform(loaded, cur), cur))

@@ -237,3 +237,23 @@ def test_load_nquads(quads, tmp_path):
     # loading twice is idempotent (set semantics)
     twice = update(quads, f"LOAD <file://{p}> ; LOAD <file://{p}>")
     assert twice.count() == quads.count() + 1
+
+
+def test_load_dispatches_on_format(spark, tmp_path):
+    """LOAD reads Turtle/TriG and JSON-LD sources by extension, not just
+    N-Quads; INTO GRAPH relabels all of them."""
+    from rdflib_jsonld_spark.operators.update import update
+    (tmp_path / "g.ttl").write_text(
+        "@prefix ex: <http://e/> .\nex:s ex:p ex:o .\n")
+    (tmp_path / "d.jsonld").write_text(
+        '{"@id": "http://e/s2", "http://e/p2": "v"}')
+    empty = spark.createDataFrame(
+        [], "g string, s string, s_is_bnode boolean, p string, "
+            "o_kind string, o_value string, o_datatype string, "
+            "o_lang string")
+    out = update(empty,
+                 f"LOAD <file://{tmp_path}/g.ttl> INTO GRAPH <http://e/g> ;"
+                 f"LOAD <file://{tmp_path}/d.jsonld>")
+    got = {(r.g, r.s, r.p) for r in out.collect()}
+    assert got == {("http://e/g", "http://e/s", "http://e/p"),
+                   (None, "http://e/s2", "http://e/p2")}
