@@ -538,6 +538,24 @@ def q_kg_owl_property_closure(spark, sf_dir) -> DataFrame:
             .orderBy("p"))
 
 
+def q_kg_bfs_distances(spark, sf_dir) -> DataFrame:
+    """Frontier-expansion BFS (graphstats.bfs_distances) on the entity
+    chain graph (consecutive entity ids linked): undirected distances
+    from entity 0 within 12 hops are exactly 0..12 — closed-form
+    oracle; the Spark side runs the real iterative join levels."""
+    from rdflib_jsonld_spark.operators.graphstats import bfs_distances
+    docs = _t(spark, sf_dir, "documents")
+    ents = docs.select((F.col("doc_id") % 500).cast("long").alias("e")) \
+        .distinct()
+    edges = (ents.where(F.col("e") < 499)
+             .select(F.col("e").cast("string").alias("src"),
+                     (F.col("e") + 1).cast("string").alias("dst")))
+    res = bfs_distances(edges, ["0"], max_depth=12, directed=False)
+    return (res.select(F.col("node").cast("long").alias("entity"),
+                       F.col("dist").cast("long").alias("dist"))
+            .orderBy("entity"))
+
+
 def q_kg_lpa_communities(spark, sf_dir) -> DataFrame:
     """Label-propagation community detection
     (operators/graphstats.label_propagation) on the entity co-occurrence
@@ -1789,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_pagerank": q_kg_entity_pagerank,
         "kg_cooccurrence_triangles": q_kg_cooccurrence_triangles,
         "kg_lpa_communities": q_kg_lpa_communities,
+        "kg_bfs_distances": q_kg_bfs_distances,
         "kg_owl_property_closure": q_kg_owl_property_closure,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_cc_distributed_documents": q_kg_cc_distributed_documents,
@@ -2282,6 +2301,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'http://www.w3.org/2002/07/owl#sameAs',
                      (SELECT count(*) FROM reach)::BIGINT)
             ORDER BY p
+        """,
+        "kg_bfs_distances": """
+            WITH ents AS (SELECT DISTINCT doc_id % 500 AS e
+                          FROM documents)
+            SELECT e::BIGINT AS entity, e::BIGINT AS dist
+            FROM ents WHERE e <= 12
+            ORDER BY entity
         """,
         "kg_lpa_communities": """
             WITH occ AS (

@@ -200,3 +200,48 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
         labels = nxt
     e.unpersist()
     return labels
+
+
+def bfs_distances(edges: DataFrame, sources: list,
+                  max_depth: int = 20,
+                  directed: bool = False) -> DataFrame:
+    """Single-source(s) unweighted shortest-path lengths →
+    ``(node, dist)`` for every node within ``max_depth`` hops of any
+    source (sources themselves at 0).
+
+    Frontier-expansion BFS as iterative joins: each level is one
+    equi-join of the current frontier with the edge set plus one
+    anti-join against the settled set — the textbook distributed BFS
+    (Pregel's traversal pattern) on DataFrames, with the CC/PageRank
+    checkpoint discipline. Level count ≤ graph diameter (capped by
+    ``max_depth``); one bounded emptiness probe per level is the only
+    driver action. Complements the SPARQL property-path operators,
+    which answer reachability but not DISTANCE.
+    """
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+    e = (e.where(F.col("src") != F.col("dst"))
+         .dropDuplicates(["src", "dst"]).persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node"))).distinct())
+    dist = (nodes.where(F.col("node").isin(list(sources)))
+            .select("node", F.lit(0).alias("dist"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(e, frontier.node == e.src)
+               .select(F.col("dst").alias("node")).distinct()
+               .join(dist, "node", "left_anti")
+               .select("node", F.lit(d).alias("dist"))
+               .localCheckpoint(eager=True))
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        merged = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist.unpersist()
+        frontier.unpersist()
+        dist, frontier = merged, nxt
+    e.unpersist()
+    return dist

@@ -188,3 +188,55 @@ class TestLabelPropagation:
         got = self._run(spark, edges, 4)
         assert {got[x] for x in a} == {"a0"}
         assert {got[x] for x in b} == {"b0"}
+
+
+@pytest.mark.usefixtures("spark")
+class TestBfs:
+    @staticmethod
+    def ref_bfs(edges, sources, directed, max_depth=20):
+        from collections import deque
+        adj = {}
+        for s, d in edges:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            if not directed:
+                adj.setdefault(d, set()).add(s)
+            else:
+                adj.setdefault(d, set())
+        dist = {s: 0 for s in sources if s in adj}
+        q = deque(dist)
+        while q:
+            n = q.popleft()
+            if dist[n] >= max_depth:
+                continue
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    q.append(m)
+        return dist
+
+    def _run(self, spark, edges, sources, **kw):
+        from rdflib_jsonld_spark.operators.graphstats import bfs_distances
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {r.node: r.dist
+                for r in bfs_distances(df, sources, **kw).collect()}
+
+    def test_matches_reference_random(self, spark):
+        import random
+        rng = random.Random(41)
+        edges = list({(f"n{rng.randint(0, 24)}", f"n{rng.randint(0, 24)}")
+                      for _ in range(40)})
+        for directed in (False, True):
+            got = self._run(spark, edges, ["n0", "n7"], directed=directed)
+            assert got == self.ref_bfs(edges, ["n0", "n7"], directed)
+
+    def test_depth_cap_and_chain(self, spark):
+        edges = [(f"c{i}", f"c{i + 1}") for i in range(15)]
+        got = self._run(spark, edges, ["c0"], max_depth=5)
+        assert got == {f"c{i}": i for i in range(6)}
+
+    def test_unreachable_absent(self, spark):
+        edges = [("a", "b"), ("x", "y")]
+        got = self._run(spark, edges, ["a"])
+        assert got == {"a": 0, "b": 1}
