@@ -1445,6 +1445,61 @@ def q_doc_c4_flags(spark, sf_dir) -> DataFrame:
         F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"))
 
 
+_GOPHER_BULLETS = ("\n- bullet one\n- bullet two\n- bullet three"
+                   "\n- bullet four\n- bullet five\n- bullet six"
+                   "\n- bullet seven\n- bullet eight\n- bullet nine"
+                   "\n- bullet ten")
+
+
+def q_doc_gopher_flags(spark, sf_dir) -> DataFrame:
+    """Gopher quality rules (curation.gopher_quality_flags): rule
+    violations are PLANTED arithmetically (stop words for doc_id%2=0,
+    a '#' run for %5=0, ten bullet lines for %7=0, a trailing-ellipsis
+    line for %11=0) and the oracle re-applies the identical construction
+    AND the identical word/line analysis in SQL — per-source rule-pass
+    counts are value-exact."""
+    from rdflib_jsonld_spark.operators.curation import gopher_quality_flags
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit(" and that have with")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" "), F.repeat(F.lit("# "), 150)))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_GOPHER_BULLETS))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("\nthis planted line trails off..."))
+            .otherwise(F.lit(""))))
+    flags = gopher_quality_flags(planted)
+    per_source = flags.join(docs.select("doc_id", "source"), "doc_id")
+    aggs = [F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_words")]
+    for c in ("ok_words", "ok_mean_len", "ok_symbol", "ok_bullet",
+              "ok_ellipsis", "ok_alpha", "ok_stop", "keep"):
+        aggs.append(F.sum(F.col(c).cast("long")).cast("long")
+                    .alias("n_" + c))
+    return per_source.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def q_doc_source_caps(spark, sf_dir) -> DataFrame:
+    """Per-source cap (curation.cap_per_source): the kept set is a pure
+    function of (doc_id, source, seed) via seeded-md5 rank, so the
+    oracle's identical window reproduces it exactly — per-source counts
+    AND id checksums match."""
+    from rdflib_jsonld_spark.operators.curation import cap_per_source
+    docs = _t(spark, sf_dir, "documents")
+    kept = cap_per_source(docs, cap=30)
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id")).orderBy("source")
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1847,6 +1902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": q_doc_split_counts,
         "doc_mixture_counts": q_doc_mixture_counts,
         "doc_c4_flags": q_doc_c4_flags,
+        "doc_gopher_flags": q_doc_gopher_flags,
+        "doc_source_caps": q_doc_source_caps,
         "kg_chat_render": q_kg_chat_render,
         "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
         "kg_ifp_sameas": q_kg_ifp_sameas,
@@ -3215,6 +3272,98 @@ def oracle_sql() -> dict[str, str]:
                    sum((n_kept >= 3 AND NOT has_li AND NOT has_br)
                        ::BIGINT)::BIGINT AS n_keep
             FROM flags
+        """,
+        "doc_gopher_flags": r"""
+            WITH planted AS (
+              SELECT doc_id, source,
+                     text
+                     || CASE WHEN doc_id % 2 = 0 THEN ' and that have with'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' ' || repeat('# ', 150)
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN
+                          chr(10) || '- bullet one'
+                          || chr(10) || '- bullet two'
+                          || chr(10) || '- bullet three'
+                          || chr(10) || '- bullet four'
+                          || chr(10) || '- bullet five'
+                          || chr(10) || '- bullet six'
+                          || chr(10) || '- bullet seven'
+                          || chr(10) || '- bullet eight'
+                          || chr(10) || '- bullet nine'
+                          || chr(10) || '- bullet ten'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN
+                          chr(10) || 'this planted line trails off...'
+                        ELSE '' END AS t
+              FROM documents),
+            m AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(t, '\s+'),
+                                 w -> w <> '') AS words,
+                     string_split(t, chr(10)) AS lines,
+                     length(t) - length(replace(t, '#', '')) AS n_hash,
+                     (length(t) - length(replace(t, '...', ''))) / 3
+                         AS n_ell
+              FROM planted),
+            f AS (
+              SELECT doc_id, source,
+                     len(words)::BIGINT AS n_words,
+                     len(words) BETWEEN 50 AND 100000 AS ok_words,
+                     list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                       / greatest(len(words), 1)::DOUBLE
+                       BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+                     (n_hash + n_ell)::DOUBLE
+                       / greatest(len(words), 1)::DOUBLE <= 0.1 AS ok_symbol,
+                     len(list_filter(lines, ln ->
+                         regexp_matches(trim(ln), '^[-*•] ')))::DOUBLE
+                       / greatest(len(lines), 1)::DOUBLE <= 0.9 AS ok_bullet,
+                     len(list_filter(lines, ln ->
+                         regexp_matches(trim(ln), '(\.\.\.|…)$')))::DOUBLE
+                       / greatest(len(lines), 1)::DOUBLE <= 0.3
+                       AS ok_ellipsis,
+                     len(list_filter(words, w ->
+                         regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                       / greatest(len(words), 1)::DOUBLE >= 0.8 AS ok_alpha,
+                     (list_contains(words, 'the')::INT
+                      + list_contains(words, 'be')::INT
+                      + list_contains(words, 'to')::INT
+                      + list_contains(words, 'of')::INT
+                      + list_contains(words, 'and')::INT
+                      + list_contains(words, 'that')::INT
+                      + list_contains(words, 'have')::INT
+                      + list_contains(words, 'with')::INT) >= 2 AS ok_stop
+              FROM m)
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_words)::BIGINT AS sum_words,
+                   sum(ok_words::BIGINT)::BIGINT AS n_ok_words,
+                   sum(ok_mean_len::BIGINT)::BIGINT AS n_ok_mean_len,
+                   sum(ok_symbol::BIGINT)::BIGINT AS n_ok_symbol,
+                   sum(ok_bullet::BIGINT)::BIGINT AS n_ok_bullet,
+                   sum(ok_ellipsis::BIGINT)::BIGINT AS n_ok_ellipsis,
+                   sum(ok_alpha::BIGINT)::BIGINT AS n_ok_alpha,
+                   sum(ok_stop::BIGINT)::BIGINT AS n_ok_stop,
+                   sum((ok_words AND ok_mean_len AND ok_symbol AND ok_bullet
+                        AND ok_ellipsis AND ok_alpha AND ok_stop)
+                       ::BIGINT)::BIGINT AS n_keep
+            FROM f GROUP BY source ORDER BY source
+        """,
+        "doc_source_caps": """
+            WITH ranked AS (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::varchar || chr(31) || 'cap-v1'),
+                                doc_id) AS rk
+              FROM documents)
+            SELECT source,
+                   count(*)::BIGINT AS n_kept,
+                   sum(doc_id)::BIGINT AS id_checksum,
+                   min(doc_id)::BIGINT AS min_id,
+                   max(doc_id)::BIGINT AS max_id
+            FROM ranked WHERE rk <= 30
+            GROUP BY source ORDER BY source
         """,
         "doc_mixture_counts": """
             WITH b AS (

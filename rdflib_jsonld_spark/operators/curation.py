@@ -421,3 +421,122 @@ def c4_quality_flags(docs: DataFrame, id_col: str = "doc_id",
         "keep",
         (F.col("n_kept_lines") >= min_kept_lines)
         & ~F.col("has_lorem_ipsum") & ~F.col("has_brace"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+#: the Gopher "must contain 2 of" stop words (Rae et al. 2021 §A1.1,
+#: public methodology).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         max_bullet_frac: float = 0.9,
+                         max_ellipsis_frac: float = 0.3,
+                         min_alpha_frac: float = 0.8,
+                         min_stop_hits: int = 2) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021 §A1.1, public
+    methodology) as one zero-shuffle projection of per-document flags:
+
+    - ``ok_words`` — whitespace word count in [min_words, max_words];
+    - ``ok_mean_len`` — mean word length in [3, 10] characters;
+    - ``ok_symbol`` — (count('#') + count('...')) / words ≤ 0.1;
+    - ``ok_bullet`` — ≤ 90% of lines start with a bullet (``- * •``);
+    - ``ok_ellipsis`` — ≤ 30% of lines end with ``...`` / ``…``;
+    - ``ok_alpha`` — ≥ 80% of words contain an alphabetic character;
+    - ``ok_stop`` — at least 2 distinct Gopher stop words occur as words;
+    - ``keep`` — all of the above.
+
+    Same report-first posture as :func:`c4_quality_flags`: flags, not a
+    filter, so the would-drop set stays auditable. All arithmetic is
+    count/count double division — bit-identical in the DuckDB contract
+    oracle (doc_gopher_flags). Every expression is JVM whole-stage
+    codegen; nothing shuffles.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_words_d = F.greatest(n_words, F.lit(1)).cast("double")
+    total_wchars = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"))
+    mean_wlen = total_wchars.cast("double") / n_words_d
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+    n_ellipsis = (F.length(c)
+                  - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words_d
+    lines = F.split(c, "\n")
+    n_lines_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike("^[-*•] "))) \
+        .cast("double") / n_lines_d
+    ellipsis_frac = F.size(F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))) \
+        .cast("double") / n_lines_d
+    alpha_frac = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words_d
+    def _has(sw: str):
+        # NB: a default-arg lambda (lambda w, s=s: ...) reads as 2-ary to
+        # PySpark's higher-order-function binding — close over sw instead.
+        return F.exists(words, lambda w: w == F.lit(sw)).cast("int")
+
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = _has(s)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = docs.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("ok_words"),
+        ((mean_wlen >= min_mean_word_len)
+         & (mean_wlen <= max_mean_word_len)).alias("ok_mean_len"),
+        (symbol_ratio <= max_symbol_ratio).alias("ok_symbol"),
+        (bullet_frac <= max_bullet_frac).alias("ok_bullet"),
+        (ellipsis_frac <= max_ellipsis_frac).alias("ok_ellipsis"),
+        (alpha_frac >= min_alpha_frac).alias("ok_alpha"),
+        (stop_hits >= min_stop_hits).alias("ok_stop"))
+    return out.withColumn(
+        "keep",
+        F.col("ok_words") & F.col("ok_mean_len") & F.col("ok_symbol")
+        & F.col("ok_bullet") & F.col("ok_ellipsis") & F.col("ok_alpha")
+        & F.col("ok_stop"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source caps
+# ---------------------------------------------------------------------------
+
+def cap_per_source(docs: DataFrame, cap: int, id_col: str = "doc_id",
+                   group_col: str = "source",
+                   seed: str = "cap-v1") -> DataFrame:
+    """RefinedWeb-style per-source/per-domain cap (Penedo et al. 2023,
+    public methodology): keep at most ``cap`` documents per ``group_col``
+    value, chosen by seeded-md5 order of the id (ties broken by id).
+
+    The kept set is a pure function of (id, group, seed) — reproducible
+    across runs, partitionings and engines, like assign_splits. One
+    shuffle (the window partition on the group key).
+
+    Scale posture: groups are domains — many and individually small, so
+    the per-group window parallelizes across reducers; a pathologically
+    hot group is bounded by AQE skew splitting on the exchange, and
+    since only ranks ≤ cap survive, a pre-aggregation that drops groups
+    already under the cap (count ≤ cap ⇒ keep all, no rank needed) can
+    shortcut the window for the long tail — the window ranks only the
+    over-cap groups. That refinement is left to the caller's pipeline;
+    the operator keeps the single canonical window.
+    """
+    from pyspark.sql import Window
+    order = F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                              F.lit(seed)))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (docs.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= cap).drop("_rk"))
