@@ -1500,6 +1500,33 @@ def q_doc_source_caps(spark, sf_dir) -> DataFrame:
         F.max("doc_id").cast("long").alias("max_id")).orderBy("source")
 
 
+def q_doc_corpus_dedup(spark, sf_dir) -> DataFrame:
+    """Corpus-level duplicate-span removal (dedup.corpus_chunk_dedup):
+    a fixed 200-char block is PLANTED as a prefix of every doc_id%4=0
+    document, so its window duplicates corpus-wide and only the
+    globally-first occurrence survives. The oracle re-applies the
+    identical chunking + first-occurrence rule in SQL, grouping on the
+    window TEXT (hash-free — stronger than the engine's xxhash64 keys);
+    reassembled text is compared by length and an md5-prefix checksum."""
+    from rdflib_jsonld_spark.operators.dedup import corpus_chunk_dedup
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("abcdefghij" * 20), F.col("text")))
+        .otherwise(F.col("text")))
+    out = corpus_chunk_dedup(planted, chunk_chars=200)
+    chk = F.conv(F.substring(F.md5("text_deduped"), 1, 8), 16, 10) \
+        .cast("long")
+    joined = out.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chunks").cast("long").alias("sum_chunks"),
+        F.sum("n_dropped").cast("long").alias("sum_dropped"),
+        F.sum(F.length("text_deduped")).cast("long").alias("sum_chars"),
+        F.sum(chk).cast("long").alias("text_checksum")).orderBy("source")
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1904,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_flags": q_doc_c4_flags,
         "doc_gopher_flags": q_doc_gopher_flags,
         "doc_source_caps": q_doc_source_caps,
+        "doc_corpus_dedup": q_doc_corpus_dedup,
         "kg_chat_render": q_kg_chat_render,
         "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
         "kg_ifp_sameas": q_kg_ifp_sameas,
@@ -3272,6 +3300,44 @@ def oracle_sql() -> dict[str, str]:
                    sum((n_kept >= 3 AND NOT has_li AND NOT has_br)
                        ::BIGINT)::BIGINT AS n_keep
             FROM flags
+        """,
+        "doc_corpus_dedup": r"""
+            WITH planted AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN repeat('abcdefghij', 20) || text
+                          ELSE text END AS t
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, source, i AS chunk_idx,
+                     substr(t, i*200 + 1, 200) AS chunk_text
+              FROM planted,
+                   UNNEST(range(0, greatest(1, ceil(length(t) / 200.0))
+                                   ::BIGINT)) AS r(i)),
+            kept AS (
+              SELECT doc_id, chunk_idx, chunk_text FROM (
+                SELECT doc_id, chunk_idx, chunk_text,
+                       row_number() OVER (PARTITION BY chunk_text
+                                          ORDER BY doc_id, chunk_idx) AS rn
+                FROM chunks) WHERE rn = 1),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(chunk_text, '' ORDER BY chunk_idx) AS txt,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            totals AS (
+              SELECT doc_id, source, count(*) AS n_chunks
+              FROM chunks GROUP BY doc_id, source)
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chunks)::BIGINT AS sum_chunks,
+                   sum(n_chunks - coalesce(n_kept, 0))::BIGINT
+                       AS sum_dropped,
+                   sum(length(coalesce(txt, '')))::BIGINT AS sum_chars,
+                   sum(('0x' || substr(md5(coalesce(txt, '')), 1, 8))
+                       ::BIGINT)::BIGINT AS text_checksum
+            FROM totals LEFT JOIN rebuilt USING (doc_id)
+            GROUP BY source ORDER BY source
         """,
         "doc_gopher_flags": r"""
             WITH planted AS (

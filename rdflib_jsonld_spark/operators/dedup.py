@@ -604,3 +604,71 @@ def exact_ngram_jaccard_verify(pairs: DataFrame, docs: DataFrame,
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level duplicate-span removal (C4-style)
+# ---------------------------------------------------------------------------
+
+def corpus_chunk_dedup(docs: DataFrame, chunk_chars: int = 200,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """C4-style corpus-level duplicate-span removal (Raffel et al. 2020
+    §2.2 "we discard all but one of any three-sentence span occurring
+    more than once", public methodology — here the span unit is a fixed
+    ``chunk_chars`` window, the deterministic analogue):
+
+    1. split every document into non-overlapping ``chunk_chars`` windows
+       (textstats.chunk_documents with overlap=0 — pure JVM fan-out);
+    2. the globally FIRST occurrence of each distinct window text — in
+       (doc id, chunk index) order — survives; every other occurrence is
+       dropped corpus-wide;
+    3. reassemble each document from its surviving windows in order.
+
+    Returns ``(id, text_deduped, n_chunks, n_dropped)`` — one row per
+    input document (a fully-duplicated document comes back with empty
+    text and ``n_dropped == n_chunks``).
+
+    Scale posture: duplicate detection groups on ``xxhash64(window)`` —
+    an 8-byte shuffle key, the window text does NOT shuffle for the
+    group; first-occurrence selection is ``min(struct(doc, idx))`` per
+    hash (one agg + one join — no window function, so a viral duplicate
+    span never funnels through a single reducer). Only the SURVIVING
+    window text shuffles, once, in the reassembly agg. The DuckDB
+    contract oracle (doc_corpus_dedup) groups on the window TEXT
+    itself, so a 64-bit hash collision would surface as a contract
+    mismatch rather than hide (none possible at test scale; at 100 TB
+    the expected collision count at ~2^40 windows is ~2^16 of 2^40 —
+    acceptable for C4-style cleaning, switchable to a 128-bit hash pair
+    if not).
+    """
+    from .textstats import chunk_documents
+
+    chunks = chunk_documents(docs.select(id_col, text_col),
+                             chunk_chars=chunk_chars, overlap=0,
+                             text_col=text_col)
+    h = chunks.select(id_col, "chunk_idx", "chunk_text",
+                      F.xxhash64("chunk_text").alias("_h"))
+    first = h.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"),
+                       F.col("chunk_idx").alias("i"))).alias("_first"))
+    kept = (h.join(first, "_h")
+            .filter((F.col(id_col) == F.col("_first.d"))
+                    & (F.col("chunk_idx") == F.col("_first.i"))))
+    totals = h.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"]), "").alias("text_deduped"),
+        F.count("*").cast("long").alias("_n_kept"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_deduped", F.lit(""))
+                    .alias("text_deduped"),
+                    "n_chunks",
+                    (F.col("n_chunks")
+                     - F.coalesce("_n_kept", F.lit(0))).cast("long")
+                    .alias("n_dropped")))

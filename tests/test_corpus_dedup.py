@@ -1,0 +1,55 @@
+"""Corpus-level duplicate-span removal (dedup.corpus_chunk_dedup)."""
+
+from pyspark.sql import Row
+
+from rdflib_jsonld_spark.operators.dedup import corpus_chunk_dedup
+
+
+def _run(spark, texts, chunk_chars=10):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    out = corpus_chunk_dedup(docs, chunk_chars=chunk_chars)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_no_duplicates_is_identity(spark):
+    texts = ["abcdefghijKLMNOPQRST", "0123456789!@#$%^&*()"]
+    got = _run(spark, texts)
+    for i, t in enumerate(texts):
+        assert got[i]["text_deduped"] == t
+        assert got[i]["n_dropped"] == 0
+        assert got[i]["n_chunks"] == 2
+
+
+def test_cross_doc_duplicate_dropped_keeps_first(spark):
+    shared = "SHAREDBLK!"  # exactly one 10-char chunk
+    texts = [shared + "tail-aaaaa", shared + "tail-bbbbb"]
+    got = _run(spark, texts)
+    assert got[0]["text_deduped"] == texts[0]  # first occurrence survives
+    assert got[1]["text_deduped"] == "tail-bbbbb"
+    assert got[1]["n_dropped"] == 1
+
+
+def test_within_doc_repeat_dropped(spark):
+    got = _run(spark, ["AAAAAAAAAA" * 3])
+    assert got[0]["text_deduped"] == "AAAAAAAAAA"
+    assert got[0]["n_chunks"] == 3 and got[0]["n_dropped"] == 2
+
+
+def test_fully_duplicated_doc_empties(spark):
+    got = _run(spark, ["AAAAAAAAAA", "AAAAAAAAAA"])
+    empties = sorted(v["text_deduped"] for v in got.values())
+    assert empties == ["", "AAAAAAAAAA"]
+    assert got[1]["n_dropped"] == 1 and got[1]["n_chunks"] == 1
+
+
+def test_partitioning_independent(spark):
+    texts = [("block%02d" % (i % 4)).ljust(10, "x") * 3 for i in range(12)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    a = {r["doc_id"]: r["text_deduped"]
+         for r in corpus_chunk_dedup(docs, chunk_chars=10).collect()}
+    b = {r["doc_id"]: r["text_deduped"]
+         for r in corpus_chunk_dedup(docs.repartition(7),
+                                     chunk_chars=10).collect()}
+    assert a == b
