@@ -1527,6 +1527,32 @@ def q_doc_corpus_dedup(spark, sf_dir) -> DataFrame:
         F.sum(chk).cast("long").alias("text_checksum")).orderBy("source")
 
 
+def q_doc_shared_passages(spark, sf_dir) -> DataFrame:
+    """Exact-substring shared passages (dedup.shared_passages): a
+    ~47-char passage is PLANTED into each (10j, 10j+1) document pair —
+    the pair id sits 24 chars in, so no 25-gram crosses pairs — and the
+    oracle re-derives the same maximal islands in SQL, joining on the
+    window TEXT (hash-free: stronger than the engine's rolling-hash
+    keys, a 64-bit collision would fail the gate). Natural corpus spans
+    ≥ 40 chars count identically on both sides."""
+    from rdflib_jsonld_spark.operators.dedup import shared_passages
+    docs = _t(spark, sf_dir, "documents")
+    pid = F.floor(F.col("doc_id") / 10).cast("long").cast("string")
+    planted = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 10 <= 1,
+                        F.concat(F.lit(" planted shared passage "), pid,
+                                 F.lit(" marker block pad end")))
+                 .otherwise(F.lit(""))))
+    spans = shared_passages(planted, k=25, min_span=40)
+    return (spans.groupBy("id_a", "id_b")
+            .agg(F.count("*").cast("long").alias("n_spans"),
+                 F.max("span_len").cast("long").alias("max_span"),
+                 F.sum("span_len").cast("long").alias("total_span"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1932,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_flags": q_doc_gopher_flags,
         "doc_source_caps": q_doc_source_caps,
         "doc_corpus_dedup": q_doc_corpus_dedup,
+        "doc_shared_passages": q_doc_shared_passages,
         "kg_chat_render": q_kg_chat_render,
         "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
         "kg_ifp_sameas": q_kg_ifp_sameas,
@@ -3338,6 +3365,50 @@ def oracle_sql() -> dict[str, str]:
                        ::BIGINT)::BIGINT AS text_checksum
             FROM totals LEFT JOIN rebuilt USING (doc_id)
             GROUP BY source ORDER BY source
+        """,
+        "doc_shared_passages": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 10 <= 1 THEN
+                         ' planted shared passage '
+                         || (doc_id // 10)::VARCHAR
+                         || ' marker block pad end'
+                       ELSE '' END AS raw
+              FROM documents),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(raw), '\s+', ' ', 'g')) AS t
+              FROM planted),
+            padded AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) < 25 THEN rpad(t, 25, '_')
+                          ELSE t END AS t
+              FROM norm),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, substr(t, i, 25) AS g
+              FROM padded,
+                   UNNEST(range(1, length(t) - 25 + 2)) AS r(i)),
+            ok AS (
+              SELECT * FROM grams
+              WHERE g IN (SELECT g FROM grams
+                          GROUP BY g HAVING count(*) <= 1000)),
+            m AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.pos AS pos_a, a.pos - b.pos AS delta
+              FROM ok a JOIN ok b ON a.g = b.g AND a.doc_id < b.doc_id),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY id_a, id_b, delta
+                                           ORDER BY pos_a) AS rn
+              FROM m),
+            spans AS (
+              SELECT id_a, id_b, count(*) + 24 AS span_len
+              FROM r GROUP BY id_a, id_b, delta, pos_a - rn),
+            keep AS (SELECT * FROM spans WHERE span_len >= 40)
+            SELECT id_a, id_b,
+                   count(*)::BIGINT AS n_spans,
+                   max(span_len)::BIGINT AS max_span,
+                   sum(span_len)::BIGINT AS total_span
+            FROM keep GROUP BY id_a, id_b ORDER BY id_a, id_b
         """,
         "doc_gopher_flags": r"""
             WITH planted AS (

@@ -672,3 +672,125 @@ def corpus_chunk_dedup(docs: DataFrame, chunk_chars: int = 200,
                     (F.col("n_chunks")
                      - F.coalesce("_n_kept", F.lit(0))).cast("long")
                     .alias("n_dropped")))
+
+
+# ---------------------------------------------------------------------------
+# Shared-passage extraction (exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+def _batch_kgram_positions(texts, k: int):
+    """Whole-batch stride-1 rolling k-gram hashes WITH positions: one
+    vectorized FNV pass over the concatenated normalized bytes of every
+    document (same normalization + hash as _batch_winnow — lowercase,
+    whitespace collapsed, pad to k with '_'). Returns
+    (doc_idx:int64[], pos:int64[], h:int64[]) where ``pos`` is the
+    0-based offset of the k-gram in the document's normalized text."""
+    bufs = []
+    for t in texts:
+        b = " ".join((t or "").lower().split()).encode("utf-8", "ignore")
+        if len(b) < k:
+            b = b.ljust(k, b"_")
+        bufs.append(b)
+    empty = (np.empty(0, dtype=np.int64),) * 3
+    if not bufs:
+        return empty
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    n_glob = len(buf) - k + 1
+    h_glob = np.zeros(n_glob, dtype=np.uint64)
+    FNV_PRIME = np.uint64(0x100000001B3)
+    for i in range(k):
+        h_glob = (h_glob ^ buf[i:n_glob + i].astype(np.uint64)) \
+            * FNV_PRIME & np.uint64(_MASK)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    n_pos = lens - k + 1
+    local = _ranges(n_pos)
+    valid_idx = np.repeat(starts, n_pos) + local
+    doc_of = np.repeat(np.arange(len(bufs), dtype=np.int64), n_pos)
+    return doc_of, local, h_glob[valid_idx].view(np.int64)
+
+
+def passage_fingerprints(docs: DataFrame, k: int = 25,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(id, pos, h) — every stride-1 k-char window of the normalized
+    text as an 8-byte rolling hash with its 0-based offset. One narrow
+    Arrow pass (vectorized kernel); 16 bytes shuffle per position, the
+    text never leaves the scan."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("h", T.LongType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            d, p, h = _batch_kgram_positions(list(pdf[text_col]), k)
+            yield pd.DataFrame({id_col: ids[d], "pos": p, "h": h})
+
+    return _spread(docs.select(id_col, text_col)) \
+        .mapInPandas(gen, schema=schema)
+
+
+def shared_passages(docs: DataFrame, k: int = 25, min_span: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    df_cap: int = 1000) -> DataFrame:
+    """Maximal shared passages between document pairs — exact-substring
+    deduplication (Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better", public methodology), re-expressed as
+    columnar island detection instead of a suffix array:
+
+    1. stride-1 k-char rolling-hash windows with positions
+       (:func:`passage_fingerprints` — vectorized, 16 bytes/position);
+    2. stop-gram guard: windows whose corpus occurrence count exceeds
+       ``df_cap`` are excluded (the guard is replicated in the DuckDB
+       contract oracle, so equality stays exact when it fires);
+    3. equi-join the window tables of every document pair (id_a <
+       id_b) on the hash — banded candidate generation, never all-pairs
+       text comparison;
+    4. maximal runs of consecutive matching positions at a constant
+       offset delta (``pos_a - pos_b``) collapse into one row via the
+       islands trick (pos_a − row_number is constant per run):
+       ``(id_a, id_b, start_a, start_b, span_len)`` with
+       ``span_len = run_length + k - 1`` normalized characters.
+
+    Positions index the NORMALIZED text (lowercase, whitespace
+    collapsed). ``min_span`` drops spans shorter than the threshold
+    AFTER merging (a span must still seed from a full k-gram match).
+
+    Scale posture: the only wide exchanges move (id, pos, hash)
+    triples; island windows partition by (pair, delta) — inherently
+    fine-grained; a viral passage is bounded by ``df_cap``. The
+    fingerprint table is persisted before the self-join (two branches
+    over a Python stage — the r02 lesson). The oracle joins on the
+    window TEXT itself, so a 64-bit collision surfaces as a contract
+    mismatch instead of hiding.
+    """
+    from pyspark.sql import Window
+
+    fps = passage_fingerprints(docs, k=k, id_col=id_col,
+                               text_col=text_col).persist()
+    ok = fps.join(
+        fps.groupBy("h").agg(F.count("*").alias("_df"))
+           .filter(F.col("_df") <= df_cap).select("h"),
+        "h")
+    a = ok.select(F.col(id_col).alias("id_a"),
+                  F.col("pos").alias("pos_a"), "h")
+    b = ok.select(F.col(id_col).alias("id_b"),
+                  F.col("pos").alias("pos_b"), "h")
+    m = (a.join(b, "h")
+         .filter(F.col("id_a") < F.col("id_b"))
+         .withColumn("delta", F.col("pos_a") - F.col("pos_b")))
+    w = Window.partitionBy("id_a", "id_b", "delta").orderBy("pos_a")
+    spans = (m.withColumn("_isl", F.col("pos_a")
+                          - F.row_number().over(w))
+             .groupBy("id_a", "id_b", "delta", "_isl")
+             .agg(F.min("pos_a").alias("start_a"),
+                  (F.count("*") + F.lit(k - 1)).cast("long")
+                  .alias("span_len"))
+             .withColumn("start_b", F.col("start_a") - F.col("delta"))
+             .select("id_a", "id_b", "start_a", "start_b", "span_len"))
+    if min_span > k:
+        spans = spans.filter(F.col("span_len") >= min_span)
+    return spans
