@@ -556,6 +556,31 @@ def q_kg_bfs_distances(spark, sf_dir) -> DataFrame:
             .orderBy("entity"))
 
 
+def q_kg_weighted_distances(spark, sf_dir) -> DataFrame:
+    """Frontier Bellman-Ford SSSP (graphstats.weighted_distances) on a
+    weighted DAG over the entity ids (+1 hops cost 3/4 alternating, +2
+    hops cost 5/6/7 cycling): the oracle enumerates ALL path sums with
+    a recursive CTE (terminates — DAG) and takes the per-node minimum;
+    the Spark side runs the real iterative relaxation rounds."""
+    from rdflib_jsonld_spark.operators.graphstats import weighted_distances
+    docs = _t(spark, sf_dir, "documents")
+    ents = docs.select((F.col("doc_id") % 40).cast("long").alias("e")) \
+        .distinct()
+    hop1 = ents.where(F.col("e") < 39).select(
+        F.col("e").cast("string").alias("src"),
+        (F.col("e") + 1).cast("string").alias("dst"),
+        (F.lit(3) + F.col("e") % 2).cast("long").alias("weight"))
+    hop2 = ents.where(F.col("e") < 38).select(
+        F.col("e").cast("string").alias("src"),
+        (F.col("e") + 2).cast("string").alias("dst"),
+        (F.lit(5) + F.col("e") % 3).cast("long").alias("weight"))
+    res = weighted_distances(hop1.unionByName(hop2), ["0"],
+                             directed=True, max_iters=45)
+    return (res.select(F.col("node").cast("long").alias("entity"),
+                       F.col("dist").cast("long").alias("dist"))
+            .orderBy("entity"))
+
+
 def q_kg_lpa_communities(spark, sf_dir) -> DataFrame:
     """Label-propagation community detection
     (operators/graphstats.label_propagation) on the entity co-occurrence
@@ -1916,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence_triangles": q_kg_cooccurrence_triangles,
         "kg_lpa_communities": q_kg_lpa_communities,
         "kg_bfs_distances": q_kg_bfs_distances,
+        "kg_weighted_distances": q_kg_weighted_distances,
         "kg_owl_property_closure": q_kg_owl_property_closure,
         "kg_serialized_documents": q_kg_serialized_documents,
         "kg_cc_distributed_documents": q_kg_cc_distributed_documents,
@@ -3409,6 +3435,23 @@ def oracle_sql() -> dict[str, str]:
                    max(span_len)::BIGINT AS max_span,
                    sum(span_len)::BIGINT AS total_span
             FROM keep GROUP BY id_a, id_b ORDER BY id_a, id_b
+        """,
+        "kg_weighted_distances": """
+            WITH RECURSIVE ents AS (
+              SELECT DISTINCT (doc_id % 40)::BIGINT AS e FROM documents),
+            edges AS (
+              SELECT e AS src, e + 1 AS dst, (3 + e % 2)::BIGINT AS w
+              FROM ents WHERE e < 39
+              UNION ALL
+              SELECT e, e + 2, (5 + e % 3)::BIGINT
+              FROM ents WHERE e < 38),
+            walk(node, dist) AS (
+              SELECT 0::BIGINT, 0::BIGINT
+              UNION
+              SELECT edges.dst, walk.dist + edges.w
+              FROM walk JOIN edges ON edges.src = walk.node)
+            SELECT node AS entity, min(dist)::BIGINT AS dist
+            FROM walk GROUP BY node ORDER BY entity
         """,
         "doc_gopher_flags": r"""
             WITH planted AS (

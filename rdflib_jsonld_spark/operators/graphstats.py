@@ -245,3 +245,60 @@ def bfs_distances(edges: DataFrame, sources: list,
         dist, frontier = merged, nxt
     e.unpersist()
     return dist
+
+
+def weighted_distances(edges: DataFrame, sources: list,
+                       weight_col: str = "weight",
+                       directed: bool = True,
+                       max_iters: int = 50) -> DataFrame:
+    """Single-source(s) WEIGHTED shortest-path distances → ``(node,
+    dist)`` — the weighted companion of :func:`bfs_distances`.
+
+    Synchronous frontier Bellman-Ford (the Pregel SSSP pattern, public
+    — Malewicz et al. 2010 §5.2): each round relaxes only out-edges of
+    nodes whose distance improved last round (one equi-join + one
+    min-agg), folds improvements into the settled table, and stops when
+    a round improves nothing (≤ longest shortest-path edge count
+    rounds, capped by ``max_iters``). One bounded emptiness probe per
+    round is the only driver action; per-round state is
+    localCheckpoint-ed and unpersisted like the CC/PageRank loops.
+    Non-negative weights converge to exact distances; a negative cycle
+    is bounded by ``max_iters`` (Bellman-Ford semantics on the
+    ≤ max_iters-edge path set).
+    """
+    e = edges.select("src", "dst", F.col(weight_col).alias("w"))
+    if not directed:
+        e = e.unionByName(edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.col(weight_col).alias("w")))
+    e = e.where(F.col("src") != F.col("dst")).persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node"))).distinct())
+    dist = (nodes.where(F.col("node").isin(list(sources)))
+            .select("node", F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for _ in range(max_iters):
+        cand = (frontier.join(e, frontier.node == e.src)
+                .select(F.col("dst").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist"))
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+        improved = (cand.join(dist.select("node",
+                                          F.col("dist").alias("_old")),
+                              "node", "left")
+                    .where(F.col("_old").isNull()
+                           | (F.col("dist") < F.col("_old")))
+                    .select("node", "dist")
+                    .localCheckpoint(eager=True))
+        if improved.limit(1).count() == 0:
+            improved.unpersist()
+            break
+        merged = (dist.unionByName(improved)
+                  .groupBy("node").agg(F.min("dist").alias("dist"))
+                  .localCheckpoint(eager=True))
+        dist.unpersist()
+        if frontier is not dist:
+            frontier.unpersist()
+        dist, frontier = merged, improved
+    e.unpersist()
+    return dist

@@ -240,3 +240,57 @@ class TestBfs:
         edges = [("a", "b"), ("x", "y")]
         got = self._run(spark, edges, ["a"])
         assert got == {"a": 0, "b": 1}
+
+
+class TestWeightedDistances:
+    @staticmethod
+    def ref_dijkstra(edges, sources, directed):
+        import heapq
+        adj = {}
+        for s, d, w in edges:
+            adj.setdefault(s, []).append((d, w))
+            if not directed:
+                adj.setdefault(d, []).append((s, w))
+        dist = {s: 0 for s in sources if s in adj
+                or any(s in (d for d, _ in v) for v in adj.values())}
+        pq = [(0, s) for s in dist]
+        heapq.heapify(pq)
+        while pq:
+            dv, v = heapq.heappop(pq)
+            if dv > dist.get(v, float("inf")):
+                continue
+            for u, w in adj.get(v, ()):
+                nd = dv + w
+                if nd < dist.get(u, float("inf")):
+                    dist[u] = nd
+                    heapq.heappush(pq, (nd, u))
+        return dist
+
+    def _run(self, spark, edges, sources, **kw):
+        from rdflib_jsonld_spark.operators.graphstats import (
+            weighted_distances)
+        df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+        return {r.node: r.dist
+                for r in weighted_distances(df, sources, **kw).collect()}
+
+    def test_matches_dijkstra_random(self, spark):
+        import random
+        rng = random.Random(7)
+        edges = list({(f"n{rng.randint(0, 19)}", f"n{rng.randint(0, 19)}",
+                       rng.randint(1, 9)) for _ in range(50)})
+        edges = [e for e in edges if e[0] != e[1]]
+        for directed in (True, False):
+            got = self._run(spark, edges, ["n0", "n5"], directed=directed)
+            assert got == self.ref_dijkstra(edges, ["n0", "n5"], directed)
+
+    def test_shortcut_beats_hop_count(self, spark):
+        # 3 cheap hops beat 1 expensive edge
+        edges = [("a", "z", 10), ("a", "b", 2), ("b", "c", 2),
+                 ("c", "z", 2)]
+        got = self._run(spark, edges, ["a"])
+        assert got["z"] == 6
+
+    def test_iteration_cap(self, spark):
+        edges = [(f"c{i}", f"c{i + 1}", 1) for i in range(10)]
+        got = self._run(spark, edges, ["c0"], max_iters=4)
+        assert got == {f"c{i}": i for i in range(5)}
