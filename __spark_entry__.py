@@ -1578,6 +1578,58 @@ def q_doc_shared_passages(spark, sf_dir) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
+    """END-TO-END curation funnel: the five individually-oracle-gated
+    stages chained the way a real pre-training pipeline runs them —
+    C4 line heuristics → Gopher document rules → corpus-level
+    duplicate-span drop → per-source cap → mixture sampling — with one
+    planted text construction giving every stage real victims (%3 docs
+    lack terminal lines, %5 docs lack stop words, %4 docs share a
+    200-char block, caps bite at 25/source, mixture rates at the
+    doc_mixture_counts values). The oracle replays the ENTIRE chain in
+    SQL with the same stage fragments; output is the funnel report
+    (stage, surviving doc count)."""
+    from rdflib_jsonld_spark.operators.curation import (
+        c4_quality_flags, cap_per_source, gopher_quality_flags,
+        sample_mixture)
+    from rdflib_jsonld_spark.operators.dedup import corpus_chunk_dedup
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", "source",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("abcdefghij" * 20 + " ")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 != 0, F.lit(
+                "\nThis is a planted terminal sentence number one.\n"
+                "And a second good planted line for keeping!\n"
+                "Plus a third planted line that also qualifies."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 != 0,
+                   F.lit(" and that have with")).otherwise(F.lit("")))
+        .alias("text"))
+    c4 = c4_quality_flags(planted).where("keep").select("doc_id")
+    s1 = planted.join(c4, "doc_id")
+    gop = gopher_quality_flags(s1).where("keep").select("doc_id")
+    s2 = s1.join(gop, "doc_id")
+    dd = corpus_chunk_dedup(s2, chunk_chars=200)
+    s3 = s2.join(dd.where(F.col("n_dropped") == 0).select("doc_id"),
+                 "doc_id")
+    s4 = cap_per_source(s3, cap=25)
+    rates = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25,
+             "src4": 0.0}
+    s5 = sample_mixture(s4, rates, default_rate=0.6)
+    out = None
+    for i, (name, df) in enumerate([
+            ("raw", planted), ("c4", s1), ("gopher", s2),
+            ("dedup", s3), ("cap", s4), ("mixture", s5)]):
+        row = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")) \
+            .select(F.lit(i).cast("long").alias("stage_idx"),
+                    F.lit(name).alias("stage"), "n_docs")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage_idx")
+
+
 def q_doc_mixture_counts(spark, sf_dir) -> DataFrame:
     """Deterministic weighted source mixing (curation.sample_mixture):
     per-source keep-rates applied as a seeded md5 Bernoulli filter; the
@@ -1984,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_flags": q_doc_gopher_flags,
         "doc_source_caps": q_doc_source_caps,
         "doc_corpus_dedup": q_doc_corpus_dedup,
+        "doc_curation_funnel": q_doc_curation_funnel,
         "doc_shared_passages": q_doc_shared_passages,
         "kg_chat_render": q_kg_chat_render,
         "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
@@ -3452,6 +3505,106 @@ def oracle_sql() -> dict[str, str]:
               FROM walk JOIN edges ON edges.src = walk.node)
             SELECT node AS entity, min(dist)::BIGINT AS dist
             FROM walk GROUP BY node ORDER BY entity
+        """,
+        "doc_curation_funnel": r"""
+            WITH planted AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN repeat('abcdefghij', 20) || ' '
+                          ELSE '' END
+                     || text
+                     || CASE WHEN doc_id % 3 <> 0 THEN
+                          chr(10) || 'This is a planted terminal sentence number one.'
+                          || chr(10) || 'And a second good planted line for keeping!'
+                          || chr(10) || 'Plus a third planted line that also qualifies.'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 <> 0 THEN ' and that have with'
+                        ELSE '' END AS t
+              FROM documents),
+            s1 AS (
+              SELECT * FROM planted
+              WHERE len(list_filter(string_split(t, chr(10)),
+                      ln -> regexp_matches(trim(ln), '[.!?"]$')
+                            AND len(list_filter(
+                                  regexp_split_to_array(trim(ln), '\s+'),
+                                  w -> w <> '')) >= 5)) >= 3
+                AND NOT contains(lower(t), 'lorem ipsum')
+                AND NOT contains(t, '{')),
+            g AS (
+              SELECT doc_id, source, t,
+                     list_filter(regexp_split_to_array(t, '\s+'),
+                                 w -> w <> '') AS words,
+                     string_split(t, chr(10)) AS lines,
+                     length(t) - length(replace(t, '#', '')) AS n_hash,
+                     (length(t) - length(replace(t, '...', ''))) / 3
+                         AS n_ell
+              FROM s1),
+            s2 AS (
+              SELECT doc_id, source, t FROM g
+              WHERE len(words) BETWEEN 50 AND 100000
+                AND list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                    / greatest(len(words), 1)::DOUBLE BETWEEN 3.0 AND 10.0
+                AND (n_hash + n_ell)::DOUBLE
+                    / greatest(len(words), 1)::DOUBLE <= 0.1
+                AND len(list_filter(lines, ln ->
+                      regexp_matches(trim(ln), '^[-*•] ')))::DOUBLE
+                    / greatest(len(lines), 1)::DOUBLE <= 0.9
+                AND len(list_filter(lines, ln ->
+                      regexp_matches(trim(ln), '(\.\.\.|…)$')))::DOUBLE
+                    / greatest(len(lines), 1)::DOUBLE <= 0.3
+                AND len(list_filter(words, w ->
+                      regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                    / greatest(len(words), 1)::DOUBLE >= 0.8
+                AND (list_contains(words, 'the')::INT
+                     + list_contains(words, 'be')::INT
+                     + list_contains(words, 'to')::INT
+                     + list_contains(words, 'of')::INT
+                     + list_contains(words, 'and')::INT
+                     + list_contains(words, 'that')::INT
+                     + list_contains(words, 'have')::INT
+                     + list_contains(words, 'with')::INT) >= 2),
+            chunks AS (
+              SELECT doc_id, i AS chunk_idx,
+                     substr(t, i*200 + 1, 200) AS chunk_text
+              FROM s2,
+                   UNNEST(range(0, greatest(1, ceil(length(t) / 200.0))
+                                   ::BIGINT)) AS r(i)),
+            ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY chunk_text
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM chunks),
+            dropdocs AS (SELECT DISTINCT doc_id FROM ranked WHERE rn > 1),
+            s3 AS (SELECT s2.* FROM s2
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dropdocs)),
+            s4 AS (
+              SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY md5(doc_id::varchar || chr(31)
+                                      || 'cap-v1'), doc_id) AS rk
+                FROM s3) WHERE rk <= 25),
+            s5 AS (
+              SELECT doc_id FROM s4
+              WHERE ('0x' || substr(md5(doc_id::varchar || chr(31)
+                                        || 'mix-v1'), 1, 8))::BIGINT
+                    % 1000000
+                    < CASE source
+                        WHEN 'src0' THEN 1000000
+                        WHEN 'src1' THEN 750000
+                        WHEN 'src2' THEN 500000
+                        WHEN 'src3' THEN 250000
+                        WHEN 'src4' THEN 0
+                        ELSE 600000 END)
+            SELECT * FROM (
+              SELECT 0::BIGINT AS stage_idx, 'raw' AS stage,
+                     (SELECT count(*) FROM planted)::BIGINT AS n_docs
+              UNION ALL SELECT 1, 'c4', (SELECT count(*) FROM s1)
+              UNION ALL SELECT 2, 'gopher', (SELECT count(*) FROM s2)
+              UNION ALL SELECT 3, 'dedup', (SELECT count(*) FROM s3)
+              UNION ALL SELECT 4, 'cap', (SELECT count(*) FROM s4)
+              UNION ALL SELECT 5, 'mixture', (SELECT count(*) FROM s5)
+            ) ORDER BY stage_idx
         """,
         "doc_gopher_flags": r"""
             WITH planted AS (
