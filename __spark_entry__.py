@@ -1608,6 +1608,10 @@ def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
             F.when(F.col("doc_id") % 5 != 0,
                    F.lit(" and that have with")).otherwise(F.lit("")))
         .alias("text"))
+    # NOT persisted: all six funnel branches are pure JVM column algebra
+    # (no Python stage — the r02 persist lesson doesn't apply) and a
+    # measured A/B at sf0.1 showed persisting the survivor tables SLOWER
+    # (12.6s vs 10.3s warm: materialization cost > recompute under AQE)
     c4 = c4_quality_flags(planted).where("keep").select("doc_id")
     s1 = planted.join(c4, "doc_id")
     gop = gopher_quality_flags(s1).where("keep").select("doc_id")

@@ -182,6 +182,14 @@ def main() -> None:
     timed("emb_kmeans",
           lambda: em.q_emb_kmeans_sizes(spark, sf_dir).collect())
 
+    # late-r03 curation wave (trailing): stride-1 exact-substring islands
+    # over every document pair, and the five-stage curation funnel
+    # (C4 → Gopher → corpus-dedup → cap → mixture)
+    timed("shared_passages",
+          lambda: em.q_doc_shared_passages(spark, sf_dir).collect())
+    timed("curation_funnel",
+          lambda: em.q_doc_curation_funnel(spark, sf_dir).collect())
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kg_pipeline_e2e_plus_operator_suite",
