@@ -1578,6 +1578,35 @@ def q_doc_shared_passages(spark, sf_dir) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_doc_exactsubstr_dedup(spark, sf_dir) -> DataFrame:
+    """ExactSubstr rewrite (dedup.drop_shared_passages): same planting
+    as doc_shared_passages; every ≥40-char shared span is excised from
+    all but its first-occurrence document. The oracle replays the whole
+    chain in SQL — span islands on the window TEXT, interval merge via
+    the cumulative-max trick, excision as lag-window segment
+    reassembly — and compares rewritten lengths + md5 checksums."""
+    from rdflib_jsonld_spark.operators.dedup import drop_shared_passages
+    docs = _t(spark, sf_dir, "documents")
+    pid = F.floor(F.col("doc_id") / 10).cast("long").cast("string")
+    planted = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 10 <= 1,
+                        F.concat(F.lit(" planted shared passage "), pid,
+                                 F.lit(" marker block pad end")))
+                 .otherwise(F.lit(""))))
+    out = drop_shared_passages(planted, k=25, min_span=40)
+    chk = F.conv(F.substring(F.md5("text_deduped"), 1, 8), 16, 10) \
+        .cast("long")
+    joined = out.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_cut_spans").cast("long").alias("sum_cut_spans"),
+        F.sum("n_cut_chars").cast("long").alias("sum_cut_chars"),
+        F.sum(F.length("text_deduped")).cast("long").alias("sum_chars"),
+        F.sum(chk).cast("long").alias("text_checksum")).orderBy("source")
+
+
 def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
     """END-TO-END curation funnel: the five individually-oracle-gated
     stages chained the way a real pre-training pipeline runs them —
@@ -2042,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_dedup": q_doc_corpus_dedup,
         "doc_curation_funnel": q_doc_curation_funnel,
         "doc_shared_passages": q_doc_shared_passages,
+        "doc_exactsubstr_dedup": q_doc_exactsubstr_dedup,
         "kg_chat_render": q_kg_chat_render,
         "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
         "kg_ifp_sameas": q_kg_ifp_sameas,
@@ -3609,6 +3639,99 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 4, 'cap', (SELECT count(*) FROM s4)
               UNION ALL SELECT 5, 'mixture', (SELECT count(*) FROM s5)
             ) ORDER BY stage_idx
+        """,
+        "doc_exactsubstr_dedup": r"""
+            WITH planted AS (
+              SELECT doc_id, source,
+                     text || CASE WHEN doc_id % 10 <= 1 THEN
+                         ' planted shared passage '
+                         || (doc_id // 10)::VARCHAR
+                         || ' marker block pad end'
+                       ELSE '' END AS raw
+              FROM documents),
+            norm AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(lower(raw), '\s+', ' ', 'g')) AS t
+              FROM planted),
+            padded AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) < 25 THEN rpad(t, 25, '_')
+                          ELSE t END AS t
+              FROM norm),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, substr(t, i, 25) AS g
+              FROM padded,
+                   UNNEST(range(1, length(t) - 25 + 2)) AS r(i)),
+            ok AS (
+              SELECT * FROM grams
+              WHERE g IN (SELECT g FROM grams
+                          GROUP BY g HAVING count(*) <= 1000)),
+            m AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.pos AS pos_a, a.pos - b.pos AS delta
+              FROM ok a JOIN ok b ON a.g = b.g AND a.doc_id < b.doc_id),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY id_a, id_b, delta
+                                           ORDER BY pos_a) AS rn
+              FROM m),
+            iv AS (
+              SELECT id_b AS doc_id,
+                     min(pos_a) - delta AS s,
+                     min(pos_a) - delta + count(*) + 24 AS e
+              FROM r GROUP BY id_a, id_b, delta, pos_a - rn
+              HAVING count(*) + 24 >= 40),
+            pm AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pmax
+              FROM iv),
+            isl AS (
+              SELECT doc_id, s, e,
+                     sum(CASE WHEN s > coalesce(pmax, -1) THEN 1
+                         ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS grp
+              FROM pm),
+            mrg AS (
+              SELECT doc_id, min(s) AS s, max(e) AS e
+              FROM isl GROUP BY doc_id, grp),
+            segs AS (
+              SELECT mrg.doc_id, s AS ord,
+                     substr(t, coalesce(lag(e) OVER (PARTITION BY mrg.doc_id
+                                                     ORDER BY s), 0) + 1,
+                            s - coalesce(lag(e) OVER (PARTITION BY mrg.doc_id
+                                                      ORDER BY s), 0)) AS seg
+              FROM mrg JOIN norm ON norm.doc_id = mrg.doc_id
+              UNION ALL
+              SELECT mx.doc_id, 1099511627776 AS ord,
+                     substr(t, mx.e_max + 1, length(t) - mx.e_max)
+              FROM (SELECT doc_id, max(e) AS e_max
+                    FROM mrg GROUP BY doc_id) mx
+              JOIN norm ON norm.doc_id = mx.doc_id),
+            cuts AS (
+              SELECT doc_id, count(*) AS n_spans, sum(e - s) AS n_chars
+              FROM mrg GROUP BY doc_id),
+            rebuilt AS (
+              SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS txt
+              FROM segs GROUP BY doc_id),
+            final AS (
+              SELECT norm.doc_id, norm.source,
+                     coalesce(rebuilt.txt, norm.t) AS txt,
+                     coalesce(cuts.n_spans, 0) AS n_spans,
+                     coalesce(cuts.n_chars, 0) AS n_chars
+              FROM norm
+              LEFT JOIN rebuilt ON rebuilt.doc_id = norm.doc_id
+              LEFT JOIN cuts ON cuts.doc_id = norm.doc_id)
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_spans)::BIGINT AS sum_cut_spans,
+                   sum(n_chars)::BIGINT AS sum_cut_chars,
+                   sum(length(txt))::BIGINT AS sum_chars,
+                   sum(('0x' || substr(md5(txt), 1, 8))::BIGINT)::BIGINT
+                       AS text_checksum
+            FROM final GROUP BY source ORDER BY source
         """,
         "doc_gopher_flags": r"""
             WITH planted AS (

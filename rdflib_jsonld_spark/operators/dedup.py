@@ -794,3 +794,74 @@ def shared_passages(docs: DataFrame, k: int = 25, min_span: int = 0,
     if min_span > k:
         spans = spans.filter(F.col("span_len") >= min_span)
     return spans
+
+
+def drop_shared_passages(docs: DataFrame, k: int = 25, min_span: int = 40,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         df_cap: int = 1000) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022 §3.2, public
+    methodology): every maximal shared passage of ≥ ``min_span``
+    normalized chars (:func:`shared_passages`) is EXCISED from each
+    document except its first corpus occurrence (the lowest id never
+    appears as ``id_b`` of a span pair, so it keeps the text).
+
+    Returns ``(id, text_deduped, n_cut_spans, n_cut_chars)`` — one row
+    per input document; ``text_deduped`` is the document's NORMALIZED
+    text (lowercase, whitespace collapsed — the space the span
+    positions live in) with the merged cut intervals removed.
+
+    All post-span work is JVM column algebra: interval merging is the
+    cumulative-max islands trick under a per-doc window (pairs are
+    fine-grained keys), and excision is one ``F.aggregate`` over the
+    sorted interval array — no Python in the rewrite path. Scale
+    posture follows shared_passages (banded hash join, ``df_cap``
+    stop-gram guard); the rewrite side shuffles only (id, intervals) +
+    one text pass.
+    """
+    from pyspark.sql import Window
+
+    spans = shared_passages(docs, k=k, min_span=min_span, id_col=id_col,
+                            text_col=text_col, df_cap=df_cap)
+    iv = spans.select(F.col("id_b").alias(id_col),
+                      F.col("start_b").alias("s"),
+                      (F.col("start_b") + F.col("span_len")).alias("e"))
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    iv = iv.withColumn(
+        "_isl",
+        F.sum(F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1)
+              .otherwise(0)).over(w))
+    merged = (iv.groupBy(id_col, "_isl")
+              .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    ivals = merged.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_iv"))
+    norm = docs.select(
+        id_col,
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        .alias("_t"))
+    t = F.col("_t")
+    joined = norm.join(ivals, id_col, "left").withColumn(
+        "_iv", F.coalesce("_iv", F.array()))
+    acc0 = F.struct(F.lit(0).cast("long").alias("pos"),
+                    F.lit("").alias("acc"))
+    out = joined.select(
+        id_col,
+        F.aggregate(
+            "_iv", acc0,
+            lambda a, x: F.struct(
+                x["e"].alias("pos"),
+                F.concat(a["acc"],
+                         t.substr((a["pos"] + 1).cast("int"),
+                                  (x["s"] - a["pos"]).cast("int")))
+                .alias("acc")),
+            lambda a: F.concat(
+                a["acc"],
+                t.substr((a["pos"] + 1).cast("int"),
+                         (F.length(t) - a["pos"]).cast("int"))))
+        .alias("text_deduped"),
+        F.size("_iv").cast("long").alias("n_cut_spans"),
+        F.aggregate("_iv", F.lit(0).cast("long"),
+                    lambda a, x: a + (x["e"] - x["s"]))
+        .alias("n_cut_chars"))
+    return out

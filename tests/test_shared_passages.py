@@ -79,3 +79,54 @@ def test_partitioning_independent(spark):
     b = sorted(map(tuple,
                    shared_passages(docs.repartition(5), k=10).collect()))
     assert a == b
+
+
+class TestDropSharedPassages:
+    def _run(self, spark, texts, **kw):
+        from rdflib_jsonld_spark.operators.dedup import drop_shared_passages
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        return {r["doc_id"]: r.asDict()
+                for r in drop_shared_passages(docs, **kw).collect()}
+
+    def test_later_occurrence_excised(self, spark):
+        # flanks share no k-gram, so the span is exactly the passage
+        shared = "this exact duplicated passage block is long enough"
+        a = "aaa " + shared + " 1111111111"
+        b = "bbbbbb " + shared + " 2222222222"
+        got = self._run(spark, [a, b], k=10, min_span=20)
+        assert got[0]["text_deduped"] == a  # first occurrence intact
+        assert shared not in got[1]["text_deduped"]
+        assert got[1]["n_cut_spans"] == 1
+        assert got[1]["text_deduped"].startswith("bbbbbb")
+        assert got[1]["text_deduped"].endswith("2222222222")
+        # the cut is the maximal shared run incl. the flanking spaces
+        assert got[1]["n_cut_chars"] == len(shared) + 2
+
+    def test_no_duplicates_identity(self, spark):
+        texts = ["completely unique first document text",
+                 "another document with different words"]
+        got = self._run(spark, texts, k=10, min_span=20)
+        for i, t in enumerate(texts):
+            assert got[i]["text_deduped"] == t
+            assert got[i]["n_cut_spans"] == 0
+            assert got[i]["n_cut_chars"] == 0
+
+    def test_overlapping_spans_merge(self, spark):
+        # doc2 shares one long run with doc0 and an overlapping run with
+        # doc1 → its cut intervals overlap and must merge into one
+        core = "alpha beta gamma delta epsilon zeta eta theta"
+        a = "xx " + core[:30] + " 11111111"
+        b = "yy " + core[10:] + " 22222222"
+        c = "zz " + core + " 33333333"
+        got = self._run(spark, [a, b, c], k=10, min_span=15)
+        assert core not in got[2]["text_deduped"]
+        assert got[2]["text_deduped"].startswith("zz")
+        assert got[2]["text_deduped"].endswith("33333333")
+
+    def test_short_spans_survive(self, spark):
+        a = "shared bit here plus aaaaaaaaaaaaaaaaaaaaa"
+        b = "shared bit here plus bbbbbbbbbbbbbbbbbbbbb"
+        got = self._run(spark, [a, b], k=10, min_span=40)
+        # the shared prefix is 21 chars < 40 → untouched
+        assert got[1]["text_deduped"] == b
