@@ -1607,6 +1607,17 @@ def q_doc_exactsubstr_dedup(spark, sf_dir) -> DataFrame:
         F.sum(chk).cast("long").alias("text_checksum")).orderBy("source")
 
 
+def q_doc_lm_scores(spark, sf_dir) -> DataFrame:
+    """CCNet-style bigram-LM quality scores (classify.bigram_lm_scores,
+    self-trained on the corpus): the oracle rebuilds the identical
+    Laplace-smoothed bigram model and per-document average log₂
+    probability in SQL — per-doc scores exact at 6 decimals (the BM25
+    float convention)."""
+    from rdflib_jsonld_spark.operators.classify import bigram_lm_scores
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
 def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
     """END-TO-END curation funnel: the five individually-oracle-gated
     stages chained the way a real pre-training pipeline runs them —
@@ -2072,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation_funnel": q_doc_curation_funnel,
         "doc_shared_passages": q_doc_shared_passages,
         "doc_exactsubstr_dedup": q_doc_exactsubstr_dedup,
+        "doc_lm_scores": q_doc_lm_scores,
         "kg_chat_render": q_kg_chat_render,
         "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
         "kg_ifp_sameas": q_kg_ifp_sameas,
@@ -3732,6 +3744,33 @@ def oracle_sql() -> dict[str, str]:
                    sum(('0x' || substr(md5(txt), 1, 8))::BIGINT)::BIGINT
                        AS text_checksum
             FROM final GROUP BY source ORDER BY source
+        """,
+        "doc_lm_scores": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            uni_stream AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+            uni AS (SELECT w, count(*) AS c1 FROM uni_stream GROUP BY w),
+            v AS (SELECT count(*) AS v FROM uni),
+            bg_stream AS (
+              SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+              FROM toks,
+                   UNNEST(range(0, greatest(len(ws) - 1, 0))) AS r(i)),
+            big AS (SELECT w1, w2, count(*) AS c12
+                    FROM bg_stream GROUP BY w1, w2),
+            scored AS (
+              SELECT s.doc_id,
+                     ln((c12 + 1.0) / (c1 + 1.0 * v.v)) / ln(2.0) AS lp
+              FROM bg_stream s
+              JOIN big USING (w1, w2)
+              JOIN uni ON uni.w = s.w1, v)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   round(avg(lp), 6) AS avg_logp
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "doc_gopher_flags": r"""
             WITH planted AS (

@@ -67,3 +67,68 @@ def linear_text_classifier(docs: DataFrame, weights: dict[int, float],
     out = toked.withColumn(score_col, score).drop("_clf_toks")
     return out.withColumn("clf_label",
                           F.col(score_col) >= F.lit(float(threshold)))
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_scores(docs: DataFrame, train_docs: DataFrame | None = None,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     alpha: float = 1.0) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring (Wenzek et al.
+    2020 §3.3, public methodology — there a KenLM 5-gram; here the
+    distributed bigram analogue): train Laplace-smoothed bigram
+    probabilities on ``train_docs`` (default: the corpus itself) and
+    score every document by its average log₂ bigram probability —
+    higher (less negative) = more typical of the training corpus, the
+    signal CCNet buckets into head/middle/tail quality tiers.
+
+    Returns ``(id, n_bigrams, avg_logp)`` — one row per document with
+    at least one bigram; ``avg_logp`` is rounded to 6 decimals (the
+    BM25-oracle float convention).
+
+    Scale posture: token/bigram count tables are additive hash
+    aggregations (map-side partial combine); scoring is two equi-joins
+    of the document bigram stream against them — head-word skew is
+    AQE's skew-join case; nothing collects but the vocabulary SIZE
+    (one bounded count). P(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁) + α·V)
+    with V = distinct training unigrams.
+    """
+    train = train_docs if train_docs is not None else docs
+
+    def _toks(df):
+        return df.select(
+            F.col(id_col),
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda w: w != "").alias("ws"))
+
+    def _bigrams(tok_df):
+        # NB: F.sequence(0, -1) DESCENDS in Spark — a <2-token doc must
+        # yield an empty array, not a bogus [0, -1] index pair
+        pairs = F.when(
+            F.size("ws") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(F.col("ws")[i].alias("w1"),
+                                   F.col("ws")[i + 1].alias("w2")))) \
+            .otherwise(F.array())
+        return tok_df.select(id_col, F.explode(pairs).alias("bg")) \
+            .select(id_col, "bg.w1", "bg.w2")
+
+    train_toks = _toks(train)
+    uni = (train_toks.select(F.explode("ws").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c1")))
+    big = (_bigrams(train_toks).groupBy("w1", "w2")
+           .agg(F.count("*").alias("c12")))
+    v = uni.count()  # bounded: the vocabulary size
+    stream = _bigrams(_toks(docs))
+    lp = (F.log((F.coalesce("c12", F.lit(0)) + F.lit(alpha))
+                / (F.coalesce("c1", F.lit(0)) + F.lit(alpha * v)))
+          / F.log(F.lit(2.0)))
+    return (stream.join(big, ["w1", "w2"], "left")
+            .join(uni, stream.w1 == uni.w, "left")
+            .select(id_col, lp.alias("lp"))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.round(F.avg("lp"), 6).alias("avg_logp")))

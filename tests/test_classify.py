@@ -70,3 +70,65 @@ class TestClassifier:
         plan = linear_text_classifier(df, WEIGHTS) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestBigramLM:
+    @staticmethod
+    def ref_scores(texts, alpha=1.0):
+        import math
+        from collections import Counter
+        toks = {i: t.lower().split() for i, t in enumerate(texts)}
+        uni, big = Counter(), Counter()
+        for ws in toks.values():
+            uni.update(ws)
+            big.update(zip(ws, ws[1:]))
+        v = len(uni)
+        out = {}
+        for i, ws in toks.items():
+            lps = [math.log2((big[(a, b)] + alpha) / (uni[a] + alpha * v))
+                   for a, b in zip(ws, ws[1:])]
+            if lps:
+                out[i] = (len(lps), round(sum(lps) / len(lps), 6))
+        return out
+
+    def _run(self, spark, texts, **kw):
+        from pyspark.sql import Row
+        from rdflib_jsonld_spark.operators.classify import bigram_lm_scores
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+        return {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+                for r in bigram_lm_scores(docs, **kw).collect()}
+
+    def test_matches_reference(self, spark):
+        texts = ["the cat sat on the mat",
+                 "the dog sat on the log",
+                 "a completely different sentence here",
+                 "the cat sat on the mat again and again"]
+        got = self._run(spark, texts)
+        ref = self.ref_scores(texts)
+        assert set(got) == set(ref)
+        for i in got:
+            assert got[i][0] == ref[i][0]
+            assert abs(got[i][1] - ref[i][1]) < 1e-6, (i, got[i], ref[i])
+
+    def test_typical_scores_higher_than_rare(self, spark):
+        texts = ["the cat sat on the mat"] * 5 + ["zz qq xx vv ww yy"]
+        got = self._run(spark, texts)
+        assert got[0][1] > got[5][1]
+
+    def test_single_token_doc_absent(self, spark):
+        got = self._run(spark, ["word", "two words here"])
+        assert 0 not in got and 1 in got
+
+    def test_separate_train_corpus(self, spark):
+        from pyspark.sql import Row
+        from rdflib_jsonld_spark.operators.classify import bigram_lm_scores
+        train = spark.createDataFrame(
+            [Row(doc_id=i, text="the cat sat on the mat")
+             for i in range(3)])
+        score = spark.createDataFrame(
+            [Row(doc_id=0, text="the cat sat"),
+             Row(doc_id=1, text="qq zz vv")])
+        got = {r["doc_id"]: r["avg_logp"]
+               for r in bigram_lm_scores(score, train_docs=train).collect()}
+        assert got[0] > got[1]
