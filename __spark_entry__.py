@@ -1618,6 +1618,56 @@ def q_doc_lm_scores(spark, sf_dir) -> DataFrame:
     return bigram_lm_scores(docs).orderBy("doc_id")
 
 
+def q_doc_bpe_merges(spark, sf_dir) -> DataFrame:
+    """Distributed BPE vocabulary learning (bpe.learn_bpe_merges): the
+    first 8 merges learned from the corpus word frequencies. The oracle
+    unrolls the same recurrence round by round in SQL (pair counts →
+    (count DESC, pair ASC) argmax → greedy fold merge via list_reduce
+    over separator-joined symbols) — merge table value-exact."""
+    from rdflib_jsonld_spark.operators.bpe import learn_bpe_merges
+    docs = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=8).orderBy("step")
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled n-round BPE recurrence in DuckDB SQL. Symbols are
+    chr(31)-joined (corpus words are alnum); a merge appends WITHOUT
+    the separator, so the fold needs no list accumulator."""
+    sql = ["""WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                      '\\s+'),
+                                w -> w <> '')) AS w
+      FROM documents),
+    words0 AS (
+      SELECT w, count(*)::BIGINT AS cnt,
+             array_to_string(string_split(w, ''), chr(31)) AS sym
+      FROM toks GROUP BY w)"""]
+    for r in range(n_merges):
+        sql.append(f""",
+    pairs{r} AS (
+      SELECT s[i + 1] AS a, s[i + 2] AS b, sum(cnt)::BIGINT AS total
+      FROM (SELECT cnt, string_split(sym, chr(31)) AS s FROM words{r}),
+           UNNEST(range(0, greatest(len(s) - 1, 0))) AS rr(i)
+      GROUP BY a, b),
+    top{r} AS (
+      SELECT a, b, total FROM pairs{r}
+      ORDER BY total DESC, a, b LIMIT 1),
+    words{r + 1} AS (
+      SELECT w, cnt,
+             list_reduce(string_split(sym, chr(31)),
+               (acc, x) -> CASE WHEN string_split(acc, chr(31))[-1] = t.a
+                                     AND x = t.b
+                                THEN acc || x
+                                ELSE acc || chr(31) || x END) AS sym
+      FROM words{r}, top{r} t)""")
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS step, a AS lhs, b AS rhs, "
+        f"a || b AS merged, total AS pair_count FROM top{r}"
+        for r in range(n_merges))
+    sql.append(f"\n    SELECT * FROM (\n      {rows}\n    ) ORDER BY step")
+    return "".join(sql)
+
+
 def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
     """END-TO-END curation funnel: the five individually-oracle-gated
     stages chained the way a real pre-training pipeline runs them —
@@ -2084,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shared_passages": q_doc_shared_passages,
         "doc_exactsubstr_dedup": q_doc_exactsubstr_dedup,
         "doc_lm_scores": q_doc_lm_scores,
+        "doc_bpe_merges": q_doc_bpe_merges,
         "kg_chat_render": q_kg_chat_render,
         "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
         "kg_ifp_sameas": q_kg_ifp_sameas,
@@ -3772,6 +3823,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(lp), 6) AS avg_logp
             FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
+        "doc_bpe_merges": _bpe_oracle_sql(8),
         "doc_gopher_flags": r"""
             WITH planted AS (
               SELECT doc_id, source,
