@@ -1629,6 +1629,24 @@ def q_doc_bpe_merges(spark, sf_dir) -> DataFrame:
     return learn_bpe_merges(docs, n_merges=8).orderBy("step")
 
 
+def q_doc_bpe_segments(spark, sf_dir) -> DataFrame:
+    """BPE application (bpe.segment_words): the corpus vocabulary
+    segmented with the 8 merges learned by learn_bpe_merges — the
+    tokenizer-application face of the pair. Oracle = the same unrolled
+    SQL recurrence's FINAL word table; pieces compared as a '|'-joined
+    string, counts and piece counts exact."""
+    from rdflib_jsonld_spark.operators.bpe import (learn_bpe_merges,
+                                                   segment_words)
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["lhs"], r["rhs"])
+              for r in learn_bpe_merges(docs, n_merges=8).collect()]
+    seg = segment_words(docs, merges)
+    return seg.select(
+        "w", F.col("cnt").cast("long").alias("cnt"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.array_join("pieces", "|").alias("pieces_str")).orderBy("w")
+
+
 def _bpe_oracle_sql(n_merges: int) -> str:
     """Unrolled n-round BPE recurrence in DuckDB SQL. Symbols are
     chr(31)-joined (corpus words are alnum); a merge appends WITHOUT
@@ -1666,6 +1684,18 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         for r in range(n_merges))
     sql.append(f"\n    SELECT * FROM (\n      {rows}\n    ) ORDER BY step")
     return "".join(sql)
+
+
+def _bpe_segments_oracle_sql(n_merges: int) -> str:
+    """Same unrolled recurrence, but the final SELECT reads the LAST
+    word table — the segmentation after all merges."""
+    chain = _bpe_oracle_sql(n_merges)
+    cut = chain.rindex("\n    SELECT * FROM (")
+    return chain[:cut] + f"""
+    SELECT w, cnt,
+           len(string_split(sym, chr(31)))::BIGINT AS n_pieces,
+           replace(sym, chr(31), '|') AS pieces_str
+    FROM words{n_merges} ORDER BY w"""
 
 
 def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
@@ -2135,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exactsubstr_dedup": q_doc_exactsubstr_dedup,
         "doc_lm_scores": q_doc_lm_scores,
         "doc_bpe_merges": q_doc_bpe_merges,
+        "doc_bpe_segments": q_doc_bpe_segments,
         "kg_chat_render": q_kg_chat_render,
         "kg_r2rml_customer_quads": q_kg_r2rml_customer_quads,
         "kg_ifp_sameas": q_kg_ifp_sameas,
@@ -3824,6 +3855,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "doc_bpe_merges": _bpe_oracle_sql(8),
+        "doc_bpe_segments": _bpe_segments_oracle_sql(8),
         "doc_gopher_flags": r"""
             WITH planted AS (
               SELECT doc_id, source,
