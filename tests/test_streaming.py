@@ -246,3 +246,50 @@ def test_stream_stream_watermarked_join(spark, tmp_path):
                             ["conv_id", "turn_idx"])
                       .select("conv_id", "turn_idx", "score").collect()))
     assert got == want and got
+
+
+def test_stream_curation_filters_match_batch(spark, tmp_path):
+    """The stateless curation stages (C4 + Gopher flags, mixture
+    sampling) compose onto readStream unchanged — streaming output over
+    the same files equals the batch run (narrow projections have no
+    state, so parity is exact)."""
+    from rdflib_jsonld_spark.operators.curation import (
+        c4_quality_flags, gopher_quality_flags, sample_mixture)
+
+    inp = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    rows = []
+    for i in range(60):
+        text = "the quick brown fox jumps over and that have with " \
+               "more filler words to clear the minimum " + ("w%d " % i) * 45
+        if i % 3 == 0:
+            text += "\nGood terminal planted line number one here.\n" \
+                    "And a second good planted line for keeping!\n" \
+                    "Plus a third planted line that also qualifies."
+        rows.append((i, "src%d" % (i % 4), text))
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]) \
+        .write.parquet(inp)
+
+    docs = spark.read.parquet(inp)
+
+    def curate(df):
+        keep_c4 = c4_quality_flags(df).where("keep").select("doc_id")
+        s1 = df.join(keep_c4, "doc_id")
+        keep_g = gopher_quality_flags(s1, min_words=40).where("keep") \
+            .select("doc_id")
+        s2 = s1.join(keep_g, "doc_id")
+        return sample_mixture(s2, {"src0": 1.0, "src1": 0.5},
+                              default_rate=0.8)
+
+    # streaming joins against a STATIC side need the static side from a
+    # batch read; flags-as-filter composes as a stream-static semi-join
+    stream = (spark.readStream.schema(docs.schema).parquet(inp))
+    q = (curate(stream).writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"] for r in curate(docs).collect()}
+    assert got == want and len(want) > 0
