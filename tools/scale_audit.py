@@ -144,6 +144,25 @@ Why each stage survives 1000×:
   on read (documented non-splittable grammar), partition count on
   write; bnode labels are file-scoped (D11), so re-reads are
   deterministic.
+- **Substring-level dedup shuffles hashes, never text**: corpus-window
+  dedup groups xxhash64 window keys (8 B) with min(struct(doc,idx))
+  first-occurrence selection — an agg + join, NO window function, so a
+  viral duplicate span never funnels one reducer; shared-passage
+  extraction ships (id, pos, hash) triples (16 B/position) through a
+  df-capped banded equi-join, and the island merge windows partition
+  on (pair, delta) — inherently fine-grained keys. The ExactSubstr
+  rewrite moves only (id, interval) pairs plus one text pass
+  (F.aggregate excision, no Python).
+- **Vocabulary learning decouples from corpus size**: BPE rounds run
+  on the distinct-word table (Heaps' law: ~10⁶-10⁸ rows at 10^12
+  turns, regardless of input bytes) — one hash agg + one bounded
+  1-row argmax per round; the bigram-LM scorer's count tables are
+  additive hash aggs (map-side combine) and scoring joins on token
+  keys where head-word skew is AQE's skew-join case.
+- **The curation funnel is all-JVM column algebra**: a measured A/B
+  rejected persisting its survivor tables (AQE exchange reuse beats
+  materialization when no Python stage is in the chain — the persist
+  lesson is specifically about mapInPandas recompute).
 
 Raw audit JSON: `python tools/scale_audit.py` regenerates this file.
 """
