@@ -1698,6 +1698,15 @@ def _bpe_segments_oracle_sql(n_merges: int) -> str:
     FROM words{n_merges} ORDER BY w"""
 
 
+def q_events_cohort_retention(spark, sf_dir) -> DataFrame:
+    """Cohort retention (temporal.cohort_retention, hourly cohorts,
+    horizons 0-3): the oracle repeats the distinct-activity → min-cohort
+    → self-join rollup in SQL; counts exact."""
+    from rdflib_jsonld_spark.operators.temporal import cohort_retention
+    events = _t(spark, sf_dir, "events")
+    return cohort_retention(events, horizons=3, unit_seconds=3600)
+
+
 def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
     """END-TO-END curation funnel: the five individually-oracle-gated
     stages chained the way a real pre-training pipeline runs them —
@@ -2139,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_sliding_windows": q_events_sliding_windows,
         "events_session_windows": q_events_session_windows,
+        "events_cohort_retention": q_events_cohort_retention,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling_value_sum": q_events_rolling_value_sum,
         "events_asof_attribution": q_events_asof_attribution,
@@ -3856,6 +3866,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_bpe_merges": _bpe_oracle_sql(8),
         "doc_bpe_segments": _bpe_segments_oracle_sql(8),
+        "events_cohort_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u,
+                     floor(epoch(ts) / 3600)::BIGINT AS p
+              FROM events),
+            coh AS (SELECT u, min(p) AS cohort_period FROM act GROUP BY u)
+            SELECT cohort_period, (p - cohort_period)::BIGINT AS horizon,
+                   count(*)::BIGINT AS n_users
+            FROM act JOIN coh USING (u)
+            WHERE p - cohort_period <= 3
+            GROUP BY cohort_period, horizon
+            ORDER BY cohort_period, horizon
+        """,
         "doc_gopher_flags": r"""
             WITH planted AS (
               SELECT doc_id, source,

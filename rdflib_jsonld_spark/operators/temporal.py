@@ -133,3 +133,34 @@ def funnel_counts(events: DataFrame, steps: list[str],
                     F.lit(step).alias("step"), "n_users")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cohort_retention(events: DataFrame, horizons: int = 3,
+                     unit_seconds: int = 3600,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Cohort-retention analysis (the classic product-analytics rollup):
+    users cohort by their FIRST active period (``unit_seconds`` buckets
+    of the epoch); retention at horizon h = distinct cohort users also
+    active in period ``cohort + h``, for h = 0..``horizons``.
+
+    Returns ``(cohort_period, horizon, n_users)`` in long format (h=0
+    row = the cohort size).
+
+    Plan: activity collapses to distinct (user, period) FIRST — all
+    later joins move 16-byte pairs, never events; cohorts are one
+    min-agg on the user key; retention is one self-join on user + one
+    count agg. Every shuffle keys on user_id/period — high-cardinality,
+    AQE-friendly. ``ts`` is cast to session-TZ timestamp before epoch
+    math (parquet TIMESTAMP_NTZ, the r02 gotcha).
+    """
+    per = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                  / F.lit(int(unit_seconds) * 1_000_000)).alias("p")
+    act = events.select(F.col(user_col).alias("u"), per).distinct()
+    coh = act.groupBy("u").agg(F.min("p").alias("cohort_period"))
+    return (act.join(coh, "u")
+            .withColumn("horizon", F.col("p") - F.col("cohort_period"))
+            .where(F.col("horizon") <= horizons)
+            .groupBy("cohort_period", "horizon")
+            .agg(F.count("*").cast("long").alias("n_users"))
+            .orderBy("cohort_period", "horizon"))

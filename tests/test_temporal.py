@@ -127,3 +127,31 @@ class TestFunnel:
         import pytest as _pt
         with _pt.raises(ValueError):
             funnel_counts(self._events(spark), [])
+
+
+def test_cohort_retention_basic(spark):
+    import datetime as dt
+    from rdflib_jsonld_spark.operators.temporal import cohort_retention
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: first hour 0, returns hour 1 and 3
+        (1, base), (1, base + dt.timedelta(hours=1)),
+        (1, base + dt.timedelta(hours=3)),
+        # user 2: first hour 0 only
+        (2, base + dt.timedelta(minutes=30)),
+        # user 3: first hour 1, returns hour 2
+        (3, base + dt.timedelta(hours=1)),
+        (3, base + dt.timedelta(hours=2, minutes=59)),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r["horizon"], r["n_users"] if True else 0, r["cohort_period"])
+           for r in cohort_retention(events, horizons=3).collect()}
+    periods = sorted({p for (_, _, p) in got})
+    p0, p1 = periods[0], periods[0] + 1
+    as_map = {(p - p0, h): n for (h, n, p) in got}
+    assert as_map[(0, 0)] == 2   # cohort hour 0: users 1,2
+    assert as_map[(0, 1)] == 1   # user 1 back at +1h
+    assert as_map[(0, 3)] == 1   # user 1 back at +3h
+    assert (0, 2) not in as_map  # nobody from cohort 0 at +2h
+    assert as_map[(1, 0)] == 1   # cohort hour 1: user 3
+    assert as_map[(1, 1)] == 1   # user 3 back at +1h
