@@ -1707,6 +1707,17 @@ def q_events_cohort_retention(spark, sf_dir) -> DataFrame:
     return cohort_retention(events, horizons=3, unit_seconds=3600)
 
 
+def q_emb_quantization(spark, sf_dir) -> DataFrame:
+    """Per-vector affine int8 quantization
+    (similarity.quantize_embeddings): the oracle computes the identical
+    codes in SQL (floor(x+0.5) half-up spelled out, double-cast floats)
+    — integer code sums exact, error stats exact at 6 decimals."""
+    from rdflib_jsonld_spark.operators.similarity import (
+        quantize_embeddings)
+    embs = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(embs).orderBy("vec_id")
+
+
 def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
     """END-TO-END curation funnel: the five individually-oracle-gated
     stages chained the way a real pre-training pipeline runs them —
@@ -2200,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_kmeans_sizes": q_emb_kmeans_sizes,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_quantization": q_emb_quantization,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -3878,6 +3890,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE p - cohort_period <= 3
             GROUP BY cohort_period, horizon
             ORDER BY cohort_period, horizon
+        """,
+        "emb_quantization": """
+            WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings),
+            m AS (
+              SELECT vec_id, e,
+                     list_aggregate(e, 'min')::DOUBLE AS mn,
+                     list_aggregate(e, 'max')::DOUBLE AS mx
+              FROM v),
+            s AS (
+              SELECT vec_id, e, mn,
+                     CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                          ELSE 1.0 END AS scale
+              FROM m),
+            c AS (
+              SELECT vec_id, e, mn, scale,
+                     list_transform(e, x ->
+                       least(floor((x - mn) / scale + 0.5)::BIGINT,
+                             255)) AS codes
+              FROM s),
+            d AS (
+              SELECT vec_id, e, mn, scale, codes,
+                     list_transform(codes, cc ->
+                       mn + cc::DOUBLE * scale) AS deq
+              FROM c),
+            err AS (
+              SELECT vec_id, mn, scale, codes,
+                     list_transform(range(1, len(e) + 1), i ->
+                       abs(e[i] - deq[i])) AS ae,
+                     len(e) AS n
+              FROM d)
+            SELECT vec_id,
+                   n::BIGINT AS n_dims,
+                   list_sum(codes)::BIGINT AS sum_codes,
+                   list_aggregate(codes, 'max')::BIGINT AS max_code,
+                   round(scale, 6) AS scale,
+                   round(mn, 6) AS zero_point,
+                   round(list_aggregate(ae, 'max')::DOUBLE, 6)
+                       AS max_abs_err,
+                   round(list_sum(list_transform(ae, x -> x * x))::DOUBLE
+                         / n, 6) AS mse
+            FROM err ORDER BY vec_id
         """,
         "doc_gopher_flags": r"""
             WITH planted AS (

@@ -406,3 +406,49 @@ def ann_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
     cand_ids = sigs.where(cond).select(id_col).distinct()
     cands = embeddings.join(cand_ids, id_col, "left_semi")
     return brute_force_topk(cands, qvec, k, id_col, vec_col)
+
+
+def quantize_embeddings(embs: DataFrame, bits: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-vector affine integer quantization — the vector-store
+    compression step of an embedding pipeline (scalar quantization as
+    in FAISS's SQ8, public methodology): each vector maps to
+    ``code_i = floor((x_i - min) / scale + 0.5)`` with
+    ``scale = (max - min) / (2^bits - 1)``, plus its reconstruction
+    error stats. Returns one row per vector:
+    ``(id, n_dims, sum_codes, max_code, scale, zero_point,
+    max_abs_err, mse)`` — the integer columns are exact, the float
+    columns rounded to 6 decimals (BM25 convention). Pure zero-shuffle
+    JVM projection: at 10^12 vectors this is a narrow map over the
+    scan, and the codes (+ scale/zero per vector) are the 4×-smaller
+    payload a downstream ANN index would store.
+
+    The half-up rounding is spelled ``floor(x + 0.5)`` explicitly so
+    the DuckDB oracle (emb_quantization) computes bit-identical codes;
+    a constant vector quantizes to all-zero codes (scale guard).
+    """
+    levels = (1 << bits) - 1
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn = F.array_min(vecd)
+    mx = F.array_max(vecd)
+    scale = F.when(mx > mn, (mx - mn) / F.lit(float(levels))) \
+        .otherwise(F.lit(1.0))
+    codes = F.transform(
+        vecd,
+        lambda x: F.least(F.floor((x - mn) / scale + F.lit(0.5))
+                          .cast("long"), F.lit(levels)))
+    deq = F.transform(codes, lambda c: mn + c.cast("double") * scale)
+    err = F.zip_with(vecd, deq, lambda a, b: F.abs(a - b))
+    n = F.size(vecd)
+    return embs.select(
+        id_col,
+        n.cast("long").alias("n_dims"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c)
+        .alias("sum_codes"),
+        F.array_max(codes).cast("long").alias("max_code"),
+        F.round(scale, 6).alias("scale"),
+        F.round(mn, 6).alias("zero_point"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        F.round(F.aggregate(err, F.lit(0.0), lambda a, e: a + e * e)
+                / n.cast("double"), 6).alias("mse"))
