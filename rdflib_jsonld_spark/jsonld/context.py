@@ -462,9 +462,14 @@ class Context:
         return (iri == prev.id and typ == prev.type
                 and cset == prev.container)
 
-    def _expand_term_iri(self, local_src: dict, value: str) -> str | None:
+    def _expand_term_iri(self, local_src: dict, value: str,
+                         defining: frozenset = frozenset()) -> str | None:
         """Expand an IRI inside a term definition, allowing forward
-        references to prefixes defined in the same local context."""
+        references to prefixes defined in the same local context.
+        ``defining`` carries the prefixes currently being resolved so a
+        dependency cycle raises the spec's "cyclic IRI mapping" error
+        ([spec] 1.1 API create term definition step 4) instead of
+        recursing forever."""
         if value in keys.KEYWORDS:
             return value
         if not isinstance(value, str):
@@ -474,27 +479,32 @@ class Context:
         if ":" in value and _has_scheme(value):
             prefix, suffix = value.split(":", 1)
             if not suffix.startswith("//"):
-                resolved = self._resolve_prefix(local_src, prefix)
+                resolved = self._resolve_prefix(local_src, prefix, defining)
                 if resolved:
                     return resolved + suffix
             return value
         if value in local_src or value in self.terms:
-            resolved = self._resolve_prefix(local_src, value)
+            resolved = self._resolve_prefix(local_src, value, defining)
             if resolved:
                 return resolved
         if self.vocab:
             return self.vocab + value
         return value
 
-    def _resolve_prefix(self, local_src: dict, prefix: str) -> str | None:
+    def _resolve_prefix(self, local_src: dict, prefix: str,
+                        defining: frozenset = frozenset()) -> str | None:
         term = self.terms.get(prefix)
         if term is not None and term.id and prefix not in local_src:
             return term.id
+        if prefix in defining:
+            from .errors import CyclicIRIMapping
+            raise CyclicIRIMapping(prefix)
         raw = local_src.get(prefix)
+        defining = defining | {prefix}
         if isinstance(raw, str):
-            return self._expand_term_iri(local_src, raw)
+            return self._expand_term_iri(local_src, raw, defining)
         if isinstance(raw, dict) and isinstance(raw.get(keys.ID), str):
-            return self._expand_term_iri(local_src, raw[keys.ID])
+            return self._expand_term_iri(local_src, raw[keys.ID], defining)
         if term is not None and term.id:
             return term.id
         return None

@@ -130,6 +130,12 @@ class InvalidIRIMapping(JsonLdError):
     code = "invalid IRI mapping"
 
 
+class CyclicIRIMapping(JsonLdError):
+    # [spec] 1.1 API create term definition step 4: a term definition
+    # depending (transitively) on itself as a CURIE prefix.
+    code = "cyclic IRI mapping"
+
+
 class InvalidPropagateValue(JsonLdError):
     # [spec] 1.1 API context processing step 5.11.2.
     code = "invalid @propagate value"
