@@ -136,27 +136,42 @@ def _compact_element(ctx: Context, term, element, compact_arrays: bool):
             continue
 
         # --- regular property ---
-        pterm = _select_term(ctx, key, values)
-        if pterm is not None:
-            pkey = pterm.name
-        else:
-            pkey = ctx.shrink_iri(key)
-            fallback = ctx.terms.get(pkey)
-            if fallback is not None and (fallback.container
-                                         or fallback.type is not UNDEF):
-                # the only term for this IRI was REJECTED (shape mismatch);
-                # its name would re-expand with coercions that change the
-                # graph — spell the key as an absolute IRI instead
-                pkey = key
-        compacted = _compact_property_values(ctx, pterm, values,
-                                             compact_arrays)
-        if pkey in result:  # two IRIs compacting to one key: merge arrays
-            prev = result[pkey]
-            prev = prev if isinstance(prev, list) else [prev]
-            new = compacted if isinstance(compacted, list) else [compacted]
-            result[pkey] = prev + new
-        else:
-            result[pkey] = compacted
+        # [spec] §6.1 step 12: term selection runs PER VALUE (IRI
+        # compaction with the value argument) — a typed value and a
+        # plain value of the same property may compact to different
+        # terms. Values grouping to the same term keep their order.
+        groups: list[tuple[object, list]] = []
+        by_term: dict = {}
+        for v in values:
+            pterm = _select_term(ctx, key, [v])
+            gid = pterm.name if pterm is not None else None
+            if gid not in by_term:
+                by_term[gid] = (pterm, [])
+                groups.append(by_term[gid])
+            by_term[gid][1].append(v)
+        for pterm, vs in groups:
+            if pterm is not None:
+                pkey = pterm.name
+            else:
+                pkey = ctx.shrink_iri(key)
+                fallback = ctx.terms.get(pkey)
+                if fallback is not None and (fallback.container
+                                             or fallback.type is not UNDEF):
+                    # the only term for this IRI was REJECTED (shape
+                    # mismatch); its name would re-expand with coercions
+                    # that change the graph — spell the key as an
+                    # absolute IRI instead
+                    pkey = key
+            compacted = _compact_property_values(ctx, pterm, vs,
+                                                 compact_arrays)
+            if pkey in result:  # two groups/IRIs on one key: merge arrays
+                prev = result[pkey]
+                prev = prev if isinstance(prev, list) else [prev]
+                new = compacted if isinstance(compacted, list) \
+                    else [compacted]
+                result[pkey] = prev + new
+            else:
+                result[pkey] = compacted
     return result
 
 
@@ -165,6 +180,42 @@ def _compact_property_values(ctx: Context, term, values: list,
     """Reshape a property's expanded values per the chosen term's
     @container ([spec] §6.1 steps 12.8)."""
     container = term.container if term is not None else set()
+
+    if keys.GRAPH in container and values and all(
+            isinstance(v, dict) and keys.GRAPH in v for v in values):
+        # [spec] §6.1 steps 12.8.7-9: graph containers fold the @graph
+        # wrapper away — simple containers inline the graph content,
+        # @graph+@id / @graph+@index key a map (absent key → @none).
+        def g_content(v):
+            inner = [_compact_element(ctx, None, n, compact_arrays)
+                     for n in v[keys.GRAPH]]
+            return inner[0] if len(inner) == 1 and compact_arrays \
+                else inner
+
+        if keys.ID in container:
+            gmap: dict = {}
+            for v in values:
+                k = _compact_id(ctx, v[keys.ID]) if keys.ID in v \
+                    else keys.NONE
+                gmap.setdefault(k, []).append(g_content(v))
+            return {k: vs[0] if len(vs) == 1 else vs
+                    for k, vs in gmap.items()}
+        if keys.INDEX in container:
+            gmap = {}
+            for v in values:
+                gmap.setdefault(v.get(keys.INDEX, keys.NONE), []) \
+                    .append(g_content(v))
+            return {k: vs[0] if len(vs) == 1 else vs
+                    for k, vs in gmap.items()}
+        if all(set(v) <= {keys.GRAPH} for v in values):
+            out: list = []
+            for v in values:
+                inner = [_compact_element(ctx, None, n, compact_arrays)
+                         for n in v[keys.GRAPH]]
+                out.extend(inner)
+            return out[0] if len(out) == 1 and compact_arrays else out
+        # a graph object carrying @id/@index under a simple @graph
+        # container keeps its explicit wrapper (falls through)
 
     if keys.LANG in container and values \
             and all(isinstance(v, dict) and keys.VALUE in v for v in values):
@@ -321,11 +372,14 @@ def _select_term(ctx: Context, iri: str, values: list):
             if not all_lang:
                 return None
             s += 8
-        if keys.INDEX in term.container:
+        if keys.INDEX in term.container \
+                and keys.GRAPH not in term.container:
+            # (@graph+@index maps key absent indexes under @none)
             if not all_indexed:
                 return None
             s += 8
-        if keys.GRAPH in term.container:
+        graph_container = keys.GRAPH in term.container
+        if graph_container:
             if not all(isinstance(v, dict) and keys.GRAPH in v
                        for v in values):
                 return None
@@ -336,7 +390,9 @@ def _select_term(ctx: Context, iri: str, values: list):
                     for v in values)):
                 return None
             s += 8
-        if keys.ID in term.container:
+        if keys.ID in term.container and not graph_container:
+            # (@graph+@id maps key absent ids under @none — no presence
+            # requirement there)
             if not (all_values and all(
                     isinstance(v, dict) and keys.ID in v for v in values)):
                 return None

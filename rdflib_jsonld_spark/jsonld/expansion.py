@@ -370,8 +370,12 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
             for node in _ensure_array(expanded):
                 if not isinstance(node, dict):
                     continue
-                if keys.GRAPH in node and len(
-                        set(node) - {keys.INDEX}) == 1:
+                if keys.GRAPH in node and set(node) <= {
+                        keys.GRAPH, keys.ID, keys.INDEX}:
+                    # already a GRAPH OBJECT (@graph with only @id/@index
+                    # — [spec] 1.1 §9.11): never re-wrapped, so a named
+                    # graph under a simple @graph container keeps its
+                    # name through a compact→expand round trip
                     out.append(node)
                 else:
                     out.append({keys.GRAPH: [node]})

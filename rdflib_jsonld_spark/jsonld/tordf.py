@@ -369,10 +369,24 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
 
         if keys.GRAPH in container:
             # @container:@graph ([spec] 1.1 §9.11): each value is a graph.
+            # A value that is already a GRAPH OBJECT with its own @id
+            # (only @graph/@id/@index members) keeps that id as the
+            # graph name (it is never re-wrapped) — anything else gets a
+            # fresh anonymous graph.
             for v in _as_list(value):
                 if isinstance(v, dict):
-                    gterm = state.fresh_bnode()
-                    inner = v.get(keys.GRAPH, v)
+                    vmap = {sub_ctx.expand_key(k): k for k in v}
+                    is_graph_obj = keys.GRAPH in vmap and all(
+                        ek in (keys.GRAPH, keys.ID, keys.INDEX)
+                        for ek in vmap)
+                    gterm = None
+                    if is_graph_obj and keys.ID in vmap:
+                        gterm = _to_rdf_id(v[vmap[keys.ID]], sub_ctx,
+                                           state)
+                    if gterm is None:
+                        gterm = state.fresh_bnode()
+                    inner = v[vmap[keys.GRAPH]] if keys.GRAPH in vmap \
+                        else v
                     for item in _as_list(inner):
                         if isinstance(item, dict):
                             _add_to_graph(item, gterm, sub_ctx, state,
