@@ -1718,6 +1718,32 @@ def q_emb_quantization(spark, sf_dir) -> DataFrame:
     return quantize_embeddings(embs).orderBy("vec_id")
 
 
+def q_doc_incremental_dedup(spark, sf_dir) -> DataFrame:
+    """Incremental exact dedup (dedup.incremental_exact_dedup): the
+    historical index is the fingerprints of the doc_id%3=0 documents;
+    the new batch is the corpus with doc_id%7=0 texts REPLACED by one
+    of five canonical strings (within-batch duplicate groups). The
+    oracle applies the same identity on the normalized TEXT (hash-free)
+    — survivors are batch-first AND index-absent, counts + id checksums
+    per source exact."""
+    from rdflib_jsonld_spark.operators.dedup import incremental_exact_dedup
+    from rdflib_jsonld_spark.operators.textstats import with_fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    seen = with_fingerprint(docs.where(F.col("doc_id") % 3 == 0)) \
+        .select("fingerprint")
+    new = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("batch duplicate content block "),
+                        (F.col("doc_id") % 5).cast("string")))
+        .otherwise(F.col("text")))
+    out = incremental_exact_dedup(new, seen)
+    return out.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_survivors"),
+        F.sum("doc_id").cast("long").alias("id_checksum")) \
+        .orderBy("source")
+
+
 def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
     """END-TO-END curation funnel: the five individually-oracle-gated
     stages chained the way a real pre-training pipeline runs them —
@@ -2181,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_flags": q_doc_gopher_flags,
         "doc_source_caps": q_doc_source_caps,
         "doc_corpus_dedup": q_doc_corpus_dedup,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_curation_funnel": q_doc_curation_funnel,
         "doc_shared_passages": q_doc_shared_passages,
         "doc_exactsubstr_dedup": q_doc_exactsubstr_dedup,
@@ -3934,6 +3961,36 @@ def oracle_sql() -> dict[str, str]:
                    round(list_sum(list_transform(ae, x -> x * x))::DOUBLE
                          / n, 6) AS mse
             FROM err ORDER BY vec_id
+        """,
+        "doc_incremental_dedup": r"""
+            WITH seen AS (
+              SELECT DISTINCT
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                         AS norm
+              FROM documents WHERE doc_id % 3 = 0),
+            new_batch AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'batch duplicate content block '
+                               || (doc_id % 5)::VARCHAR
+                          ELSE text END AS t
+              FROM documents),
+            normed AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(lower(t), '\s+', ' ', 'g'))
+                         AS norm
+              FROM new_batch),
+            firsts AS (
+              SELECT norm, min(doc_id) AS keep FROM normed GROUP BY norm),
+            survivors AS (
+              SELECT n.doc_id, n.source
+              FROM normed n
+              JOIN firsts f ON f.norm = n.norm AND f.keep = n.doc_id
+              WHERE n.norm NOT IN (SELECT norm FROM seen))
+            SELECT source,
+                   count(*)::BIGINT AS n_survivors,
+                   sum(doc_id)::BIGINT AS id_checksum
+            FROM survivors GROUP BY source ORDER BY source
         """,
         "doc_gopher_flags": r"""
             WITH planted AS (

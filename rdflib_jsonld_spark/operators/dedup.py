@@ -865,3 +865,37 @@ def drop_shared_passages(docs: DataFrame, k: int = 25, min_span: int = 40,
                     lambda a, x: a + (x["e"] - x["s"]))
         .alias("n_cut_chars"))
     return out
+
+
+def incremental_exact_dedup(new_docs: DataFrame,
+                            seen_fps: DataFrame | None = None,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Incremental exact dedup for a GROWING corpus — the shape a real
+    ingestion pipeline runs daily: dedup the new batch against ITSELF
+    (first occurrence per content fingerprint wins) and against the
+    accumulated index of previously-seen fingerprints, without touching
+    the old corpus text.
+
+    ``seen_fps``: any DataFrame with a ``fingerprint`` column (e.g. the
+    output of a previous call, or textstats.with_fingerprint over the
+    historical corpus — an 8-byte-per-document index). Returns the
+    surviving new documents WITH their ``fingerprint`` column: exactly
+    the rows to append to both the corpus and the index.
+
+    Scale posture: the only shuffles key on the 8-byte fingerprint
+    (within-batch min-id agg + one anti-join); the historical side
+    ships fingerprints only, so deduping a 1 TB batch against a 100 TB
+    corpus moves ~8 bytes per historical document, not the corpus.
+    """
+    from .textstats import with_fingerprint
+
+    fps = with_fingerprint(new_docs, text_col)
+    firsts = fps.groupBy("fingerprint").agg(F.min(id_col).alias("_keep"))
+    batch_first = (fps.join(firsts, "fingerprint")
+                   .where(F.col(id_col) == F.col("_keep")).drop("_keep"))
+    if seen_fps is None:
+        return batch_first
+    return batch_first.join(
+        seen_fps.select("fingerprint").distinct(),
+        "fingerprint", "left_anti")

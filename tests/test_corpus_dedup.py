@@ -53,3 +53,43 @@ def test_partitioning_independent(spark):
          for r in corpus_chunk_dedup(docs.repartition(7),
                                      chunk_chars=10).collect()}
     assert a == b
+
+
+class TestIncrementalExactDedup:
+    def test_batch_and_index_dedup(self, spark):
+        from rdflib_jsonld_spark.operators.dedup import (
+            incremental_exact_dedup)
+        from rdflib_jsonld_spark.operators.textstats import (
+            with_fingerprint)
+        old = spark.createDataFrame(
+            [Row(doc_id=100, text="seen before"),
+             Row(doc_id=101, text="also seen")])
+        seen = with_fingerprint(old)
+        new = spark.createDataFrame(
+            [Row(doc_id=0, text="brand new"),
+             Row(doc_id=1, text="Seen   BEFORE"),   # normalizes to seen
+             Row(doc_id=2, text="brand new"),       # within-batch dup
+             Row(doc_id=3, text="another fresh one")])
+        got = sorted(r["doc_id"] for r in
+                     incremental_exact_dedup(new, seen).collect())
+        assert got == [0, 3]
+
+    def test_no_index_keeps_batch_firsts(self, spark):
+        from rdflib_jsonld_spark.operators.dedup import (
+            incremental_exact_dedup)
+        new = spark.createDataFrame(
+            [Row(doc_id=i, text="t%d" % (i % 2)) for i in range(6)])
+        got = sorted(r["doc_id"] for r in
+                     incremental_exact_dedup(new).collect())
+        assert got == [0, 1]
+
+    def test_chaining_rounds(self, spark):
+        from rdflib_jsonld_spark.operators.dedup import (
+            incremental_exact_dedup)
+        b1 = spark.createDataFrame([Row(doc_id=0, text="alpha"),
+                                    Row(doc_id=1, text="beta")])
+        s1 = incremental_exact_dedup(b1)
+        b2 = spark.createDataFrame([Row(doc_id=2, text="beta"),
+                                    Row(doc_id=3, text="gamma")])
+        s2 = incremental_exact_dedup(b2, s1.select("fingerprint"))
+        assert sorted(r["doc_id"] for r in s2.collect()) == [3]
