@@ -1744,6 +1744,31 @@ def q_doc_incremental_dedup(spark, sf_dir) -> DataFrame:
         .orderBy("source")
 
 
+def q_doc_incremental_near_dup(spark, sf_dir) -> DataFrame:
+    """Incremental near-dup dedup (dedup.incremental_near_dup): the new
+    batch is %9=0 clones (text || ' tail' — near-dups of history, must
+    drop) plus %9=1 reversed texts (fresh, must survive) against the
+    full corpus as history. The oracle computes exact all-pairs
+    new-vs-history word-3-gram Jaccard in SQL (given LSH recall,
+    corpus-validated) — per-source survivor counts + id checksums."""
+    from rdflib_jsonld_spark.operators.dedup import incremental_near_dup
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") < 2000).select("doc_id", "text")
+    clones = (docs.where(F.col("doc_id") % 9 == 0)
+              .select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                      "source",
+                      F.concat("text", F.lit(" tail")).alias("text")))
+    fresh = (docs.where(F.col("doc_id") % 9 == 1)
+             .select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                     "source", F.reverse(F.col("text")).alias("text")))
+    surv = incremental_near_dup(clones.unionByName(fresh), history,
+                                jaccard_threshold=0.8)
+    return surv.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_survivors"),
+        F.sum("doc_id").cast("long").alias("id_checksum")) \
+        .orderBy("source")
+
+
 def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
     """END-TO-END curation funnel: the five individually-oracle-gated
     stages chained the way a real pre-training pipeline runs them —
@@ -2208,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_caps": q_doc_source_caps,
         "doc_corpus_dedup": q_doc_corpus_dedup,
         "doc_incremental_dedup": q_doc_incremental_dedup,
+        "doc_incremental_near_dup": q_doc_incremental_near_dup,
         "doc_curation_funnel": q_doc_curation_funnel,
         "doc_shared_passages": q_doc_shared_passages,
         "doc_exactsubstr_dedup": q_doc_exactsubstr_dedup,
@@ -3991,6 +4017,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_survivors,
                    sum(doc_id)::BIGINT AS id_checksum
             FROM survivors GROUP BY source ORDER BY source
+        """,
+        "doc_incremental_near_dup": r"""
+            WITH history AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+            new_batch AS (
+              SELECT doc_id + 5000000 AS doc_id, source,
+                     text || ' tail' AS text
+              FROM documents WHERE doc_id % 9 = 0
+              UNION ALL
+              SELECT doc_id + 5000000, source, reverse(text)
+              FROM documents WHERE doc_id % 9 = 1),
+            hw AS (SELECT doc_id,
+                          string_split_regex(trim(lower(text)), '\s+') AS w
+                   FROM history),
+            nw AS (SELECT doc_id,
+                          string_split_regex(trim(lower(text)), '\s+') AS w
+                   FROM new_batch),
+            hg AS (SELECT DISTINCT doc_id,
+                          array_to_string(w[i:i+2], ' ') AS gram
+                   FROM hw,
+                        UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)),
+            ng AS (SELECT DISTINCT doc_id,
+                          array_to_string(w[i:i+2], ' ') AS gram
+                   FROM nw,
+                        UNNEST(range(1, greatest(len(w)-2, 1)+1)) AS t(i)),
+            hs AS (SELECT doc_id, count(*) AS n FROM hg GROUP BY doc_id),
+            ns AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+            ov AS (SELECT ng.doc_id AS nid, hg.doc_id AS hid,
+                          count(*) AS c
+                   FROM ng JOIN hg USING (gram) GROUP BY 1, 2),
+            dropped AS (
+              SELECT DISTINCT nid FROM ov
+              JOIN ns ON ns.doc_id = nid
+              JOIN hs ON hs.doc_id = hid
+              WHERE round(c / (ns.n + hs.n - c), 6) >= 0.8),
+            surv AS (
+              SELECT doc_id, source FROM new_batch
+              WHERE doc_id NOT IN (SELECT nid FROM dropped))
+            SELECT source,
+                   count(*)::BIGINT AS n_survivors,
+                   sum(doc_id)::BIGINT AS id_checksum
+            FROM surv GROUP BY source ORDER BY source
         """,
         "doc_gopher_flags": r"""
             WITH planted AS (

@@ -899,3 +899,70 @@ def incremental_exact_dedup(new_docs: DataFrame,
     return batch_first.join(
         seen_fps.select("fingerprint").distinct(),
         "fingerprint", "left_anti")
+
+
+def incremental_near_dup(new_docs: DataFrame, seen_docs: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_perm: int = 64, bands: int = 16,
+                         shingle_k: int = 5,
+                         jaccard_threshold: float = 0.8,
+                         est_prefilter: float = 0.5,
+                         ngram_n: int = 3) -> DataFrame:
+    """Incremental NEAR-duplicate dedup: drop new-batch documents that
+    are near-duplicates of the HISTORICAL corpus (ids must be disjoint
+    across the two tables) — the fuzzy companion of
+    :func:`incremental_exact_dedup` and the shape a daily ingestion
+    pipeline actually runs.
+
+    Candidates come from a banded MinHash join of the NEW signatures
+    against the HISTORY signatures (never all-pairs); the est-Jaccard
+    prefilter at ``est_prefilter`` ≪ ``jaccard_threshold`` only sheds
+    verify work (a true ≥0.8 pair estimating <0.5 over 64 perms is a
+    ~6σ event); candidates are then verified with exact word-n-gram
+    Jaccard over candidate texts ONLY (semi-join pruned). History text
+    is touched solely for verified candidates — at 100 TB the history
+    contributes its signature table (8·num_perm bytes/doc) plus the
+    candidate slivers. Within-batch near-dups are a separate pass
+    (near_dup_dedup on the batch).
+
+    Returns the surviving new documents (original columns).
+    """
+    rows = num_perm // bands
+
+    def _banded(sigs):
+        return sigs.select(
+            F.col(id_col), "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+            .alias("band_idx")
+        ).select(
+            id_col, "sig", "band_idx",
+            F.xxhash64(F.slice("sig", F.col("band_idx") * rows + 1, rows),
+                       "band_idx").alias("band_hash"))
+
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, num_perm,
+                                  shingle_k).persist()
+    seen_sigs = minhash_signatures(seen_docs, id_col, text_col, num_perm,
+                                   shingle_k).persist()
+    a = _banded(new_sigs).alias("a")
+    b = _banded(seen_sigs).alias("b")
+    cand = (a.join(b, ["band_idx", "band_hash"])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    est = cand.withColumn(
+        "est_jaccard",
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b",
+                       lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ) / F.lit(float(num_perm)))
+    pre = est.where(F.col("est_jaccard") >= est_prefilter) \
+        .select("id_a", "id_b")
+    both = new_docs.select(id_col, text_col).unionByName(
+        seen_docs.select(id_col, text_col))
+    hits = exact_ngram_jaccard_verify(pre, both, id_col, text_col,
+                                      ngram_n, jaccard_threshold)
+    dup_new_ids = hits.select(F.col("id_a").alias(id_col)).distinct()
+    return new_docs.join(dup_new_ids, id_col, "left_anti")

@@ -93,3 +93,33 @@ class TestIncrementalExactDedup:
                                     Row(doc_id=3, text="gamma")])
         s2 = incremental_exact_dedup(b2, s1.select("fingerprint"))
         assert sorted(r["doc_id"] for r in s2.collect()) == [3]
+
+
+class TestIncrementalNearDup:
+    def test_near_dups_of_history_dropped(self, spark):
+        from rdflib_jsonld_spark.operators.dedup import incremental_near_dup
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        seen = spark.createDataFrame(
+            [Row(doc_id=100 + i, text=base + " v%d" % i) for i in range(3)]
+            + [Row(doc_id=200, text="completely unrelated historical doc "
+                                    "about spark query planning at scale")])
+        new = spark.createDataFrame(
+            [Row(doc_id=0, text=base + " v0 tail"),      # near-dup of 100
+             Row(doc_id=1, text="a genuinely fresh new document about "
+                                "winnowing fingerprints and islands")])
+        got = sorted(r["doc_id"] for r in
+                     incremental_near_dup(new, seen,
+                                          jaccard_threshold=0.6).collect())
+        assert got == [1]
+
+    def test_all_fresh_batch_survives(self, spark):
+        from rdflib_jsonld_spark.operators.dedup import incremental_near_dup
+        seen = spark.createDataFrame(
+            [Row(doc_id=100, text="history doc alpha beta gamma delta")])
+        new = spark.createDataFrame(
+            [Row(doc_id=0, text="new doc epsilon zeta eta theta iota"),
+             Row(doc_id=1, text="another new doc kappa lambda mu nu xi")])
+        got = sorted(r["doc_id"] for r in
+                     incremental_near_dup(new, seen).collect())
+        assert got == [0, 1]

@@ -25,6 +25,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # should be triaged as a recall-assumption violation first.
 CORPUS_VALIDATED = {
     "doc_minhash_near_dups", "doc_simhash_near_dups",
+    "doc_incremental_near_dup",
     "doc_near_dup_clusters", "emb_ann_topk", "emb_ivf_topk",
     "emb_ivf_multi_topk", "emb_ivf_join_topk",
     # planted-truth geometry: clones co-cluster with originals and are
