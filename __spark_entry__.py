@@ -1647,6 +1647,39 @@ def q_doc_bpe_segments(spark, sf_dir) -> DataFrame:
         F.array_join("pieces", "|").alias("pieces_str")).orderBy("w")
 
 
+_LM_SCORES_SQL_BODY = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            uni_stream AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+            uni AS (SELECT w, count(*) AS c1 FROM uni_stream GROUP BY w),
+            v AS (SELECT count(*) AS v FROM uni),
+            bg_stream AS (
+              SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+              FROM toks,
+                   UNNEST(range(0, greatest(len(ws) - 1, 0))) AS r(i)),
+            big AS (SELECT w1, w2, count(*) AS c12
+                    FROM bg_stream GROUP BY w1, w2),
+            scored AS (
+              SELECT s.doc_id,
+                     ln((c12 + 1.0) / (c1 + 1.0 * v.v)) / ln(2.0) AS lp
+              FROM bg_stream s
+              JOIN big USING (w1, w2)
+              JOIN uni ON uni.w = s.w1, v)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   round(avg(lp), 6) AS avg_logp
+            FROM scored GROUP BY doc_id
+"""
+
+# the standalone per-doc form wraps the body (the body has no ORDER BY so
+# the tiers oracle can reuse it as a CTE)
+_LM_SCORES_SQL = _LM_SCORES_SQL_BODY
+
+
 def _bpe_oracle_sql(n_merges: int) -> str:
     """Unrolled n-round BPE recurrence in DuckDB SQL. Symbols are
     chr(31)-joined (corpus words are alnum); a merge appends WITHOUT
@@ -1767,6 +1800,29 @@ def q_doc_incremental_near_dup(spark, sf_dir) -> DataFrame:
         F.count("*").cast("long").alias("n_survivors"),
         F.sum("doc_id").cast("long").alias("id_checksum")) \
         .orderBy("source")
+
+
+def q_doc_lm_tiers(spark, sf_dir) -> DataFrame:
+    """CCNet quality tiers (Wenzek et al. 2020 §4): per-source ntile(3)
+    buckets of the bigram-LM score — head/middle/tail. Deterministic
+    ordering (score DESC, doc_id ASC); the oracle repeats the whole LM
+    + ntile rollup in SQL."""
+    from pyspark.sql import Window
+    from rdflib_jsonld_spark.operators.classify import bigram_lm_scores
+    docs = _t(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(docs)
+    joined = scores.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("avg_logp"),
+                                             F.asc("doc_id"))
+    tiers = joined.withColumn("tier", F.ntile(3).over(w))
+    return tiers.groupBy("source", "tier").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.round(F.min("avg_logp"), 6).alias("min_logp"),
+        F.round(F.max("avg_logp"), 6).alias("max_logp")) \
+        .select("source", F.col("tier").cast("long").alias("tier"),
+                "n_docs", "id_checksum", "min_logp", "max_logp") \
+        .orderBy("source", "tier")
 
 
 def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
@@ -2238,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shared_passages": q_doc_shared_passages,
         "doc_exactsubstr_dedup": q_doc_exactsubstr_dedup,
         "doc_lm_scores": q_doc_lm_scores,
+        "doc_lm_tiers": q_doc_lm_tiers,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_bpe_segments": q_doc_bpe_segments,
         "kg_chat_render": q_kg_chat_render,
@@ -3902,32 +3959,21 @@ def oracle_sql() -> dict[str, str]:
                        AS text_checksum
             FROM final GROUP BY source ORDER BY source
         """,
-        "doc_lm_scores": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(trim(text)),
-                                                       '\s+'),
-                                 w -> w <> '') AS ws
-              FROM documents),
-            uni_stream AS (SELECT doc_id, unnest(ws) AS w FROM toks),
-            uni AS (SELECT w, count(*) AS c1 FROM uni_stream GROUP BY w),
-            v AS (SELECT count(*) AS v FROM uni),
-            bg_stream AS (
-              SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
-              FROM toks,
-                   UNNEST(range(0, greatest(len(ws) - 1, 0))) AS r(i)),
-            big AS (SELECT w1, w2, count(*) AS c12
-                    FROM bg_stream GROUP BY w1, w2),
-            scored AS (
-              SELECT s.doc_id,
-                     ln((c12 + 1.0) / (c1 + 1.0 * v.v)) / ln(2.0) AS lp
-              FROM bg_stream s
-              JOIN big USING (w1, w2)
-              JOIN uni ON uni.w = s.w1, v)
-            SELECT doc_id,
-                   count(*)::BIGINT AS n_bigrams,
-                   round(avg(lp), 6) AS avg_logp
-            FROM scored GROUP BY doc_id ORDER BY doc_id
+        "doc_lm_scores": _LM_SCORES_SQL + " ORDER BY doc_id",
+        "doc_lm_tiers": """
+            WITH scores AS (""" + _LM_SCORES_SQL_BODY + """),
+            tiers AS (
+              SELECT s.doc_id, d.source, s.avg_logp,
+                     ntile(3) OVER (PARTITION BY d.source
+                                    ORDER BY s.avg_logp DESC,
+                                             s.doc_id ASC) AS tier
+              FROM scores s JOIN documents d ON d.doc_id = s.doc_id)
+            SELECT source, tier::BIGINT AS tier,
+                   count(*)::BIGINT AS n_docs,
+                   sum(doc_id)::BIGINT AS id_checksum,
+                   round(min(avg_logp), 6) AS min_logp,
+                   round(max(avg_logp), 6) AS max_logp
+            FROM tiers GROUP BY source, tier ORDER BY source, tier
         """,
         "doc_bpe_merges": _bpe_oracle_sql(8),
         "doc_bpe_segments": _bpe_segments_oracle_sql(8),
