@@ -1825,6 +1825,22 @@ def q_doc_lm_tiers(spark, sf_dir) -> DataFrame:
         .orderBy("source", "tier")
 
 
+def q_events_rate_anomalies(spark, sf_dir) -> DataFrame:
+    """Hourly per-type rate anomalies (temporal.rate_anomalies): a
+    burst of planted duplicate events in one hour for one type must
+    flag; the oracle repeats the count → mean/stddev → z-score rollup
+    in SQL (sample stddev both sides, 6-decimal rounding)."""
+    from rdflib_jsonld_spark.operators.temporal import rate_anomalies
+    events = _t(spark, sf_dir, "events")
+    burst = (events.where((F.col("event_id") % 50 == 0))
+             .withColumn("ts", F.lit("2024-01-03 07:30:00")
+                         .cast("timestamp"))
+             .withColumn("event_type", F.lit("click")))
+    planted = events.unionByName(burst)
+    return rate_anomalies(planted, z_threshold=2.0) \
+        .orderBy("event_type", "period")
+
+
 def q_doc_curation_funnel(spark, sf_dir) -> DataFrame:
     """END-TO-END curation funnel: the five individually-oracle-gated
     stages chained the way a real pre-training pipeline runs them —
@@ -2267,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_windows": q_events_sliding_windows,
         "events_session_windows": q_events_session_windows,
         "events_cohort_retention": q_events_cohort_retention,
+        "events_rate_anomalies": q_events_rate_anomalies,
         "lineitem_cube": q_lineitem_cube,
         "events_rolling_value_sum": q_events_rolling_value_sum,
         "events_asof_attribution": q_events_asof_attribution,
@@ -4105,6 +4122,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_survivors,
                    sum(doc_id)::BIGINT AS id_checksum
             FROM surv GROUP BY source ORDER BY source
+        """,
+        "events_rate_anomalies": """
+            WITH planted AS (
+              SELECT event_type, ts FROM events
+              UNION ALL
+              SELECT 'click', TIMESTAMP '2024-01-03 07:30:00'
+              FROM events WHERE event_id % 50 = 0),
+            counts AS (
+              SELECT event_type,
+                     floor(epoch(ts) / 3600)::BIGINT AS period,
+                     count(*)::BIGINT AS n_events
+              FROM planted GROUP BY event_type, period),
+            stats AS (
+              SELECT event_type, avg(n_events) AS mu,
+                     stddev_samp(n_events) AS sd
+              FROM counts GROUP BY event_type)
+            SELECT c.event_type, c.period, c.n_events,
+                   round(CASE WHEN sd > 0 THEN (n_events - mu) / sd
+                              ELSE 0.0 END, 6) AS zscore,
+                   abs(round(CASE WHEN sd > 0 THEN (n_events - mu) / sd
+                                  ELSE 0.0 END, 6)) > 2.0 AS is_anomaly
+            FROM counts c JOIN stats USING (event_type)
+            ORDER BY event_type, period
         """,
         "doc_gopher_flags": r"""
             WITH planted AS (

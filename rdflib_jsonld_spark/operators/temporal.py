@@ -164,3 +164,37 @@ def cohort_retention(events: DataFrame, horizons: int = 3,
             .groupBy("cohort_period", "horizon")
             .agg(F.count("*").cast("long").alias("n_users"))
             .orderBy("cohort_period", "horizon"))
+
+
+def rate_anomalies(events: DataFrame, z_threshold: float = 2.0,
+                   unit_seconds: int = 3600,
+                   type_col: str = "event_type",
+                   ts_col: str = "ts") -> DataFrame:
+    """Per-type event-rate anomaly detection (the ops-monitoring rollup):
+    bucket events into ``unit_seconds`` periods, compute each type's
+    period-count mean/stddev, and flag periods whose z-score exceeds
+    ``z_threshold`` in absolute value.
+
+    Returns ``(event_type, period, n_events, zscore, is_anomaly)`` for
+    every (type, period) with activity — two hash aggs + one broadcast-
+    size join on the type key; z-scores rounded to 6 decimals (the
+    float-oracle convention). Periods with no events are NOT zero-filled
+    (sparse semantics; callers needing dense series can range-join a
+    period spine)."""
+    per = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                  / F.lit(int(unit_seconds) * 1_000_000)).alias("period")
+    counts = (events.select(F.col(type_col).alias("event_type"), per)
+              .groupBy("event_type", "period")
+              .agg(F.count("*").cast("long").alias("n_events")))
+    stats = counts.groupBy("event_type").agg(
+        F.avg("n_events").alias("_mu"),
+        F.stddev_samp("n_events").alias("_sd"))
+    z = F.when(F.col("_sd") > 0,
+               (F.col("n_events") - F.col("_mu")) / F.col("_sd")) \
+        .otherwise(F.lit(0.0))
+    return (counts.join(stats, "event_type")
+            .withColumn("zscore", F.round(z, 6))
+            .withColumn("is_anomaly",
+                        F.abs(F.col("zscore")) > z_threshold)
+            .select("event_type", "period", "n_events", "zscore",
+                    "is_anomaly"))
