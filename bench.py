@@ -80,7 +80,8 @@ def main() -> None:
     from rdflib_jsonld_spark.sources import transcripts as tr
 
     spark = build_session(f"local[{cpus}]", "bench",
-                          shuffle_partitions=max(cpus, 16))
+                          shuffle_partitions=max(cpus, 16),
+                          driver_memory="8g")
     # sandbox corpora are small files: force one scan split per file so
     # the Python expansion stage actually gets `cpus` concurrent tasks
     # (at real scale the default 128 MB split target is correct)

@@ -652,7 +652,9 @@ def corpus_chunk_dedup(docs: DataFrame, chunk_chars: int = 200,
     first = h.groupBy("_h").agg(
         F.min(F.struct(F.col(id_col).alias("d"),
                        F.col("chunk_idx").alias("i"))).alias("_first"))
-    kept = (h.join(first, "_h")
+    # `first` has one row per DISTINCT window — corpus-scaled, so keep
+    # the join a shuffle (broadcast would OOM at scale)
+    kept = (h.join(first.hint("SHUFFLE_HASH"), "_h")
             .filter((F.col(id_col) == F.col("_first.d"))
                     & (F.col("chunk_idx") == F.col("_first.i"))))
     totals = h.groupBy(id_col).agg(
@@ -771,10 +773,14 @@ def shared_passages(docs: DataFrame, k: int = 25, min_span: int = 0,
 
     fps = passage_fingerprints(docs, k=k, id_col=id_col,
                                text_col=text_col).persist()
+    # the distinct-hash table scales WITH the corpus — never a broadcast
+    # candidate (AQE under-estimates it and OOMs the driver at sf0.1+);
+    # a shuffle-hash semi-join is the right shape at every scale
     ok = fps.join(
         fps.groupBy("h").agg(F.count("*").alias("_df"))
-           .filter(F.col("_df") <= df_cap).select("h"),
-        "h")
+           .filter(F.col("_df") <= df_cap).select("h")
+           .hint("SHUFFLE_HASH"),
+        "h", "left_semi")
     a = ok.select(F.col(id_col).alias("id_a"),
                   F.col("pos").alias("pos_a"), "h")
     b = ok.select(F.col(id_col).alias("id_b"),

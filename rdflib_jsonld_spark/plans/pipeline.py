@@ -22,9 +22,12 @@ from rdflib_jsonld_spark.operators.linking import (
 
 
 def build_session(master: str = "local[*]", app: str = "kg-pipeline",
-                  shuffle_partitions: int | None = None) -> SparkSession:
+                  shuffle_partitions: int | None = None,
+                  driver_memory: str | None = None) -> SparkSession:
     """Session defaults tuned for the pipeline: AQE on (skew join +
-    coalesce), Arrow on (vectorized Python exchange)."""
+    coalesce), Arrow on (vectorized Python exchange). ``driver_memory``
+    only takes effect when the builder launches the JVM (plain-python
+    local mode — the bench); under spark-submit the submit args win."""
     b = (
         SparkSession.builder.master(master).appName(app)
         .config("spark.sql.adaptive.enabled", "true")
@@ -36,6 +39,8 @@ def build_session(master: str = "local[*]", app: str = "kg-pipeline",
     )
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if driver_memory:
+        b = b.config("spark.driver.memory", driver_memory)
     return b.getOrCreate()
 
 
