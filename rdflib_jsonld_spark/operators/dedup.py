@@ -785,7 +785,9 @@ def shared_passages(docs: DataFrame, k: int = 25, min_span: int = 0,
                   F.col("pos").alias("pos_a"), "h")
     b = ok.select(F.col(id_col).alias("id_b"),
                   F.col("pos").alias("pos_b"), "h")
-    m = (a.join(b, "h")
+    # both sides of the pair join are the corpus position table — hint
+    # the shuffle so the planner never tries to broadcast one of them
+    m = (a.join(b.hint("SHUFFLE_HASH"), "h")
          .filter(F.col("id_a") < F.col("id_b"))
          .withColumn("delta", F.col("pos_a") - F.col("pos_b")))
     w = Window.partitionBy("id_a", "id_b", "delta").orderBy("pos_a")
@@ -847,8 +849,11 @@ def drop_shared_passages(docs: DataFrame, k: int = 25, min_span: int = 40,
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
         .alias("_t"))
     t = F.col("_t")
-    joined = norm.join(ivals, id_col, "left").withColumn(
-        "_iv", F.coalesce("_iv", F.array()))
+    # ivals descends from the mapInPandas fingerprint stage — its size
+    # estimate is unreliable (the misestimated-broadcast class), and it
+    # is corpus-scaled anyway: keep the join a shuffle
+    joined = norm.join(ivals.hint("SHUFFLE_HASH"), id_col, "left") \
+        .withColumn("_iv", F.coalesce("_iv", F.array()))
     acc0 = F.struct(F.lit(0).cast("long").alias("pos"),
                     F.lit("").alias("acc"))
     out = joined.select(
