@@ -77,3 +77,20 @@ def test_deterministic_tie_break(spark):
     # all pairs appear once → lexicographically smallest merges first
     got = learn_bpe_merges(_docs(spark, ["bc ab"]), 1).collect()
     assert (got[0]["lhs"], got[0]["rhs"]) == ("a", "b")
+
+
+def test_segmentation_reassembles_hypothesis(spark):
+    """Property: for ANY corpus, applying any learned merge list to the
+    vocabulary yields pieces that concatenate back to each word."""
+    import random
+    rng = random.Random(13)
+    alpha = "abcdef"
+    texts = [" ".join("".join(rng.choice(alpha)
+                              for _ in range(rng.randint(1, 8)))
+                      for _ in range(rng.randint(3, 12)))
+             for _ in range(8)]
+    docs = _docs(spark, texts)
+    merges = [(r["lhs"], r["rhs"])
+              for r in learn_bpe_merges(docs, 5).collect()]
+    for r in segment_words(docs, merges).collect():
+        assert "".join(r["pieces"]) == r["w"], (r["w"], list(r["pieces"]))
