@@ -220,7 +220,12 @@ def _matches(node: dict, fr: dict, state: _FrameState,
         results.append(_property_matches(node, p, pat, state.ctx))
     if require_all:
         return all(results)
-    return any(results) or not results
+    # requireAll=false: matching on @id/@type alone suffices even when a
+    # (default-less) frame property is absent from the node ([spec]
+    # framing §3.2 step 2.5 — ANY of id/type/property matches; the
+    # r03 sweep-6 fix: {"@type": T, "p": {}} + @omitDefault dropped
+    # type-matching nodes that merely lacked p)
+    return any(results) or not results or bool(checks)
 
 
 def _sub_frame(pat) -> dict:

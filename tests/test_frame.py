@@ -165,3 +165,23 @@ def test_bad_embed_mode():
     from rdflib_jsonld_spark.jsonld.errors import InvalidEmbedValue
     with pytest.raises(InvalidEmbedValue, match="@embed"):
         frame(LIBRARY, {"@context": CTX, "@embed": "@sometimes"})
+
+
+def test_type_match_suffices_without_property(spark=None):
+    """requireAll=false: a node matching on @type frames even when a
+    default-less frame property is absent ([spec] §3.2 step 2.5 — the
+    r03 sweep-6 fix)."""
+    from rdflib_jsonld_spark.jsonld.frame import frame
+    doc = {"@graph": [
+        {"@id": "http://e/a", "@type": "http://e/T",
+         "http://e/child": {"@id": "http://e/b"}},
+        {"@id": "http://e/b", "@type": "http://e/U",
+         "http://e/name": "bee"}]}
+    out = frame(doc, {"@type": "http://e/T", "@omitDefault": True,
+                      "http://e/missing": {}})
+    assert [n["@id"] for n in out["@graph"]] == ["http://e/a"]
+    assert "http://e/missing" not in out["@graph"][0]
+    # requireAll=true still demands the property
+    strict = frame(doc, {"@type": "http://e/T", "@requireAll": True,
+                         "http://e/missing": {}})
+    assert strict["@graph"] == []
