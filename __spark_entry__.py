@@ -1618,6 +1618,40 @@ def q_doc_lm_scores(spark, sf_dir) -> DataFrame:
     return bigram_lm_scores(docs).orderBy("doc_id")
 
 
+def q_doc_dsir_weights(spark, sf_dir) -> DataFrame:
+    """DSIR importance log-weights (operators/dsir.py, Xie et al. 2023):
+    every document re-weighted toward the src0/src1 target slice under
+    Laplace-smoothed hashed unigram+bigram bucket models. Scoring is a
+    zero-shuffle map-literal projection (the classifier shape); the
+    oracle rebuilds the identical md5 bucketing, both distribution
+    estimates and the per-doc log-ratio sum in SQL — exact at 6
+    decimals (the BM25 float convention)."""
+    from rdflib_jsonld_spark.operators.dsir import dsir_log_weights
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    out = dsir_log_weights(docs, target, n_buckets=512)
+    return out.select("doc_id", "source",
+                      F.round("dsir_logw", 6).alias("dsir_logw")) \
+        .orderBy("doc_id")
+
+
+def q_doc_dsir_sample(spark, sf_dir) -> DataFrame:
+    """DSIR resampling (dsir.dsir_resample): 50 documents drawn without
+    replacement with probability ∝ exp(importance weight) via the
+    deterministic seeded-Gumbel top-k trick — the draw is a TakeOrdered,
+    rerun-identical. The oracle replicates weights AND the Gumbel keys
+    (md5 uniform → logw − ln(−ln u)) end-to-end in SQL."""
+    from rdflib_jsonld_spark.operators.dsir import (dsir_log_weights,
+                                                    dsir_resample)
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    weighted = dsir_log_weights(docs, target, n_buckets=512)
+    out = dsir_resample(weighted, n=50)
+    return out.select("doc_id", "source",
+                      F.round("dsir_logw", 6).alias("dsir_logw")) \
+        .orderBy("doc_id")
+
+
 def q_doc_bpe_merges(spark, sf_dir) -> DataFrame:
     """Distributed BPE vocabulary learning (bpe.learn_bpe_merges): the
     first 8 merges learned from the corpus word frequencies. The oracle
@@ -1678,6 +1712,49 @@ _LM_SCORES_SQL_BODY = r"""
 # the standalone per-doc form wraps the body (the body has no ORDER BY so
 # the tiers oracle can reuse it as a CTE)
 _LM_SCORES_SQL = _LM_SCORES_SQL_BODY
+
+# DSIR weights CTE chain (operators/dsir.py replicated end-to-end: the
+# identical tokenizer, unigram+bigram grams, md5 bucketing at 512
+# buckets, Laplace-smoothed target/raw estimates over the src0/src1
+# target slice, per-doc log-ratio sum). Ends at `perdoc(doc_id, source,
+# w)` with NO final SELECT so the sample oracle can extend the chain.
+_DSIR_PERDOC_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, source, list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               t -> t <> '') AS ts
+      FROM documents),
+    idx AS (
+      SELECT doc_id, source, ts,
+             unnest(generate_series(1, len(ts) - 1)) AS i
+      FROM toks),
+    grams AS (
+      SELECT doc_id, source, unnest(ts) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, source, ts[i] || ' ' || ts[i + 1] AS g FROM idx),
+    bkt AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(g || chr(31) || 'dsir-v1'), 1, 8)
+             )::BIGINT % 512 AS b
+      FROM grams),
+    raw_c AS (SELECT b, count(*)::DOUBLE AS cr FROM bkt GROUP BY b),
+    tgt_c AS (SELECT b, count(*)::DOUBLE AS ct FROM bkt
+              WHERE source IN ('src0', 'src1') GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM bkt)::DOUBLE AS tr,
+                   (SELECT count(*) FROM bkt
+                    WHERE source IN ('src0', 'src1'))::DOUBLE AS tt),
+    ratio AS (
+      SELECT r.b,
+             ln((coalesce(t.ct, 0.0) + 1.0) / (tot.tt + 512.0))
+             - ln((r.cr + 1.0) / (tot.tr + 512.0)) AS lr
+      FROM raw_c r LEFT JOIN tgt_c t USING (b), tot),
+    perdoc AS (
+      SELECT d.doc_id, d.source, coalesce(sum(x.lr), 0.0) AS w
+      FROM documents d
+      LEFT JOIN (SELECT bkt.doc_id, ratio.lr FROM bkt
+                 JOIN ratio USING (b)) x ON x.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.source)
+"""
 
 
 def _bpe_oracle_sql(n_merges: int) -> str:
@@ -2312,6 +2389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exactsubstr_dedup": q_doc_exactsubstr_dedup,
         "doc_lm_scores": q_doc_lm_scores,
         "doc_lm_tiers": q_doc_lm_tiers,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_dsir_sample": q_doc_dsir_sample,
         "doc_bpe_merges": q_doc_bpe_merges,
         "doc_bpe_segments": q_doc_bpe_segments,
         "kg_chat_render": q_kg_chat_render,
@@ -3977,6 +4056,22 @@ def oracle_sql() -> dict[str, str]:
             FROM final GROUP BY source ORDER BY source
         """,
         "doc_lm_scores": _LM_SCORES_SQL + " ORDER BY doc_id",
+        "doc_dsir_weights": _DSIR_PERDOC_SQL + r"""
+            SELECT doc_id, source, round(w, 6) AS dsir_logw
+            FROM perdoc ORDER BY doc_id
+        """,
+        "doc_dsir_sample": _DSIR_PERDOC_SQL + r"""
+            , keyed AS (
+              SELECT p.doc_id, p.source, p.w,
+                     p.w - ln(-ln(
+                       (('0x' || substr(md5(p.doc_id::VARCHAR || chr(31)
+                                            || 'dsir-sample-v1'), 1, 8)
+                        )::BIGINT + 0.5) / 4294967296.0)) AS k
+              FROM perdoc p),
+            topn AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
+            SELECT doc_id, source, round(w, 6) AS dsir_logw
+            FROM topn ORDER BY doc_id
+        """,
         "doc_lm_tiers": """
             WITH scores AS (""" + _LM_SCORES_SQL_BODY + """),
             tiers AS (
