@@ -74,6 +74,13 @@ class InvalidTypeValue(JsonLdError):
     code = "invalid type value"
 
 
+class InvalidTypedValue(JsonLdError):
+    # [spec] 1.1 API expansion step 13.4.4.4: inside a VALUE object,
+    # @type must expand to an IRI (or blank node identifier) — keywords
+    # other than @json and unexpandable strings are errors.
+    code = "invalid typed value"
+
+
 class InvalidValueObjectValue(JsonLdError):
     # [spec] 1.1 API expansion step 13.4.7.x: @value must be a scalar,
     # null, or (for @json) any JSON — never a non-@json list/dict.

@@ -22,12 +22,17 @@ Semantic oracle used by the tests: ``to_rdf(expand(doc)) ≅ to_rdf(doc)``
 
 from __future__ import annotations
 
+import re as _re
+
 from . import keys
 from .context import Context, UNDEF
 from .errors import (InvalidIdValue, InvalidIndexValue,
                      InvalidLanguageTaggedString,
-                     InvalidReversePropertyValue, InvalidTypeValue,
-                     InvalidValueObject, InvalidValueObjectValue)
+                     InvalidReversePropertyValue, InvalidTypedValue,
+                     InvalidTypeValue, InvalidValueObject,
+                     InvalidValueObjectValue)
+
+_ABS_IRI_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 
 def expand(data, context_data=None, base: str | None = None,
@@ -443,10 +448,17 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
             if t == keys.JSON or (isinstance(t, str)
                                   and ctx.expand_key(t) == keys.JSON):
                 result[keys.TYPE] = keys.JSON
-            elif isinstance(t, str):
+            else:
+                # [spec] §5.1 step 13.4.4.4: a value object's @type must
+                # expand to an IRI/bnode — never a keyword (other than
+                # @json, above) or an unexpandable string
+                if not isinstance(t, str):
+                    raise InvalidTypedValue(repr(t))
                 t_iri = ctx.expand_iri(t, vocab=True)
-                if t_iri is not None:
-                    result[keys.TYPE] = t_iri
+                if t_iri is None or not (t_iri.startswith("_:")
+                                         or _ABS_IRI_RE.match(t_iri)):
+                    raise InvalidTypedValue(repr(t))
+                result[keys.TYPE] = t_iri
         elif expanded_key == keys.LANG:
             lang = element[key]
             if lang is not None and not isinstance(lang, str):

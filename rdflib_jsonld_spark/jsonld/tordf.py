@@ -33,8 +33,9 @@ from . import keys
 from .context import Context, UNDEF
 from .errors import (InvalidIdValue, InvalidIndexValue,
                      InvalidLanguageTaggedString, InvalidListOfLists,
-                     InvalidReversePropertyValue, InvalidTypeValue,
-                     InvalidValueObject, InvalidValueObjectValue)
+                     InvalidReversePropertyValue, InvalidTypedValue,
+                     InvalidTypeValue, InvalidValueObject,
+                     InvalidValueObjectValue)
 
 IRI = "iri"
 BNODE = "bnode"
@@ -247,6 +248,14 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                         continue
                     pred = _iri_or_bnode(p_iri, state)
                     for v in _as_list(rv):
+                        if isinstance(v, dict) and (
+                                _is_list_object(v) or any(
+                                    ctx.expand_key(k) == keys.LIST
+                                    for k in v)):
+                            # [spec] §5.1 step 13.13: list objects are
+                            # never valid reverse values (sweep 6: the
+                            # list head was silently emitted as subject)
+                            raise InvalidReversePropertyValue(repr(v))
                         obj = _to_object(v, ctx.terms.get(rk), ctx, state, graph)
                         if obj is not None:
                             if obj[0] == LIT:
@@ -273,6 +282,13 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                     and isinstance(value, dict):
                 vals = [v for mv in value.values() for v in _as_list(mv)]
             for v in _as_list(vals):
+                if isinstance(v, dict) and (
+                        _is_list_object(v) or any(
+                            sub_ctx.expand_key(k) == keys.LIST
+                            for k in v)):
+                    # [spec] §5.1 step 14: list objects are never valid
+                    # reverse values (sweep 6)
+                    raise InvalidReversePropertyValue(repr(v))
                 obj = _to_object(v, term, sub_ctx, state, graph)
                 if obj is not None:
                     if obj[0] == LIT:
@@ -530,15 +546,20 @@ def _to_object(v, term, ctx: Context, state: _State, graph,
         return (LIT, canonical_json(v), keys.RDF_JSON, None)
 
     if isinstance(v, dict):
-        if keys.CONTEXT in v:
-            ctx = ctx.load(v[keys.CONTEXT])
-        kmap = {k: ctx.expand_key(k) for k in v}
+        # Probe with the node's own context loaded (aliased @value/@list
+        # detection) but hand _add_to_graph the UNLOADED ctx: it loads
+        # the node context itself, and loading twice is NOT idempotent
+        # for a relative @base (sweep 6: "sub/" resolved twice gave
+        # .../sub/sub/x).
+        inner = ctx.load(v[keys.CONTEXT]) if keys.CONTEXT in v else ctx
+        kmap = {k: inner.expand_key(k) for k in v}
         val_key = next((k for k, e in kmap.items() if e == keys.VALUE), None)
         if val_key is not None:
-            return _value_object_to_term(v, kmap, val_key, term, ctx, state)
+            return _value_object_to_term(v, kmap, val_key, term, inner,
+                                         state)
         if _is_list_object(v) or any(e == keys.LIST for e in kmap.values()):
             lkey = next(k for k, e in kmap.items() if e == keys.LIST)
-            return _add_list(_as_list(v[lkey]), term, ctx, state, graph,
+            return _add_list(_as_list(v[lkey]), term, inner, state, graph,
                              in_list=in_list)
         # Node object / node reference → recurse in the same graph (D2).
         return _add_to_graph(v, graph, ctx, state, from_map=from_map)
@@ -608,6 +629,18 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
         # JSON literal "null"^^rdf:JSON ([spec] 1.1 §4.2.2), matching the
         # expansion path's preservation of @json-typed nulls
         return (LIT, canonical_json(value), keys.RDF_JSON, None)
+    explicit_type = None
+    if type_key is not None:
+        # [spec] §5.1 step 13.4.4.4: a value object's @type must expand
+        # to an IRI/bnode (validated BEFORE the null-@value drop, like
+        # the expansion path; sweep 6: "@none" leaked as a datatype)
+        t = v[type_key]
+        if not isinstance(t, str):
+            raise InvalidTypedValue(repr(t))
+        explicit_type = ctx.expand_iri(t, vocab=True)
+        if explicit_type is None or not (explicit_type.startswith("_:")
+                                         or _ABS_IRI_RE.match(explicit_type)):
+            raise InvalidTypedValue(repr(t))
     if value is None:
         return None  # B3
     if isinstance(value, (list, dict)):
@@ -628,9 +661,6 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
     # (term/context) apply to raw strings via value expansion, not here
     direction = v[dir_key] if dir_key is not None else None
 
-    explicit_type = None
-    if type_key is not None and isinstance(v[type_key], str):
-        explicit_type = ctx.expand_iri(v[type_key], vocab=True)
 
     if lang_key is not None:
         lang = v[lang_key]
