@@ -104,6 +104,40 @@ class InvalidLanguageTaggedString(JsonLdError):
     code = "invalid language-tagged string"
 
 
+class InvalidLanguageTaggedValue(JsonLdError):
+    # [spec] 1.1 API expansion step 13.4.11: a number/boolean @value
+    # carrying a language tag.
+    code = "invalid language-tagged value"
+
+
+class InvalidIncludedValue(JsonLdError):
+    # [spec] 1.1 §9.13: @included takes node objects only.
+    code = "invalid @included value"
+
+
+class InvalidSetOrListObject(JsonLdError):
+    # [spec] 1.1 API expansion steps 13.4.9.1/13.4.11: @set/@list admit
+    # only @index beside them.
+    code = "invalid set or list object"
+
+
+class InvalidNestValue(JsonLdError):
+    # [spec] 1.1 §9.10: @nest values must be node objects (no scalars,
+    # no value objects).
+    code = "invalid @nest value"
+
+
+class InvalidReverseValue(JsonLdError):
+    # [spec] 1.1 API expansion step 13.7.1: @reverse takes a map.
+    code = "invalid @reverse value"
+
+
+class InvalidReversePropertyMap(JsonLdError):
+    # [spec] 1.1 API expansion step 13.7.2: a @reverse map may not
+    # itself contain @reverse.
+    code = "invalid reverse property map"
+
+
 class InvalidReversePropertyValue(JsonLdError):
     # [spec] 1.1 API expansion step 13.4.9 / 14: values of properties
     # under @reverse must be node objects, never literals.

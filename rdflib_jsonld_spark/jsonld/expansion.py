@@ -26,13 +26,32 @@ import re as _re
 
 from . import keys
 from .context import Context, UNDEF
-from .errors import (InvalidIdValue, InvalidIndexValue,
+from .errors import (InvalidBaseDirection, InvalidIdValue,
+                     InvalidIncludedValue, InvalidIndexValue,
                      InvalidLanguageTaggedString,
-                     InvalidReversePropertyValue, InvalidTypedValue,
+                     InvalidLanguageTaggedValue, InvalidNestValue,
+                     InvalidReversePropertyMap,
+                     InvalidReversePropertyValue, InvalidReverseValue,
+                     InvalidSetOrListObject, InvalidTypedValue,
                      InvalidTypeValue, InvalidValueObject,
                      InvalidValueObjectValue)
 
 _ABS_IRI_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+# the only entries a value object admits ([spec] §5.1 step 13.4.3); a
+# local @context is legal but consumed before the value walk
+_VALUE_OBJECT_KEYS = frozenset({keys.VALUE, keys.TYPE, keys.LANG,
+                                keys.DIRECTION, keys.INDEX, keys.CONTEXT})
+
+
+def _check_set_list_siblings(kmap: dict, which: str) -> None:
+    """[spec] §5.1 steps 13.4.9.1/13.4.11: a @set/@list object admits
+    only @index (plus a consumed @context) beside it — anything else is
+    an invalid set or list object, never a silent merge."""
+    bad = [k for k, e in kmap.items()
+           if e not in (which, keys.INDEX, keys.CONTEXT)]
+    if bad:
+        raise InvalidSetOrListObject(f"{which} with {bad!r}")
 
 
 def expand(data, context_data=None, base: str | None = None,
@@ -166,18 +185,31 @@ def _expand_element(ctx: Context, active_key: str | None, element,
             continue
 
         if expanded_key == keys.INCLUDED:  # [spec] 1.1 §9.13
+            for raw in _raw_array(value):
+                if not isinstance(raw, dict):
+                    # [spec] §5.1 step 13.4.6.x (sweep 6: silent drop)
+                    raise InvalidIncludedValue(repr(raw))
             inc = _ensure_array(_expand_element(ctx, None, value))
-            inc = [n for n in inc if isinstance(n, dict)]
+            for n in inc:
+                if not isinstance(n, dict) or keys.VALUE in n:
+                    # node objects only — value objects are errors
+                    raise InvalidIncludedValue(repr(n))
             if inc:
                 result.setdefault(keys.INCLUDED, []).extend(inc)
             continue
 
         if expanded_key == keys.REV:  # [spec] §5.1 step 13.13
+            if not isinstance(value, dict):
+                # [spec] §5.1 step 13.7.1 (sweep 6: silently ignored)
+                raise InvalidReverseValue(repr(value))
             if isinstance(value, dict):
                 rev_ctx = ctx.subcontext_for_term(key)
                 rmap = result.setdefault(keys.REV, {})
                 for rk, rv in value.items():
                     p_iri = rev_ctx.expand_iri(rk, vocab=True)
+                    if p_iri == keys.REV:
+                        # [spec] §5.1 step 13.7.2 (sweep 6)
+                        raise InvalidReversePropertyMap(rk)
                     if p_iri is None or p_iri in keys.KEYWORDS:
                         continue
                     vals = _ensure_array(_expand_element(rev_ctx, rk, rv))
@@ -191,11 +223,15 @@ def _expand_element(ctx: Context, active_key: str | None, element,
 
         if expanded_key == keys.NEST:  # [spec] 1.1 §9.10
             for item in _raw_array(value):
-                if isinstance(item, dict):
-                    nests.append((key, item))
+                if not isinstance(item, dict):
+                    # [spec] 1.1 §9.10 / expansion step 13.4.13 (sweep
+                    # 6: scalar @nest values were silently dropped)
+                    raise InvalidNestValue(repr(item))
+                nests.append((key, item))
             continue
 
         if expanded_key == keys.LIST:
+            _check_set_list_siblings(kmap, keys.LIST)
             lst = _ensure_array(
                 _expand_element(ctx, active_key, value, in_list=True))
             result[keys.LIST] = lst
@@ -204,6 +240,7 @@ def _expand_element(ctx: Context, active_key: str | None, element,
         if expanded_key == keys.SET:
             # @set is sugar: expansion of its contents replaces the map
             # ([spec] §5.1 step 13.4.11) — merge siblings like @index below.
+            _check_set_list_siblings(kmap, keys.SET)
             return _expand_element(ctx, active_key, value, in_list=in_list)
 
         if expanded_key == keys.INDEX:
@@ -244,6 +281,9 @@ def _expand_element(ctx: Context, active_key: str | None, element,
         for node in _ensure_array(sub):
             if not isinstance(node, dict):
                 continue
+            if keys.VALUE in node:
+                # [spec] 1.1 §9.10: nested values must be NODE objects
+                raise InvalidNestValue(repr(node))
             for nk, nv in node.items():
                 if nk == keys.ID:
                     continue
@@ -431,6 +471,12 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
     ([spec] §5.1 steps 13.4.3-13.4.16)."""
     value = element[val_key]
     result = {}
+    # [spec] §5.1 step 13.4.3: a value object admits ONLY @value, @type,
+    # @language, @direction and @index (plus a local @context, consumed
+    # by the caller) — anything else is an error, not a silent drop
+    extra = [k for k, e in kmap.items() if e not in _VALUE_OBJECT_KEYS]
+    if extra:
+        raise InvalidValueObject(f"unexpected entries {extra!r}")
     is_json = any(
         e == keys.TYPE and (
             element[k] == keys.JSON
@@ -467,13 +513,25 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
             if isinstance(lang, str):
                 result[keys.LANG] = lang.lower()
         elif expanded_key == keys.DIRECTION:
-            if isinstance(element[key], str):
-                result[keys.DIRECTION] = element[key]
+            d = element[key]
+            if d is not None and d not in ("ltr", "rtl"):
+                # [spec] §5.1 step 13.4.6 (sweep 6: "up" passed through)
+                raise InvalidBaseDirection(repr(d))
+            if isinstance(d, str):
+                result[keys.DIRECTION] = d
         elif expanded_key == keys.INDEX:
             if not isinstance(element[key], str):
                 raise InvalidIndexValue(repr(element[key]))
             result[keys.INDEX] = element[key]
-        # all other keys are dropped inside value objects ([spec] 13.4.2)
+    # [spec] §5.1 step 13.4.3 (cont.): @type never coexists with
+    # @language or @direction in a value object
+    if keys.TYPE in result and (keys.LANG in result
+                                or keys.DIRECTION in result):
+        raise InvalidValueObject("@type with @language/@direction")
+    # [spec] §5.1 step 13.4.11: a language tag on a non-string @value
+    if keys.LANG in result and result.get(keys.VALUE) is not None \
+            and not isinstance(result[keys.VALUE], str):
+        raise InvalidLanguageTaggedValue(repr(result[keys.VALUE]))
     if result.get(keys.VALUE) is None and result.get(keys.TYPE) != keys.JSON:
         # null @value → dropped (B3); EXCEPT @json-typed value objects,
         # where null is a valid JSON literal ([spec] JSON-LD 1.1 §4.2.2)
@@ -483,8 +541,6 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
     # Expansion of raw strings. (Was injected pre-r02 — a round-trip bug:
     # compact({"@value": "x"}) could never re-expand to a plain string
     # under a default-language context.)
-    if result.get(keys.TYPE) == keys.JSON:
-        result.pop(keys.LANG, None)
     return result
 
 

@@ -31,11 +31,19 @@ import re as _re
 
 from . import keys
 from .context import Context, UNDEF
-from .errors import (InvalidIdValue, InvalidIndexValue,
-                     InvalidLanguageTaggedString, InvalidListOfLists,
-                     InvalidReversePropertyValue, InvalidTypedValue,
+from .errors import (InvalidBaseDirection, InvalidIdValue,
+                     InvalidIncludedValue, InvalidIndexValue,
+                     InvalidLanguageTaggedString,
+                     InvalidLanguageTaggedValue, InvalidListOfLists,
+                     InvalidNestValue, InvalidReversePropertyMap,
+                     InvalidReversePropertyValue, InvalidReverseValue,
+                     InvalidSetOrListObject, InvalidTypedValue,
                      InvalidTypeValue, InvalidValueObject,
                      InvalidValueObjectValue)
+
+# the only entries a value object admits ([spec] §5.1 step 13.4.3)
+_VALUE_OBJECT_KEYS = frozenset({keys.VALUE, keys.TYPE, keys.LANG,
+                                keys.DIRECTION, keys.INDEX, keys.CONTEXT})
 
 IRI = "iri"
 BNODE = "bnode"
@@ -208,7 +216,7 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
             continue  # B1: skip handled / non-semantic / unmapped keys
 
         if expanded == keys.TYPE:
-            for t in _as_list(value):
+            for t in _as_list(value, ctx):
                 if not isinstance(t, str):
                     # [spec] 1.1 API expansion step 13.4.4
                     raise InvalidTypeValue(repr(t))
@@ -222,32 +230,45 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
         if expanded == keys.GRAPH:
             # Nested @graph under a node with @id → named-graph quads (D3).
             target = None if only_graph else subj
-            for item in _as_list(value):
+            for item in _as_list(value, ctx):
                 if isinstance(item, dict):
                     _add_to_graph(item, target, ctx, state)
             continue
 
         if expanded == keys.INCLUDED:  # [spec] 1.1 §9.13: sibling nodes
-            for item in _as_list(value):
-                if isinstance(item, dict):
-                    _add_to_graph(item, graph, ctx, state)
+            for item in _as_list(value, ctx):
+                if not isinstance(item, dict) or any(
+                        ctx.expand_key(k) == keys.VALUE for k in item):
+                    # node objects only ([spec] §5.1 13.4.6.x; sweep 6)
+                    raise InvalidIncludedValue(repr(item))
+                _add_to_graph(item, graph, ctx, state)
             continue
 
         if expanded == keys.NEST:  # [spec] 1.1 §9.10: transparent nesting
-            for item in _as_list(value):
-                if isinstance(item, dict):
-                    _nest_into(item, subj, graph, ctx, state)
+            for item in _as_list(value, ctx):
+                if not isinstance(item, dict) or any(
+                        ctx.expand_key(k) == keys.VALUE for k in item):
+                    # [spec] 1.1 §9.10 (sweep 6): @nest takes NODE
+                    # objects only — scalars/value objects are errors
+                    raise InvalidNestValue(repr(item))
+                _nest_into(item, subj, graph, ctx, state)
             continue
 
         if expanded == keys.REV:
             # {"@reverse": {p: [o...]}} → (o, p, s) (D4).
+            if not isinstance(value, dict):
+                # [spec] §5.1 step 13.7.1 (sweep 6: silently ignored)
+                raise InvalidReverseValue(repr(value))
             if isinstance(value, dict):
                 for rk, rv in value.items():
                     p_iri = ctx.expand_iri(rk, vocab=True)
+                    if p_iri == keys.REV:
+                        # [spec] §5.1 step 13.7.2 (sweep 6)
+                        raise InvalidReversePropertyMap(rk)
                     if p_iri is None or p_iri in keys.KEYWORDS:
                         continue
                     pred = _iri_or_bnode(p_iri, state)
-                    for v in _as_list(rv):
+                    for v in _as_list(rv, ctx):
                         if isinstance(v, dict) and (
                                 _is_list_object(v) or any(
                                     ctx.expand_key(k) == keys.LIST
@@ -280,8 +301,9 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
             vals = value
             if term.container and keys.INDEX in term.container \
                     and isinstance(value, dict):
-                vals = [v for mv in value.values() for v in _as_list(mv)]
-            for v in _as_list(vals):
+                vals = [v for mv in value.values()
+                        for v in _as_list(mv, sub_ctx)]
+            for v in _as_list(vals, sub_ctx):
                 if isinstance(v, dict) and (
                         _is_list_object(v) or any(
                             sub_ctx.expand_key(k) == keys.LIST
@@ -304,7 +326,7 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
             # language map (D6): {"en": "x", "de": ["y"]}
             map_dir = _default_direction(term, ctx)
             for lang, vals in value.items():
-                for v in _as_list(vals):
+                for v in _as_list(vals, sub_ctx):
                     if not isinstance(v, str):
                         continue
                     tag = None if lang == keys.NONE or lang == ctx.alias(keys.NONE) \
@@ -325,7 +347,7 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                 # keys are non-semantic (fresh bnode graph name); @id
                 # keys name the graph; @none in an @id map → anonymous.
                 for mkey, vals in value.items():
-                    for v in _as_list(vals):
+                    for v in _as_list(vals, sub_ctx):
                         if not isinstance(v, dict):
                             continue
                         if keys.ID in container and mkey not in (
@@ -335,7 +357,7 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                         else:
                             gterm = state.fresh_bnode()
                         inner = v.get(keys.GRAPH, v)
-                        for item in _as_list(inner):
+                        for item in _as_list(inner, sub_ctx):
                             if isinstance(item, dict):
                                 _add_to_graph(item, gterm, sub_ctx, state,
                                               from_map=True)
@@ -344,7 +366,7 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
             # index/id/type maps: keys non-semantic for @index (D5); for
             # @id/@type maps the key becomes the node's @id/@type.
             for mkey, vals in value.items():
-                for v in _as_list(vals):
+                for v in _as_list(vals, sub_ctx):
                     v2 = v
                     if keys.INDEX in container and term is not None \
                             and term.index is not None:
@@ -379,7 +401,8 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
 
         if keys.LIST in container and not _is_list_object(value):
             # term-level @container:@list wraps the value array (D7)
-            head = _add_list(_as_list(value), term, sub_ctx, state, graph)
+            head = _add_list(_as_list(value, sub_ctx), term, sub_ctx,
+                             state, graph)
             _emit(state, graph, subj, pred, head)
             continue
 
@@ -389,7 +412,7 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
             # (only @graph/@id/@index members) keeps that id as the
             # graph name (it is never re-wrapped) — anything else gets a
             # fresh anonymous graph.
-            for v in _as_list(value):
+            for v in _as_list(value, sub_ctx):
                 if isinstance(v, dict):
                     vmap = {sub_ctx.expand_key(k): k for k in v}
                     is_graph_obj = keys.GRAPH in vmap and all(
@@ -403,14 +426,14 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                         gterm = state.fresh_bnode()
                     inner = v[vmap[keys.GRAPH]] if keys.GRAPH in vmap \
                         else v
-                    for item in _as_list(inner):
+                    for item in _as_list(inner, sub_ctx):
                         if isinstance(item, dict):
                             _add_to_graph(item, gterm, sub_ctx, state,
                                           from_map=True)
                     _emit(state, graph, subj, pred, gterm)
             continue
 
-        for v in _as_list(value):
+        for v in _as_list(value, sub_ctx):
             obj = _to_object(v, term, sub_ctx, state, graph)
             if obj is not None:
                 _emit(state, graph, subj, pred, obj)
@@ -439,17 +462,50 @@ def _emit(state: _State, graph, s, p, o) -> None:
     state.quads.append((graph, s, p, o))
 
 
-def _as_list(v) -> list:
-    if isinstance(v, list):
-        return v
-    if isinstance(v, dict) and keys.SET in v:
-        inner = v[keys.SET]
-        return inner if isinstance(inner, list) else [inner]
-    return [v]
+def _as_list(v, ctx: Context | None = None) -> list:
+    """Array-ify, unwrapping @set objects ([spec] §5.1 step 13.4.11).
+    With a ctx the detection is ALIAS-aware and sibling keys other than
+    @index/@context raise invalid set or list object; nested sets
+    flatten (sweep 6: an aliased @set was walked as an empty node
+    object, and illegal siblings were silently dropped). Without a ctx
+    this is the legacy alias-blind unwrap (internal list-building
+    sites), which never validates."""
+    items = v if isinstance(v, list) else [v]
+    # fast path (hot kernel): only dict members can be set objects
+    if not any(isinstance(i, dict) for i in items):
+        return items
+    out = []
+    for item in items:
+        skey = None
+        if isinstance(item, dict):
+            if keys.SET in item:
+                skey = keys.SET
+            elif ctx is not None:
+                skey = next((k for k in item
+                             if ctx.expand_key(k) == keys.SET), None)
+        if skey is None:
+            out.append(item)
+            continue
+        if ctx is not None:
+            bad = [k for k in item if k != skey and ctx.expand_key(k)
+                   not in (keys.INDEX, keys.CONTEXT)]
+            if bad:
+                raise InvalidSetOrListObject(f"@set with {bad!r}")
+        out.extend(_as_list(item[skey], ctx))
+    return out
 
 
 def _is_list_object(v) -> bool:
     return isinstance(v, dict) and keys.LIST in v
+
+
+def _check_list_siblings(v: dict, ctx: Context) -> None:
+    """[spec] §5.1 step 13.4.9.1 (sweep 6): a @list object admits only
+    @index beside it — anything else is invalid, never a silent merge."""
+    bad = [k for k in v if ctx.expand_key(k)
+           not in (keys.LIST, keys.INDEX, keys.CONTEXT)]
+    if bad:
+        raise InvalidSetOrListObject(f"@list with {bad!r}")
 
 
 def _iri_or_bnode(iri: str, state: _State) -> tuple:
@@ -481,9 +537,12 @@ def _add_list(values: list, term, ctx: Context, state: _State, graph,
     if in_list and not state.allow_ll:
         raise InvalidListOfLists(repr(values))
     items = []
-    for v in values:
+    for v in _as_list(values, ctx):
         if isinstance(v, list) or _is_list_object(v):
-            inner = v if isinstance(v, list) else _as_list(v.get(keys.LIST, []))
+            if isinstance(v, dict):
+                _check_list_siblings(v, ctx)
+            inner = v if isinstance(v, list) \
+                else _as_list(v.get(keys.LIST, []), ctx)
             items.append(_add_list(inner, term, ctx, state, graph, in_list=True))
         else:
             obj = _to_object(v, term, ctx, state, graph, in_list=True)
@@ -558,9 +617,10 @@ def _to_object(v, term, ctx: Context, state: _State, graph,
             return _value_object_to_term(v, kmap, val_key, term, inner,
                                          state)
         if _is_list_object(v) or any(e == keys.LIST for e in kmap.values()):
+            _check_list_siblings(v, inner)
             lkey = next(k for k, e in kmap.items() if e == keys.LIST)
-            return _add_list(_as_list(v[lkey]), term, inner, state, graph,
-                             in_list=in_list)
+            return _add_list(_as_list(v[lkey], inner), term, inner, state,
+                             graph, in_list=in_list)
         # Node object / node reference → recurse in the same graph (D2).
         return _add_to_graph(v, graph, ctx, state, from_map=from_map)
 
@@ -624,6 +684,22 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
     """{"@value": ...} → literal ([spec] JLD-API §10.6 steps 8-13)."""
     value = v[val_key]
     type_key = next((k for k, e in kmap.items() if e == keys.TYPE), None)
+    # [spec] §5.1 step 13.4.3 (sweep 6, mirrors expansion.py): a value
+    # object admits only @value/@type/@language/@direction/@index (plus
+    # a consumed local @context); @type never coexists with @language
+    # or @direction; a language tag requires a string @value
+    extra = [k for k, e in kmap.items() if e not in _VALUE_OBJECT_KEYS]
+    if extra:
+        raise InvalidValueObject(f"unexpected entries {extra!r}")
+    _lk = next((k for k, e in kmap.items() if e == keys.LANG), None)
+    _dk = next((k for k, e in kmap.items() if e == keys.DIRECTION), None)
+    lang_present = _lk is not None and isinstance(v[_lk], str)
+    dir_present = _dk is not None and isinstance(v[_dk], str)
+    if type_key is not None and (lang_present or dir_present):
+        raise InvalidValueObject("@type with @language/@direction")
+    if lang_present and value is not None and not isinstance(value, str):
+        # [spec] §5.1 step 13.4.11
+        raise InvalidLanguageTaggedValue(repr(value))
     if type_key is not None and v[type_key] == keys.JSON:
         # BEFORE the null drop: {"@value": null, "@type": "@json"} is the
         # JSON literal "null"^^rdf:JSON ([spec] 1.1 §4.2.2), matching the
@@ -660,16 +736,22 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
     # explicit value objects take ONLY their own @direction — defaults
     # (term/context) apply to raw strings via value expansion, not here
     direction = v[dir_key] if dir_key is not None else None
+    if direction is not None and direction not in ("ltr", "rtl"):
+        # [spec] §5.1 step 13.4.6 (sweep 6: mirrors expansion.py)
+        raise InvalidBaseDirection(repr(direction))
 
 
     if lang_key is not None:
         lang = v[lang_key]
         if lang is None:
-            if isinstance(value, str) and i18n and direction:
-                return _i18n_literal(value, None, direction)  # i18n#_dir
-            return (LIT, _native_lex(value)[0], _native_lex(value)[1], None) \
-                if not isinstance(value, str) else (LIT, value, keys.XSD_STRING, None)
-        if isinstance(value, str):
+            # a NULL @language only suppresses language tagging — an
+            # explicit @type still wins (sweep 6: the datatype was lost)
+            if explicit_type is None:
+                if isinstance(value, str) and i18n and direction:
+                    return _i18n_literal(value, None, direction)  # i18n#_dir
+                return (LIT, _native_lex(value)[0], _native_lex(value)[1], None) \
+                    if not isinstance(value, str) else (LIT, value, keys.XSD_STRING, None)
+        elif isinstance(value, str):
             if i18n and direction:
                 return _i18n_literal(value, lang, direction)
             return (LIT, value, keys.RDF_LANGSTRING, lang.lower())
