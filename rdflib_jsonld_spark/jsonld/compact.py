@@ -217,8 +217,13 @@ def _compact_property_values(ctx: Context, term, values: list,
         # a graph object carrying @id/@index under a simple @graph
         # container keeps its explicit wrapper (falls through)
 
+    # Map containers key entries missing the component under @none
+    # ([spec] §6.1 steps 12.8.6/12.8.8-9) — guards stay conservative so
+    # a map can never silently drop @type/@index/@list structure. A
+    # language-map entry re-expands with the context DEFAULT @direction,
+    # so an item may carry @direction only when it EQUALS that default.
     if keys.LANG in container and values \
-            and all(isinstance(v, dict) and keys.VALUE in v for v in values):
+            and all(_lang_map_ok(v, ctx) for v in values):
         lmap: dict = {}
         for v in values:
             lang = v.get(keys.LANG, keys.NONE)
@@ -227,35 +232,41 @@ def _compact_property_values(ctx: Context, term, values: list,
                 for lang, vs in lmap.items()}
 
     if keys.INDEX in container and values \
-            and all(isinstance(v, dict) and keys.INDEX in v for v in values):
+            and all(isinstance(v, dict) for v in values):
         imap: dict = {}
         for v in values:
             stripped = {k: x for k, x in v.items() if k != keys.INDEX}
-            imap.setdefault(v[keys.INDEX], []).append(
+            imap.setdefault(v.get(keys.INDEX, keys.NONE), []).append(
                 _compact_element(ctx, term, stripped, compact_arrays))
         return {idx: vs[0] if len(vs) == 1 and compact_arrays else vs
                 for idx, vs in imap.items()}
 
     if keys.TYPE in container and values \
-            and all(isinstance(v, dict) and v.get(keys.TYPE)
-                    for v in values):
+            and all(isinstance(v, dict) and keys.VALUE not in v
+                    and keys.LIST not in v for v in values):
         tmap: dict = {}
         for v in values:
-            first, rest_types = v[keys.TYPE][0], v[keys.TYPE][1:]
+            vtypes = v.get(keys.TYPE) or []
+            first, rest_types = (vtypes[0], vtypes[1:]) if vtypes \
+                else (None, [])
             node = {k: x for k, x in v.items() if k != keys.TYPE}
             if rest_types:
                 node[keys.TYPE] = rest_types
-            tmap.setdefault(ctx.shrink_iri(first), []).append(
+            tkey = ctx.shrink_iri(first) if first is not None else keys.NONE
+            tmap.setdefault(tkey, []).append(
                 _compact_element(ctx, None, node, compact_arrays))
         return {t: vs[0] if len(vs) == 1 and compact_arrays else vs
                 for t, vs in tmap.items()}
 
     if keys.ID in container and values \
-            and all(isinstance(v, dict) and keys.ID in v for v in values):
+            and all(isinstance(v, dict) and keys.VALUE not in v
+                    and keys.LIST not in v for v in values):
         idmap: dict = {}
         for v in values:
             node = {k: x for k, x in v.items() if k != keys.ID}
-            idmap.setdefault(_compact_id(ctx, v[keys.ID]), []).append(
+            ikey = _compact_id(ctx, v[keys.ID]) if keys.ID in v \
+                else keys.NONE
+            idmap.setdefault(ikey, []).append(
                 _compact_element(ctx, None, node, compact_arrays)
                 if node else {})
         return {i: vs[0] if len(vs) == 1 and compact_arrays else vs
@@ -334,6 +345,16 @@ def _native_redundant(value, t_type) -> bool:
     return False  # conservative: natives under typed terms stay wrapped
 
 
+def _lang_map_ok(v, ctx: Context) -> bool:
+    """True when a value may live inside a language map without losing
+    or gaining information on re-expansion: a value object carrying at
+    most @language plus a @direction that matches the context default
+    (entries re-expand WITH that default)."""
+    return (isinstance(v, dict) and keys.VALUE in v
+            and set(v) <= {keys.VALUE, keys.LANG, keys.DIRECTION}
+            and v.get(keys.DIRECTION) == ctx.direction)
+
+
 def _compact_id(ctx: Context, iri: str) -> str:
     """IRI in @id position → CURIE or base-relative spelling; @vocab does
     NOT apply ([spec] §6.3 IRI Compaction with vocab=false)."""
@@ -355,8 +376,9 @@ def _select_term(ctx: Context, iri: str, values: list):
         isinstance(v, dict) and set(v) <= {keys.LIST, keys.INDEX}
         for v in values)
     all_lang = all_values and all(
-        isinstance(v, dict) and keys.LANG in v and keys.VALUE in v
-        for v in values)
+        _lang_map_ok(v, ctx) and keys.LANG in v for v in values)
+    lang_noneable = all_values and all(
+        _lang_map_ok(v, ctx) for v in values)
     all_indexed = all_values and all(
         isinstance(v, dict) and keys.INDEX in v for v in values)
 
@@ -369,15 +391,20 @@ def _select_term(ctx: Context, iri: str, values: list):
                 return None
             s += 8
         if keys.LANG in term.container:
-            if not all_lang:
+            if all_lang:
+                s += 8
+            elif lang_noneable:
+                s += 4  # absent languages key under @none (12.8.6)
+            else:
                 return None
-            s += 8
         if keys.INDEX in term.container \
                 and keys.GRAPH not in term.container:
-            # (@graph+@index maps key absent indexes under @none)
-            if not all_indexed:
+            if all_indexed:
+                s += 8
+            elif all_values and all(isinstance(v, dict) for v in values):
+                s += 4  # absent indexes key under @none (12.8.8)
+            else:
                 return None
-            s += 8
         graph_container = keys.GRAPH in term.container
         if graph_container:
             if not all(isinstance(v, dict) and keys.GRAPH in v
@@ -385,18 +412,28 @@ def _select_term(ctx: Context, iri: str, values: list):
                 return None
             s += 8
         if keys.TYPE in term.container:
-            if not (all_values and all(
+            if all_values and all(
                     isinstance(v, dict) and v.get(keys.TYPE)
-                    for v in values)):
+                    for v in values):
+                s += 8
+            elif all_values and all(
+                    isinstance(v, dict) and keys.VALUE not in v
+                    and keys.LIST not in v for v in values):
+                s += 4  # untyped nodes key under @none (12.8.9)
+            else:
                 return None
-            s += 8
         if keys.ID in term.container and not graph_container:
             # (@graph+@id maps key absent ids under @none — no presence
             # requirement there)
-            if not (all_values and all(
-                    isinstance(v, dict) and keys.ID in v for v in values)):
+            if all_values and all(
+                    isinstance(v, dict) and keys.ID in v for v in values):
+                s += 8
+            elif all_values and all(
+                    isinstance(v, dict) and keys.VALUE not in v
+                    and keys.LIST not in v for v in values):
+                s += 4  # anonymous nodes key under @none (12.8.9)
+            else:
                 return None
-            s += 8
         if term.type is not UNDEF and term.type is not None:
             if not _type_matches(term.type, values):
                 return None

@@ -173,3 +173,78 @@ def test_multiple_top_level_nodes_under_graph():
     out = compact(doc, None, expanded=True)
     assert set(out) == {"@graph"}
     assert [n["@id"] for n in out["@graph"]] == ["http://e/a", "http://e/b"]
+
+
+# -- sweep 6e: @none keys in container maps ([spec] §6.1 12.8.6/12.8.8-9) --
+
+def _cx(ctx, doc):
+    from rdflib_jsonld_spark.jsonld.expansion import expand
+    out = compact(expand(doc), ctx)
+    out.pop("@context", None)
+    return out
+
+
+def test_language_map_none_key():
+    """Entries without @language key under @none instead of escaping
+    the map to the raw-IRI fallback (sweep 6e)."""
+    out = _cx({"p": {"@id": "http://e/p", "@container": "@language"}},
+              {"@id": "http://e/a",
+               "http://e/p": [{"@value": "hallo", "@language": "de"},
+                              {"@value": "plain"}]})
+    assert out == {"@id": "http://e/a",
+                   "p": {"de": "hallo", "@none": "plain"}}
+
+
+def test_index_map_none_key():
+    out = _cx({"p": {"@id": "http://e/p", "@container": "@index"}},
+              {"@id": "http://e/a",
+               "http://e/p": [{"@value": "a", "@index": "i1"},
+                              {"@value": "b"}]})
+    assert out == {"@id": "http://e/a", "p": {"i1": "a", "@none": "b"}}
+
+
+def test_id_map_none_key():
+    out = _cx({"p": {"@id": "http://e/p", "@container": "@id"},
+               "q": "http://e/q"},
+              {"@id": "http://e/a",
+               "http://e/p": [{"@id": "http://e/n1", "http://e/q": "x"},
+                              {"http://e/q": "y"}]})
+    assert out == {"@id": "http://e/a",
+                   "p": {"http://e/n1": {"q": "x"}, "@none": {"q": "y"}}}
+
+
+def test_type_map_none_key():
+    out = _cx({"p": {"@id": "http://e/p", "@container": "@type"},
+               "q": "http://e/q"},
+              {"@id": "http://e/a",
+               "http://e/p": [{"@id": "http://e/n1",
+                               "@type": "http://e/T", "http://e/q": "x"},
+                              {"@id": "http://e/n2", "http://e/q": "y"}]})
+    assert out == {"@id": "http://e/a",
+                   "p": {"http://e/T": {"@id": "http://e/n1", "q": "x"},
+                         "@none": {"@id": "http://e/n2", "q": "y"}}}
+
+
+def test_typed_value_never_enters_language_map():
+    """A typed value under a language-container term must fall back to
+    the explicit form — a map entry would lose the datatype."""
+    out = _cx({"p": {"@id": "http://e/p", "@container": "@language"}},
+              {"@id": "http://e/a",
+               "http://e/p": [{"@value": "5",
+                               "@type": "http://www.w3.org/2001/"
+                                        "XMLSchema#integer"}]})
+    assert out["http://e/p"] == {
+        "@value": "5",
+        "@type": "http://www.w3.org/2001/XMLSchema#integer"}
+
+
+def test_mismatched_direction_never_enters_language_map():
+    """An item whose @direction differs from the context default cannot
+    live in a language map (entries re-expand WITH the default)."""
+    out = _cx({"p": {"@id": "http://e/p", "@container": "@language"},
+               "@direction": "rtl"},
+              {"@id": "http://e/a",
+               "http://e/p": [{"@value": "x", "@language": "en",
+                               "@direction": "ltr"}]})
+    assert out["http://e/p"] == {"@value": "x", "@language": "en",
+                                 "@direction": "ltr"}
