@@ -44,12 +44,17 @@ _VALUE_OBJECT_KEYS = frozenset({keys.VALUE, keys.TYPE, keys.LANG,
                                 keys.DIRECTION, keys.INDEX, keys.CONTEXT})
 
 
+_key_survives = keys.key_survives  # [spec] §5.1 step 13.3 (ADVICE r03)
+
+
 def _check_set_list_siblings(kmap: dict, which: str) -> None:
     """[spec] §5.1 steps 13.4.9.1/13.4.11: a @set/@list object admits
-    only @index (plus a consumed @context) beside it — anything else is
-    an invalid set or list object, never a silent merge."""
+    only @index (plus a consumed @context) beside it — anything else
+    that survives step 13.3 is an invalid set or list object, never a
+    silent merge."""
     bad = [k for k, e in kmap.items()
-           if e not in (which, keys.INDEX, keys.CONTEXT)]
+           if _key_survives(e) and e not in (which, keys.INDEX,
+                                             keys.CONTEXT)]
     if bad:
         raise InvalidSetOrListObject(f"{which} with {bad!r}")
 
@@ -185,11 +190,12 @@ def _expand_element(ctx: Context, active_key: str | None, element,
             continue
 
         if expanded_key == keys.INCLUDED:  # [spec] 1.1 §9.13
-            for raw in _raw_array(value):
-                if not isinstance(raw, dict):
-                    # [spec] §5.1 step 13.4.6.x (sweep 6: silent drop)
-                    raise InvalidIncludedValue(repr(raw))
-            inc = _ensure_array(_expand_element(ctx, None, value))
+            # [spec] §5.1 step 13.4.7.2 expands with the ACTIVE PROPERTY
+            # (not null): scalars become value objects and fail the
+            # node-object check below, while nested arrays flatten into
+            # valid node objects (ADVICE r03: the raw pre-check here
+            # wrongly rejected {"@included": [[{...}]]})
+            inc = _ensure_array(_expand_element(ctx, key, value))
             for n in inc:
                 if not isinstance(n, dict) or keys.VALUE in n:
                     # node objects only — value objects are errors
@@ -473,8 +479,10 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
     result = {}
     # [spec] §5.1 step 13.4.3: a value object admits ONLY @value, @type,
     # @language, @direction and @index (plus a local @context, consumed
-    # by the caller) — anything else is an error, not a silent drop
-    extra = [k for k, e in kmap.items() if e not in _VALUE_OBJECT_KEYS]
+    # by the caller) — anything else that survives step 13.3 is an
+    # error, not a silent drop (keys that don't expand drop FIRST)
+    extra = [k for k, e in kmap.items()
+             if _key_survives(e) and e not in _VALUE_OBJECT_KEYS]
     if extra:
         raise InvalidValueObject(f"unexpected entries {extra!r}")
     is_json = any(

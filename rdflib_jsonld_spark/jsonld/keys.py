@@ -35,6 +35,16 @@ KEYWORDS = {
     TYPE, VALUE, VERSION, VOCAB,
 }
 
+def key_survives(expanded_key) -> bool:
+    """[spec] JLD-API §5.1 step 13.3: a key whose expanded property is
+    null, or neither contains a colon nor is a keyword, is DROPPED
+    before any value-object / set-or-list validation (ADVICE r03:
+    erroring on dropped keys rejected spec-valid documents). Shared by
+    both walks (expansion + to_rdf) so they agree by construction."""
+    return expanded_key is not None and (
+        expanded_key in KEYWORDS or ":" in expanded_key)
+
+
 # Well-known IRIs used by the to-rdf / from-rdf algorithms
 # ([spec] RDF 1.1 Concepts §5, JLD-API §10).
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"

@@ -42,6 +42,8 @@ from .errors import (InvalidBaseDirection, InvalidIdValue,
                      InvalidValueObjectValue)
 
 # the only entries a value object admits ([spec] §5.1 step 13.4.3)
+_key_survives = keys.key_survives  # [spec] §5.1 step 13.3 (ADVICE r03)
+
 _VALUE_OBJECT_KEYS = frozenset({keys.VALUE, keys.TYPE, keys.LANG,
                                 keys.DIRECTION, keys.INDEX, keys.CONTEXT})
 
@@ -236,7 +238,18 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
             continue
 
         if expanded == keys.INCLUDED:  # [spec] 1.1 §9.13: sibling nodes
-            for item in _as_list(value, ctx):
+            # nested arrays flatten and nulls drop ([spec] §5.1 step
+            # 13.4.7.2 expands with the active property, flattening per
+            # step 5.2.4 — ADVICE r03, mirrors expansion.py); scalars
+            # and value objects remain errors
+            stack = list(_as_list(value, ctx))
+            while stack:
+                item = stack.pop(0)
+                if isinstance(item, list):
+                    stack[:0] = _as_list(item, ctx)
+                    continue
+                if item is None:
+                    continue
                 if not isinstance(item, dict) or any(
                         ctx.expand_key(k) == keys.VALUE for k in item):
                     # node objects only ([spec] §5.1 13.4.6.x; sweep 6)
@@ -487,8 +500,11 @@ def _as_list(v, ctx: Context | None = None) -> list:
             out.append(item)
             continue
         if ctx is not None:
-            bad = [k for k in item if k != skey and ctx.expand_key(k)
-                   not in (keys.INDEX, keys.CONTEXT)]
+            # keys that fail step 13.3 (don't expand / no colon, not a
+            # keyword) drop BEFORE sibling validation (ADVICE r03)
+            bad = [k for k in item if k != skey
+                   and _key_survives(ctx.expand_key(k))
+                   and ctx.expand_key(k) not in (keys.INDEX, keys.CONTEXT)]
             if bad:
                 raise InvalidSetOrListObject(f"@set with {bad!r}")
         out.extend(_as_list(item[skey], ctx))
@@ -501,9 +517,12 @@ def _is_list_object(v) -> bool:
 
 def _check_list_siblings(v: dict, ctx: Context) -> None:
     """[spec] §5.1 step 13.4.9.1 (sweep 6): a @list object admits only
-    @index beside it — anything else is invalid, never a silent merge."""
-    bad = [k for k in v if ctx.expand_key(k)
-           not in (keys.LIST, keys.INDEX, keys.CONTEXT)]
+    @index beside it — anything else that survives step 13.3 is
+    invalid, never a silent merge (ADVICE r03: dropped keys drop first)."""
+    bad = [k for k in v
+           if _key_survives(ctx.expand_key(k))
+           and ctx.expand_key(k) not in (keys.LIST, keys.INDEX,
+                                         keys.CONTEXT)]
     if bad:
         raise InvalidSetOrListObject(f"@list with {bad!r}")
 
@@ -688,7 +707,8 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
     # object admits only @value/@type/@language/@direction/@index (plus
     # a consumed local @context); @type never coexists with @language
     # or @direction; a language tag requires a string @value
-    extra = [k for k, e in kmap.items() if e not in _VALUE_OBJECT_KEYS]
+    extra = [k for k, e in kmap.items()
+             if _key_survives(e) and e not in _VALUE_OBJECT_KEYS]
     if extra:
         raise InvalidValueObject(f"unexpected entries {extra!r}")
     _lk = next((k for k, e in kmap.items() if e == keys.LANG), None)
