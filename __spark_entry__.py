@@ -1653,27 +1653,33 @@ def q_doc_dsir_sample(spark, sf_dir) -> DataFrame:
 
 
 def q_doc_bpe_merges(spark, sf_dir) -> DataFrame:
-    """Distributed BPE vocabulary learning (bpe.learn_bpe_merges): the
-    first 8 merges learned from the corpus word frequencies. The oracle
-    unrolls the same recurrence round by round in SQL (pair counts →
-    (count DESC, pair ASC) argmax → greedy fold merge via list_reduce
-    over separator-joined symbols) — merge table value-exact."""
-    from rdflib_jsonld_spark.operators.bpe import learn_bpe_merges
+    """BATCHED distributed BPE learning (bpe.learn_bpe_batched, 3
+    rounds × up to 4 merges/round): per round ONE pair count feeds a
+    top-k candidate list; candidates are greedily accepted iff
+    symbol-disjoint from every already-accepted pair that round — the
+    standard batching that collapses 32k-vocab learning from 32k
+    sequential driver rounds to ~hundreds. The oracle replays the
+    identical batched recurrence in SQL (ranked candidates →
+    accepted-set accumulation via NOT EXISTS → conditional list_reduce
+    folds in acceptance order) — merge table value-exact. batch_k=1
+    equals sequential BPE (unit-tested)."""
+    from rdflib_jsonld_spark.operators.bpe import learn_bpe_batched
     docs = _t(spark, sf_dir, "documents")
-    return learn_bpe_merges(docs, n_merges=8).orderBy("step")
+    return learn_bpe_batched(docs, n_rounds=3, batch_k=4).orderBy("step")
 
 
 def q_doc_bpe_segments(spark, sf_dir) -> DataFrame:
     """BPE application (bpe.segment_words): the corpus vocabulary
-    segmented with the 8 merges learned by learn_bpe_merges — the
+    segmented with the merges learned by the batched recurrence — the
     tokenizer-application face of the pair. Oracle = the same unrolled
     SQL recurrence's FINAL word table; pieces compared as a '|'-joined
     string, counts and piece counts exact."""
-    from rdflib_jsonld_spark.operators.bpe import (learn_bpe_merges,
+    from rdflib_jsonld_spark.operators.bpe import (learn_bpe_batched,
                                                    segment_words)
     docs = _t(spark, sf_dir, "documents")
     merges = [(r["lhs"], r["rhs"])
-              for r in learn_bpe_merges(docs, n_merges=8).collect()]
+              for r in learn_bpe_batched(docs, n_rounds=3,
+                                         batch_k=4).collect()]
     seg = segment_words(docs, merges)
     return seg.select(
         "w", F.col("cnt").cast("long").alias("cnt"),
@@ -1757,10 +1763,16 @@ _DSIR_PERDOC_SQL = r"""
 """
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Unrolled n-round BPE recurrence in DuckDB SQL. Symbols are
-    chr(31)-joined (corpus words are alnum); a merge appends WITHOUT
-    the separator, so the fold needs no list accumulator."""
+def _bpe_chain_sql(n_rounds: int, batch_k: int) -> str:
+    """Unrolled BATCHED-BPE recurrence in DuckDB SQL (engine:
+    bpe.learn_bpe_batched). Per round: pair counts → top batch_k
+    candidates pivoted wide → greedy symbol-disjoint acceptance flags
+    f1..fk (lateral column aliases; fi = candidate i shares no symbol
+    with any already-ACCEPTED fj, j<i) → conditional list_reduce folds
+    applied in acceptance order. batch_k=1 is sequential BPE. Symbols
+    are chr(31)-joined (corpus words are alnum); a merge appends
+    WITHOUT the separator, so the fold needs no list accumulator."""
+    k = batch_k
     sql = ["""WITH toks AS (
       SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
                                                       '\\s+'),
@@ -1770,42 +1782,80 @@ def _bpe_oracle_sql(n_merges: int) -> str:
       SELECT w, count(*)::BIGINT AS cnt,
              array_to_string(string_split(w, ''), chr(31)) AS sym
       FROM toks GROUP BY w)"""]
-    for r in range(n_merges):
+    pivot = ",\n             ".join(
+        f"max(CASE WHEN rk = {i} THEN a END) AS a{i},\n             "
+        f"max(CASE WHEN rk = {i} THEN b END) AS b{i},\n             "
+        f"max(CASE WHEN rk = {i} THEN total END) AS t{i}"
+        for i in range(1, k + 1))
+    flags = []
+    for i in range(1, k + 1):
+        conds = [f"(a{i} IS NOT NULL)"]
+        for j in range(1, i):
+            conds.append(f"(NOT f{j} OR (a{i} NOT IN (a{j}, b{j}) "
+                         f"AND b{i} NOT IN (a{j}, b{j})))")
+        flags.append(f"{' AND '.join(conds)} AS f{i}")
+    flags_sql = ",\n             ".join(flags)
+    folds, prev = [], "sym"
+    for i in range(1, k + 1):
+        folds.append(
+            f"CASE WHEN f{i} THEN\n"
+            f"               list_reduce(string_split({prev}, chr(31)),\n"
+            f"                 (acc, x) -> CASE WHEN string_split(acc, "
+            f"chr(31))[-1] = a{i}\n"
+            f"                                   AND x = b{i}\n"
+            f"                   THEN acc || x\n"
+            f"                   ELSE acc || chr(31) || x END)\n"
+            f"             ELSE {prev} END AS sym{i}")
+        prev = f"sym{i}"
+    folds_sql = ",\n             ".join(folds)
+    for r in range(n_rounds):
         sql.append(f""",
     pairs{r} AS (
       SELECT s[i + 1] AS a, s[i + 2] AS b, sum(cnt)::BIGINT AS total
       FROM (SELECT cnt, string_split(sym, chr(31)) AS s FROM words{r}),
            UNNEST(range(0, greatest(len(s) - 1, 0))) AS rr(i)
       GROUP BY a, b),
-    top{r} AS (
-      SELECT a, b, total FROM pairs{r}
-      ORDER BY total DESC, a, b LIMIT 1),
+    cand{r} AS (
+      SELECT a, b, total,
+             row_number() OVER (ORDER BY total DESC, a, b) AS rk
+      FROM pairs{r} ORDER BY total DESC, a, b LIMIT {k}),
+    f{r} AS (
+      SELECT *,
+             {flags_sql}
+      FROM (SELECT {pivot}
+            FROM cand{r})),
     words{r + 1} AS (
+      SELECT w, cnt, sym{k} AS sym FROM (
       SELECT w, cnt,
-             list_reduce(string_split(sym, chr(31)),
-               (acc, x) -> CASE WHEN string_split(acc, chr(31))[-1] = t.a
-                                     AND x = t.b
-                                THEN acc || x
-                                ELSE acc || chr(31) || x END) AS sym
-      FROM words{r}, top{r} t)""")
-    rows = "\n      UNION ALL ".join(
-        f"SELECT {r}::BIGINT AS step, a AS lhs, b AS rhs, "
-        f"a || b AS merged, total AS pair_count FROM top{r}"
-        for r in range(n_merges))
-    sql.append(f"\n    SELECT * FROM (\n      {rows}\n    ) ORDER BY step")
+             {folds_sql}
+      FROM words{r}, f{r}))""")
     return "".join(sql)
 
 
-def _bpe_segments_oracle_sql(n_merges: int) -> str:
+def _bpe_oracle_sql(n_rounds: int, batch_k: int = 1) -> str:
+    """Batched-BPE merge table: every accepted (round, rank) candidate,
+    step-numbered in acceptance order — value-exact vs
+    learn_bpe_batched(n_rounds, batch_k)."""
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {r} AS rnd, {i} AS rk, a{i} AS lhs, b{i} AS rhs, "
+        f"t{i} AS pc FROM f{r} WHERE f{i}"
+        for r in range(n_rounds) for i in range(1, batch_k + 1))
+    return _bpe_chain_sql(n_rounds, batch_k) + f"""
+    SELECT (row_number() OVER (ORDER BY rnd, rk) - 1)::BIGINT AS step,
+           lhs, rhs, lhs || rhs AS merged, pc::BIGINT AS pair_count
+    FROM (
+      {rows}
+    ) ORDER BY step"""
+
+
+def _bpe_segments_oracle_sql(n_rounds: int, batch_k: int = 1) -> str:
     """Same unrolled recurrence, but the final SELECT reads the LAST
     word table — the segmentation after all merges."""
-    chain = _bpe_oracle_sql(n_merges)
-    cut = chain.rindex("\n    SELECT * FROM (")
-    return chain[:cut] + f"""
+    return _bpe_chain_sql(n_rounds, batch_k) + f"""
     SELECT w, cnt,
            len(string_split(sym, chr(31)))::BIGINT AS n_pieces,
            replace(sym, chr(31), '|') AS pieces_str
-    FROM words{n_merges} ORDER BY w"""
+    FROM words{n_rounds} ORDER BY w"""
 
 
 def q_events_cohort_retention(spark, sf_dir) -> DataFrame:
@@ -4087,8 +4137,8 @@ def oracle_sql() -> dict[str, str]:
                    round(max(avg_logp), 6) AS max_logp
             FROM tiers GROUP BY source, tier ORDER BY source, tier
         """,
-        "doc_bpe_merges": _bpe_oracle_sql(8),
-        "doc_bpe_segments": _bpe_segments_oracle_sql(8),
+        "doc_bpe_merges": _bpe_oracle_sql(3, batch_k=4),
+        "doc_bpe_segments": _bpe_segments_oracle_sql(3, batch_k=4),
         "events_cohort_retention": """
             WITH act AS (
               SELECT DISTINCT user_id AS u,

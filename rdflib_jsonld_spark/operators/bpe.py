@@ -62,30 +62,52 @@ def _apply_merge(a: str, b: str):
         .otherwise(F.concat(acc, F.array(x))))
 
 
-def learn_bpe_merges(docs: DataFrame, n_merges: int = 8,
-                     text_col: str = "text") -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges from the corpus; returns
-    ``(step, lhs, rhs, merged, pair_count)`` in merge order.
+def learn_bpe_batched(docs: DataFrame, n_rounds: int = 2,
+                      batch_k: int = 4,
+                      text_col: str = "text") -> DataFrame:
+    """Batched BPE merge learning: ``n_rounds`` rounds, each accepting
+    up to ``batch_k`` merges from ONE pair count, so vocab-scale
+    learning (32k merges) is ~hundreds of Spark jobs instead of 32k
+    sequential rounds. Returns ``(step, lhs, rhs, merged, pair_count)``.
 
-    Pair counts follow the reference: every adjacent symbol position
-    counts (overlapping occurrences included), weighted by word
-    frequency; ties break on (count DESC, lhs ASC, rhs ASC).
+    Standard batched-BPE acceptance: walk the round's candidates in
+    (count DESC, lhs ASC, rhs ASC) order; greedily accept a pair iff it
+    shares no symbol with any already-ACCEPTED pair this round. Merging
+    (a,b) only changes counts of pairs touching a or b (and creates
+    pairs touching a+b, which cannot be candidates yet), so accepted
+    pairs' counts are exactly their sequential values; their relative
+    order can differ from fully-sequential BPE only when a NEW pair
+    (x,a+b)/(a+b,y) would have outranked a later accept — the
+    documented, deterministic batched recurrence (the contract oracle
+    replays it verbatim). ``batch_k=1`` IS sequential BPE.
+
+    ``pair_count`` is the count observed at round start (what the
+    argmax saw), identical in engine and oracle.
     """
     spark = docs.sparkSession
     cur = (_word_counts(docs, text_col)
            .select("w", "cnt", F.split("w", "").alias("sym"))
            .localCheckpoint(eager=True))
     merges = []
-    for step in range(n_merges):
-        top = (_adjacent_pairs(cur)
-               .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
-               .limit(1).collect())
-        if not top:
+    step = 0
+    for _ in range(n_rounds):
+        cands = (_adjacent_pairs(cur)
+                 .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+                 .limit(batch_k).collect())
+        if not cands:
             break
-        a, b, total = top[0]["a"], top[0]["b"], int(top[0]["total"])
-        merges.append((step, a, b, a + b, total))
-        nxt = cur.withColumn("sym", _apply_merge(a, b)) \
-            .localCheckpoint(eager=True)
+        accepted: list[tuple[str, str, int]] = []
+        for row in cands:
+            a, b = row["a"], row["b"]
+            if any(x in (a, b) for pa, pb, _ in accepted for x in (pa, pb)):
+                continue
+            accepted.append((a, b, int(row["total"])))
+        nxt = cur
+        for a, b, total in accepted:
+            merges.append((step, a, b, a + b, total))
+            step += 1
+            nxt = nxt.withColumn("sym", _apply_merge(a, b))
+        nxt = nxt.localCheckpoint(eager=True)
         cur.unpersist()
         cur = nxt
     cur.unpersist()
@@ -97,6 +119,21 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 8,
         T.StructField("pair_count", T.LongType(), False),
     ])
     return spark.createDataFrame(merges, schema)
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int = 8,
+                     text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus; returns
+    ``(step, lhs, rhs, merged, pair_count)`` in merge order.
+
+    Pair counts follow the reference: every adjacent symbol position
+    counts (overlapping occurrences included), weighted by word
+    frequency; ties break on (count DESC, lhs ASC, rhs ASC). This is
+    the sequential reference semantics — one merge per driver round —
+    i.e. ``learn_bpe_batched`` at ``batch_k=1``.
+    """
+    return learn_bpe_batched(docs, n_rounds=n_merges, batch_k=1,
+                             text_col=text_col)
 
 
 def segment_words(docs: DataFrame, merges: list[tuple[str, str]],
