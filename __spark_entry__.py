@@ -1325,6 +1325,84 @@ def q_doc_clf_scores(spark, sf_dir) -> DataFrame:
             .orderBy("source"))
 
 
+def q_doc_clf_train(spark, sf_dir) -> DataFrame:
+    """Distributed quality-classifier TRAINING (classify.
+    train_linear_classifier): 5 rounds of seeded full-batch gradient
+    descent for the hashed logistic model, label = (lang = 'en') — the
+    fastText-style quality-filter fit a curation pipeline actually runs
+    (Joulin et al. 2016). Driver state is exactly the 64-float weight
+    vector + bias (the kmeans-centroid pattern); each round is one
+    forward-pass hash agg (weights ship in the plan as a map literal,
+    zero-join) plus one (bucket, residual) hash agg. The oracle replays
+    the identical 5-round GD recurrence in SQL (weight table ⟕ per-round
+    gradient); weights rounded to 6 decimals, bias emitted as
+    bucket -1."""
+    from rdflib_jsonld_spark.operators.classify import (
+        train_linear_classifier)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int"))
+    w, bias = train_linear_classifier(docs, "y", n_buckets=64,
+                                      lr=1.0, n_rounds=5)
+    rows = [(-1, round(float(bias), 6))] + \
+        [(b, round(float(wb), 6)) for b, wb in enumerate(w)]
+    return spark.createDataFrame(rows, "bucket long, weight double") \
+        .orderBy("bucket")
+
+
+def _clf_train_oracle_sql(n_rounds: int, n_buckets: int,
+                          lr: float) -> str:
+    """Unrolled full-batch logistic-GD recurrence in DuckDB SQL —
+    replays classify.train_linear_classifier round by round: forward
+    pass (weight join + sigmoid), per-doc residual, per-bucket
+    gradient, weight/bias update."""
+    sql = [f"""WITH feat AS (
+      SELECT doc_id, y, n, b, count(*)::DOUBLE AS c
+      FROM (
+        SELECT doc_id, (lang = 'en')::INT::DOUBLE AS y,
+               len(list_filter(
+                 regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                 t -> t <> ''))::DOUBLE AS n,
+               ('0x' || substr(md5(unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '')) || chr(31) || 'clf-v1'), 1, 8))::BIGINT
+               % {n_buckets} AS b
+        FROM documents)
+      GROUP BY doc_id, y, n, b),
+    nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    w0 AS (SELECT unnest(range(0, {n_buckets}))::BIGINT AS b,
+                  0.0 AS wt),
+    b0 AS (SELECT 0.0 AS bias)"""]
+    for r in range(n_rounds):
+        sql.append(f""",
+    z{r} AS (
+      SELECT f.doc_id, first(f.y) AS y, sum(w.wt * f.c / f.n) AS dot
+      FROM feat f JOIN w{r} w USING (b)
+      GROUP BY f.doc_id),
+    r{r} AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-((SELECT bias FROM b{r}) + dot))) - y
+               AS res
+      FROM z{r}),
+    g{r} AS (
+      SELECT f.b, sum(r.res * f.c / f.n) AS g
+      FROM feat f JOIN r{r} r USING (doc_id) GROUP BY f.b),
+    w{r + 1} AS (
+      SELECT w.b, w.wt - {lr} * coalesce(g.g, 0.0)
+                         / (SELECT n_docs FROM nd) AS wt
+      FROM w{r} w LEFT JOIN g{r} g USING (b)),
+    b{r + 1} AS (
+      SELECT bias - {lr} * (SELECT sum(res) FROM r{r})
+                    / (SELECT n_docs FROM nd) AS bias
+      FROM b{r})""")
+    sql.append(f"""
+    SELECT -1::BIGINT AS bucket, round(bias, 6) AS weight
+    FROM b{n_rounds}
+    UNION ALL SELECT b AS bucket, round(wt, 6) AS weight
+    FROM w{n_rounds}
+    ORDER BY bucket""")
+    return "".join(sql)
+
+
 def q_kg_chat_render(spark, sf_dir) -> DataFrame:
     """Training-document assembly (curation.render_chat_documents):
     one document per conversation with turns in stable turn order — the
@@ -2450,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_fuzzy_clusters": q_supplier_fuzzy_clusters,
         "doc_bm25_topk": q_doc_bm25_topk,
         "doc_clf_scores": q_doc_clf_scores,
+        "doc_clf_train": q_doc_clf_train,
         "doc_pack_manifest": q_doc_pack_manifest,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_ngram_jaccard_pairs": q_doc_ngram_jaccard_pairs,
@@ -3700,6 +3779,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
             ORDER BY conv_id
         """,
+        "doc_clf_train": _clf_train_oracle_sql(5, 64, 1.0),
         "doc_clf_scores": r"""
             WITH w(b, wt) AS (VALUES (0, -2.4000000000000004),
                       (3, 0.0),

@@ -69,6 +69,86 @@ def linear_text_classifier(docs: DataFrame, weights: dict[int, float],
                           F.col(score_col) >= F.lit(float(threshold)))
 
 
+def train_linear_classifier(docs: DataFrame, label_col: str,
+                            n_buckets: int = 64, seed: str = "clf-v1",
+                            lr: float = 1.0, n_rounds: int = 5,
+                            text_col: str = "text",
+                            id_col: str = "doc_id"
+                            ) -> tuple[list[float], float]:
+    """Seeded, deterministic FULL-BATCH gradient descent for the hashed
+    logistic model ``linear_text_classifier`` scores with — the
+    fastText-style quality-filter training a curation pipeline actually
+    runs (Joulin et al. 2016; the GPT-3/LLaMA quality filters are this
+    shape). Returns ``(weights, bias)`` with ``len(weights) ==
+    n_buckets``; feeding them back to ``linear_text_classifier`` with
+    the same ``n_buckets``/``seed`` reproduces the training-time scores.
+
+    Model: p_d = sigmoid(bias + Σ_b w[b]·c_db / n_d) over the same
+    tokenizer + md5 bucketing as scoring. Full-batch logistic gradient:
+    w[b] -= lr · Σ_d (p_d - y_d)·c_db/n_d / N and
+    bias -= lr · Σ_d (p_d - y_d) / N.
+
+    Scale posture: the per-doc bucket-count table is built ONCE
+    (tokenize → explode → hash agg) and persisted — token text never
+    moves again. Each round is one groupBy(doc) (forward pass: the
+    weight vector ships in the plan as a map literal, zero-join), one
+    join of the bounded per-doc residual back to the feature table, and
+    one groupBy(bucket) — all map-side-combining hash aggs. Driver
+    state is exactly the weight vector (n_buckets floats + bias), the
+    kmeans-centroid pattern; collects are ≤ n_buckets + 1 rows/round.
+    Empty documents contribute sigmoid(bias) - y to the bias gradient
+    only (they keep a NULL-bucket row via explode_outer)."""
+    if n_rounds < 0 or n_buckets <= 0:
+        raise ValueError("n_rounds must be >= 0, n_buckets positive")
+    toked = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("double").alias("_y"),
+        F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                 lambda t: t != "").alias("_toks"))
+    feat = (toked
+            .select("_id", "_y",
+                    F.size("_toks").cast("double").alias("_n"),
+                    F.explode_outer("_toks").alias("_tok"))
+            .withColumn("_b", F.when(F.col("_tok").isNotNull(),
+                                     _bucket(F.col("_tok"), n_buckets,
+                                             seed)))
+            .groupBy("_id", "_y", "_n", "_b")
+            .agg(F.count("_tok").cast("double").alias("_c"))
+            .persist())
+    n_docs = docs.count()
+    if n_docs == 0:
+        feat.unpersist()
+        return [0.0] * n_buckets, 0.0
+    w = [0.0] * n_buckets
+    bias = 0.0
+    inv_n = F.when(F.col("_n") > 0, F.lit(1.0) / F.col("_n")) \
+        .otherwise(F.lit(0.0))
+    for _ in range(n_rounds):
+        wmap = F.create_map(*[x for b in range(n_buckets)
+                              for x in (F.lit(b), F.lit(w[b]))])
+        contrib = F.coalesce(wmap[F.col("_b")], F.lit(0.0)) \
+            * F.col("_c") * inv_n
+        resid = (feat.groupBy("_id")
+                 .agg(F.first("_y").alias("_y"),
+                      F.sum(contrib).alias("_dot"))
+                 .select("_id",
+                         (F.lit(1.0)
+                          / (F.lit(1.0)
+                             + F.exp(-(F.lit(bias) + F.col("_dot"))))
+                          - F.col("_y")).alias("_r")))
+        grad = (feat.join(resid, "_id")
+                .groupBy("_b")
+                .agg(F.sum(F.col("_r") * F.col("_c") * inv_n).alias("_g"))
+                .collect())  # bounded: <= n_buckets + 1 rows
+        g_bias = resid.agg(F.sum("_r")).collect()[0][0]
+        for row in grad:
+            if row["_b"] is not None:
+                w[row["_b"]] -= lr * row["_g"] / n_docs
+        bias -= lr * float(g_bias) / n_docs
+    feat.unpersist()
+    return w, bias
+
+
 # ---------------------------------------------------------------------------
 # n-gram LM quality scoring (CCNet-style)
 # ---------------------------------------------------------------------------

@@ -132,3 +132,94 @@ class TestBigramLM:
         got = {r["doc_id"]: r["avg_logp"]
                for r in bigram_lm_scores(score, train_docs=train).collect()}
         assert got[0] > got[1]
+
+
+def ref_train(labeled, n_buckets=16, seed="clf-v1", lr=1.0, n_rounds=3):
+    """Pure-Python full-batch logistic GD — the recurrence
+    train_linear_classifier distributes."""
+    feats = []
+    for _, text, y in labeled:
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        cnt = {}
+        for t in toks:
+            b = int(hashlib.md5(f"{t}\x1f{seed}".encode())
+                    .hexdigest()[:8], 16) % n_buckets
+            cnt[b] = cnt.get(b, 0) + 1
+        feats.append((float(y), len(toks), cnt))
+    n = len(feats)
+    w, bias = [0.0] * n_buckets, 0.0
+    for _ in range(n_rounds):
+        gw, gb = [0.0] * n_buckets, 0.0
+        for y, nt, cnt in feats:
+            dot = sum(w[b] * c for b, c in cnt.items()) / nt if nt else 0.0
+            r = 1.0 / (1.0 + math.exp(-(bias + dot))) - y
+            gb += r
+            for b, c in cnt.items():
+                gw[b] += r * c / nt
+        w = [w[b] - lr * gw[b] / n for b in range(n_buckets)]
+        bias -= lr * gb / n
+    return w, bias
+
+
+class TestTrainClassifier:
+    DOCS = [
+        (0, "the quick brown fox jumps", 1),
+        (1, "le renard brun rapide saute", 0),
+        (2, "the lazy dog sleeps under the tree", 1),
+        (3, "chien paresseux dort sous arbre le le", 0),
+        (4, "", 1),  # empty doc: bias gradient only
+        (5, "quick dog runs the the", 1),
+        (6, "renard dort le brun", 0),
+    ]
+
+    def _train(self, spark, **kw):
+        from rdflib_jsonld_spark.operators.classify import (
+            train_linear_classifier)
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text", "y"])
+        return train_linear_classifier(df, "y", n_buckets=16,
+                                       n_rounds=3, **kw)
+
+    def test_matches_reference_gd(self, spark):
+        w, bias = self._train(spark)
+        rw, rb = ref_train(self.DOCS)
+        assert bias == pytest.approx(rb, rel=1e-9, abs=1e-12)
+        for b in range(16):
+            assert w[b] == pytest.approx(rw[b], rel=1e-9, abs=1e-12), b
+
+    def test_trained_weights_reproduce_scores(self, spark):
+        # feeding the fit back into the scorer = the reference forward
+        # pass with the reference weights (same tokenizer + bucketing)
+        w, bias = self._train(spark)
+        wmap = {b: v for b, v in enumerate(w)}
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text", "y"])
+        out = linear_text_classifier(df, wmap, bias=bias, n_buckets=16)
+        rw, rb = ref_train(self.DOCS)
+        for r in out.collect():
+            want = ref_score(self.DOCS[r.doc_id][1],
+                             dict(enumerate(rw)), rb, 16)
+            assert r.clf_score == pytest.approx(want, rel=1e-9)
+
+    def test_partitioning_independent(self, spark):
+        from rdflib_jsonld_spark.operators.classify import (
+            train_linear_classifier)
+        df = spark.createDataFrame(self.DOCS, ["doc_id", "text", "y"])
+        a = train_linear_classifier(df, "y", n_buckets=16, n_rounds=2)
+        b = train_linear_classifier(df.repartition(5), "y",
+                                    n_buckets=16, n_rounds=2)
+        assert a[1] == pytest.approx(b[1], rel=1e-12)
+        for x, y in zip(a[0], b[0]):
+            assert x == pytest.approx(y, rel=1e-12)
+
+    def test_loss_decreases(self, spark):
+        # GD on a linearly-separable-by-language corpus must fit it
+        w, bias = self._train(spark)
+
+        def loss(wv, bv):
+            tot = 0.0
+            for _, text, y in self.DOCS:
+                p = ref_score(text, dict(enumerate(wv)), bv, 16)
+                p = min(max(p, 1e-12), 1 - 1e-12)
+                tot += -(y * math.log(p) + (1 - y) * math.log(1 - p))
+            return tot
+
+        assert loss(w, bias) < loss([0.0] * 16, 0.0)
