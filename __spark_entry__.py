@@ -1025,14 +1025,6 @@ def q_tpch_q6_forecast_revenue(spark, sf_dir) -> DataFrame:
              F.count(F.lit(1)).alias("n_rows")))
 
 
-def q_lineitem_cube(spark, sf_dir) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (li.cube("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.count(F.lit(1)).alias("n"))
-            .orderBy("l_returnflag", "l_linestatus"))
-
-
 def q_orders_rank_window(spark, sf_dir) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
