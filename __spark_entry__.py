@@ -1595,6 +1595,118 @@ def q_doc_source_caps(spark, sf_dir) -> DataFrame:
         F.max("doc_id").cast("long").alias("max_id")).orderBy("source")
 
 
+def _with_synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic url column for the URL-curation queries (testdata
+    has no url field and is read-only): six doc_id-arithmetic variants
+    per group g = doc_id//6 — bare, www+default-port, uppercase-scheme+
+    trailing-slash, tracker-only query, fragment (all five canonicalize
+    identically), plus one with a KEPT query param (a distinct
+    canonical). Replicated verbatim in the DuckDB oracles."""
+    g = (F.col("doc_id") / 6).cast("long")
+    host = F.concat(F.lit("d"), (g % 7).cast("string"),
+                    F.lit(".example.com"))
+    path = F.concat(F.lit("/p/"), g.cast("string"))
+    v = F.col("doc_id") % 6
+    url = (F.when(v == 0, F.concat(F.lit("https://"), host, path))
+           .when(v == 1, F.concat(F.lit("https://www."), host,
+                                  F.lit(":443"), path))
+           .when(v == 2, F.concat(F.lit("HTTPS://"), host, path,
+                                  F.lit("/")))
+           .when(v == 3, F.concat(F.lit("https://"), host, path,
+                                  F.lit("?utm_source=x&fbclid=9")))
+           .when(v == 4, F.concat(F.lit("https://"), host, path,
+                                  F.lit("#frag")))
+           .otherwise(F.concat(F.lit("https://"), host, path,
+                               F.lit("?id="), (g % 2).cast("string"))))
+    return docs.withColumn("url", url)
+
+
+_SYNTH_URL_SQL = """
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'https://' || host || path
+               WHEN 1 THEN 'https://www.' || host || ':443' || path
+               WHEN 2 THEN 'HTTPS://' || host || path || '/'
+               WHEN 3 THEN 'https://' || host || path
+                           || '?utm_source=x&fbclid=9'
+               WHEN 4 THEN 'https://' || host || path || '#frag'
+               ELSE 'https://' || host || path || '?id='
+                    || ((doc_id // 6) % 2)::VARCHAR
+             END AS url
+      FROM (SELECT doc_id,
+                   'd' || ((doc_id // 6) % 7)::VARCHAR
+                       || '.example.com' AS host,
+                   '/p/' || (doc_id // 6)::VARCHAR AS path
+            FROM documents)"""
+
+# the IDENTICAL RE2 pattern the engine uses (curation._URL_PARTS),
+# $$-quoted for SQL; group 1 scheme, 2 authority, 3 path, 4 query
+_URL_CANON_SQL = r"""
+    parts AS (
+      SELECT doc_id, trim(url) AS u,
+             lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)), '^www\.', '') AS host0,
+             regexp_replace(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3), '/+$', '') AS path,
+             regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS q
+      FROM u),
+    canon AS (
+      SELECT doc_id,
+             CASE WHEN scheme = '' THEN lower(u)
+                  ELSE scheme || '://'
+                       || CASE WHEN scheme = 'https'
+                               THEN regexp_replace(host0, ':443$', '')
+                               WHEN scheme = 'http'
+                               THEN regexp_replace(host0, ':80$', '')
+                               ELSE host0 END
+                       || path
+                       || CASE WHEN len(qp) > 0
+                               THEN '?' || array_to_string(qp, '&')
+                               ELSE '' END
+             END AS canon_url,
+             regexp_replace(host0, ':[0-9]+$', '') AS domain
+      FROM (SELECT *,
+                   list_filter(string_split(q, '&'),
+                     p -> p <> '' AND NOT regexp_matches(p,
+                       '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$')) AS qp
+            FROM parts))"""
+
+
+def q_doc_url_dedup(spark, sf_dir) -> DataFrame:
+    """URL-level dedup (curation.url_dedup over curation.canonical_url
+    — the C4/CCNet/RefinedWeb URL pass): synthetic urls where five
+    variants per group (www + :443, uppercase scheme + trailing slash,
+    tracker-only query, fragment) collapse to one canonical and a
+    kept-param variant stays distinct. The oracle replicates the FULL
+    canonicalization (identical RE2 regexes, tracker filter, min-id
+    winner) in SQL — per-domain survivor counts + id checksums exact."""
+    from rdflib_jsonld_spark.operators.curation import (url_dedup,
+                                                        url_domain)
+    docs = _with_synth_urls(_t(spark, sf_dir, "documents"))
+    kept = url_dedup(docs).withColumn("domain", url_domain(F.col("url")))
+    return (kept.groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_survivors"),
+                 F.sum("doc_id").cast("long").alias("id_checksum"),
+                 F.countDistinct("canon_url").cast("long")
+                 .alias("n_canon"))
+            .orderBy("domain"))
+
+
+def q_doc_domain_filter(spark, sf_dir) -> DataFrame:
+    """Domain blocklist + per-domain cap (curation.domain_filter =
+    RefinedWeb §3.1 URL filtering + cap_per_source reuse): block
+    d1/d4.example.com, cap the rest at 20 docs per domain by seeded-md5
+    rank. The oracle replays the identical host extraction, blocklist
+    and window in SQL — per-domain counts + id checksums exact."""
+    from rdflib_jsonld_spark.operators.curation import domain_filter
+    docs = _with_synth_urls(_t(spark, sf_dir, "documents"))
+    kept = domain_filter(docs, ["d1.example.com", "d4.example.com"],
+                         cap=20)
+    return (kept.groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("id_checksum"))
+            .orderBy("domain"))
+
+
 def q_doc_corpus_dedup(spark, sf_dir) -> DataFrame:
     """Corpus-level duplicate-span removal (dedup.corpus_chunk_dedup):
     a fixed 200-char block is PLANTED as a prefix of every doc_id%4=0
@@ -2501,6 +2613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_flags": q_doc_c4_flags,
         "doc_gopher_flags": q_doc_gopher_flags,
         "doc_source_caps": q_doc_source_caps,
+        "doc_url_dedup": q_doc_url_dedup,
+        "doc_domain_filter": q_doc_domain_filter,
         "doc_corpus_dedup": q_doc_corpus_dedup,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_incremental_near_dup": q_doc_incremental_near_dup,
@@ -4438,6 +4552,38 @@ def oracle_sql() -> dict[str, str]:
                         AND ok_ellipsis AND ok_alpha AND ok_stop)
                        ::BIGINT)::BIGINT AS n_keep
             FROM f GROUP BY source ORDER BY source
+        """,
+        "doc_url_dedup": f"""
+            WITH u AS ({_SYNTH_URL_SQL}),
+            {_URL_CANON_SQL},
+            win AS (SELECT canon_url, min(doc_id) AS doc_id
+                    FROM canon GROUP BY canon_url)
+            SELECT c.domain,
+                   count(*)::BIGINT AS n_survivors,
+                   sum(c.doc_id)::BIGINT AS id_checksum,
+                   count(DISTINCT c.canon_url)::BIGINT AS n_canon
+            FROM canon c
+            JOIN win w ON w.canon_url = c.canon_url
+                      AND w.doc_id = c.doc_id
+            GROUP BY c.domain ORDER BY c.domain
+        """,
+        "doc_domain_filter": f"""
+            WITH u AS ({_SYNTH_URL_SQL}),
+            {_URL_CANON_SQL},
+            ranked AS (
+              SELECT domain, doc_id,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(doc_id::varchar || chr(31)
+                                    || 'cap-v1'), doc_id) AS rk
+              FROM canon
+              WHERE domain NOT IN ('d1.example.com', 'd4.example.com')
+                AND NOT (domain LIKE '%.d1.example.com'
+                         OR domain LIKE '%.d4.example.com'))
+            SELECT domain, count(*)::BIGINT AS n_kept,
+                   sum(doc_id)::BIGINT AS id_checksum
+            FROM ranked WHERE rk <= 20
+            GROUP BY domain ORDER BY domain
         """,
         "doc_source_caps": """
             WITH ranked AS (

@@ -540,3 +540,102 @@ def cap_per_source(docs: DataFrame, cap: int, id_col: str = "doc_id",
     w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
     return (docs.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= cap).drop("_rk"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / URL-level dedup / domain filtering
+# ---------------------------------------------------------------------------
+
+# RFC 3986-shaped split: scheme :// authority path ?query #fragment.
+# RE2-compatible (no lookarounds) so the DuckDB oracle runs the
+# IDENTICAL pattern — the pii_counts convention.
+_URL_PARTS = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+# tracking params stripped during canonicalization (C4/RefinedWeb-style
+# URL normalization; Penedo et al. 2023 §3.1, public methodology)
+_TRACKER_PARAM = r"^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
+
+
+def canonical_url(url_col) -> "F.Column":
+    """Canonical form of a URL column: lowercased scheme + host,
+    ``www.`` prefix and default port (``:80`` http / ``:443`` https)
+    stripped, trailing path slashes removed, tracking query params
+    (``utm_*``/``fbclid``/``gclid``/``ref``) dropped (remaining params
+    keep their order), fragment discarded. A value that doesn't parse
+    as ``scheme://...`` falls back to ``lower(trim(url))`` — it still
+    dedups exactly. Pure narrow projection (zero shuffle)."""
+    u = F.trim(url_col)
+    scheme = F.lower(F.regexp_extract(u, _URL_PARTS, 1))
+    host = F.lower(F.regexp_extract(u, _URL_PARTS, 2))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "https", F.regexp_replace(host, r":443$", "")) \
+        .when(scheme == "http", F.regexp_replace(host, r":80$", "")) \
+        .otherwise(host)
+    path = F.regexp_replace(F.regexp_extract(u, _URL_PARTS, 3),
+                            r"/+$", "")
+    q_parts = F.filter(
+        F.split(F.regexp_extract(u, _URL_PARTS, 4), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKER_PARAM))
+    query = F.when(F.size(q_parts) > 0,
+                   F.concat(F.lit("?"), F.array_join(q_parts, "&"))) \
+        .otherwise(F.lit(""))
+    return F.when(scheme == "",
+                  F.lower(u)) \
+        .otherwise(F.concat(scheme, F.lit("://"), host, path, query))
+
+
+def url_domain(url_col) -> "F.Column":
+    """The canonical host of a URL column (port stripped entirely —
+    the RefinedWeb blocklists are host-level)."""
+    u = F.trim(url_col)
+    host = F.lower(F.regexp_extract(u, _URL_PARTS, 2))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Canonicalized-URL first-occurrence dedup (the C4/CCNet URL-level
+    pass; Raffel et al. 2020 §2.2 / Wenzek et al. 2020, public
+    methodology): keep exactly one document per canonical URL — the one
+    with the smallest id. Adds ``canon_url`` to the survivors.
+
+    Scale posture: the shuffle key is ``md5(canon_url)`` (16 bytes,
+    practically collision-free at 10^12 URLs where a 64-bit key would
+    collide thousands of times) — document text never shuffles; the
+    winner is ``min(struct(id))`` under one map-side-combining hash agg
+    and the survivor set comes back via a semi-join on the id (the
+    corpus-dedup first-occurrence pattern, dedup.py)."""
+    canon = docs.withColumn("canon_url", canonical_url(F.col(url_col)))
+    winners = (canon
+               .select(F.md5("canon_url").alias("_uk"), F.col(id_col))
+               .groupBy("_uk")
+               .agg(F.min(F.struct(id_col)).alias("_w"))
+               .select(F.col(f"_w.{id_col}").alias(id_col)))
+    return canon.join(winners, id_col, "left_semi")
+
+
+def domain_filter(docs: DataFrame, blocklist: list[str],
+                  url_col: str = "url", id_col: str = "doc_id",
+                  cap: int | None = None,
+                  seed: str = "cap-v1") -> DataFrame:
+    """Domain-level curation (RefinedWeb §3.1, public methodology):
+    drop documents whose canonical host matches the blocklist (exact
+    host or any-subdomain suffix: ``b`` blocks ``b`` and ``*.b``), then
+    optionally cap survivors per domain via ``cap_per_source`` (seeded,
+    deterministic). Adds ``domain``.
+
+    The blocklist here is a plan literal (fine to ~10^4 entries); a
+    million-entry blocklist should instead be a broadcast anti-join on
+    ``domain`` — same semantics, one line at the call site."""
+    blocked = sorted({b.lower().lstrip(".") for b in blocklist})
+    dom = docs.withColumn("domain", url_domain(F.col(url_col)))
+    if blocked:
+        lits = F.array(*[F.lit(b) for b in blocked])
+        hit = F.exists(
+            lits, lambda b: (F.col("domain") == b)
+            | F.col("domain").endswith(F.concat(F.lit("."), b)))
+        dom = dom.filter(~hit)
+    if cap is not None:
+        dom = cap_per_source(dom, cap, id_col=id_col,
+                             group_col="domain", seed=seed)
+    return dom

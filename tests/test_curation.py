@@ -214,3 +214,71 @@ class TestC4Flags:
         plan = c4_quality_flags(df) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestUrlCuration:
+    def test_canonical_url_cases(self, spark):
+        from rdflib_jsonld_spark.operators.curation import canonical_url
+        from pyspark.sql import functions as F
+        cases = [
+            # www + https default port + fragment
+            ("https://WWW.Ex.COM:443/a/b/#x", "https://ex.com/a/b"),
+            # http default port; non-default port kept
+            ("http://ex.com:80/a", "http://ex.com/a"),
+            ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+            # tracker-only query drops entirely; kept params keep order
+            ("https://ex.com/p?utm_source=x&fbclid=1", "https://ex.com/p"),
+            ("https://ex.com/p?b=2&utm_medium=m&a=1",
+             "https://ex.com/p?b=2&a=1"),
+            # ref is a tracker; 'refid' is not
+            ("https://ex.com/p?ref=abc&refid=7", "https://ex.com/p?refid=7"),
+            # trailing slashes collapse; bare host has empty path
+            ("https://ex.com///", "https://ex.com"),
+            # path case preserved, scheme/host lowered
+            ("HTTPS://EX.com/CaSe", "https://ex.com/CaSe"),
+            # non-parsing input falls back to lower(trim(...))
+            ("  Not A Url  ", "not a url"),
+        ]
+        df = spark.createDataFrame([(i, u) for i, (u, _) in
+                                    enumerate(cases)], ["i", "u"])
+        got = {r["i"]: r["c"] for r in
+               df.select("i", canonical_url(F.col("u")).alias("c"))
+               .collect()}
+        for i, (u, want) in enumerate(cases):
+            assert got[i] == want, (u, got[i], want)
+
+    def test_url_dedup_keeps_min_id(self, spark):
+        from rdflib_jsonld_spark.operators.curation import url_dedup
+        df = spark.createDataFrame(
+            [(3, "https://www.a.com/x?utm_source=t"),
+             (1, "HTTPS://a.com:443/x/"),
+             (2, "https://a.com/y"),
+             (4, "https://b.com/x")],
+            ["doc_id", "url"])
+        kept = sorted(r.doc_id for r in url_dedup(df).collect())
+        assert kept == [1, 2, 4]
+
+    def test_domain_filter_blocks_suffix_and_caps(self, spark):
+        from rdflib_jsonld_spark.operators.curation import domain_filter
+        rows = [(i, f"https://sub.bad.com/{i}") for i in range(3)] + \
+               [(10 + i, f"https://bad.com/{i}") for i in range(2)] + \
+               [(20 + i, f"https://notbad.com/{i}") for i in range(5)] + \
+               [(30 + i, f"https://ok.com/{i}") for i in range(7)]
+        df = spark.createDataFrame(rows, ["doc_id", "url"])
+        out = domain_filter(df, ["bad.com"], cap=4)
+        by_dom = {}
+        for r in out.collect():
+            by_dom.setdefault(r.domain, []).append(r.doc_id)
+        # bad.com and *.bad.com gone; notbad.com NOT a suffix match
+        assert set(by_dom) == {"notbad.com", "ok.com"}
+        assert len(by_dom["notbad.com"]) == 4  # capped from 5
+        assert len(by_dom["ok.com"]) == 4      # capped from 7
+
+    def test_domain_filter_deterministic_across_partitioning(self, spark):
+        from rdflib_jsonld_spark.operators.curation import domain_filter
+        rows = [(i, f"https://d{i % 3}.com/{i}") for i in range(30)]
+        df = spark.createDataFrame(rows, ["doc_id", "url"])
+        a = {r.doc_id for r in domain_filter(df, [], cap=5).collect()}
+        b = {r.doc_id for r in
+             domain_filter(df.repartition(7), [], cap=5).collect()}
+        assert a == b and len(a) == 15
