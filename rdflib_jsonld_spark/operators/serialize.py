@@ -58,8 +58,14 @@ def quads_pdf_to_tuples(pdf: pd.DataFrame) -> list[tuple]:
 def serialize_documents(quads: DataFrame, context_data=None,
                         use_native_types: bool = False,
                         use_rdf_type: bool = False,
-                        auto_compact: bool = False) -> DataFrame:
-    """quads (with lineage cols) → one JSON-LD text per source document."""
+                        auto_compact: bool = False,
+                        indent: int | None = None) -> DataFrame:
+    """quads (with lineage cols) → one JSON-LD text per source document.
+
+    ``indent`` pretty-prints like the reference serializer's kwarg
+    (``[checkout] docs/jsonld-serializer.rst:27`` shows ``indent=4``);
+    the default stays the compact sort_keys form (deterministic either
+    way — json.dumps with sort_keys is stable for any indent)."""
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         conv_id, turn_idx = key
@@ -69,7 +75,8 @@ def serialize_documents(quads: DataFrame, context_data=None,
                         use_rdf_type=use_rdf_type, auto_compact=auto_compact)
         if isinstance(tree, list):
             tree = {"@graph": tree} if len(tree) != 1 else tree[0]
-        text = json.dumps(tree, sort_keys=True, ensure_ascii=False)
+        text = json.dumps(tree, sort_keys=True, ensure_ascii=False,
+                          indent=indent)
         return pd.DataFrame([{
             "conv_id": conv_id,
             "turn_idx": int(turn_idx),

@@ -148,3 +148,20 @@ def test_from_rdf_index_returns_node_map():
     assert set(imap) == {"@default", "http://e/g"}
     assert "http://e/a" in imap["@default"]
     assert imap["http://e/g"]["http://e/b"]["http://e/p"]
+
+
+def test_spark_serialize_indent_kwarg(spark):
+    """indent=4 pretty-prints like the reference serializer doctest
+    ([checkout] docs/jsonld-serializer.rst:27) without changing the
+    parsed tree."""
+    df = tr.transcripts_df(spark, n_convs=2, seed=7, partitions=1)
+    quads = expand_transcripts(df).cache()
+    compact = {(d.conv_id, d.turn_idx): d.jsonld
+               for d in serialize_documents(quads).collect()}
+    pretty = {(d.conv_id, d.turn_idx): d.jsonld
+              for d in serialize_documents(quads, indent=4).collect()}
+    quads.unpersist()
+    assert set(compact) == set(pretty)
+    for k, text in pretty.items():
+        assert "\n    " in text            # actually indented
+        assert json.loads(text) == json.loads(compact[k])
