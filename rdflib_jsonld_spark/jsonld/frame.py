@@ -12,8 +12,16 @@ has no framing (tombstone; framing entered the ecosystem after v0.5.0)
 document operations share, [spec]-cited per SURVEY.md §0.
 
 v1 narrowings (documented):
-- Graphs are MERGED before matching (the spec's default for the common
-  object-embed case; @graph-in-frame subtleties are out of scope).
+- Without ``@graph`` in the frame, graphs are MERGED before matching
+  (the spec's default for the common object-embed case). A top-level
+  ``@graph`` in the frame triggers named-graph-scoped framing
+  ([spec] Framing §4.3): an explicit ``@id`` selects that one named
+  graph, a wildcard/absent ``@id`` frames every named graph; matching
+  and embedding then stay INSIDE the selected graph (cross-graph
+  references stay unembedded ``{"@id": ...}``), and each output node
+  is ``{"@id": <graph>, "@graph": [framed...]}``. Properties the
+  graph-name node carries in the default graph are not merged into
+  the output (documented narrowing).
 - The frame is interpreted directly (property keys expand through the
   frame's own @context; pattern values are ``{}`` wildcards, ``[]``
   match-none, value-object patterns, or nested frames) instead of
@@ -285,6 +293,53 @@ def _embed_value(v, sub: dict, state: _FrameState, ancestors: frozenset,
                        omit_default)
 
 
+def _frame_named_graphs(expanded, fx: dict, fctx: Context, embed: str,
+                        explicit: bool, require_all: bool,
+                        omit_default: bool) -> list:
+    """Named-graph-scoped framing ([spec] Framing §4.3): a top-level
+    ``@graph`` in the frame selects named graph(s) — explicit ``@id``
+    picks that graph, wildcard/absent frames every named graph —
+    and the inner frame matches/embeds WITHIN each selected graph
+    (cross-graph references stay as bare ``{"@id": ...}``). Output is
+    one ``{"@id": <graph>, "@graph": [framed...]}`` node per graph."""
+    node_map: dict[str, dict[str, dict]] = {DEFAULT: {}}
+    _generate(expanded, node_map, _Issuer(), DEFAULT, None, None, None)
+    ids = fx.get(keys.ID)
+    if _is_match_none(ids):
+        return []
+    if ids is None or _is_wildcard(ids):
+        gnames = sorted(g for g in node_map if g != DEFAULT)
+    else:
+        want = [fctx.expand_iri(i, vocab=False) if isinstance(i, str)
+                else i for i in _as_list(ids)]
+        gnames = sorted(g for g in node_map
+                        if g != DEFAULT and g in want)
+    inner_raw = next((g for g in _as_list(fx[keys.GRAPH])
+                      if isinstance(g, dict)), {})
+    g_embed = _flag(inner_raw, "@embed", embed)
+    if g_embed not in _EMBED_MODES:
+        raise InvalidEmbedValue(f"@embed must be one of {_EMBED_MODES}")
+    g_explicit = bool(_flag(inner_raw, "@explicit", explicit))
+    g_require_all = bool(_flag(inner_raw, "@requireAll", require_all))
+    g_omit = bool(_flag(inner_raw, "@omitDefault", omit_default))
+    inner_x = _expand_frame(inner_raw, fctx)
+    framed = []
+    for gname in gnames:
+        gmap = node_map.get(gname, {})
+        state = _FrameState(gmap, fctx, g_embed, g_explicit,
+                            g_require_all, g_omit)
+        matched = [nid for nid in sorted(gmap)
+                   if _matches(gmap[nid], inner_x, state,
+                               g_require_all)]
+        body = []
+        for nid in matched:
+            state.embedded.add(nid)
+            body.append(_embed_node(nid, inner_x, state, frozenset(),
+                                    g_embed, g_explicit, g_omit))
+        framed.append({keys.ID: gname, keys.GRAPH: body})
+    return framed
+
+
 def frame(data, frame_doc, *, base: str | None = None,
           registry: dict | None = None, embed: str = "@once",
           explicit: bool = False, require_all: bool = False,
@@ -318,18 +373,23 @@ def frame(data, frame_doc, *, base: str | None = None,
     require_all = bool(_flag(frame_doc, "@requireAll", require_all))
     omit_default = bool(_flag(frame_doc, "@omitDefault", omit_default))
 
-    merged = _merged_node_map(expand(data, base=base, registry=registry,
-                                     ctx=ctx))
-    state = _FrameState(merged, fctx, embed, explicit, require_all,
-                        omit_default)
+    expanded = expand(data, base=base, registry=registry, ctx=ctx)
     fx = _expand_frame(frame_doc, fctx)
-    matched = [nid for nid in sorted(merged)
-               if _matches(merged[nid], fx, state, require_all)]
-    framed = []
-    for nid in matched:
-        state.embedded.add(nid)
-        framed.append(_embed_node(nid, fx, state, frozenset(), embed,
-                                  explicit, omit_default))
+    if keys.GRAPH in fx:
+        framed = _frame_named_graphs(expanded, fx, fctx, embed,
+                                     explicit, require_all,
+                                     omit_default)
+    else:
+        merged = _merged_node_map(expanded)
+        state = _FrameState(merged, fctx, embed, explicit, require_all,
+                            omit_default)
+        matched = [nid for nid in sorted(merged)
+                   if _matches(merged[nid], fx, state, require_all)]
+        framed = []
+        for nid in matched:
+            state.embedded.add(nid)
+            framed.append(_embed_node(nid, fx, state, frozenset(),
+                                      embed, explicit, omit_default))
     if not compact_output:
         return framed
     from .compact import compact as _compact

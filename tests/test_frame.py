@@ -185,3 +185,81 @@ def test_type_match_suffices_without_property(spark=None):
     strict = frame(doc, {"@type": "http://e/T", "@requireAll": True,
                          "http://e/missing": {}})
     assert strict["@graph"] == []
+
+
+# ---------------------------------------------------------------------------
+# Named-graph-scoped framing ([spec] Framing §4.3)
+# ---------------------------------------------------------------------------
+
+DATASET = {
+    "@context": {"@vocab": EX},
+    "@graph": [
+        {"@id": f"{EX}graphs/g1",
+         "@graph": [
+             {"@id": f"{EX}alice", "@type": "Person", "name": "Alice",
+              "knows": {"@id": f"{EX}carol"}},
+             {"@id": f"{EX}bob", "@type": "Person", "name": "Bob"},
+         ]},
+        {"@id": f"{EX}graphs/g2",
+         "@graph": [
+             {"@id": f"{EX}carol", "@type": "Person", "name": "Carol"},
+             {"@id": f"{EX}w1", "@type": "Widget", "name": "Gear"},
+         ]},
+        {"@id": f"{EX}dave", "@type": "Person", "name": "Dave"},
+    ],
+}
+
+
+def test_graph_frame_selects_named_graph():
+    out = frame(DATASET, {"@context": CTX, "@id": f"{EX}graphs/g1",
+                          "@graph": [{"@type": "Person"}]},
+                compact_output=False)
+    g, = out
+    assert g["@id"] == f"{EX}graphs/g1"
+    names = {n["@id"] for n in g["@graph"]}
+    # only g1's nodes; default-graph dave and g2's carol absent
+    assert names == {f"{EX}alice", f"{EX}bob"}
+
+
+def test_graph_frame_does_not_embed_across_graphs():
+    out = frame(DATASET, {"@context": CTX, "@id": f"{EX}graphs/g1",
+                          "@graph": [{"@type": "Person"}]},
+                compact_output=False)
+    g, = out
+    alice = next(n for n in g["@graph"] if n["@id"] == f"{EX}alice")
+    # carol lives in g2: the reference must stay a bare node reference
+    assert alice[f"{EX}knows"] == [{"@id": f"{EX}carol"}]
+
+
+def test_graph_frame_wildcard_frames_every_named_graph():
+    out = frame(DATASET, {"@context": CTX,
+                          "@graph": [{"@type": "Person"}]},
+                compact_output=False)
+    assert [g["@id"] for g in out] == [f"{EX}graphs/g1",
+                                       f"{EX}graphs/g2"]
+    by_g = {g["@id"]: {n["@id"] for n in g["@graph"]} for g in out}
+    assert by_g[f"{EX}graphs/g1"] == {f"{EX}alice", f"{EX}bob"}
+    # g2: only carol matches @type Person — the Widget is filtered
+    assert by_g[f"{EX}graphs/g2"] == {f"{EX}carol"}
+
+
+def test_graph_frame_inner_flags_and_compaction():
+    out = frame(DATASET, {"@context": CTX, "@id": f"{EX}graphs/g1",
+                          "@graph": [{"@type": "Person",
+                                      "@explicit": True,
+                                      "name": {}}]})
+    # compaction lifts the single graph node to the top level
+    assert out["@id"] == f"{EX}graphs/g1"
+    nodes = out["@graph"]
+    nodes = nodes if isinstance(nodes, list) else [nodes]
+    assert {n["@id"] for n in nodes} == {f"{EX}alice", f"{EX}bob"}
+    for n in nodes:
+        assert "name" in n
+        assert "knows" not in n  # @explicit inside the graph frame
+
+
+def test_graph_frame_match_none_id_yields_empty():
+    out = frame(DATASET, {"@context": CTX, "@id": [],
+                          "@graph": [{"@type": "Person"}]},
+                compact_output=False)
+    assert out == []
