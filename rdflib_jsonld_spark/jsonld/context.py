@@ -279,9 +279,20 @@ class Context:
                 raise InvalidVocabMapping(repr(v))
             if v is None:
                 self.vocab = None
+            elif not v:
+                self.vocab = self.base  # 1.1: "" = document base
             else:
-                # @vocab may itself be a term/CURIE/relative ([spec] §6.1 5.8)
-                self.vocab = self.expand_iri(v, vocab=True) if v else self.base
+                # @vocab may itself be a term/CURIE/relative ([spec] §6.1
+                # 5.8.3: expanded with vocab=true AND document-relative —
+                # sweep 7: a relative @vocab was silently ignored, making
+                # every vocab-mapped property vanish)
+                expanded = self.expand_iri(v, vocab=True)
+                if expanded is None and self.base \
+                        and not _KEYWORD_FORM_RE.match(v):
+                    expanded = norm_url(self.base, v)
+                if expanded is None:
+                    raise InvalidVocabMapping(repr(v))
+                self.vocab = expanded
         if keys.LANG in src:
             lang = src[keys.LANG]
             self.language = lang.lower() if isinstance(lang, str) else None
@@ -347,6 +358,12 @@ class Context:
                 self.alias_of[name] = dfn
                 self.aliases[dfn] = name
                 return
+            if _KEYWORD_FORM_RE.match(dfn):
+                # [spec] §6.2 step 14.2.2: an @id with the FORM of a
+                # keyword (but not a keyword) is ignored with a warning —
+                # sweep 7: the term previously minted a bogus "@foo"
+                # property in expanded output
+                return
             iri = self._expand_term_iri(local_src, dfn)
             self.terms[name] = Term(
                 name, id=iri,
@@ -373,6 +390,8 @@ class Context:
                 self.alias_of[name] = idval
                 self.aliases[idval] = name
                 return
+            if isinstance(idval, str) and _KEYWORD_FORM_RE.match(idval):
+                return  # [spec] §6.2 step 14.2.2 (see string form above)
             iri = self._expand_term_iri(local_src, idval)
         else:
             # No @id: simple term whose IRI comes from @vocab or, if the

@@ -191,3 +191,9 @@ class InvalidEmbedValue(JsonLdError):
 class InvalidFrame(JsonLdError):
     # [spec] JSON-LD 1.1 Framing: the frame must be a map.
     code = "invalid frame"
+
+
+class ConflictingIndexes(JsonLdError):
+    """[spec] JLD-API expansion step 13.8.3.7.2: an item in an @index
+    container map carries its own @index differing from the map key."""
+    code = "conflicting indexes"

@@ -26,7 +26,8 @@ import re as _re
 
 from . import keys
 from .context import Context, UNDEF
-from .errors import (InvalidBaseDirection, InvalidIdValue,
+from .errors import (ConflictingIndexes,
+                     InvalidBaseDirection, InvalidIdValue,
                      InvalidIncludedValue, InvalidIndexValue,
                      InvalidLanguageTaggedString,
                      InvalidLanguageTaggedValue, InvalidNestValue,
@@ -150,7 +151,11 @@ def _expand_element(ctx: Context, active_key: str | None, element,
     # Value object ([spec] §5.1 steps 13.4.3-13.4.16).
     val_key = next((k for k, e in kmap.items() if e == keys.VALUE), None)
     if val_key is not None:
-        return _expand_value_object(ctx, element, kmap, val_key)
+        vo = _expand_value_object(ctx, element, kmap, val_key)
+        if vo is not None and (active_key is None or
+                               ctx.expand_key(active_key) == keys.GRAPH):
+            return None  # free-floating value object ([spec] step 19.1)
+        return vo
 
     result: dict = {}
     nests: list = []
@@ -306,10 +311,13 @@ def _expand_element(ctx: Context, active_key: str | None, element,
         del result[keys.REV]
     if not result:
         return None
-    if set(result) <= {keys.ID} and (
-            active_key is None
-            or ctx.expand_key(active_key) == keys.GRAPH):
-        return None  # free-floating node ref dropped ([spec] step 19.1)
+    if active_key is None or ctx.expand_key(active_key) == keys.GRAPH:
+        # [spec] §5.1 step 19: free-floating values dropped — maps
+        # containing @value or @list (19.1; sweep 7: these survived
+        # before) and lone node references (19.2)
+        if keys.VALUE in result or keys.LIST in result \
+                or set(result) <= {keys.ID}:
+            return None
     return result
 
 
@@ -390,9 +398,18 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
                             val = _expand_value(ctx, term.index, mkey)
                             node = {**node,
                                     prop: [val] + list(node.get(prop, []))}
-                    elif keys.INDEX in container and mkey != keys.NONE \
-                            and keys.INDEX not in node:
-                        node = {**node, keys.INDEX: mkey}
+                    elif keys.INDEX in container \
+                            and mkey not in (keys.NONE,
+                                             ctx.alias(keys.NONE)):
+                        if keys.INDEX in node \
+                                and node[keys.INDEX] != mkey:
+                            # [spec] §5.1 step 13.8.3.7.2 (sweep 7: a
+                            # differing item @index was silently kept)
+                            raise ConflictingIndexes(
+                                f"{key}: {node[keys.INDEX]!r} vs "
+                                f"{mkey!r}")
+                        if keys.INDEX not in node:
+                            node = {**node, keys.INDEX: mkey}
                     elif keys.ID in container and mkey != keys.NONE \
                             and keys.ID not in node:
                         iri = _expand_id(ctx, mkey)

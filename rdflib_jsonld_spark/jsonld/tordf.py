@@ -31,7 +31,8 @@ import re as _re
 
 from . import keys
 from .context import Context, UNDEF
-from .errors import (InvalidBaseDirection, InvalidIdValue,
+from .errors import (ConflictingIndexes,
+                     InvalidBaseDirection, InvalidIdValue,
                      InvalidIncludedValue, InvalidIndexValue,
                      InvalidLanguageTaggedString,
                      InvalidLanguageTaggedValue, InvalidListOfLists,
@@ -398,6 +399,18 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                             prev = v2.get(term.index)
                             v2[term.index] = [mkey] + _as_list(prev) \
                                 if prev is not None else mkey
+                    elif keys.INDEX in container and isinstance(v, dict) \
+                            and mkey not in (keys.NONE,
+                                             sub_ctx.alias(keys.NONE)):
+                        # [spec] expansion step 13.8.3.7.2 twin (sweep
+                        # 7): an item's own @index must equal the map key
+                        iv = next((v[k] for k in v
+                                   if sub_ctx.expand_key(k)
+                                   == keys.INDEX), None)
+                        if iv is not None and iv != mkey:
+                            raise ConflictingIndexes(
+                                f"{term.name if term else pred}: "
+                                f"{iv!r} vs {mkey!r}")
                     elif keys.ID in container and isinstance(v, dict) and keys.ID not in v \
                             and mkey != keys.NONE:
                         v2 = dict(v)
@@ -603,25 +616,92 @@ def _canonical_double_nonzero(v: float) -> str:
     return f"{mantissa}E{int(exp)}"
 
 
+def _es6_number(x: float) -> str:
+    """ECMAScript Number::toString for a finite double — the number
+    serialization RFC 8785 (JCS) §3.2.2.3 mandates. Differs from
+    Python's repr in exponent thresholds (ES6 stays decimal for
+    1e-6 ≤ |x| < 1e21) and in integral doubles (1.0 → "1")."""
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite number in JSON literal: {x!r}")
+    if x == 0.0:
+        return "0"  # ES6: String(-0) is "0"
+    if x == int(x) and abs(x) < 1e21:
+        return str(int(x))
+    sign = "-" if x < 0 else ""
+    r = repr(abs(x))  # shortest round-trip digits
+    if "e" in r:
+        mant, exp_s = r.split("e")
+        exp = int(exp_s)
+    else:
+        mant, exp = r, 0
+    if "." in mant:
+        dot = mant.index(".")
+        digits = mant[:dot] + mant[dot + 1:]
+    else:
+        dot = len(mant)
+        digits = mant
+    n = dot + exp  # value = 0.digits × 10^n
+    digits = digits.rstrip("0")
+    while digits.startswith("0"):
+        digits = digits[1:]
+        n -= 1
+    k = len(digits)
+    if k <= n <= 21:
+        out = digits + "0" * (n - k)
+    elif 0 < n <= 21:
+        out = digits[:n] + "." + digits[n:]
+    elif -6 < n <= 0:
+        out = "0." + "0" * (-n) + digits
+    else:
+        e = n - 1
+        out = digits[0] + ("." + digits[1:] if k > 1 else "") \
+            + "e" + ("+" if e >= 0 else "-") + str(abs(e))
+    return sign + out
+
+
 def canonical_json(v) -> str:
-    """Canonical JSON for rdf:JSON literals ([spec] JSON-LD 1.1 §10.6 step
-    10 → JCS-style: sorted keys, minimal separators, UTF-8)."""
-    return json.dumps(v, sort_keys=True, separators=(",", ":"),
-                      ensure_ascii=False)
+    """Canonical JSON for rdf:JSON literals per RFC 8785 (JCS), as
+    [spec] JSON-LD 1.1 §10.6 step 10 ("canonical lexical form ...
+    as defined in [JCS]") requires: ES6 number serialization (sweep 7:
+    1.0 previously serialized as "1.0", not "1"), object keys sorted by
+    UTF-16 code units, minimal separators/escapes, UTF-8."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return _es6_number(v)
+    if isinstance(v, list):
+        return "[" + ",".join(canonical_json(x) for x in v) + "]"
+    if isinstance(v, dict):
+        items = sorted(v.items(),
+                       key=lambda kv: str(kv[0]).encode("utf-16-be"))
+        return "{" + ",".join(
+            json.dumps(str(k), ensure_ascii=False) + ":"
+            + canonical_json(val) for k, val in items) + "}"
+    raise TypeError(f"not a JSON value: {type(v).__name__}")
 
 
 def _to_object(v, term, ctx: Context, state: _State, graph,
                in_list: bool = False, from_map: bool = False):
     """Value → RDF term; recurses for node objects. [v0.5.0] parser.py
     _to_object (~L380-450, D8); [spec] JLD-API §10.6 Object to RDF."""
-    if v is None:
-        return None  # B3: null values dropped
-
     t_type = term.type if term is not None and term.type is not UNDEF else None
 
-    # @json-typed term: whole value becomes one rdf:JSON literal.
+    # @json-typed term: whole value becomes one rdf:JSON literal. Checked
+    # BEFORE the null drop — null IS a JSON value ("null"^^rdf:JSON;
+    # sweep 7: it was silently dropped), matching expansion step 13.4.7.1
     if t_type == keys.JSON:
         return (LIT, canonical_json(v), keys.RDF_JSON, None)
+
+    if v is None:
+        return None  # B3: null values dropped
 
     if isinstance(v, dict):
         # Probe with the node's own context loaded (aliased @value/@list
