@@ -1,10 +1,10 @@
-"""Driver-contract surface hygiene: every `def q_*` in
-__spark_entry__.py is registered in queries() under its un-prefixed
-name, nothing is silently shadowed by a duplicate def, and every
-oracle_sql() key has a queries() twin. (VERDICT r03: a duplicated
-q_lineitem_cube def was invisible for a round — this pins the
-invariant.) No Spark session needed: queries() returns plain
-callables."""
+"""Driver-contract surface hygiene across the split contract modules
+(rdflib_jsonld_spark/contract/{kg,relational,docs}.py + the thin
+__spark_entry__.py): every `def q_*` is registered exactly once under
+its un-prefixed name, nothing is shadowed by a duplicate def or a
+duplicate dict key, and every oracle has a queries() twin. (VERDICT
+r03: a duplicated q_lineitem_cube def was invisible for a round — this
+pins the invariant.) No Spark session needed."""
 
 import ast
 import sys
@@ -14,33 +14,62 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entry
+from rdflib_jsonld_spark.contract import docs, kg, relational
 
-ENTRY_SRC = Path(entry.__file__).read_text()
+MODULES = [entry, kg, relational, docs]
 
 
-def _q_defs():
-    tree = ast.parse(ENTRY_SRC)
+def _q_defs(mod):
+    tree = ast.parse(Path(mod.__file__).read_text())
     return [n.name for n in tree.body
             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
             and n.name.startswith("q_")]
 
 
+def _dict_keys(mod, dict_name):
+    """Raw key list of a module-level dict literal (duplicates kept —
+    the runtime dict silently drops them, which is the bug class)."""
+    tree = ast.parse(Path(mod.__file__).read_text())
+    for n in tree.body:
+        if isinstance(n, ast.Assign) and any(
+                getattr(t, "id", None) == dict_name for t in n.targets):
+            return [k.value for k in n.value.keys if k is not None]
+    return []
+
+
 def test_no_shadowed_q_defs():
-    dupes = {n: c for n, c in Counter(_q_defs()).items() if c > 1}
-    assert not dupes, f"duplicate q_* defs shadow each other: {dupes}"
+    for mod in MODULES:
+        dupes = {n: c for n, c in Counter(_q_defs(mod)).items() if c > 1}
+        assert not dupes, f"{mod.__name__}: shadowed q_* defs: {dupes}"
+    # ... and across modules (a def in two modules = import-order lottery)
+    alln = [n for mod in MODULES for n in _q_defs(mod)]
+    dupes = {n: c for n, c in Counter(alln).items() if c > 1}
+    assert not dupes, f"q_* defs duplicated across modules: {dupes}"
+
+
+def test_no_duplicate_registry_keys():
+    for mod in (kg, relational, docs):
+        for dname in ("QUERIES", "ORACLES"):
+            keys = _dict_keys(mod, dname)
+            dupes = {k: c for k, c in Counter(keys).items() if c > 1}
+            assert not dupes, f"{mod.__name__}.{dname}: {dupes}"
 
 
 def test_queries_names_are_exactly_the_q_defs():
     registered = set(entry.queries().keys())
-    defined = {n[2:] for n in _q_defs()}
+    defined = {n[2:] for mod in MODULES for n in _q_defs(mod)}
     assert registered == defined, (
         f"unregistered defs: {sorted(defined - registered)}; "
         f"registry keys without a q_ def: {sorted(registered - defined)}")
 
 
-def test_queries_map_to_their_own_def():
-    for name, fn in entry.queries().items():
-        assert fn.__name__ == f"q_{name}", (name, fn.__name__)
+def test_module_registries_map_their_own_defs():
+    for mod in (kg, relational, docs):
+        own = set(_q_defs(mod))
+        for name, fn in mod.QUERIES.items():
+            assert fn.__name__ == f"q_{name}", (name, fn.__name__)
+            assert fn.__name__ in own, (
+                f"{mod.__name__}.QUERIES[{name!r}] maps a foreign def")
 
 
 def test_every_oracle_has_a_query():
