@@ -29,10 +29,13 @@ import re as _re
 from . import keys
 from .errors import (ContextNotAvailable, InvalidBaseDirection,
                      InvalidBaseIRI, InvalidContainerMapping,
-                     InvalidContext, InvalidIRIMapping,
+                     InvalidContext, InvalidDefaultLanguage,
+                     InvalidIRIMapping, InvalidKeywordAlias,
+                     InvalidLanguageMapping, InvalidPrefixValue,
                      InvalidPropagateValue, InvalidReverseProperty,
-                     InvalidTermDefinition, InvalidVocabMapping,
-                     ProtectedTermRedefinition, RecursiveContextInclusion)
+                     InvalidTermDefinition, InvalidVersionValue,
+                     InvalidVocabMapping, ProtectedTermRedefinition,
+                     RecursiveContextInclusion)
 
 
 class _Undef:
@@ -104,10 +107,14 @@ def norm_url(base: str | None, url: str) -> str:
     """
     if not base:
         return url
-    if url.startswith("#") or url == "":
-        # Fragment-only / empty references resolve against the full base.
-        return urljoin(base, url) if base else url
     joined = urljoin(base, url)
+    # RFC 3986 §5.3 keeps an EMPTY fragment/query from the reference
+    # ("doc#" resolves to <...doc#>, not <...doc>); urljoin strips both
+    # (sweep 9: @vocab "#" lost its trailing '#', fusing vocab and name).
+    if url.endswith("#") and not joined.endswith("#"):
+        joined += "#"
+    elif url.endswith("?") and not joined.endswith("?"):
+        joined += "?"
     return joined
 
 
@@ -265,7 +272,13 @@ class Context:
             src = merged
 
         if keys.VERSION in src:
-            self.version = float(src[keys.VERSION])
+            ver = src[keys.VERSION]
+            if ver != 1.1 or isinstance(ver, (bool, str)):
+                # [spec] §6.1 step 5.5.1: @version must be the NUMBER
+                # 1.1 — 1.0, "1.1", etc. are errors (sweep 9: silently
+                # accepted)
+                raise InvalidVersionValue(repr(ver))
+            self.version = float(ver)
         if keys.BASE in src:
             b = src[keys.BASE]
             if b is not None and not isinstance(b, str):
@@ -295,6 +308,9 @@ class Context:
                 self.vocab = expanded
         if keys.LANG in src:
             lang = src[keys.LANG]
+            if lang is not None and not isinstance(lang, str):
+                # [spec] §6.1 step 5.9.2 (sweep 9: silently nulled)
+                raise InvalidDefaultLanguage(repr(lang))
             self.language = lang.lower() if isinstance(lang, str) else None
         if keys.DIRECTION in src:
             d = src[keys.DIRECTION]
@@ -355,6 +371,10 @@ class Context:
             return
         if isinstance(dfn, str):
             if dfn in keys.KEYWORDS:  # keyword alias ([spec] §6.2 step 14)
+                if dfn == keys.CONTEXT:
+                    # [spec] §6.2: aliasing @context is not permitted
+                    # (sweep 9: the alias was silently registered)
+                    raise InvalidKeywordAlias(name)
                 self.alias_of[name] = dfn
                 self.aliases[dfn] = name
                 return
@@ -387,6 +407,9 @@ class Context:
                 # [spec] §6.2 step 13.2 (null handled earlier)
                 raise InvalidIRIMapping(f"{name}: @id {idval!r}")
             if idval in keys.KEYWORDS and idval != keys.TYPE:
+                if idval == keys.CONTEXT:
+                    # [spec] §6.2: aliasing @context is not permitted
+                    raise InvalidKeywordAlias(name)
                 self.alias_of[name] = idval
                 self.aliases[idval] = name
                 return
@@ -431,6 +454,9 @@ class Context:
         lang = UNDEF
         if keys.LANG in dfn:
             raw = dfn[keys.LANG]
+            if raw is not None and not isinstance(raw, str):
+                # [spec] §6.2 step 16.1 (sweep 9: silently nulled)
+                raise InvalidLanguageMapping(f"{name}: {raw!r}")
             lang = raw.lower() if isinstance(raw, str) else None
 
         direction = UNDEF
@@ -450,6 +476,21 @@ class Context:
                     f"{name}: @index must be a string and requires "
                     f"@container:@index")
 
+        if keys.PREFIX in dfn:
+            # [spec] §6.2 step 12 (sweep 9: all three were silently
+            # coerced/ignored before)
+            pval = dfn[keys.PREFIX]
+            if ":" in name or "/" in name:
+                # 12: @prefix is only valid on terms that are not
+                # compact IRIs / paths
+                raise InvalidTermDefinition(f"{name}: @prefix on a term "
+                                            f"containing ':' or '/'")
+            if not isinstance(pval, bool):
+                raise InvalidPrefixValue(f"{name}: {pval!r}")
+            if pval and iri in keys.KEYWORDS:
+                # 12.3: a prefix must not map to a keyword
+                raise InvalidTermDefinition(f"{name}: @prefix true on a "
+                                            f"keyword mapping")
         self.terms[name] = Term(
             name, id=iri, type=typ, container=cset, language=lang,
             direction=direction, reverse=rev,

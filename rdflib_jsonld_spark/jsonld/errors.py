@@ -182,6 +182,45 @@ class InvalidPropagateValue(JsonLdError):
     code = "invalid @propagate value"
 
 
+class CollidingKeywords(JsonLdError):
+    # [spec] 1.1 API expansion step 13.4.2: two raw keys (keyword +
+    # alias, or two aliases) expanding to the same keyword — only
+    # @type and @included merge (sweep 9: expansion kept the LAST @id
+    # while to_rdf kept the FIRST, a silent divergence).
+    code = "colliding keywords"
+
+
+class InvalidVersionValue(JsonLdError):
+    # [spec] 1.1 API context processing step 5.5.1: @version must be
+    # the number 1.1 exactly (sweep 9: any other value was silently
+    # accepted).
+    code = "invalid @version value"
+
+
+class InvalidDefaultLanguage(JsonLdError):
+    # [spec] 1.1 API context processing step 5.9.2: a non-string,
+    # non-null default @language (sweep 9: was silently nulled).
+    code = "invalid default language"
+
+
+class InvalidLanguageMapping(JsonLdError):
+    # [spec] 1.1 API create term definition step 16.1: a term's
+    # @language must be a string or null (sweep 9: was silently nulled).
+    code = "invalid language mapping"
+
+
+class InvalidKeywordAlias(JsonLdError):
+    # [spec] 1.1 API create term definition: aliasing @context is not
+    # permitted (sweep 9: the alias was silently registered).
+    code = "invalid keyword alias"
+
+
+class InvalidPrefixValue(JsonLdError):
+    # [spec] 1.1 API create term definition step 12.2: @prefix must be
+    # a boolean (sweep 9: truthiness was silently coerced).
+    code = "invalid @prefix value"
+
+
 class InvalidEmbedValue(JsonLdError):
     # [spec] JSON-LD 1.1 Framing §2.2 / framing API: @embed takes
     # @always/@once/@never.

@@ -148,6 +148,8 @@ def _expand_element(ctx: Context, active_key: str | None, element,
         ctx = ctx.subcontext_for_type([t for t in raw if isinstance(t, str)])
         kmap = {k: ctx.expand_key(k) for k in element}
 
+    keys.check_colliding_keywords(kmap)
+
     # Value object ([spec] §5.1 steps 13.4.3-13.4.16).
     val_key = next((k for k, e in kmap.items() if e == keys.VALUE), None)
     if val_key is not None:
@@ -310,7 +312,13 @@ def _expand_element(ctx: Context, active_key: str | None, element,
     if keys.REV in result and not result[keys.REV]:
         del result[keys.REV]
     if not result:
-        return None
+        # [spec] §5.1 step 19: an EMPTY node object is dropped only in
+        # free-floating position (active property null/@graph); under a
+        # real property it stays a blank node — sweep 9: expansion
+        # dropped it everywhere while to_rdf kept it (divergence)
+        if active_key is None or ctx.expand_key(active_key) == keys.GRAPH:
+            return None
+        return result
     if active_key is None or ctx.expand_key(active_key) == keys.GRAPH:
         # [spec] §5.1 step 19: free-floating values dropped — maps
         # containing @value or @list (19.1; sweep 7: these survived

@@ -45,6 +45,28 @@ def key_survives(expanded_key) -> bool:
         expanded_key in KEYWORDS or ":" in expanded_key)
 
 
+#: Keywords whose values MERGE when a keyword and its alias (or two
+#: aliases) both appear on one node: @type/@included by the step 13.4.2
+#: carve-out, @nest/@none by construction (processed per raw key),
+#: @context because it is consumed before key expansion.
+MERGEABLE_KEYWORDS = frozenset({TYPE, INCLUDED, NEST, NONE, CONTEXT})
+
+
+def check_colliding_keywords(kmap: dict) -> None:
+    """[spec] JLD-API §5.1 step 13.4.2: two distinct raw keys expanding
+    to the same keyword (other than :data:`MERGEABLE_KEYWORDS`) are a
+    ``colliding keywords`` error. Shared by both walks (sweep 9: the
+    two engines silently resolved an @id/alias collision in OPPOSITE
+    directions)."""
+    seen = set()
+    for expanded in kmap.values():
+        if expanded in KEYWORDS and expanded not in MERGEABLE_KEYWORDS:
+            if expanded in seen:
+                from .errors import CollidingKeywords
+                raise CollidingKeywords(expanded)
+            seen.add(expanded)
+
+
 # Well-known IRIs used by the to-rdf / from-rdf algorithms
 # ([spec] RDF 1.1 Concepts §5, JLD-API §10).
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"

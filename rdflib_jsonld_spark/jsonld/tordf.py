@@ -192,6 +192,8 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
         ctx = ctx.subcontext_for_type(str_types)
         kmap = _node_keyword_map(node, ctx)
 
+    keys.check_colliding_keywords(kmap)
+
     # A bare top-level {"@graph": [...]} (no @id) targets the default graph
     # ([v0.5.0] parser.py D1/D3 dispatch).
     only_graph = topmost and not any(

@@ -202,14 +202,14 @@ def test_array_scoped_context_propagate_matches_dict_form():
 
 def test_empty_nested_map_is_not_a_subject_reference():
     """ADVICE r02: {} must not take the subject-reference exemption from
-    the previous-context revert (it has no @id). Empty nodes expand to
-    nothing either way; this guards the context-state rule."""
+    the previous-context revert (it has no @id). Sweep 9: an empty node
+    object under a real property is KEPT (a blank node), matching the
+    to_rdf walk — step 19's drop applies only free-floating."""
     EX = "http://example.org/"
     doc = {"@context": {"ex": EX,
                         "T": {"@id": EX + "T",
                               "@context": {"name": EX + "name"}}},
            "@id": "ex:a", "@type": "T", "ex:q": {}}
-    e = expand(doc)
-    assert e == [{"@id": EX + "a",
-                  "@type": [EX + "T"]}] or EX + "q" not in e[0] \
-        or e[0].get(EX + "q") in ([], None)
+    assert expand(doc) == [{"@id": EX + "a",
+                            "@type": [EX + "T"],
+                            EX + "q": [{}]}]
