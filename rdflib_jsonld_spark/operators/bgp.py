@@ -27,6 +27,8 @@ CONSTRUCT can re-emit values with their original typing.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
@@ -79,6 +81,56 @@ def _order_patterns(patterns: list[tuple[str, str, str]],
 
 TYPED_PREFIX = "__typ_"  # reserved: user variables must not start with it
 
+_ENC_LIT_RE = re.compile(
+    r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^(\S+))?$', re.S)
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_RDF_LANGSTRING = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                   "langString")
+
+
+def encode_literal(value: str, lang: str | None = None,
+                   datatype: str | None = None) -> str:
+    """Constant-term encoding for literals that carry a language tag or
+    datatype in pattern/template position (N-Triples-shaped, datatype
+    bare). Plain literals stay bare strings — the kwargs surface's
+    lexical-form matching convention (sweep 10: the text front-end's
+    ``"Bob"@en`` matched ANY "Bob" because the tag was dropped)."""
+    import json
+    body = json.dumps(value)[1:-1]
+    if lang:
+        return f'"{body}"@{lang}'
+    if datatype:
+        return f'"{body}"^^{datatype}'
+    return f'"{body}"'
+
+
+def decode_literal(term: str) -> tuple | None:
+    """Inverse of :func:`encode_literal` → ``(value, lang, datatype)``,
+    or None when ``term`` is not in encoded form."""
+    if not term.startswith('"'):
+        return None
+    m = _ENC_LIT_RE.match(term)
+    if not m:
+        return None
+    import json
+    return json.loads('"' + m.group(1) + '"'), m.group(2), m.group(3)
+
+
+def _encoded_literal_filter(df: DataFrame, lit: tuple) -> DataFrame:
+    """Exact-term match for an encoded literal constant: value, kind,
+    and lang (case-insensitive) / datatype (xsd:string ≡ plain)."""
+    value, lang, dt = lit
+    df = df.where((F.col("o_value") == value)
+                  & (F.col("o_kind") == "literal"))
+    if lang:
+        df = df.where(F.lower(F.col("o_lang")) == lang.lower())
+    else:
+        df = df.where(F.col("o_lang").isNull()
+                      & (F.coalesce(F.col("o_datatype"),
+                                    F.lit(_XSD_STRING))
+                         == (dt or _XSD_STRING)))
+    return df
+
 
 def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
                 typed: set[str] | None = None,
@@ -123,7 +175,11 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
                 F.col("o_datatype").alias(f"{TYPED_PREFIX}{var}__datatype"),
                 F.col("o_lang").alias(f"{TYPED_PREFIX}{var}__lang")]
     else:
-        df = df.where(F.col("o_value") == o)
+        lit = decode_literal(o)
+        if lit is not None:
+            df = _encoded_literal_filter(df, lit)
+        else:
+            df = df.where(F.col("o_value") == o)
     proj = [F.col(src).alias(var) for var, src in cols.items()]
     if not proj:  # all-constant pattern: existence check → empty-schema row
         proj = [F.lit(1).alias(f"_exists_{i}")]
@@ -132,6 +188,35 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
 
 def _companion_cols(columns) -> list[str]:
     return [c for c in columns if c.startswith(TYPED_PREFIX)]
+
+
+_COMPANION_REF_RE = re.compile(
+    rf"`{TYPED_PREFIX}(\w+?)__(kind|datatype|lang)`")
+
+
+def patch_companion_refs(sql: str, columns) -> str:
+    """Rewrite compiled-SQL references to companion columns that do not
+    exist in the given solution table: a variable never bound in object
+    position carries no captured kind/datatype/lang — its kind derives
+    from the value shape (``_:`` prefix → bnode, else IRI) and its
+    lang/datatype are NULL. Lets term-aware filters (sparql.py sweep 10)
+    run against subject/predicate/graph variables without capturing
+    companions for every position."""
+    if TYPED_PREFIX not in sql:
+        return sql
+    cols = set(columns)
+
+    def rep(m):
+        if m.group(0).strip("`") in cols:
+            return m.group(0)
+        if m.group(2) == "kind":
+            v = f"`{m.group(1)}`"
+            return (f"(CASE WHEN {v} IS NULL THEN NULL "
+                    f"WHEN startswith({v}, '_:') THEN 'bnode' "
+                    f"ELSE 'iri' END)")
+        return "CAST(NULL AS STRING)"
+
+    return _COMPANION_REF_RE.sub(rep, sql)
 
 
 def _first_object_binders(patterns) -> dict[str, int]:
@@ -297,7 +382,7 @@ def match_bgp_extended(quads: DataFrame,
             acc = acc.join(sub.limit(1), on=F.lit(True), how="left_anti")
         # MINUS with no shared variables removes nothing (spec rule)
     for expr in filters or []:
-        acc = acc.where(F.expr(expr))
+        acc = acc.where(F.expr(patch_companion_refs(expr, acc.columns)))
     acc = acc.select(*sorted(bound), *sorted(companions))
     return acc.distinct() if distinct else acc
 
@@ -372,6 +457,16 @@ def instantiate_template(sols: DataFrame,
                 kind = shape_kind
                 dt = F.lit(None).cast("string")
                 lang = F.lit(None).cast("string")
+        elif (enc := decode_literal(o)) is not None:
+            # lang/datatype-carrying literal constant (encode_literal);
+            # engine identity convention (jsonld/tordf.py): tagged →
+            # rdf:langString, plain → explicit xsd:string
+            val, elang, edt = enc
+            o_col = F.lit(val)
+            kind = F.lit("literal")
+            dt = F.lit(_RDF_LANGSTRING if elang
+                       else (edt or XSD_STRING)).cast("string")
+            lang = F.lit(elang).cast("string")
         else:
             o_col = F.lit(o)
             is_iri = F.lit(o).rlike(r"^([A-Za-z][A-Za-z0-9+.-]*:|_:)")

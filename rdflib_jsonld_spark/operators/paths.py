@@ -425,6 +425,14 @@ def match_path(quads: DataFrame, subj: str, path: tuple | str, obj: str,
     if isinstance(path, str):
         path = parse_path(path)
     s_var, o_var = _is_var(subj), _is_var(obj)
+    if not o_var:
+        # encoded lang/datatype literal endpoint (bgp.encode_literal):
+        # path edges carry lexical forms, so seed with the bare value
+        # (documented narrowing: path endpoints match lexically)
+        from .bgp import decode_literal
+        lit = decode_literal(obj)
+        if lit is not None:
+            obj = lit[0]
     if not s_var:
         seeds = quads.sparkSession.createDataFrame([(subj,)], ["src"])
         pairs = eval_path_from(quads, path, seeds, graph, max_iter)

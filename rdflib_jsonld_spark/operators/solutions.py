@@ -97,8 +97,10 @@ def select_solutions(sol: DataFrame, *,
     - ``distinct`` / ``order_by`` (``"?x"`` or ``"desc(?x)"``) /
       ``offset`` / ``limit``: the §15 modifiers, applied in spec order.
     """
+    from .bgp import patch_companion_refs
     for expr, var in bind or []:
-        sol = sol.withColumn(_v(var), F.expr(expr))
+        sol = sol.withColumn(
+            _v(var), F.expr(patch_companion_refs(expr, sol.columns)))
     if aggregates:
         aggs = [_agg_col(fn, arg, alias, group_concat_sep)
                 for fn, arg, alias in aggregates]
@@ -107,7 +109,7 @@ def select_solutions(sol: DataFrame, *,
     elif group_by:
         raise ValueError("group_by requires at least one aggregate")
     for expr in having or []:
-        sol = sol.where(F.expr(expr))
+        sol = sol.where(F.expr(patch_companion_refs(expr, sol.columns)))
     if project:
         sol = sol.select(*[_v(c) for c in project])
     if distinct:

@@ -81,8 +81,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-from .bgp import (TYPED_PREFIX, _companion_cols, _is_var,
-                  instantiate_template, match_bgp)
+from .bgp import (TYPED_PREFIX, _companion_cols, _is_var, encode_literal,
+                  instantiate_template, match_bgp, patch_companion_refs)
 from .paths import match_path
 from .solutions import select_solutions
 
@@ -162,7 +162,7 @@ def _tokenize(q: str) -> list[Tok]:
         if (t.kind == "STRING" and j + 2 < len(toks)
                 and toks[j + 1].kind == "OP" and toks[j + 1].text == "^^"
                 and toks[j + 2].kind in ("IRIREF", "PNAME")):
-            t.datatype = toks[j + 2].text   # expanded later
+            t.datatype = toks[j + 2].text   # pname expanded later
             out.append(t)
             j += 3
         else:
@@ -208,6 +208,7 @@ class Query:
     limit: int | None = None
     offset: int | None = None
     needs_types: bool = False
+    post_values: tuple | None = None   # trailing VALUES clause (§10.2)
 
 
 _KEYWORDS = {
@@ -290,6 +291,14 @@ class _Parser:
         if t.kind == "BNODE":
             return "?__bn_" + t.text[2:]     # bnode label = scoped variable
         if t.kind == "STRING":
+            if t.lang or t.datatype:
+                # exact-term pattern constant ([spec] §5.2 / sweep 10:
+                # the tag/datatype was dropped, so "x"@en matched every
+                # lexical "x")
+                return encode_literal(
+                    t.text, lang=t.lang,
+                    datatype=self._expand_datatype(t.datatype)
+                    if t.datatype else None)
             return t.text                     # lexical-form matching
         if t.kind == "NUMBER":
             return _canon_number(t.text)
@@ -299,6 +308,13 @@ class _Parser:
             if t.text in ("true", "false"):
                 return t.text
         raise SparqlError(f"unexpected term {t.text!r} at char {t.pos}")
+
+    def _expand_datatype(self, raw: str) -> str:
+        """``^^`` datatype token text → IRI (pname or <iri> form)."""
+        try:
+            return self.expand_pname(raw)
+        except SparqlError:
+            return self.resolve_iri(raw)
 
     # --- prologue ----------------------------------------------------------
     def parse_prologue(self) -> None:
@@ -549,6 +565,13 @@ class _Parser:
         if self.at_kw("UNDEF"):
             self.take()
             return None
+        t = self.peek()
+        if t is not None and t.kind == "STRING":
+            # VALUES cells compare against solution VALUE columns —
+            # lexical form (documented narrowing: lang/datatype on a
+            # VALUES literal is not distinguished)
+            self.take()
+            return t.text
         return self.term(self.take())
 
     # --- expressions → Spark SQL -------------------------------------------
@@ -581,8 +604,13 @@ class _Parser:
         if t is not None and t.kind == "OP" and t.text in self._REL_OPS:
             op = self._REL_OPS[self.take().text]
             rhs = self._expr_add()
-            lt, ls = node
-            rt, rs = rhs
+            if op in ("=", "<>"):
+                eq = self._term_eq_sql(node, rhs)
+                if eq is not None:
+                    return ("bool",
+                            f"(NOT {eq})" if op == "<>" else eq)
+            lt, ls = node[0], node[1]
+            rt, rs = rhs[0], rhs[1]
             if lt == "num" and rt != "num":
                 rs = f"try_cast({rs} AS DOUBLE)"
             elif rt == "num" and lt != "num":
@@ -598,6 +626,68 @@ class _Parser:
             self.take()
             return ("bool", f"({node[1]} NOT IN {self._expr_list()})")
         return node
+
+    def _typ(self, var: str, which: str) -> str:
+        """SQL for a variable's kind/datatype/lang companion column
+        (forces typed capture; missing companions are patched to their
+        shape-derived fallbacks at evaluation time)."""
+        self.needs_types = True
+        return _qcol(f"{TYPED_PREFIX}{var}__{which}")
+
+    def _term_eq_sql(self, a, b) -> str | None:
+        """RDF-term-aware ``=``/``!=`` ([spec] SPARQL 1.1 §17.4.1.7
+        RDFterm-equal, with the RDF 1.1 identification of simple
+        literals and xsd:string). Returns None when neither side is a
+        term constant/variable pair this handles — the caller falls
+        back to the plain value comparison (numeric etc.).
+
+        Sweep 10: the value-only compare made "Bob"@en = "Bob" true and
+        let literals compare equal to same-lexical IRIs."""
+        xsd_str = _sql_str(XSD + "string")
+
+        def var_of(n):
+            return _uncol(n[1]) if n[0] == "any" else None
+
+        def lit_guard(var: str, n) -> str:
+            _, vsql, lang, dt = n
+            parts = [f"({_qcol(var)} = {vsql})",
+                     f"({self._typ(var, 'kind')} = 'literal')"]
+            if lang:
+                parts.append(f"({self._typ(var, 'lang')} = '{lang}')")
+            else:
+                parts.append(f"({self._typ(var, 'lang')} IS NULL)")
+                parts.append(
+                    f"(coalesce({self._typ(var, 'datatype')}, {xsd_str})"
+                    f" = {_sql_str(dt) if dt else xsd_str})")
+            return "(" + " AND ".join(parts) + ")"
+
+        av, bv = var_of(a), var_of(b)
+        if av and b[0] == "lit":
+            return lit_guard(av, b)
+        if bv and a[0] == "lit":
+            return lit_guard(bv, a)
+        if av and b[0] == "iri":
+            return (f"({_qcol(av)} = {b[1]} AND "
+                    f"{self._typ(av, 'kind')} = 'iri')")
+        if bv and a[0] == "iri":
+            return (f"({_qcol(bv)} = {a[1]} AND "
+                    f"{self._typ(bv, 'kind')} = 'iri')")
+        if av and bv:
+            ka, kb = self._typ(av, "kind"), self._typ(bv, "kind")
+            la, lb = self._typ(av, "lang"), self._typ(bv, "lang")
+            da, db = self._typ(av, "datatype"), self._typ(bv, "datatype")
+            return (f"({_qcol(av)} = {_qcol(bv)} AND {ka} <=> {kb} AND "
+                    f"{la} <=> {lb} AND coalesce({da}, {xsd_str}) <=> "
+                    f"coalesce({db}, {xsd_str}))")
+        if a[0] in ("lit", "iri") and b[0] in ("lit", "iri"):
+            if a[0] != b[0]:
+                return "false"
+            if a[0] == "iri":
+                return "true" if a[1] == b[1] else "false"
+            same = (a[1] == b[1] and (a[2] or None) == (b[2] or None)
+                    and (a[3] or XSD + "string") == (b[3] or XSD + "string"))
+            return "true" if same else "false"
+        return None
 
     def _expr_list(self) -> str:
         self.expect_op("(")
@@ -652,11 +742,15 @@ class _Parser:
             self.take()
             return ("num", t.text)
         if t.kind == "STRING":
+            # quoted literal constant: keep lang/datatype so =/!=/
+            # sameTerm can compare RDF TERMS, not lexical forms
+            # (sweep 10: "Bob"@en previously compared equal to "Bob")
             self.take()
-            return ("str", _sql_str(t.text))
+            dt = self._expand_datatype(t.datatype) if t.datatype else None
+            return ("lit", _sql_str(t.text), t.lang, dt)
         if t.kind == "IRIREF":
             self.take()
-            return ("str", _sql_str(self.resolve_iri(t.text)))
+            return ("iri", _sql_str(self.resolve_iri(t.text)))
         if t.kind == "NAME":
             up = t.text.upper()
             if up in ("TRUE", "FALSE"):
@@ -672,7 +766,7 @@ class _Parser:
             if nxt is not None and nxt.kind == "OP" and nxt.text == "(":
                 return self._expr_cast(self.take())
             self.take()
-            return ("str", _sql_str(self.expand_pname(t.text, t.pos)))
+            return ("iri", _sql_str(self.expand_pname(t.text, t.pos)))
         raise SparqlError(f"unexpected {t.text!r} in expression "
                           f"at char {t.pos}")
 
@@ -785,7 +879,8 @@ class _Parser:
             pat = a(1)
             if len(args) == 3:
                 flags = args[2]
-                if flags[0] != "str" or not flags[1].startswith("'"):
+                if flags[0] not in ("str", "lit") \
+                        or not flags[1].startswith("'"):
                     raise SparqlError("REGEX flags must be a string literal")
                 fl = flags[1].strip("'")
                 if fl and set(fl) - set("ismx"):
@@ -819,6 +914,11 @@ class _Parser:
             return ("str", f"sha2({a(0)}, {up[3:]})")
         if up == "SAMETERM":
             need(2)
+            # exact term identity — kind/lang/datatype aware when the
+            # arguments are variables or term constants (sweep 10)
+            eq = self._term_eq_sql(args[0], args[1])
+            if eq is not None:
+                return ("bool", eq)
             return ("bool", f"({a(0)} <=> {a(1)})")
         if up == "ENCODE_FOR_URI":
             need(1)
@@ -930,6 +1030,12 @@ class _Parser:
             raise SparqlError(
                 f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, "
                 f"got {t.text if t else 'end of query'!r}")
+        if self.at_kw("VALUES"):
+            # [spec] §10.2: a ValuesClause at the end of the query joins
+            # the query result with the inline table (sweep 10: this
+            # position was rejected as trailing tokens)
+            self.take()
+            q.post_values = self._parse_values()
         q.needs_types = q.needs_types or self.needs_types
         if self.pos != len(self.toks):
             t = self.peek()
@@ -1105,7 +1211,7 @@ def _sql_str(s: str) -> str:
 
 
 def _as_num(node) -> str:
-    tag, sql = node
+    tag, sql = node[0], node[1]
     return sql if tag in ("num", "bool") else f"try_cast({sql} AS DOUBLE)"
 
 
@@ -1146,6 +1252,61 @@ def _merge(acc: DataFrame | None, df: DataFrame, how: str = "inner",
     return acc.crossJoin(df)
 
 
+def _compat_merge(acc: DataFrame, df: DataFrame, how: str,
+                  soft: list[str]) -> DataFrame:
+    """Solution-compatibility join ([spec] §18.3): shared variables in
+    ``soft`` may be UNBOUND (null) on the left — an unbound var is
+    compatible with any right-side binding and takes it in the merged
+    row. Used when VALUES UNDEF wildcards flow into later joins."""
+    dup = [c for c in _companion_cols(df.columns) if c in acc.columns]
+    if dup:
+        df = df.drop(*dup)
+    shared = sorted((set(acc.columns) & set(df.columns))
+                    - set(_companion_cols(acc.columns)))
+    ren = df
+    for c in shared:
+        ren = ren.withColumnRenamed(c, f"__r_{c}")
+    cond = F.lit(True)
+    for c in shared:
+        eq = F.col(f"__r_{c}") == F.col(c)
+        cond = cond & ((F.col(c).isNull() | eq) if c in soft else eq)
+    out = acc.join(ren, on=cond, how=how)
+    for c in shared:
+        out = (out.withColumn(c, F.coalesce(F.col(c), F.col(f"__r_{c}")))
+                  .drop(f"__r_{c}"))
+    return out
+
+
+def _merge_values(acc: DataFrame | None, names: list[str],
+                  rows: list[tuple], spark) -> DataFrame:
+    """Join a solution table with an inline VALUES table ([spec] §10.2).
+    ``None`` cells (UNDEF) are wildcards: compatible with ANY binding of
+    that variable in that row (sweep 10: UNDEF rows silently matched
+    nothing because the equi-join compared against NULL)."""
+    schema = ", ".join(f"`{n}` string" for n in names)
+    vdf = spark.createDataFrame([tuple(r) for r in rows] or [], schema)
+    if acc is None:
+        return vdf
+    shared = [n for n in names if n in acc.columns]
+    if not shared:
+        return acc.crossJoin(vdf)
+    if not any(r[i] is None for r in rows
+               for i, n in enumerate(names) if n in shared):
+        return acc.join(vdf, on=shared, how="inner")
+    vren = vdf
+    cond = F.lit(True)
+    for n in shared:
+        vren = vren.withColumnRenamed(n, f"__val_{n}")
+        cond = cond & (F.col(f"__val_{n}").isNull()
+                       | F.col(n).isNull()
+                       | (F.col(f"__val_{n}") == F.col(n)))
+    out = acc.join(vren, on=cond, how="inner")
+    for n in shared:
+        out = (out.withColumn(n, F.coalesce(F.col(n), F.col(f"__val_{n}")))
+                  .drop(f"__val_{n}"))
+    return out
+
+
 def _eval_bgp(quads: DataFrame, triples: list[tuple], graph: str | None,
               with_types: bool, stats, max_iter: int) -> DataFrame:
     plain = [(s, p, o) for s, p, o in triples if isinstance(p, str)]
@@ -1173,24 +1334,34 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
     spark = quads.sparkSession
     acc: DataFrame | None = None
     deferred: list = []   # ("filter", sql) | ("exists", Group, positive)
+    wildcards: set[str] = set()   # vars VALUES UNDEF may leave unbound
 
     def ev(g: Group) -> DataFrame:
         return _eval_group(quads, g, graph=graph, with_types=with_types,
                            stats=stats, max_iter=max_iter)
 
+    def merge(df: DataFrame, how: str = "inner") -> DataFrame:
+        if acc is None or not wildcards:
+            return _merge(acc, df, how)
+        soft = [c for c in wildcards
+                if c in acc.columns and c in df.columns]
+        if not soft:
+            return _merge(acc, df, how)
+        return _compat_merge(acc, df, how, soft)
+
     for el in group.elements:
         kind = el[0]
         if kind == "bgp":
-            acc = _merge(acc, _eval_bgp(quads, el[1], graph, with_types,
-                                        stats, max_iter))
+            acc = merge(_eval_bgp(quads, el[1], graph, with_types,
+                                  stats, max_iter))
         elif kind == "optional":
-            acc = _merge(acc, ev(el[1]), how="left")
+            acc = merge(ev(el[1]), how="left")
         elif kind == "union":
             branches = [ev(b) for b in el[1]]
             u = branches[0]
             for b in branches[1:]:
                 u = u.unionByName(b, allowMissingColumns=True)
-            acc = _merge(acc, u)
+            acc = merge(u)
         elif kind == "minus":
             sub = ev(el[1])
             shared = sorted(set(acc.columns if acc is not None else [])
@@ -1203,20 +1374,25 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
         elif kind == "bind":
             _, sql, var = el
             if acc is None:
-                acc = spark.range(1).select(F.expr(sql).alias(var))
+                acc = spark.range(1).select(
+                    F.expr(patch_companion_refs(sql, [])).alias(var))
             else:
                 if var in acc.columns:
                     raise SparqlError(f"BIND would rebind ?{var}")
-                acc = acc.withColumn(var, F.expr(sql))
+                acc = acc.withColumn(
+                    var, F.expr(patch_companion_refs(sql, acc.columns)))
         elif kind == "values":
             _, names, rows = el
-            vdf = spark.createDataFrame(
-                [tuple(r) for r in rows],
-                schema=", ".join(f"{n} string" for n in names))
-            acc = _merge(acc, vdf)
+            undef_vars = {n for i, n in enumerate(names)
+                          if any(r[i] is None for r in rows)}
+            acc = _merge_values(acc, names, rows, spark)
+            # UNDEF cells survive as nulls only for vars the solutions
+            # didn't already bind — later joins must treat those as
+            # compatibility wildcards
+            wildcards |= {n for n in undef_vars if n in acc.columns}
         elif kind == "graph":
             _, term, sub = el
-            acc = _merge(acc, _eval_group(
+            acc = merge(_eval_group(
                 quads, sub, graph=term, with_types=with_types,
                 stats=stats, max_iter=max_iter))
         elif kind == "subselect":
@@ -1230,7 +1406,7 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
             ssols = _eval_group(quads, subq.where, graph=graph,
                                 with_types=with_types, stats=stats,
                                 max_iter=max_iter)
-            acc = _merge(acc, _eval_select(ssols, subq))
+            acc = merge(_eval_select(ssols, subq))
         elif kind in ("filter", "exists"):
             deferred.append(el)
         else:  # pragma: no cover
@@ -1240,7 +1416,8 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
         acc = spark.range(1).select(F.lit(1).alias("__unit"))
     for el in deferred:
         if el[0] == "filter":
-            acc = acc.where(F.expr(el[1]))
+            acc = acc.where(F.expr(patch_companion_refs(el[1],
+                                                        acc.columns)))
         else:
             _, sub_g, positive = el
             sub = ev(sub_g)
@@ -1296,6 +1473,11 @@ def sparql(quads: DataFrame, query: str, *, stats: dict | None = None,
     q = parse_query(query)
     sols = _eval_group(quads, q.where, with_types=q.needs_types,
                        stats=stats, max_iter=max_iter)
+    if q.post_values is not None:
+        # [spec] §18.2.2.5: the trailing VALUES table joins the WHERE
+        # solutions BEFORE grouping / solution modifiers
+        _, vnames, vrows = q.post_values
+        sols = _merge_values(sols, vnames, vrows, quads.sparkSession)
 
     if q.form == "ask":
         return sols.limit(1).agg(

@@ -315,11 +315,6 @@ class _UpdateParser(_Parser):
                                   "unsupported (v1: deterministic output)")
         return super().term(t)
 
-    def _expand_datatype(self, raw: str) -> str:
-        try:
-            return self.expand_pname(raw)
-        except SparqlError:
-            return self.resolve_iri(raw)
 
 
 def _template_as_group(tmpl: list[tuple]) -> Group:
