@@ -30,9 +30,10 @@ Semantics notes ([spec] §9.3 evaluation, §18.4 ALP):
 - zero-length paths (``*``/``?``) match every TERM IN THE GRAPH to
   itself — subjects and objects, literals included; a constant endpoint
   that does not occur in the graph matches nothing;
-- ``nps`` is the forward negated property set ``!(iri1|...|irin)``; the
-  mixed forward/inverse form ``!(a|^b)`` is intentionally out of scope
-  (rewrite as ``!(a)|^!(b)`` per the spec's own equivalence).
+- ``nps`` is the forward negated property set ``!(iri1|...|irin)``;
+  inverse and mixed member forms (``!^a``, ``!(a|^b)``) desugar at
+  parse time via the spec's own algebra translation
+  ``alt(NPS(fwd), inv(NPS(rev)))`` ([spec] §18.2.2.3 — sweep 10).
 - terms are compared by their binding string (the engine-wide BGP
   convention): bnodes as ``_:label``, literals by lexical form.
 
@@ -177,15 +178,30 @@ def parse_path(s: str) -> tuple:
             return inv(parse_primary())
         if t == "!":
             take("!")
-            take("(")
-            iris = [take()]
-            take("\0iri")
-            while peek() == "|":
-                take("|")
-                iris.append(take())
+            fwd: list[str] = []
+            rev: list[str] = []
+
+            def one_member():
+                if peek() == "^":
+                    take("^")
+                    rev.append(take())
+                else:
+                    fwd.append(take())
                 take("\0iri")
-            take(")")
-            return nps(iris)
+
+            if peek() == "(":
+                take("(")
+                one_member()
+                while peek() == "|":
+                    take("|")
+                    one_member()
+                take(")")
+            else:
+                one_member()   # paren-less !iri / !^iri form
+            # [spec] §18.2.2.3: !(f…|^r…) = alt(NPS(f…), inv(NPS(r…)))
+            parts = ([nps(fwd)] if fwd else []) \
+                + ([inv(nps(rev))] if rev else [])
+            return parts[0] if len(parts) == 1 else alt(*parts)
         if t == "(":
             take("(")
             node = parse_alt()

@@ -363,13 +363,30 @@ class _Parser:
             return ("inv", self._path_primary())
         if self._is_op("!"):
             self.take()
-            self.expect_op("(")
-            iris = [self._path_iri()]
-            while self._is_op("|"):
+            fwd: list[str] = []
+            rev: list[str] = []
+
+            def one_member():
+                if self._is_op("^"):
+                    self.take()
+                    rev.append(self._path_iri())
+                else:
+                    fwd.append(self._path_iri())
+
+            if self._is_op("("):
                 self.take()
-                iris.append(self._path_iri())
-            self.expect_op(")")
-            return ("nps", tuple(iris))
+                one_member()
+                while self._is_op("|"):
+                    self.take()
+                    one_member()
+                self.expect_op(")")
+            else:
+                one_member()   # paren-less !iri / !^iri form
+            # [spec] §18.2.2.3: !(f…|^r…) = alt(NPS(f…), inv(NPS(r…)))
+            # (sweep 10: inverse members were a parse error)
+            parts = ([("nps", tuple(fwd))] if fwd else []) \
+                + ([("inv", ("nps", tuple(rev)))] if rev else [])
+            return parts[0] if len(parts) == 1 else ("alt", *parts)
         if self._is_op("("):
             self.take()
             node = self.parse_path()

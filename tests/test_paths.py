@@ -234,9 +234,29 @@ def test_parse_path_precedence_and_forms():
 
 
 def test_parse_path_errors():
-    for bad in ("", "p/", "(p", "p)q", "!p", "p**q/"):
+    # "!p" is no longer here: the paren-less PathOneInPropertySet form
+    # is valid grammar ([spec] §9.1, sweep 10)
+    for bad in ("", "p/", "(p", "p)q", "p**q/", "!(p", "!(^)"):
         with pytest.raises((ValueError, IndexError)):
             parse_path(bad)
+
+
+def test_parse_negated_set_inverse_members():
+    # [spec] §18.2.2.3: !(f|^r) desugars to alt(NPS(f), inv(NPS(r)))
+    # (sweep 10: inverse members were a parse error)
+    p, q = "http://e/p", "http://e/q"
+    assert parse_path(f"!(<{p}>|^<{q}>)") == \
+        alt(nps([p]), inv(nps([q])))
+    assert parse_path(f"!^<{q}>") == inv(nps([q]))
+    assert parse_path(f"!<{p}>") == nps([p])
+
+
+def test_eval_negated_inverse_set(spark):
+    # a -p-> b, a -q-> c: !(^p) from c follows reversed non-p edges
+    df = quads_df(spark, [(EX + "a", EX + "p", EX + "b"),
+                          (EX + "a", EX + "q", EX + "c")])
+    got = match_path(df, EX + "c", f"!(^<{EX}p>)", "?o").collect()
+    assert [r.o for r in got] == [EX + "a"]
 
 
 def test_graph_nodes_includes_literals(spark):
