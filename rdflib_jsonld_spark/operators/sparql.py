@@ -228,7 +228,17 @@ _AGG_TEXT = {
     "MAX": "max", "SAMPLE": "sample", "GROUP_CONCAT": "group_concat",
 }
 
-_TYPE_FNS = {"LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL"}
+_TYPE_FNS = {"LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL",
+             "ISNUMERIC"}
+
+#: xsd numeric datatypes ([spec] SPARQL 1.1 §17.4.2.4 isNumeric — the
+#: operand types of the operator mapping plus the derived-integer tree)
+_NUMERIC_DATATYPES = tuple(
+    "http://www.w3.org/2001/XMLSchema#" + t for t in (
+        "integer", "decimal", "float", "double", "long", "int", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong",
+        "unsignedInt", "unsignedShort", "unsignedByte"))
 
 
 class _Parser:
@@ -849,6 +859,11 @@ class _Parser:
                         f"if({kind} = 'literal', '{XSD}string', NULL))")
             if up in ("ISIRI", "ISURI"):
                 return ("bool", f"({kind} = 'iri')")
+            if up == "ISNUMERIC":   # [spec] §17.4.2.4
+                dt = _qcol(f"{TYPED_PREFIX}{var}__datatype")
+                dts = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
+                return ("bool",
+                        f"({kind} = 'literal' AND {dt} IN ({dts}))")
             return ("bool", f"({kind} = 'literal')")   # ISLITERAL
         if up == "BOUND":
             need(1)

@@ -182,6 +182,14 @@ def test_values_all_undef_row_keeps_everything(quads):
 
 # --- helpers ------------------------------------------------------------------
 
+def test_isnumeric_builtin(quads):
+    # [spec] §17.4.2.4: true only for literals with a numeric datatype
+    # — the plain "30" (e:b's tag) and IRIs are excluded
+    got = ids(sparql(quads, PFX + "SELECT ?s WHERE "
+                     "{ ?s ?p ?o FILTER(isNumeric(?o)) }"))
+    assert got == [E + "a"]
+
+
 def test_encode_decode_literal_roundtrip():
     for val, lang, dt in [("Bob", "en", None),
                           ('say "hi"\\now', None, XSD + "integer"),
