@@ -48,15 +48,33 @@ def _v(name: str) -> str:
     return name[1:] if name.startswith("?") else name
 
 
-def _agg_col(fn: str, arg: str, alias: str, sep: str) -> Column:
+def _term_sort_sql(col_sql: str) -> str:
+    """Total-order sort key for a STRING solution column ([spec] SPARQL
+    1.1 §15.1, simplified): unbound first, then numeric literals by
+    value, then everything else lexically. Sweep 10: plain min/max/
+    orderBy compared lexically, so MIN("9","10") returned "10"."""
+    cast = f"try_cast({col_sql} AS DOUBLE)"
+    flag = (f"CASE WHEN {col_sql} IS NULL THEN 0 "
+            f"WHEN {cast} IS NOT NULL THEN 1 ELSE 2 END")
+    return f"struct({flag}, {cast}, {col_sql})"
+
+
+def _agg_col(fn: str, arg: str, alias: str, sep: str,
+             dtypes: dict[str, str] | None = None) -> Column:
     fn = fn.lower()
     if fn not in _AGG_FNS:
         raise ValueError(f"unknown aggregate {fn!r} (one of {sorted(_AGG_FNS)})")
     if arg == "*":
-        if fn != "count":
-            raise ValueError(f"'*' argument only valid for count, got {fn}")
-        return F.count(F.lit(1)).alias(alias)
-    col = F.col(_v(arg)) if re.fullmatch(r"\??\w+", arg) else F.expr(arg)
+        if fn == "count":
+            return F.count(F.lit(1)).alias(alias)
+        if fn == "count_distinct":  # COUNT(DISTINCT *): distinct rows
+            cols = sorted(dtypes) if dtypes else []
+            return F.countDistinct(
+                F.struct(*[F.col(c) for c in cols])).alias(alias)
+        raise ValueError(f"'*' argument only valid for count, got {fn}")
+    m = re.fullmatch(r"`(\w+)`|\??(\w+)", arg)
+    var = (m.group(1) or m.group(2)) if m else None
+    col = F.col(var) if var else F.expr(arg)
     if fn == "count":
         return F.count(col).alias(alias)  # non-NULL count, per spec
     if fn == "count_distinct":
@@ -68,6 +86,13 @@ def _agg_col(fn: str, arg: str, alias: str, sep: str) -> Column:
         lst = F.collect_set(col) if fn.endswith("distinct") \
             else F.collect_list(col)
         return F.array_join(F.sort_array(lst), sep).alias(alias)
+    if fn in ("min", "max") and var and dtypes is not None \
+            and dtypes.get(var) == "string":
+        # term-aware extremum over lexical solution columns
+        c = f"`{var}`"
+        agg = "min_by" if fn == "min" else "max_by"
+        return F.expr(f"{agg}({c}, {_term_sort_sql(c)}) "
+                      f"FILTER (WHERE {c} IS NOT NULL)").alias(alias)
     return getattr(F, fn)(col).alias(alias)
 
 
@@ -102,7 +127,9 @@ def select_solutions(sol: DataFrame, *,
         sol = sol.withColumn(
             _v(var), F.expr(patch_companion_refs(expr, sol.columns)))
     if aggregates:
-        aggs = [_agg_col(fn, arg, alias, group_concat_sep)
+        dtypes = {n: t for n, t in sol.dtypes
+                  if not n.startswith("__typ_")}
+        aggs = [_agg_col(fn, arg, alias, group_concat_sep, dtypes)
                 for fn, arg, alias in aggregates]
         sol = (sol.groupBy(*[_v(g) for g in group_by]).agg(*aggs)
                if group_by else sol.agg(*aggs))
@@ -116,9 +143,14 @@ def select_solutions(sol: DataFrame, *,
         sol = sol.distinct()
     if order_by:
         keys = []
+        dtypes = dict(sol.dtypes)
         for k in order_by:
             m = re.fullmatch(r"(asc|desc)\((.+)\)", k.strip(), re.I)
-            col = F.col(_v(m.group(2) if m else k.strip()))
+            name = _v(m.group(2) if m else k.strip())
+            # STRING solution columns order term-aware (numeric value
+            # before lexical form — sweep 10); typed columns natively
+            col = F.expr(_term_sort_sql(f"`{name}`")) \
+                if dtypes.get(name) == "string" else F.col(name)
             keys.append(col.desc() if m and m.group(1).lower() == "desc"
                         else col.asc())
         sol = sol.orderBy(*keys)

@@ -190,6 +190,27 @@ def test_isnumeric_builtin(quads):
     assert got == [E + "a"]
 
 
+def test_min_max_numeric_not_lexical(quads, spark):
+    rows = [(None, E + "a", False, V + "v", "literal", "9",
+             XSD + "integer", None),
+            (None, E + "b", False, V + "v", "literal", "10",
+             XSD + "integer", None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sparql(df, PFX + "SELECT (MIN(?x) AS ?mn) (MAX(?x) AS ?mx) "
+                 "WHERE { ?s v:v ?x }").collect()
+    # lexical compare said MIN="10"/MAX="9" before sweep 10
+    assert [(r.mn, r.mx) for r in got] == [("9", "10")]
+    ordered = sparql(df, PFX + "SELECT ?x WHERE { ?s v:v ?x } "
+                     "ORDER BY DESC(?x) LIMIT 1").collect()
+    assert [r.x for r in ordered] == ["10"]
+
+
+def test_count_distinct_star(quads):
+    got = sparql(quads, PFX + "SELECT (COUNT(DISTINCT *) AS ?c) "
+                 "WHERE { ?s v:name ?n }").collect()
+    assert got[0].c == 4
+
+
 def test_encode_decode_literal_roundtrip():
     for val, lang, dt in [("Bob", "en", None),
                           ('say "hi"\\now', None, XSD + "integer"),
