@@ -311,12 +311,22 @@ class _Parser:
                     if t.datatype else None)
             return t.text                     # lexical-form matching
         if t.kind == "NUMBER":
-            return _canon_number(t.text)
+            # numeric shorthand is a TYPED literal ([spec] SPARQL 1.1
+            # §4.1.2) — sweep 11: templates emitted xsd:string and
+            # patterns matched any same-lexical value
+            lex = _canon_number(t.text)
+            if re.fullmatch(r"[+-]?\d+", t.text):
+                dt = XSD + "integer"
+            elif "e" in t.text.lower():
+                dt = XSD + "double"
+            else:
+                dt = XSD + "decimal"
+            return encode_literal(lex, datatype=dt)
         if t.kind == "NAME":
             if t.text == "a":
                 return RDF_TYPE
             if t.text in ("true", "false"):
-                return t.text
+                return encode_literal(t.text, datatype=XSD + "boolean")
         raise SparqlError(f"unexpected term {t.text!r} at char {t.pos}")
 
     def _expand_datatype(self, raw: str) -> str:
@@ -597,6 +607,13 @@ class _Parser:
             # VALUES cells compare against solution VALUE columns —
             # lexical form (documented narrowing: lang/datatype on a
             # VALUES literal is not distinguished)
+            self.take()
+            return t.text
+        if t is not None and t.kind == "NUMBER":
+            self.take()
+            return _canon_number(t.text)
+        if t is not None and t.kind == "NAME" and t.text in ("true",
+                                                             "false"):
             self.take()
             return t.text
         return self.term(self.take())

@@ -73,7 +73,8 @@ _CORE_SCHEMA = ("g string, s string, s_is_bnode boolean, p string, "
 # Operations:
 #   ("insert_data", rows) / ("delete_data", rows)
 #       rows: [(g, s, p, o_kind, o_value, o_datatype, o_lang)]
-#   ("modify", delete_tmpl, insert_tmpl, where: Group, with_graph)
+#   ("modify", delete_tmpl, insert_tmpl, where: Group, with_graph,
+#             using: (default_iris, named_iris) | None)
 #       tmpl: [(graph_term | None, [(s, p, o), ...])]
 
 
@@ -139,9 +140,6 @@ class _UpdateParser(_Parser):
                 with_g = self.expand_pname(t.text, t.pos)
             else:
                 raise SparqlError("WITH needs an IRI")
-        if self.at_kw("USING"):
-            raise SparqlError("USING is not supported — pass the dataset "
-                              "as the quad DataFrame")
         if self.at_kw("INSERT"):
             self.take()
             if self.at_kw("DATA"):
@@ -150,8 +148,9 @@ class _UpdateParser(_Parser):
                 self.take()
                 return ("insert_data", self._parse_ground_quads())
             ins = self._parse_quad_templates("INSERT")
+            using = self._parse_using()
             self.expect_kw("WHERE")
-            return ("modify", None, ins, self.parse_group(), with_g)
+            return ("modify", None, ins, self.parse_group(), with_g, using)
         if self.at_kw("DELETE"):
             self.take()
             if self.at_kw("DATA"):
@@ -163,19 +162,39 @@ class _UpdateParser(_Parser):
                 self.take()
                 tmpl = self._parse_quad_templates("DELETE")
                 return ("modify", tmpl, None, _template_as_group(tmpl),
-                        with_g)
+                        with_g, None)
             dels = self._parse_quad_templates("DELETE")
             ins = None
             if self.at_kw("INSERT"):
                 self.take()
                 ins = self._parse_quad_templates("INSERT")
+            using = self._parse_using()
             self.expect_kw("WHERE")
-            return ("modify", dels, ins, self.parse_group(), with_g)
+            return ("modify", dels, ins, self.parse_group(), with_g, using)
         t = self.peek()
         raise SparqlError(f"expected INSERT/DELETE/WITH, got "
                           f"{t.text if t else 'end of update'!r}")
 
     # --- graph-management helpers ------------------------------------------
+    def _parse_using(self):
+        """``USING <g>`` / ``USING NAMED <g>`` clauses ([spec] SPARQL
+        1.1 Update §3.1.3): like FROM/FROM NAMED, they fully specify
+        the WHERE dataset — default graph := union of USING graphs,
+        named graphs := the USING NAMED set — and override WITH for
+        the WHERE (sweep 11: previously rejected as unsupported)."""
+        defaults: list[str] = []
+        named: list[str] = []
+        while self.at_kw("USING"):
+            self.take()
+            if self.at_kw("NAMED"):
+                self.take()
+                named.append(self._take_iri("USING NAMED"))
+            else:
+                defaults.append(self._take_iri("USING"))
+        if not defaults and not named:
+            return None
+        return (tuple(defaults), tuple(named))
+
     def _skip_silent(self) -> None:
         if self.at_kw("SILENT"):
             self.take()
@@ -471,8 +490,27 @@ def update(quads: DataFrame, text: str, *, max_iter: int = 20,
             else:
                 cur = _materialize(_anti_on_key(cur, rows))
         else:
-            _, dels, ins, where, with_g = op
-            sols = _eval_group(cur, where, graph=with_g, with_types=True,
+            _, dels, ins, where, with_g, using = op
+            view, scope = cur, with_g
+            if using is not None:
+                # [spec] Update §3.1.3: USING/USING NAMED specify the
+                # WHERE dataset (default := union of USING graphs moved
+                # to the default graph, named := USING NAMED set) and
+                # override WITH for the WHERE; templates still target
+                # the WITH graph over the full store
+                defaults, named = using
+                parts = []
+                if defaults:
+                    parts.append(cur.where(
+                        F.col("g").isin(list(defaults)))
+                        .withColumn("g", F.lit(None).cast("string")))
+                if named:
+                    parts.append(cur.where(F.col("g").isin(list(named))))
+                view = parts[0]
+                for p in parts[1:]:
+                    view = view.unionByName(p)
+                scope = None
+            sols = _eval_group(view, where, graph=scope, with_types=True,
                                stats=stats, max_iter=max_iter)
             n_branches = sum(len(t[1]) for t in (dels or [])) \
                 + sum(len(t[1]) for t in (ins or []))

@@ -84,8 +84,6 @@ def test_parse_errors():
          "property paths"),
         ("INSERT { _:n <urn:p> ?o } WHERE { ?s ?p ?o }", "blank nodes"),
         ("WITH <urn:g> INSERT DATA { <urn:s> <urn:p> 1 }", "WITH"),
-        ("DELETE { ?s <urn:p> ?o } USING <urn:g> WHERE { ?s ?p ?o }",
-         "trailing|USING"),
         ("SELECT ?x WHERE { ?x ?p ?o }", "INSERT/DELETE"),
     ]:
         with pytest.raises(SparqlError, match=msg):
@@ -257,3 +255,37 @@ def test_load_dispatches_on_format(spark, tmp_path):
     got = {(r.g, r.s, r.p) for r in out.collect()}
     assert got == {("http://e/g", "http://e/s", "http://e/p"),
                    (None, "http://e/s2", "http://e/p2")}
+
+
+# --- USING / USING NAMED ([spec] Update §3.1.3, sweep 11) -------------------
+
+def test_using_scopes_where_to_named_graph(quads):
+    # WHERE's default graph := urn:g1 only — the store's default-graph
+    # names (Alice/Bob) must not match
+    out = update(quads, PFX + "INSERT { ?s v:flag true } "
+                 "USING <urn:g1> WHERE { ?s v:name ?n }")
+    flagged = {r.s for r in
+               out.where(F.col("p") == V + "flag").collect()}
+    assert flagged == {E + "d"}
+    # template constants carry their RDF datatype (sweep 11: booleans
+    # and numbers previously emitted as xsd:string)
+    r, = out.where(F.col("p") == V + "flag").collect()
+    assert (r.o_value, r.o_datatype) == (
+        "true", "http://www.w3.org/2001/XMLSchema#boolean")
+
+
+def test_using_named_scopes_graph_clause(quads):
+    out = update(quads, PFX + "INSERT { ?s v:flag true } "
+                 "USING NAMED <urn:g1> WHERE { GRAPH ?g { ?s v:name ?n } }")
+    flagged = {r.s for r in
+               out.where(F.col("p") == V + "flag").collect()}
+    assert flagged == {E + "d"}
+
+
+def test_using_overrides_with_for_where(quads):
+    # USING scopes the WHERE to g1; WITH still targets urn:g2 for the
+    # template — nothing in g2 matches the delete, so the store is
+    # unchanged
+    out = update(quads, PFX + "WITH <urn:g2> DELETE { ?s v:name ?n } "
+                 "USING <urn:g1> WHERE { ?s v:name ?n }")
+    assert keyset(out) == keyset(quads)
