@@ -5,18 +5,14 @@ __spark_entry__.py (VERDICT r03 #4)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from rdflib_jsonld_spark.operators import dedup, multimodal, similarity
-from rdflib_jsonld_spark.operators.expand import dedup_quads, expand_transcripts
-from rdflib_jsonld_spark.operators.linking import (
-    canonical_mapping, entity_mention_counts, mention_edges)
 from rdflib_jsonld_spark.operators.textstats import (
     STOPWORDS, with_lang_id, with_quality_score, with_token_counts)
-from rdflib_jsonld_spark.sources.doc_transcripts import documents_as_transcripts
 from rdflib_jsonld_spark.sources import transcripts as tr
 
-from rdflib_jsonld_spark.contract.common import KG, _t
+from rdflib_jsonld_spark.contract.common import _t
 
 
 def q_doc_token_stats(spark, sf_dir) -> DataFrame:

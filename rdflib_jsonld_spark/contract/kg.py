@@ -6,28 +6,19 @@ still re-exports everything from there."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
-from rdflib_jsonld_spark.operators import dedup, multimodal, similarity
-from rdflib_jsonld_spark.operators.expand import dedup_quads, expand_transcripts
 from rdflib_jsonld_spark.operators.linking import (
     canonical_mapping, entity_mention_counts, mention_edges)
-from rdflib_jsonld_spark.operators.textstats import (
-    STOPWORDS, with_lang_id, with_quality_score, with_token_counts)
 from rdflib_jsonld_spark.sources.doc_transcripts import documents_as_transcripts
 from rdflib_jsonld_spark.sources import transcripts as tr
 
 from rdflib_jsonld_spark.contract.common import (  # noqa: F401
-    KG, _OWL_SAMEAS, _RDF, _t)
+    KG, _OWL_SAMEAS, _RDF, _t, shared_doc_quads, shared_transcript_quads)
 
 
 def _kg_entity_counts_documents(spark, sf_dir, limit=50) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    # persist the quad table: linking + counting each trigger actions, and
-    # recomputing the Python expansion per action would dominate (at real
-    # scale this is the materialized Iceberg quad table, see run_pipeline)
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     mapping = canonical_mapping(quads)
     counts = entity_mention_counts(quads, mapping)
     return (counts.orderBy(F.desc("n_mentions"), F.asc("canonical_id"))
@@ -39,8 +30,7 @@ def q_kg_entity_counts_documents(spark, sf_dir) -> DataFrame:
 
 
 def q_kg_predicate_counts_documents(spark, sf_dir) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    quads_raw = expand_transcripts(documents_as_transcripts(docs))
+    quads_raw = shared_doc_quads(spark, sf_dir, dedup=False)
     return (quads_raw.groupBy("p")
             .agg(F.count(F.lit(1)).alias("n_quads"))
             .orderBy("p"))
@@ -50,8 +40,7 @@ def q_kg_quad_stats_documents(spark, sf_dir) -> DataFrame:
     """E5 stats over the documents-bridge quad table — fully predictable
     from doc_id arithmetic (subjects = mention nodes + sameAs chain
     subjects), so count_distinct gets a real oracle."""
-    docs = _t(spark, sf_dir, "documents")
-    quads_raw = expand_transcripts(documents_as_transcripts(docs))
+    quads_raw = shared_doc_quads(spark, sf_dir, dedup=False)
     return quads_raw.agg(
         F.count(F.lit(1)).alias("n_quads"),
         F.countDistinct("s").alias("n_subjects"),
@@ -64,8 +53,7 @@ def q_kg_serialized_documents(spark, sf_dir) -> DataFrame:
     mention quads + j sameAs), and the serialized text must carry the
     mention IRI — both checkable by the DuckDB oracle."""
     from rdflib_jsonld_spark.operators.serialize import serialize_documents
-    docs = _t(spark, sf_dir, "documents")
-    quads = expand_transcripts(documents_as_transcripts(docs))
+    quads = shared_doc_quads(spark, sf_dir, dedup=False)
     ser = serialize_documents(quads)
     has_id = ser.jsonld.contains(
         F.concat(F.lit(f"{KG}m/doc/"), F.col("turn_idx").cast("string")))
@@ -81,12 +69,10 @@ def q_kg_bgp_optional_sameas(spark, sf_dir) -> DataFrame:
     about-entity, optionally the entity's sameAs target — bindings exist
     iff the doc's alias index j ≥ 1, so counts are doc_id arithmetic."""
     from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
-    docs = _t(spark, sf_dir, "documents")
-    # persist: match_bgp_extended scans the quad plan once per pattern
-    # (2 branches here) — without the cache the mapInPandas expansion
+    # shared_doc_quads is persisted: match_bgp_extended scans the quad
+    # plan once per pattern — without the cache the mapInPandas expansion
     # recomputes per branch (CLAUDE.md r02 lesson, VERDICT r02 #1)
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     rows = match_bgp_extended(
         quads,
         [("?m", f"{KG}vocab#about", "?e")],
@@ -101,9 +87,7 @@ def q_kg_bgp_union_about_sameas(spark, sf_dir) -> DataFrame:
     entity pairs plus the distinct alias-chain edges, one NULL-pad-free
     union of compatible solution sets. Fully doc_id-arithmetic."""
     from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     rows = match_bgp_extended(
         quads,
         [("?s", f"{KG}vocab#about", "?o")],
@@ -118,9 +102,7 @@ def q_kg_bgp_negation_counts(spark, sf_dir) -> DataFrame:
     sharing NO variable removes nothing (spec domain-disjointness rule)
     even though the group matches — all three counts are doc_id math."""
     from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     pat = [("?m", f"{KG}vocab#about", "?e")]
     neg = [("?e", _OWL_SAMEAS, "?t")]
     disjoint = [("?x", _OWL_SAMEAS, "?y")]  # matches, but shares no var
@@ -139,9 +121,7 @@ def q_kg_bgp_values_mentions(spark, sf_dir) -> DataFrame:
     those residues) while e/1/a0 never is (doc_id ≡ 1 mod 500 is odd →
     alias index 1) — the unmatched binding row must contribute nothing."""
     from rdflib_jsonld_spark.operators.bgp import match_bgp_extended
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     rows = match_bgp_extended(
         quads,
         [("?m", f"{KG}vocab#about", "?e")],
@@ -156,9 +136,7 @@ def q_kg_construct_entity_graph(spark, sf_dir) -> DataFrame:
     mention BGP; per-predicate quad counts are doc_id arithmetic
     (mentionedBy = one per doc; type = distinct mentioned aliases)."""
     from rdflib_jsonld_spark.operators.bgp import construct
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     vocab = KG + "vocab#"
     out = construct(
@@ -309,9 +287,7 @@ def q_kg_shacl_report(spark, sf_dir) -> DataFrame:
     (doc_id%%5 ∈ {1,3}), and min/max-count constraints hold — so the
     per-constraint violation counts are pure doc_id arithmetic."""
     from rdflib_jsonld_spark.operators.validation import validate
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     report = validate(quads, [{
         "id": "MentionShape",
         "target_class": f"{KG}vocab#Mention",
@@ -334,9 +310,7 @@ def q_kg_shacl_extended(spark, sf_dir) -> DataFrame:
     exactly the undeclared turn edge (n_docs), and unique_lang over the
     lang-free surface stays silent (no row)."""
     from rdflib_jsonld_spark.operators.validation import validate
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     report = validate(quads, [{
         "id": "MentionExt",
         "target_class": f"{KG}vocab#Mention",
@@ -394,8 +368,7 @@ def q_kg_nquads_roundtrip(spark, sf_dir) -> DataFrame:
     surface+confidence)."""
     from rdflib_jsonld_spark.sources.nquads_io import (
         nquads_lines, parse_nquads_lines)
-    docs = _t(spark, sf_dir, "documents")
-    quads = expand_transcripts(documents_as_transcripts(docs))
+    quads = shared_doc_quads(spark, sf_dir, dedup=False)
     back = parse_nquads_lines(nquads_lines(quads))
     return (back.groupBy("o_kind")
             .agg(F.count("*").cast("long").alias("n"))
@@ -412,8 +385,7 @@ def q_kg_turtle_roundtrip(spark, sf_dir) -> DataFrame:
     confidence per doc."""
     from rdflib_jsonld_spark.sources.turtle_io import (
         parse_turtle_documents, turtle_part_documents)
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    quads = shared_doc_quads(spark, sf_dir)
     back = parse_turtle_documents(turtle_part_documents(quads, trig=True))
     return (back.groupBy("o_kind")
             .agg(F.count("*").cast("long").alias("n"))
@@ -428,8 +400,7 @@ def q_kg_entity_pagerank(spark, sf_dir) -> DataFrame:
     decimals on both sides (the star sums are ≤3 doubles, so fp
     accumulation-order noise is ≪ the rounding grain)."""
     from rdflib_jsonld_spark.operators.graphstats import pagerank
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    quads = shared_doc_quads(spark, sf_dir)
     sameas = quads.where(F.col("p") == _OWL_SAMEAS) \
         .select(F.col("s").alias("src"), F.col("o_value").alias("dst"))
     edges = sameas.unionByName(
@@ -447,10 +418,8 @@ def q_kg_cooccurrence_triangles(spark, sf_dir) -> DataFrame:
     clique, so the census is exact combinatorics per source-group size —
     the SQL oracle computes Σ C(n_k,2) / Σ C(n_k,3) / Σ n_k·C(n_k-1,2)."""
     from rdflib_jsonld_spark.operators.graphstats import triangle_stats
-    docs = _t(spark, sf_dir, "documents")
-    # persist: about + turn branches both scan the Python expansion
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    # shared quads are persisted: about + turn branches both scan them
+    quads = shared_doc_quads(spark, sf_dir)
     vocab = KG + "vocab#"
     about = quads.where(F.col("p") == vocab + "about").select(
         F.col("s").alias("m"),
@@ -481,8 +450,7 @@ def q_kg_owl_property_closure(spark, sf_dir) -> DataFrame:
     oracle computes with a recursive CTE."""
     from rdflib_jsonld_spark.operators.inference import (
         OWL, RDF_TYPE as _RT, owl_property_closure)
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    quads = shared_doc_quads(spark, sf_dir)
     vocab = KG + "vocab#"
     decl = spark.createDataFrame([
         (None, vocab + "about", False, OWL + "inverseOf", "iri",
@@ -553,9 +521,7 @@ def q_kg_lpa_communities(spark, sf_dir) -> DataFrame:
     row_number argmax with the same (count DESC, label ASC) order) —
     per-community member counts must match exactly."""
     from rdflib_jsonld_spark.operators.graphstats import label_propagation
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     vocab = KG + "vocab#"
     about = quads.where(F.col("p") == vocab + "about").select(
         F.col("s").alias("m"),
@@ -578,11 +544,9 @@ def q_kg_bgp_mention_counts(spark, sf_dir) -> DataFrame:
     with an about edge, counted per (pre-canonicalization) entity alias —
     predictable from doc_id arithmetic → full SQL oracle."""
     from rdflib_jsonld_spark.operators.bgp import match_bgp
-    docs = _t(spark, sf_dir, "documents")
-    # persist: the 2-pattern BGP scans the quad plan twice (r02 bench
+    # shared quads are persisted: the 2-pattern BGP scans twice (r02 bench
     # regression 1.33s→2.79s was exactly this recompute-per-branch)
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     vocab = KG + "vocab#"
     res = match_bgp(quads, [
@@ -600,10 +564,8 @@ def q_kg_bgp_group_aggregates(spark, sf_dir) -> DataFrame:
     so the whole SELECT pipeline gets an exact SQL oracle. SAMPLE is the
     documented deterministic min."""
     from rdflib_jsonld_spark.operators.solutions import sparql_select
-    docs = _t(spark, sf_dir, "documents")
-    # persist: the 2-pattern BGP scans the Python expansion twice
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    # shared quads are persisted: the 2-pattern BGP scans twice
+    quads = shared_doc_quads(spark, sf_dir)
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     vocab = KG + "vocab#"
     return sparql_select(
@@ -631,10 +593,8 @@ def q_kg_sparql_text_aggregate(spark, sf_dir) -> DataFrame:
     compiled onto the same operators the kwargs surface uses. Every
     value is doc_id arithmetic → exact SQL oracle."""
     from rdflib_jsonld_spark.operators.sparql import sparql
-    docs = _t(spark, sf_dir, "documents")
-    # persist: the 2-pattern BGP scans the Python expansion twice
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    # shared quads are persisted: the 2-pattern BGP scans twice
+    quads = shared_doc_quads(spark, sf_dir)
     return sparql(quads, f"""
         PREFIX v: <{KG}vocab#>
         PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
@@ -661,9 +621,7 @@ def q_kg_sparql_text_union_negation(spark, sf_dir) -> DataFrame:
     alias_link count per entity = max alias index seen (doc_id
     arithmetic — the dedup'd sameAs chain edges are {1..max_j})."""
     from rdflib_jsonld_spark.operators.sparql import sparql
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     return sparql(quads, f"""
         PREFIX v: <{KG}vocab#>
         PREFIX owl: <http://www.w3.org/2002/07/owl#>
@@ -686,9 +644,7 @@ def q_kg_sparql_text_ask(spark, sf_dir) -> DataFrame:
     edge), labeled and unioned — limit(1)+count gate, no full scan
     materialization."""
     from rdflib_jsonld_spark.operators.sparql import sparql
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     pfx = f"PREFIX v: <{KG}vocab#>\n"
     a1 = sparql(quads, pfx + "ASK { ?m a v:Mention }") \
         .select(F.lit("any_mention").alias("which"), "ask")
@@ -703,9 +659,7 @@ def q_kg_sparql_text_describe(spark, sf_dir) -> DataFrame:
     — per-predicate quad counts of its concise description (exactly
     one quad for each of the 5 mention properties)."""
     from rdflib_jsonld_spark.operators.sparql import sparql
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     res = sparql(quads, f"DESCRIBE <{KG}m/doc/0>")
     return (res.groupBy("p")
             .agg(F.count(F.lit(1)).cast("long").alias("n_quads"))
@@ -718,9 +672,7 @@ def q_kg_sparql_text_path(spark, sf_dir) -> DataFrame:
     plus-closure). Reach counts are doc_id arithmetic: alias a_k
     reaches exactly k lower aliases."""
     from rdflib_jsonld_spark.operators.sparql import sparql
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     return sparql(quads, """
         PREFIX owl: <http://www.w3.org/2002/07/owl#>
         SELECT ?src (COUNT(?dst) AS ?n_reach)
@@ -737,9 +689,7 @@ def q_kg_sparql_text_subquery(spark, sf_dir) -> DataFrame:
     doc_id%500==e and doc_id%(1+e%3)==k, and reaches exactly k lower
     aliases through the sameAs chain."""
     from rdflib_jsonld_spark.operators.sparql import sparql
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     return sparql(quads, f"""
         PREFIX v: <{KG}vocab#>
         PREFIX owl: <http://www.w3.org/2002/07/owl#>
@@ -765,9 +715,7 @@ def q_kg_sparql_update_rewrite(spark, sf_dir) -> DataFrame:
     chain edges), status = distinct sources = the same Σ, rev = 1,
     confidence/sameAs gone."""
     from rdflib_jsonld_spark.operators.update import update
-    docs = _t(spark, sf_dir, "documents")
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     updated = update(quads, f"""
         PREFIX v: <{KG}vocab#>
         PREFIX owl: <http://www.w3.org/2002/07/owl#>
@@ -789,11 +737,9 @@ def q_kg_cc_distributed_documents(spark, sf_dir) -> DataFrame:
     arithmetic: every entity's aliases a0..a_maxj collapse to a0."""
     from rdflib_jsonld_spark.operators.linking import (
         connected_components, mention_edges)
-    docs = _t(spark, sf_dir, "documents")
-    # persist: mention_edges scans the quad plan three times (sameAs,
+    # shared quads are persisted: mention_edges scans three times (sameAs,
     # mentions, surfaces) — cache so the Python expansion runs once
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     mapping = connected_components(mention_edges(quads), driver_threshold=0)
     return mapping.orderBy("node")
 
@@ -804,10 +750,9 @@ def q_kg_sameas_closure(spark, sf_dir) -> DataFrame:
     alias chains make the closure doc_id arithmetic: every (a_i, a_j)
     with 0 <= j < i <= maxj(entity)."""
     from rdflib_jsonld_spark.operators.linking import transitive_closure
-    docs = _t(spark, sf_dir, "documents")
     # single-branch scan: the closure's own localCheckpoint materializes
     # the edge set, so no quad-table persist is needed here
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs)))
+    quads = shared_doc_quads(spark, sf_dir)
     edges = (quads.where((F.col("p") == _OWL_SAMEAS)
                          & (F.col("o_kind") == "iri"))
              .select(F.col("s").alias("src"),
@@ -824,11 +769,9 @@ def q_kg_path_alias_reach(spark, sf_dir) -> DataFrame:
     per-alias mention counts are doc_id arithmetic: alias a_k of entity
     e (k = 0..maxj(e)) is reached by all count(e) mentions."""
     from rdflib_jsonld_spark.operators.paths import match_path, parse_path
-    docs = _t(spark, sf_dir, "documents")
-    # persist: the path's seq/star branches scan the quad plan from
+    # shared quads are persisted: the path's seq/star branches scan from
     # multiple joins (about edges, sameAs edges, node universe)
-    quads = dedup_quads(expand_transcripts(documents_as_transcripts(docs))) \
-        .persist()
+    quads = shared_doc_quads(spark, sf_dir)
     path = parse_path(
         f"<{KG}vocab#about>/(<{_OWL_SAMEAS}>|^<{_OWL_SAMEAS}>)*")
     pairs = match_path(quads, "?m", path, "?a")
@@ -853,22 +796,19 @@ def q_kg_expand_error_metrics(spark, sf_dir) -> DataFrame:
 
 def q_kg_top_predicates_transcripts(spark, sf_dir) -> DataFrame:
     # synthetic generator corpus (sf_dir-independent, deterministic seed)
-    t = tr.transcripts_df(spark, n_convs=150, seed=42)
-    quads = expand_transcripts(t)
+    quads = shared_transcript_quads(spark, dedup=False)
     return (quads.groupBy("p").agg(F.count(F.lit(1)).alias("n_quads"))
             .orderBy(F.desc("n_quads"), F.asc("p")).limit(20))
 
 
 def q_kg_canonical_mapping_transcripts(spark, sf_dir) -> DataFrame:
-    t = tr.transcripts_df(spark, n_convs=150, seed=42)
-    # persist: mention_edges is a 3-branch scan of the Python expansion
-    quads = dedup_quads(expand_transcripts(t)).persist()
+    # shared quads are persisted: mention_edges is a 3-branch scan
+    quads = shared_transcript_quads(spark)
     return canonical_mapping(quads).orderBy("node")
 
 
 def q_kg_sameas_edges_transcripts(spark, sf_dir) -> DataFrame:
-    t = tr.transcripts_df(spark, n_convs=150, seed=42)
-    quads = dedup_quads(expand_transcripts(t)).persist()
+    quads = shared_transcript_quads(spark)
     return mention_edges(quads).orderBy("src", "dst")
 
 
