@@ -77,6 +77,10 @@ def _compact_element(ctx: Context, term, element, compact_arrays: bool):
                  for v in element[keys.LIST]]
         if term is not None and keys.LIST in term.container \
                 and keys.INDEX not in element:
+            if term.type == keys.JSON and len(items) == 1:
+                # inverse of steps 13.6+13.11: the single member's raw
+                # JSON is the term value, NOT array-wrapped (sweep 12)
+                return items[0]
             return items  # container folds the list wrapper away
         out = {ctx.alias(keys.LIST): items}
         if keys.INDEX in element:
@@ -150,6 +154,12 @@ def _compact_element(ctx: Context, term, element, compact_arrays: bool):
                 groups.append(by_term[gid])
             by_term[gid][1].append(v)
         for pterm, vs in groups:
+            if pterm is not None and pterm.type == keys.JSON \
+                    and len(vs) > 1:
+                # each literal matches the @json term alone, but the
+                # merged array would re-expand as ONE literal of the
+                # whole array (step 13.6) — fall back to the IRI key
+                pterm = None
             if pterm is not None:
                 pkey = pterm.name
             else:
@@ -232,7 +242,11 @@ def _compact_property_values(ctx: Context, term, values: list,
                 for lang, vs in lmap.items()}
 
     if keys.INDEX in container and values \
+            and not (term is not None and term.type == keys.JSON) \
             and all(isinstance(v, dict) for v in values):
+        # the @json guard: re-expansion applies step 13.6 BEFORE map
+        # unfolding, so an index map under a @json-typed term would be
+        # read back as literal JSON content (sweep 12)
         imap: dict = {}
         for v in values:
             stripped = {k: x for k, x in v.items() if k != keys.INDEX}
@@ -460,6 +474,21 @@ def _select_term(ctx: Context, iri: str, values: list):
 def _type_matches(t_type, values: list) -> bool:
     if not values:
         return False
+    if t_type == keys.JSON:
+        # Re-expansion applies step 13.6 to the term's WHOLE value, so a
+        # @json term is only recoverable for exactly one JSON literal —
+        # bare, or alone inside one index-less list object (sweep 12)
+        if len(values) != 1:
+            return False
+        v = values[0]
+        if isinstance(v, dict) and set(v) == {keys.LIST}:
+            members = v[keys.LIST]
+            if len(members) != 1:
+                return False
+            v = members[0]
+        return (isinstance(v, dict) and keys.VALUE in v
+                and v.get(keys.TYPE) == keys.JSON
+                and keys.INDEX not in v)
     for v in values:
         if not isinstance(v, dict):
             return False

@@ -334,8 +334,14 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
     """Unfold container maps ([spec] §5.1 steps 13.7-13.9) and plain values;
     always returns a list of expanded objects (or None)."""
     if term is not None and term.type == keys.JSON:
-        # @json-typed term: the raw value IS the literal ([spec] step 13.6).
-        return [{keys.VALUE: value, keys.TYPE: keys.JSON}]
+        # @json-typed term: the raw value IS the literal ([spec] step 13.6,
+        # which beats container unfolding). Step 13.11 still applies: a
+        # @list container wraps the single literal (sweep 12 — the wrap
+        # was skipped, diverging from to_rdf)
+        ev = {keys.VALUE: value, keys.TYPE: keys.JSON}
+        if keys.LIST in container:
+            return [{keys.LIST: [ev]}]
+        return [ev]
 
     if keys.LANG in container and isinstance(value, dict):
         # [spec] 1.1 §5.1 step 13.7: entries get the term's direction

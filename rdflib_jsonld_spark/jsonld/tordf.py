@@ -338,6 +338,22 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
 
         container = term.container if term is not None else set()
 
+        if term is not None and term.type is not UNDEF \
+                and term.type == keys.JSON:
+            # [spec] §5.1 step 13.6 beats container unfolding: the whole
+            # raw value is ONE rdf:JSON literal; a @list container then
+            # wraps that single literal (step 13.11) — sweep 12: this
+            # path built a multi-element list of per-item literals
+            obj = (LIT, canonical_json(value), keys.RDF_JSON, None)
+            if keys.LIST in container:
+                bn = state.fresh_bnode()
+                _emit(state, graph, bn, (IRI, keys.RDF_FIRST), obj)
+                _emit(state, graph, bn, (IRI, keys.RDF_REST),
+                      (IRI, keys.RDF_NIL))
+                obj = bn
+            _emit(state, graph, subj, pred, obj)
+            continue
+
         if keys.LANG in container and isinstance(value, dict):
             # language map (D6): {"en": "x", "de": ["y"]}
             map_dir = _default_direction(term, ctx)

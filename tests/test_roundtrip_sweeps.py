@@ -80,6 +80,26 @@ COMPACT_CASES = [
                    "p": {"@id": EX + "p", "@type": "@json"}},
       "p": {"k": [1, "a"]}},
      {"@vocab": EX, "p": {"@id": EX + "p", "@type": "@json"}}),
+    # sweep 12: @json × container — step 13.6 beats container unfolding
+    # on re-expansion, so compaction must only use a @json term for one
+    # whole-value literal (bare or alone in its list)
+    ("json-list-container",
+     {"@context": {"@vocab": EX, "p": {"@id": EX + "p", "@type": "@json",
+                                       "@container": "@list"}},
+      "p": [{"b": 1, "a": 2}, [3, 4]]},
+     {"@vocab": EX, "p": {"@id": EX + "p", "@type": "@json",
+                          "@container": "@list"}}),
+    ("json-index-container-no-map",
+     {"@context": {"@vocab": EX, "p": {"@id": EX + "p", "@type": "@json",
+                                       "@container": "@index"}},
+      "p": {"k": [1, 2]}},
+     {"@vocab": EX, "p": {"@id": EX + "p", "@type": "@json",
+                          "@container": "@index"}}),
+    ("json-multi-literals-fall-back",
+     {"@context": {"@vocab": EX},
+      EX + "p": [{"@value": 1, "@type": "@json"},
+                 {"@value": 2, "@type": "@json"}]},
+     {"@vocab": EX, "p": {"@id": EX + "p", "@type": "@json"}}),
 ]
 
 
