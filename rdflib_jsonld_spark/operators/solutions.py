@@ -145,6 +145,11 @@ def select_solutions(sol: DataFrame, *,
         keys = []
         dtypes = dict(sol.dtypes)
         for k in order_by:
+            if isinstance(k, tuple):   # ("expr", sql, "asc"|"desc")
+                _, sql, d = k
+                col = F.expr(patch_companion_refs(sql, sol.columns))
+                keys.append(col.desc() if d == "desc" else col.asc())
+                continue
             m = re.fullmatch(r"(asc|desc)\((.+)\)", k.strip(), re.I)
             name = _v(m.group(2) if m else k.strip())
             # STRING solution columns order term-aware (numeric value

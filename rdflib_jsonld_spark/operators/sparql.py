@@ -26,16 +26,23 @@ Supported surface (the subset a pipeline user actually types):
   (``{ SELECT ... }`` with full modifiers; only projected variables
   are visible outside, per §12 — typed companions do not cross the
   boundary).
-- Solution modifiers: ``GROUP BY`` (variables), ``HAVING``,
-  ``ORDER BY [ASC|DESC]``, ``LIMIT``/``OFFSET``, aggregates COUNT /
+- Solution modifiers: ``GROUP BY`` (variables or ``(expr AS ?var)``),
+  ``HAVING``, ``ORDER BY [ASC|DESC]`` over variables or bracketted
+  expressions, ``LIMIT``/``OFFSET``, aggregates COUNT /
   COUNT DISTINCT / SUM / AVG / MIN / MAX / SAMPLE / GROUP_CONCAT
   (with SEPARATOR).
 - Expressions: ``&&  ||  !  =  !=  <  <=  >  >=  IN  NOT IN``,
   arithmetic, and the builtins BOUND STR STRLEN UCASE LCASE CONTAINS
   STRSTARTS STRENDS STRBEFORE STRAFTER SUBSTR CONCAT REPLACE REGEX ABS
   CEIL FLOOR ROUND COALESCE IF LANG DATATYPE LANGMATCHES ISBLANK ISIRI
-  ISURI ISLITERAL + ``xsd:*`` casts — each compiled to a Spark SQL
-  expression (JVM whole-stage codegen; no Python in the filter path).
+  ISURI ISLITERAL ISNUMERIC SAMETERM ENCODE_FOR_URI IRI/URI MD5 SHA1
+  SHA256 SHA384 SHA512 YEAR MONTH DAY HOURS MINUTES SECONDS TZ
+  TIMEZONE STRDT STRLANG + ``xsd:*`` casts — each compiled to a Spark
+  SQL expression (JVM whole-stage codegen; no Python in the filter
+  path). STRDT/STRLANG construct real TERMS (constant tag/datatype):
+  term-aware ``=``/``!=`` folds the tags at compile time, and a BIND /
+  projection alias carries kind/lang/datatype companion columns so
+  LANG/DATATYPE/isLiteral keep working through the alias.
 
 Documented deviations (deterministic choices / v1 restrictions, each
 raising a clear error rather than silently mis-answering):
@@ -203,6 +210,7 @@ class Query:
     template: list | None = None    # construct triples
     describe_terms: list | None = None   # ["?v" | iri]
     group_by: list | None = None
+    group_binds: list | None = None  # [(sql, "?var")] from (expr AS ?v)
     having: list | None = None      # raw token slices, compiled later
     order_by: list | None = None
     limit: int | None = None
@@ -229,7 +237,7 @@ _AGG_TEXT = {
 }
 
 _TYPE_FNS = {"LANG", "DATATYPE", "ISIRI", "ISURI", "ISLITERAL",
-             "ISNUMERIC"}
+             "ISNUMERIC", "ISBLANK"}
 
 #: xsd numeric datatypes ([spec] SPARQL 1.1 §17.4.2.4 isNumeric — the
 #: operand types of the operator mapping plus the derived-integer tree)
@@ -499,13 +507,16 @@ class _Parser:
             elif self.at_kw("BIND"):
                 self.take()
                 self.expect_op("(")
-                sql = self._compile_expr(self._parse_expr())
+                node = self._parse_expr()
+                sql = self._compile_expr(node)
                 self.expect_kw("AS")
                 v = self.take()
                 if v.kind != "VAR":
                     raise SparqlError("BIND needs (expr AS ?var)")
                 self.expect_op(")")
                 g.elements.append(("bind", sql, v.text))
+                for col, csql in self._term_companions(node, v.text):
+                    g.elements.append(("bind", csql, col))
             elif self.at_kw("VALUES"):
                 self.take()
                 g.elements.append(self._parse_values())
@@ -706,9 +717,9 @@ class _Parser:
             return "(" + " AND ".join(parts) + ")"
 
         av, bv = var_of(a), var_of(b)
-        if av and b[0] == "lit":
+        if av and b[0] in ("lit", "termx"):
             return lit_guard(av, b)
-        if bv and a[0] == "lit":
+        if bv and a[0] in ("lit", "termx"):
             return lit_guard(bv, a)
         if av and b[0] == "iri":
             return (f"({_qcol(av)} = {b[1]} AND "
@@ -723,6 +734,17 @@ class _Parser:
             return (f"({_qcol(av)} = {_qcol(bv)} AND {ka} <=> {kb} AND "
                     f"{la} <=> {lb} AND coalesce({da}, {xsd_str}) <=> "
                     f"coalesce({db}, {xsd_str}))")
+        if "termx" in (a[0], b[0]) and a[0] in ("lit", "termx", "iri") \
+                and b[0] in ("lit", "termx", "iri"):
+            # a constructed literal term (STRLANG/STRDT/TIMEZONE) vs a
+            # constant/other constructed term: tags fold at compile
+            # time, lexicals compare in SQL (NULL → type error → NULL)
+            if "iri" in (a[0], b[0]):
+                return "false"
+            tags_eq = ((a[2] or None) == (b[2] or None)
+                       and (a[3] or XSD + "string")
+                       == (b[3] or XSD + "string"))
+            return f"({a[1]} = {b[1]})" if tags_eq else "false"
         if a[0] in ("lit", "iri") and b[0] in ("lit", "iri"):
             if a[0] != b[0]:
                 return "false"
@@ -732,6 +754,42 @@ class _Parser:
                     and (a[3] or XSD + "string") == (b[3] or XSD + "string"))
             return "true" if same else "false"
         return None
+
+    def _term_companions(self, node, var: str) -> list[tuple[str, str]]:
+        """Companion-column binds ``[(col, sql)]`` for a BIND /
+        projection of a term-shaped expression, so LANG/DATATYPE/
+        isLiteral and term-aware ``=`` keep working through the alias
+        (sweep 13; previously BIND("x"@en AS ?v) silently dropped the
+        tag and the alias shape-derived as an IRI).
+
+        - ``lit``/``termx`` nodes: kind='literal' plus the constant
+          lang/datatype, all NULL-guarded on the bound value so a type
+          error stays fully unbound.
+        - ``any`` (plain variable alias): copy the source variable's
+          companions by reference — when those were never captured,
+          evaluation-time patching shape-derives from the source var,
+          which is identical to deriving from the alias (so this never
+          forces typed capture: ``needs_types`` is untouched).
+        """
+        pre = f"{TYPED_PREFIX}{var}__"
+        if node[0] in ("lit", "termx"):
+            g = f"if({_qcol(var)} IS NOT NULL, {{}}, NULL)"
+            null = "CAST(NULL AS STRING)"
+            return [
+                (pre + "kind", g.format("'literal'")),
+                (pre + "lang",
+                 g.format(_sql_str(node[2])) if node[2] else null),
+                (pre + "datatype",
+                 g.format(_sql_str(node[3])) if node[3]
+                 and node[3] != XSD + "string" else null),
+            ]
+        if node[0] == "any":
+            src = _uncol(node[1])
+            if src is None:
+                return []
+            return [(pre + w, _qcol(f"{TYPED_PREFIX}{src}__{w}"))
+                    for w in ("kind", "lang", "datatype")]
+        return []
 
     def _expr_list(self) -> str:
         self.expect_op("(")
@@ -846,6 +904,16 @@ class _Parser:
         self.expect_op(")")
         return self._compile_call(up, args)
 
+    def _regex_flags(self, flags: tuple) -> str:
+        """Validate a REGEX/REPLACE flags argument ([spec] §17.4.3.14):
+        a string literal over the Spark-supported flag chars."""
+        if flags[0] not in ("str", "lit") or not flags[1].startswith("'"):
+            raise SparqlError("regex flags must be a string literal")
+        fl = flags[1].strip("'")
+        if set(fl) - set("ismx"):
+            raise SparqlError(f"unsupported regex flags {fl!r}")
+        return fl
+
     def _compile_call(self, up: str, args: list[tuple]):
         def a(i: int) -> str:
             return args[i][1]
@@ -863,9 +931,13 @@ class _Parser:
                 raise SparqlError(f"{up} needs a variable argument")
             kind = _qcol(f"{TYPED_PREFIX}{var}__kind")
             if up == "LANG":
+                # [spec] §17.4.4.4: LANG is defined on LITERALS only —
+                # an IRI/bnode argument is a type error (NULL here, so
+                # a FILTER comparison drops the row; sweep 13)
                 return ("str",
+                        f"if({kind} = 'literal', "
                         f"coalesce({_qcol(TYPED_PREFIX + var + '__lang')},"
-                        f" '')")
+                        f" ''), NULL)")
             if up == "DATATYPE":
                 dt = _qcol(f"{TYPED_PREFIX}{var}__datatype")
                 lang = _qcol(f"{TYPED_PREFIX}{var}__lang")
@@ -876,6 +948,10 @@ class _Parser:
                         f"if({kind} = 'literal', '{XSD}string', NULL))")
             if up in ("ISIRI", "ISURI"):
                 return ("bool", f"({kind} = 'iri')")
+            if up == "ISBLANK":
+                # term-kind test, NOT a lexical prefix test — a literal
+                # "_:x" is not blank ([spec] §17.4.2.2; sweep 13)
+                return ("bool", f"({kind} = 'bnode')")
             if up == "ISNUMERIC":   # [spec] §17.4.2.4
                 dt = _qcol(f"{TYPED_PREFIX}{var}__datatype")
                 dts = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
@@ -885,9 +961,6 @@ class _Parser:
         if up == "BOUND":
             need(1)
             return ("bool", f"({a(0)} IS NOT NULL)")
-        if up == "ISBLANK":
-            need(1)
-            return ("bool", f"startswith({a(0)}, '_:')")
         if up == "STR":
             need(1)
             return ("str", f"CAST({a(0)} AS STRING)")
@@ -921,19 +994,18 @@ class _Parser:
         if up == "CONCAT":
             return ("str", f"concat({', '.join(a(i) for i in range(len(args)))})")
         if up == "REPLACE":
-            need(3)
-            return ("str", f"regexp_replace({a(0)}, {a(1)}, {a(2)})")
+            need(3, 4)
+            pat = a(1)
+            if len(args) == 4:   # [spec] §17.4.3.15 flags arg (sweep 13)
+                fl = self._regex_flags(args[3])
+                if fl:
+                    pat = f"concat('(?{fl})', {pat})"
+            return ("str", f"regexp_replace({a(0)}, {pat}, {a(2)})")
         if up == "REGEX":
             need(2, 3)
             pat = a(1)
             if len(args) == 3:
-                flags = args[2]
-                if flags[0] not in ("str", "lit") \
-                        or not flags[1].startswith("'"):
-                    raise SparqlError("REGEX flags must be a string literal")
-                fl = flags[1].strip("'")
-                if fl and set(fl) - set("ismx"):
-                    raise SparqlError(f"unsupported REGEX flags {fl!r}")
+                fl = self._regex_flags(args[2])
                 if fl:
                     pat = f"concat('(?{fl})', {pat})"
             return ("bool", f"({a(0)} RLIKE {pat})")
@@ -988,6 +1060,67 @@ class _Parser:
                   "HOURS": "hour", "MINUTES": "minute",
                   "SECONDS": "second"}[up]
             return ("num", f"{fn}(CAST({a(0)} AS TIMESTAMP))")
+        if up in ("STRDT", "STRLANG"):
+            # [spec] §17.4.2.6-7: construct a typed / language-tagged
+            # literal TERM. arg0 must be a simple (or xsd:string)
+            # literal — otherwise a type error, i.e. NULL here, so a
+            # FILTER drops the row and BIND leaves the var unbound.
+            # The result is a "termx" node: lexical SQL + constant
+            # lang/datatype, consumed term-aware by =/!= and turned
+            # into companion columns at BIND/projection sites.
+            need(2)
+            lex, tag = args[0], args[1]
+            xs = _sql_str(XSD + "string")
+            if lex[0] == "any":
+                v = _uncol(lex[1])
+                guard = (f"({self._typ(v, 'kind')} = 'literal' AND "
+                         f"{self._typ(v, 'lang')} IS NULL AND "
+                         f"coalesce({self._typ(v, 'datatype')}, {xs})"
+                         f" = {xs})")
+                lex_sql = f"if({guard}, {lex[1]}, NULL)"
+            elif lex[0] in ("lit", "termx") and (
+                    lex[2] or (lex[3] and lex[3] != XSD + "string")):
+                lex_sql = "CAST(NULL AS STRING)"
+            elif lex[0] == "iri":
+                lex_sql = "CAST(NULL AS STRING)"
+            else:
+                lex_sql = lex[1]
+            if up == "STRLANG":
+                if tag[0] not in ("str", "lit") \
+                        or not tag[1].startswith("'"):
+                    raise SparqlError(
+                        "STRLANG needs a constant language tag")
+                lt = tag[1].strip("'").lower()   # engine stores lowered
+                if not lt:
+                    raise SparqlError("STRLANG needs a non-empty tag")
+                return ("termx", lex_sql, lt, None)
+            if tag[0] != "iri":
+                raise SparqlError("STRDT needs a constant datatype IRI")
+            dt = tag[1].strip("'")
+            if dt == XSD + "string":
+                return ("str", lex_sql)
+            return ("termx", lex_sql, None, dt)
+        if up == "TZ":
+            # [spec] §17.4.5.8: timezone part of the LEXICAL form as a
+            # simple literal ("Z", "+05:00", ... or "" when absent)
+            need(1)
+            return ("str", f"regexp_extract({a(0)}, "
+                    f"'(Z|[+-][0-9]{{2}}:[0-9]{{2}})$', 1)")
+        if up == "TIMEZONE":
+            # [spec] §17.4.5.7: timezone as xsd:dayTimeDuration; a
+            # dateTime without timezone is a type error (NULL)
+            need(1)
+            tz = (f"regexp_extract({a(0)}, "
+                  f"'(Z|[+-][0-9]{{2}}:[0-9]{{2}})$', 1)")
+            h = f"CAST(substring({tz}, 2, 2) AS INT)"
+            m = f"CAST(substring({tz}, 5, 2) AS INT)"
+            dur = (f"CASE WHEN {tz} = '' THEN NULL "
+                   f"WHEN {tz} = 'Z' OR ({h} = 0 AND {m} = 0) "
+                   f"THEN 'PT0S' "
+                   f"ELSE concat(if(startswith({tz}, '-'), '-', ''), "
+                   f"'PT', if({h} > 0, concat({h}, 'H'), ''), "
+                   f"if({m} > 0, concat({m}, 'M'), '')) END")
+            return ("termx", dur, None, XSD + "dayTimeDuration")
         if up in ("NOW", "RAND", "UUID", "STRUUID", "BNODE"):
             raise SparqlError(f"{up}() is nondeterministic — unsupported")
         raise SparqlError(f"unsupported function {up}")
@@ -1011,7 +1144,8 @@ class _Parser:
             self.expect_op(")")
             if item[0] == "agg":
                 return ("agg", item[1], (item[2], item[3]), v.text)
-            return ("expr", item[1], v.text)
+            return ("expr", item[1], v.text,
+                    self._term_companions(item[2], v.text))
         raise SparqlError(f"unexpected {t.text!r} in SELECT clause")
 
     def _parse_agg_or_expr(self):
@@ -1021,7 +1155,8 @@ class _Parser:
                 and self.peek(1) is not None
                 and self.peek(1).kind == "OP" and self.peek(1).text == "("):
             return self._parse_aggregate()
-        return ("expr", self._compile_expr(self._parse_expr()))
+        node = self._parse_expr()
+        return ("expr", self._compile_expr(node), node)
 
     def _parse_aggregate(self):
         name = self.take().text.upper()
@@ -1180,13 +1315,28 @@ class _Parser:
             self.take()
             self.expect_kw("BY")
             q.group_by = []
+            q.group_binds = []
             while True:
                 t = self.peek()
-                if t is None or t.kind != "VAR":
+                if t is not None and t.kind == "VAR":
+                    q.group_by.append(self.take().text)
+                elif t is not None and t.kind == "OP" and t.text == "(":
+                    # [spec] §11.2 GROUP BY (expr AS ?var) binds the
+                    # grouping key for projection (sweep 13)
+                    self.take()
+                    sql = self._parse_expr()[1]
+                    self.expect_kw("AS")
+                    v = self.take()
+                    if v.kind != "VAR":
+                        raise SparqlError("GROUP BY (expr AS ?var)")
+                    self.expect_op(")")
+                    q.group_binds.append((sql, "?" + v.text))
+                    q.group_by.append(v.text)
+                else:
                     break
-                q.group_by.append(self.take().text)
             if not q.group_by:
-                raise SparqlError("GROUP BY supports variables only (v1)")
+                raise SparqlError("GROUP BY needs a variable or "
+                                  "(expr AS ?var)")
         if self.at_kw("HAVING"):
             self.take()
             q.having = []
@@ -1204,13 +1354,25 @@ class _Parser:
                 if self.at_kw("ASC", "DESC"):
                     d = self.take().text.lower()
                     self.expect_op("(")
-                    v = self.take()
-                    if v.kind != "VAR":
-                        raise SparqlError("ORDER BY supports variables (v1)")
+                    nxt = self.peek(1)
+                    if self.peek() is not None \
+                            and self.peek().kind == "VAR" \
+                            and nxt is not None and nxt.kind == "OP" \
+                            and nxt.text == ")":
+                        q.order_by.append(f"{d}(?{self.take().text})")
+                    else:
+                        # [spec] §15.1 OrderCondition admits any
+                        # bracketted expression (sweep 13)
+                        q.order_by.append(
+                            ("expr", self._parse_expr()[1], d))
                     self.expect_op(")")
-                    q.order_by.append(f"{d}(?{v.text})")
                 elif self.peek() is not None and self.peek().kind == "VAR":
                     q.order_by.append("?" + self.take().text)
+                elif self._is_op("("):
+                    self.take()
+                    q.order_by.append(
+                        ("expr", self._parse_expr()[1], "asc"))
+                    self.expect_op(")")
                 else:
                     break
             if not q.order_by:
@@ -1566,7 +1728,7 @@ def _eval_select(sols: DataFrame, q: Query) -> DataFrame:
     """Apply a parsed SELECT clause (projection, aggregation, solution
     modifiers) over an evaluated solution table — shared by the
     top-level SELECT form and nested sub-SELECTs."""
-    bind: list[tuple[str, str]] = []
+    bind: list[tuple[str, str]] = list(q.group_binds or [])
     aggregates: list[tuple] = []
     project: list[str] = []
     seps = set()
@@ -1579,6 +1741,8 @@ def _eval_select(sols: DataFrame, q: Query) -> DataFrame:
                 project.append(item[1])
             elif item[0] == "expr":
                 bind.append((item[1], item[2]))
+                for col, csql in (item[3] if len(item) > 3 else []):
+                    bind.append((csql, col))
                 project.append(item[2])
             else:   # ("agg", fn, (arg, sep), alias) flattened below
                 _, fn, arg_sep, alias = item

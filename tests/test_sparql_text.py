@@ -387,3 +387,116 @@ def test_filter_constant_pushdown(quads, tmp_path):
     plan = sparql(pq, PFX + "SELECT ?n { ?x v:name ?n }") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(p), EqualTo(p," in plan
+
+
+# --- sweep 13: builtin/modifier corners --------------------------------------
+
+def test_isblank_is_kind_aware(spark):
+    # a literal whose lexical form LOOKS like a bnode id is not blank
+    rows = [(None, E + "a", False, V + "tag", "literal", "_:fake",
+             XSD + "string", None),
+            (None, E + "a", False, V + "part", "bnode", "_:real",
+             None, None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql(df, PFX + "SELECT ?o { e:a ?p ?o FILTER(isBlank(?o)) }")
+    assert [r.o for r in out.collect()] == ["_:real"]
+
+
+def test_lang_of_nonliteral_is_type_error(quads):
+    # [spec] §17.4.4.4: LANG over an IRI is a type error -> FILTER drops
+    # the row; BIND leaves the var unbound (NULL)
+    out = sparql(quads, PFX +
+                 'SELECT ?o { e:a ?p ?o FILTER(LANG(?o) = "") }')
+    assert vals(out, "o") == [("30",), ("Alice",)]
+    out = sparql(quads, PFX +
+                 "SELECT (LANG(?o) AS ?l) { e:a v:knows ?o }")
+    assert [r.l for r in out.collect()] == [None]
+
+
+def test_replace_flags_argument(quads):
+    out = sparql(quads, PFX +
+                 'SELECT (REPLACE(?n, "alice", "X", "i") AS ?r) '
+                 "{ e:a v:name ?n }")
+    assert [r.r for r in out.collect()] == ["X"]
+    with pytest.raises(SparqlError, match="flags"):
+        sparql(quads, PFX + 'SELECT (REPLACE(?n, "a", "X", "q") AS ?r) '
+               "{ e:a v:name ?n }")
+
+
+def test_order_by_expression(quads):
+    out = sparql(quads, PFX + "SELECT ?s ?age { ?s v:age ?age "
+                 "FILTER(?age > 10) } ORDER BY DESC(?age * 1)")
+    assert [r.s for r in out.collect()] == [E + "b", E + "a"]
+    out = sparql(quads, PFX + "SELECT ?s ?age { ?s v:age ?age "
+                 "FILTER(?age > 10) } ORDER BY (0 - ?age)")
+    assert [r.s for r in out.collect()] == [E + "b", E + "a"]
+
+
+def test_group_by_expression_as_var(quads):
+    out = sparql(quads, PFX + "SELECT ?bucket (COUNT(*) AS ?n) "
+                 "{ ?s v:age ?age } "
+                 "GROUP BY (FLOOR(?age / 10) AS ?bucket) ORDER BY ?bucket")
+    assert [(int(r.bucket), r.n) for r in out.collect()] == \
+        [(0, 1), (3, 1), (4, 1)]
+
+
+def test_strlang_strdt_build_terms(quads):
+    # STRLANG result is a real lang-tagged TERM: term-aware = matches
+    # the stored "Bob"@en, LANG sees the tag through the alias
+    out = sparql(quads, PFX + "SELECT ?s { ?s v:name ?n "
+                 'FILTER(?n = STRLANG("Bob", "EN")) }')
+    assert vals(out, "s") == [(E + "b",)]
+    out = sparql(quads, PFX + 'SELECT (LANG(?v) AS ?l) '
+                 '{ BIND(STRLANG("hi", "en-GB") AS ?v) e:a v:name ?n }')
+    assert [r.l for r in out.collect()] == ["en-gb"]
+    # STRDT: typed term; type error (non-simple arg) leaves var unbound
+    out = sparql(quads, PFX + "SELECT (DATATYPE(?v) AS ?d) "
+                 '{ BIND(STRDT("5", <' + XSD + 'byte>) AS ?v) '
+                 "e:a v:name ?n }")
+    assert [r.d for r in out.collect()] == [XSD + "byte"]
+    out = sparql(quads, PFX + "SELECT ?v { ?s v:name ?n . "
+                 "e:b v:name ?tagged "
+                 'BIND(STRLANG(?tagged, "fr") AS ?v) }')
+    assert {r.v for r in out.collect()} == {None}
+
+
+def test_bind_literal_constant_keeps_term_shape(quads):
+    # BIND of a tagged constant used to decay to its lexical form
+    out = sparql(quads, PFX + "SELECT ?s "
+                 '{ ?s v:name ?n BIND("Bob"@en AS ?b) FILTER(?n = ?b) }')
+    assert vals(out, "s") == [(E + "b",)]
+    out = sparql(quads, PFX + "SELECT (isLiteral(?v) AS ?t) "
+                 '{ BIND("x" AS ?v) e:a v:age ?a }')
+    assert [r.t for r in out.collect()] == [True]
+
+
+def test_bind_var_alias_propagates_companions(quads):
+    # BIND(?o AS ?v): the alias keeps the source term's kind/lang
+    out = sparql(quads, PFX + "SELECT ?s (LANG(?v) AS ?l) "
+                 "{ ?s v:name ?o BIND(?o AS ?v) FILTER(isLiteral(?v)) }")
+    got = {(r.s, r.l) for r in out.collect()}
+    assert (E + "b", "en") in got and (E + "a", "") in got
+
+
+def test_tz_and_timezone(spark):
+    rows = [(None, E + "t1", False, V + "at", "literal",
+             "2011-01-10T14:45:13.815-05:00", XSD + "dateTime", None),
+            (None, E + "t2", False, V + "at", "literal",
+             "2011-01-10T14:45:13Z", XSD + "dateTime", None),
+            (None, E + "t3", False, V + "at", "literal",
+             "2011-01-10T14:45:13", XSD + "dateTime", None),
+            (None, E + "t4", False, V + "at", "literal",
+             "2011-01-10T14:45:13+05:30", XSD + "dateTime", None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql(df, PFX + "SELECT ?s (TZ(?d) AS ?tz) "
+                 "(TIMEZONE(?d) AS ?dur) { ?s v:at ?d }")
+    got = {(r.s, r.tz, r.dur) for r in out.collect()}
+    assert got == {(E + "t1", "-05:00", "-PT5H"),
+                   (E + "t2", "Z", "PT0S"),
+                   (E + "t3", "", None),
+                   (E + "t4", "+05:30", "PT5H30M")}
+    # TIMEZONE yields a typed term: equality folds the datatype
+    out = sparql(df, PFX + "SELECT ?s { ?s v:at ?d "
+                 'FILTER(TIMEZONE(?d) = STRDT("PT0S", '
+                 "<" + XSD + "dayTimeDuration>)) }")
+    assert vals(out, "s") == [(E + "t2",)]
