@@ -704,6 +704,25 @@ def q_kg_sparql_text_subquery(spark, sf_dir) -> DataFrame:
         ORDER BY ?e""")
 
 
+def q_kg_sparql_results_tsv(spark, sf_dir) -> DataFrame:
+    """SPARQL results TSV encoding (operators/results.py) over a
+    ``keep_types=True`` SELECT: an IRI column, a STRLANG-constructed
+    ``@en`` literal, and a STRDT-constructed ``xsd:integer`` literal,
+    each N-Triples-encoded by the distributed writer's JVM column
+    expressions ([spec] SPARQL 1.1 Query Results CSV/TSV Formats).
+    Every line is doc_id string arithmetic -> exact SQL oracle."""
+    from rdflib_jsonld_spark.operators.results import tsv_lines
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    quads = shared_doc_quads(spark, sf_dir)
+    sols = sparql(quads, f"""
+        PREFIX v: <{KG}vocab#>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?m (STRLANG(STRAFTER(STR(?m), "/doc/"), "en") AS ?tag)
+               (STRDT(STRAFTER(STR(?m), "/doc/"), xsd:integer) AS ?num)
+        WHERE {{ ?m a v:Mention }}""", keep_types=True)
+    return tsv_lines(sols).orderBy("line")
+
+
 def q_kg_sparql_update_rewrite(spark, sf_dir) -> DataFrame:
     """SPARQL 1.1 Update (operators/update.py) as graph curation: a
     3-op sequence — DELETE WHERE drops every confidence quad, a
@@ -1002,6 +1021,7 @@ QUERIES = {
     "kg_sparql_text_subquery": q_kg_sparql_text_subquery,
     "kg_sparql_text_ask": q_kg_sparql_text_ask,
     "kg_sparql_text_describe": q_kg_sparql_text_describe,
+    "kg_sparql_results_tsv": q_kg_sparql_results_tsv,
     "kg_sparql_update_rewrite": q_kg_sparql_update_rewrite,
     "kg_framed_mentions": q_kg_framed_mentions,
     "kg_graph_dedup_canonical": q_kg_graph_dedup_canonical,
@@ -1408,6 +1428,14 @@ ORACLES: dict = {
                        n::BIGINT AS n_mentions
                 FROM agg, UNNEST(range(0, mj + 1)) AS t(k)
                 ORDER BY a
+            """,
+    "kg_sparql_results_tsv": f"""
+                SELECT '<{KG}m/doc/' || doc_id::varchar || '>' || chr(9) ||
+                       '"' || doc_id::varchar || '"@en' || chr(9) ||
+                       '"' || doc_id::varchar ||
+                       '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+                       AS line
+                FROM documents ORDER BY line
             """,
     "kg_sparql_text_aggregate": f"""
                 WITH m AS (

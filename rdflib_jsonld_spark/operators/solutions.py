@@ -106,7 +106,8 @@ def select_solutions(sol: DataFrame, *,
                      order_by: list[str] | None = None,
                      offset: int | None = None,
                      limit: int | None = None,
-                     group_concat_sep: str = " ") -> DataFrame:
+                     group_concat_sep: str = " ",
+                     keep_companions: bool = False) -> DataFrame:
     """Apply the SPARQL SELECT pipeline to a solution table.
 
     - ``bind``: ``[(sql_expr, var), …]`` — SPARQL BIND, evaluated in
@@ -138,7 +139,17 @@ def select_solutions(sol: DataFrame, *,
     for expr in having or []:
         sol = sol.where(F.expr(patch_companion_refs(expr, sol.columns)))
     if project:
-        sol = sol.select(*[_v(c) for c in project])
+        cols = [_v(c) for c in project]
+        if keep_companions:
+            # retain the projected vars' kind/lang/datatype companions
+            # (when still present — aggregation drops them) so result
+            # serializers type terms exactly; note DISTINCT then
+            # correctly dedups at TERM level, not lexical level
+            have = set(sol.columns)
+            cols += [cc for c in list(cols)
+                     for cc in (f"__typ_{c}__kind", f"__typ_{c}__lang",
+                                f"__typ_{c}__datatype") if cc in have]
+        sol = sol.select(*cols)
     if distinct:
         sol = sol.distinct()
     if order_by:

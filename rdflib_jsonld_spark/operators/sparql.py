@@ -64,11 +64,12 @@ raising a clear error rather than silently mis-answering):
   type companions; the evaluator turns them on automatically when the
   query mentions them.
 - Blank-node labels in WHERE act as internal variables (``_:b`` →
-  ``?__bn_b``, per spec); bnodes in CONSTRUCT templates and ``[...]``
-  anonymous nodes are not supported (v1).
+  ``?__bn_b``, per spec); ``[...]`` property lists and ``(...)``
+  collections desugar to fresh anonymous nodes; CONSTRUCT-template
+  bnodes mint one fresh bnode per solution (label-scoped to the
+  template, per §16.2.1).
 - Property paths inside ``GRAPH ?var`` are rejected (constant graph
   scoping works).
-- Sub-SELECTs are not supported (v1).
 
 Scale: identical posture to the kwargs surface — every construct maps
 to the same joins/aggregations Catalyst already optimizes; ASK compiles
@@ -95,7 +96,8 @@ from .solutions import select_solutions
 
 __all__ = ["sparql", "parse_query", "SparqlError"]
 
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = _RDF_NS + "type"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 
@@ -211,6 +213,7 @@ class Query:
     describe_terms: list | None = None   # ["?v" | iri]
     group_by: list | None = None
     group_binds: list | None = None  # [(sql, "?var")] from (expr AS ?v)
+    keep_types: bool = False        # keep __typ_* companions in SELECT out
     having: list | None = None      # raw token slices, compiled later
     order_by: list | None = None
     limit: int | None = None
@@ -257,6 +260,7 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.base = ""
         self.needs_types = False
+        self._anon_n = 0   # fresh labels for [...] / (...) nodes
 
     # --- token helpers -----------------------------------------------------
     def peek(self, ahead: int = 0) -> Tok | None:
@@ -437,6 +441,72 @@ class _Parser:
         return t is not None and t.kind == "OP" and t.text == op
 
     # --- triples block -----------------------------------------------------
+    def _fresh_anon(self) -> str:
+        """Internal variable for a ``[...]``/``(...)`` node — labels
+        cannot start with a digit, so ``0a<n>`` never collides with a
+        user ``_:label``."""
+        self._anon_n += 1
+        return f"?__bn_0a{self._anon_n}"
+
+    def _node(self, triples: list[tuple]) -> str:
+        """GraphNode ([spec] grammar [103]-[104]): a plain term, a
+        ``[...]`` blank-node property list, or a ``(...)`` collection
+        (rdf:first/rdf:rest chain) — the bracketed forms desugar to a
+        fresh anonymous node plus triples appended to ``triples``."""
+        t = self.peek()
+        if t is not None and t.kind == "OP" and t.text == "[":
+            self.take()
+            node = self._fresh_anon()
+            if not self._is_op("]"):
+                self._parse_po_list(node, triples)
+            self.expect_op("]")
+            return node
+        if t is not None and t.kind == "OP" and t.text == "(":
+            self.take()
+            items = []
+            while not self._is_op(")"):
+                items.append(self._node(triples))
+            self.take()
+            if not items:
+                return _RDF_NS + "nil"
+            head = cur = self._fresh_anon()
+            for i, item in enumerate(items):
+                triples.append((cur, _RDF_NS + "first", item))
+                nxt = (self._fresh_anon() if i + 1 < len(items)
+                       else _RDF_NS + "nil")
+                triples.append((cur, _RDF_NS + "rest", nxt))
+                cur = nxt
+            return head
+        return self.term(self.take())
+
+    def _parse_po_list(self, subj: str, triples: list[tuple]) -> None:
+        """PropertyListNotEmpty: ``p o, o2 ; p2 o3 ...`` onto ``subj``."""
+        while True:
+            pt = self.peek()
+            if pt is None:
+                raise SparqlError("triple missing predicate")
+            if pt.kind == "VAR":
+                pred = "?" + self.take().text
+            else:
+                ast = self.parse_path()
+                pred = ast[1] if ast[0] == "link" else ast
+            while True:
+                obj = self._node(triples)
+                triples.append((subj, pred, obj))
+                if self._is_op(","):
+                    self.take()
+                    continue
+                break
+            if self._is_op(";"):
+                self.take()
+                # allow trailing ';' before '.' or a closing bracket
+                nxt = self.peek()
+                if nxt is None or (nxt.kind == "OP"
+                                   and nxt.text in (".", "}", "]")):
+                    break
+                continue
+            break
+
     def parse_triples(self) -> list[tuple]:
         """SubjectPredicateObject list with ';' and ',' elision."""
         triples: list[tuple] = []
@@ -448,33 +518,17 @@ class _Parser:
                 break
             if t.kind == "OP" and t.text == "{":
                 break
-            subj = self.term(self.take())
-            while True:
-                # predicate: VAR or a path expression
-                pt = self.peek()
-                if pt is None:
-                    raise SparqlError("triple missing predicate")
-                if pt.kind == "VAR":
-                    pred = "?" + self.take().text
-                else:
-                    ast = self.parse_path()
-                    pred = ast[1] if ast[0] == "link" else ast
-                while True:
-                    obj = self.term(self.take())
-                    triples.append((subj, pred, obj))
-                    if self._is_op(","):
-                        self.take()
-                        continue
-                    break
-                if self._is_op(";"):
-                    self.take()
-                    # allow trailing ';' before '.' or '}'
-                    nxt = self.peek()
-                    if nxt is None or (nxt.kind == "OP"
-                                       and nxt.text in (".", "}")):
-                        break
-                    continue
-                break
+            bracketed = t.kind == "OP" and t.text in ("[", "(")
+            n_before = len(triples)
+            subj = self._node(triples)
+            nxt = self.peek()
+            if (bracketed and len(triples) > n_before
+                    and (nxt is None or (nxt.kind == "OP"
+                                         and nxt.text in (".", "}")))):
+                pass   # "[ p o ] ." — the trailing property list is
+                # optional after a non-empty bracketed subject
+            else:
+                self._parse_po_list(subj, triples)
             if self._is_op("."):
                 self.take()
                 continue
@@ -1268,10 +1322,14 @@ class _Parser:
             if not isinstance(p, str):
                 raise SparqlError("property paths not allowed in "
                                   "CONSTRUCT template")
-            for pos in (s, o):
-                if isinstance(pos, str) and pos.startswith("?__bn_"):
-                    raise SparqlError("blank nodes in CONSTRUCT template "
-                                      "unsupported (v1)")
+            # Template blank nodes ([spec] §16.2.1): scoped to the
+            # TEMPLATE (even when a WHERE pattern reuses the label), a
+            # fresh bnode per solution — rename to ?__tbn_* so the
+            # evaluator mints per-row ids instead of reading a WHERE
+            # binding of the same label.
+            s, o = (f"?__tbn_{pos[6:]}"
+                    if isinstance(pos, str) and pos.startswith("?__bn_")
+                    else pos for pos in (s, o))
             template.append((s, p, o))
         self.expect_op("}")
         if self.at_kw("WHERE"):
@@ -1672,7 +1730,7 @@ def _describe(quads: DataFrame, nodes: DataFrame,
 
 
 def sparql(quads: DataFrame, query: str, *, stats: dict | None = None,
-           max_iter: int = 20) -> DataFrame:
+           max_iter: int = 20, keep_types: bool = False) -> DataFrame:
     """Run a SPARQL query string over a quad table.
 
     Returns a DataFrame: one column per projected variable (SELECT), a
@@ -1682,6 +1740,11 @@ def sparql(quads: DataFrame, query: str, *, stats: dict | None = None,
     the kwargs surface directly.
     """
     q = parse_query(query)
+    if keep_types:
+        # results serializers (operators/results.py) want exact term
+        # typing on the projection — force companion capture and keep
+        # the __typ_* columns of projected vars in the output
+        q.keep_types = q.needs_types = True
     sols = _eval_group(quads, q.where, with_types=q.needs_types,
                        stats=stats, max_iter=max_iter)
     if q.post_values is not None:
@@ -1695,7 +1758,23 @@ def sparql(quads: DataFrame, query: str, *, stats: dict | None = None,
             (F.count(F.lit(1)) > F.lit(0)).alias("ask"))
 
     if q.form == "construct":
-        out = instantiate_template(sols.distinct(), q.template)
+        sols = sols.distinct()
+        labels = sorted({pos[1:] for s, _, o in q.template
+                         for pos in (s, o)
+                         if isinstance(pos, str)
+                         and pos.startswith("?__tbn_")})
+        if labels:
+            # one fresh bnode per (template label, solution): label
+            # index + a 64-bit hash of the full solution row is
+            # deterministic and partitioning-independent; solutions are
+            # distinct above, so rows never share an id
+            cols = [F.col(c) for c in sols.columns]
+            row_id = F.lower(F.hex(F.xxhash64(*cols))) if cols \
+                else F.lit("0")
+            for i, lab in enumerate(labels):
+                sols = sols.withColumn(
+                    lab, F.concat(F.lit(f"_:tb{i}_"), row_id))
+        out = instantiate_template(sols, q.template)
         if q.offset:
             out = out.offset(q.offset)
         if q.limit is not None:
@@ -1782,6 +1861,7 @@ def _eval_select(sols: DataFrame, q: Query) -> DataFrame:
         distinct=q.distinct,
         order_by=q.order_by,
         offset=q.offset, limit=q.limit,
-        group_concat_sep=next(iter(seps)) if seps else " ")
+        group_concat_sep=next(iter(seps)) if seps else " ",
+        keep_companions=q.keep_types)
     drop = [c for c in out.columns if c.startswith("__having_")]
     return out.drop(*drop) if drop else out

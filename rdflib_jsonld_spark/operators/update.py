@@ -267,16 +267,34 @@ class _UpdateParser(_Parser):
 
     def _template_triples(self, op: str) -> list[tuple]:
         trips = self.parse_triples()
+        out: list[tuple] = []
         for s, p, o in trips:
             if not isinstance(p, str):
                 raise SparqlError(f"property paths not allowed in {op} "
                                   f"template")
-            for pos in (s, p, o):
-                if isinstance(pos, str) and pos.startswith("?__bn_"):
-                    raise SparqlError(
-                        f"blank nodes in {op} templates are unsupported "
-                        f"(v1: deterministic output)")
-        return trips
+            if isinstance(p, str) and p.startswith("?__bn_"):
+                raise SparqlError(f"blank node cannot be a predicate "
+                                  f"in {op} template")
+            if op == "INSERT":
+                # [spec] SPARQL 1.1 Update §3.1.3: INSERT-template
+                # bnodes are instantiated per solution — renamed to
+                # ?__tbn_* so instantiation mints deterministic
+                # per-row ids (engine convention: identical solutions
+                # share one minted bnode, keeping updates replayable)
+                s, o = (f"?__tbn_{pos[6:]}"
+                        if isinstance(pos, str)
+                        and pos.startswith("?__bn_") else pos
+                        for pos in (s, o))
+            else:
+                for pos in (s, o):
+                    if isinstance(pos, str) and pos.startswith("?__bn_"):
+                        # [spec] Update §3.1.3.2: bnodes are DISALLOWED
+                        # in DELETE templates and DATA blocks
+                        raise SparqlError(
+                            f"blank nodes are not allowed in {op} "
+                            f"templates")
+            out.append((s, p, o))
+        return out
 
     # --- ground quad data ---------------------------------------------------
     def _parse_ground_quads(self) -> list[tuple]:
@@ -380,6 +398,19 @@ def _anti_on_key(base: DataFrame, other: DataFrame) -> DataFrame:
 
 def _instantiate_quads(sols: DataFrame, tmpl: list[tuple],
                        with_g: str | None) -> DataFrame:
+    labels = sorted({pos[1:] for _, trips in tmpl
+                     for s, _, o in trips for pos in (s, o)
+                     if isinstance(pos, str)
+                     and pos.startswith("?__tbn_")})
+    if labels:
+        # INSERT-template bnodes: one per (label, solution row) —
+        # xxhash64 of the full row is deterministic and partitioning-
+        # independent (same convention as CONSTRUCT, sparql.py)
+        cols = [F.col(c) for c in sols.columns]
+        row_id = F.lower(F.hex(F.xxhash64(*cols))) if cols else F.lit("0")
+        for i, lab in enumerate(labels):
+            sols = sols.withColumn(
+                lab, F.concat(F.lit(f"_:ub{i}_"), row_id))
     out = None
     for term, trips in tmpl:
         part = instantiate_template(sols, trips,

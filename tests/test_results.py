@@ -1,0 +1,120 @@
+"""SPARQL results serializers (operators/results.py): JSON/XML/CSV/TSV
+driver-side strings plus the distributed writer, against hand-written
+expected serializations per the W3C results-format specs."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdflib_jsonld_spark.operators.results import (to_csv, to_json, to_tsv,
+                                                   to_xml, write_results)
+from rdflib_jsonld_spark.operators.sparql import sparql
+
+SCHEMA = ("g string, s string, s_is_bnode boolean, p string, o_kind string, "
+          "o_value string, o_datatype string, o_lang string")
+XSD = "http://www.w3.org/2001/XMLSchema#"
+V = "http://ex.org/v#"
+E = "http://ex.org/e/"
+PFX = f"PREFIX v: <{V}> PREFIX e: <{E}> "
+
+ROWS = [
+    (None, E + "a", False, V + "name", "literal", "Alice", XSD + "string",
+     None),
+    (None, E + "a", False, V + "age", "literal", "30", XSD + "integer",
+     None),
+    (None, E + "b", False, V + "name", "literal", "Bob", None, "en"),
+    (None, E + "b", False, V + "addr", "bnode", "_:x1", None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def sols(quads):
+    return sparql(quads, PFX + "SELECT ?s ?o { ?s ?p ?o } ORDER BY ?s ?o",
+                  keep_types=True)
+
+
+def test_json_bindings(sols):
+    d = json.loads(to_json(sols))
+    assert d["head"]["vars"] == ["s", "o"]
+    bs = d["results"]["bindings"]
+    assert len(bs) == 4
+    cells = {(b["o"]["type"], b["o"]["value"],
+              b["o"].get("xml:lang"), b["o"].get("datatype")) for b in bs}
+    assert ("literal", "30", None, XSD + "integer") in cells
+    assert ("literal", "Bob", "en", None) in cells
+    assert ("bnode", "_:x1", None, None) in cells
+    # plain xsd:string serializes as a PLAIN literal
+    assert ("literal", "Alice", None, None) in cells
+    assert all(b["s"]["type"] == "uri" for b in bs)
+
+
+def test_json_ask(quads):
+    out = sparql(quads, PFX + 'ASK { e:a v:name "Alice" }')
+    assert json.loads(to_json(out)) == {"head": {}, "boolean": True}
+
+
+def test_xml(sols):
+    x = to_xml(sols)
+    assert x.startswith('<?xml version="1.0"?>')
+    assert '<variable name="s"/>' in x and '<variable name="o"/>' in x
+    assert f'<literal datatype="{XSD}integer">30</literal>' in x
+    assert '<literal xml:lang="en">Bob</literal>' in x
+    assert "<bnode>x1</bnode>" in x
+    assert f"<uri>{E}a</uri>" in x
+
+
+def test_csv_and_tsv(sols):
+    c = to_csv(sols)
+    lines = c.split("\r\n")
+    assert lines[0] == "s,o"
+    assert f"{E}a,30" in lines and f"{E}b,Bob" in lines
+    t = to_tsv(sols)
+    tl = t.split("\n")
+    assert tl[0] == "?s\t?o"
+    assert f'<{E}a>\t"30"^^<{XSD}integer>' in tl
+    assert f'<{E}b>\t"Bob"@en' in tl
+    assert f"<{E}b>\t_:x1" in tl
+
+
+def test_csv_quoting_and_unbound(spark, quads):
+    out = sparql(quads, PFX + "SELECT ?n ?u { ?s v:name ?n "
+                 'OPTIONAL { ?s v:none ?u } BIND("a,\\"b\\"" AS ?x) }')
+    # unbound cells are empty; commas/quotes are RFC-4180 quoted
+    out2 = sparql(quads, PFX + 'SELECT ?x { BIND("a,\\"b" AS ?x) '
+                  "?s v:age ?o }")
+    c = to_csv(out2)
+    assert '"a,""b"' in c
+    c = to_csv(out)
+    assert any(line.endswith(",") for line in c.split("\r\n")[1:3])
+
+
+def test_graph_result_rejected(quads):
+    g = sparql(quads, PFX + "CONSTRUCT { ?s v:p ?o } WHERE { ?s v:name ?o }")
+    with pytest.raises(ValueError, match="graph"):
+        to_json(g)
+
+
+def test_write_results_roundtrip(spark, sols, tmp_path):
+    write_results(sols, str(tmp_path / "c"), format="csv")
+    back = spark.read.option("header", True).csv(str(tmp_path / "c"))
+    assert back.columns == ["s", "o"] and back.count() == 4
+    write_results(sols, str(tmp_path / "t"), format="tsv")
+    rows = {r.value for r in spark.read.text(str(tmp_path / "t")).collect()}
+    assert f'<{E}a>\t"30"^^<{XSD}integer>' in rows
+    assert f'<{E}b>\t"Bob"@en' in rows
+    write_results(sols, str(tmp_path / "j"), format="json")
+    recs = [json.loads(r.value) for r in
+            spark.read.text(str(tmp_path / "j")).collect()]
+    assert {r["o"]["value"] for r in recs} == {"Alice", "30", "Bob", "_:x1"}
+    assert all(r["s"]["type"] == "uri" for r in recs)
+    langs = {r["o"].get("xml:lang") for r in recs}
+    assert "en" in langs

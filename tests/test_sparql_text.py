@@ -500,3 +500,58 @@ def test_tz_and_timezone(spark):
                  'FILTER(TIMEZONE(?d) = STRDT("PT0S", '
                  "<" + XSD + "dayTimeDuration>)) }")
     assert vals(out, "s") == [(E + "t2",)]
+
+
+# --- [...] / (...) sugar and template bnodes ---------------------------------
+
+def test_blank_node_property_list(quads):
+    # [ v:city "Oslo" ] desugars to a fresh anonymous node
+    out = sparql(quads, PFX +
+                 'SELECT ?s { ?s v:addr [ v:city "Oslo" ] }')
+    assert vals(out, "s") == [(E + "c",)]
+    # bracketed subject with no trailing property list
+    out = sparql(quads, PFX + 'SELECT * { [ v:city "Oslo" ] . }')
+    assert out.count() == 1
+    # bracketed subject WITH a trailing property list
+    rows = sparql(quads, PFX + "SELECT ?n "
+                  '{ [ v:name ?n ] v:age 30 . }')
+    assert [r.n for r in rows.collect()] == ["Alice"]
+
+
+def test_collection_pattern(spark):
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        (None, E + "l", False, V + "vals", "bnode", "_:c1", None, None),
+        (None, "_:c1", True, rdf + "first", "literal", "1",
+         XSD + "integer", None),
+        (None, "_:c1", True, rdf + "rest", "bnode", "_:c2", None, None),
+        (None, "_:c2", True, rdf + "first", "literal", "2",
+         XSD + "integer", None),
+        (None, "_:c2", True, rdf + "rest", "iri", rdf + "nil", None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql(df, PFX + "SELECT ?s { ?s v:vals (1 2) }")
+    assert vals(out, "s") == [(E + "l",)]
+    assert sparql(df, PFX + "SELECT ?s { ?s v:vals (1 3) }").count() == 0
+    # () is rdf:nil (triple-position shorthand)
+    out = sparql(df, PFX + "SELECT * { _:c2 <" + rdf + "rest> () . }")
+    assert out.count() == 1
+
+
+def test_construct_template_bnodes(quads):
+    # one fresh bnode per solution, shared across the row's triples
+    out = sparql(quads, PFX + "CONSTRUCT { ?s v:stat _:m . "
+                 '_:m v:of ?n } WHERE { ?s v:name ?n FILTER(?n = "Alice" '
+                 '|| ?n = "Cara") }')
+    rows = out.collect()
+    assert len(rows) == 4
+    minted = {r.o_value for r in rows if r.p == V + "stat"}
+    subs = {r.s for r in rows if r.p == V + "of"}
+    assert minted == subs and len(minted) == 2
+    assert all(v.startswith("_:") for v in minted)
+    assert all(r.o_kind == "bnode" for r in rows if r.p == V + "stat")
+    # a WHERE label does NOT leak into a same-named template label
+    out = sparql(quads, PFX + "CONSTRUCT { ?s v:place _:a } "
+                 "WHERE { ?s v:addr _:a }")
+    r, = out.collect()
+    assert r.o_value != "_:addr1" and r.o_value.startswith("_:")

@@ -82,7 +82,7 @@ def test_parse_errors():
         ("INSERT DATA { _:b <urn:p> 1 }", "blank nodes"),
         ("DELETE { <urn:s> <urn:p>+ ?o } WHERE { ?s ?p ?o }",
          "property paths"),
-        ("INSERT { _:n <urn:p> ?o } WHERE { ?s ?p ?o }", "blank nodes"),
+        ("DELETE { _:n <urn:p> ?o } WHERE { ?s ?p ?o }", "blank nodes"),
         ("WITH <urn:g> INSERT DATA { <urn:s> <urn:p> 1 }", "WITH"),
         ("SELECT ?x WHERE { ?x ?p ?o }", "INSERT/DELETE"),
     ]:
@@ -289,3 +289,23 @@ def test_using_overrides_with_for_where(quads):
     out = update(quads, PFX + "WITH <urn:g2> DELETE { ?s v:name ?n } "
                  "USING <urn:g1> WHERE { ?s v:name ?n }")
     assert keyset(out) == keyset(quads)
+
+
+def test_insert_template_bnodes(quads):
+    # one fresh bnode per solution, shared across that row's triples
+    out = update(quads, PFX +
+                 "INSERT { ?s v:mark _:m . _:m v:of ?n } "
+                 "WHERE { ?s v:name ?n }")
+    new = out.where(F.col("p").isin(V + "mark", V + "of"))
+    rows = new.collect()
+    assert len(rows) == 6   # 3 names x 2 template triples
+    minted = {r.o_value for r in rows if r.p == V + "mark"}
+    heads = {r.s for r in rows if r.p == V + "of"}
+    assert minted == heads and len(minted) == 3
+    assert all(v.startswith("_:") for v in minted)
+    assert all(r.s_is_bnode for r in rows if r.p == V + "of")
+    # DELETE templates must still reject bnodes ([spec] Update 3.1.3.2)
+    with pytest.raises(SparqlError, match="not allowed in DELETE"):
+        parse_update(PFX + "DELETE { ?s v:p _:b } WHERE { ?s v:p ?o }")
+    with pytest.raises(SparqlError, match="not allowed in DATA"):
+        parse_update(PFX + "INSERT DATA { e:x v:p [ v:q 1 ] }")
