@@ -76,7 +76,8 @@ _PN_LOCAL = r"(?:[0-9A-Za-z_:]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?#@%]|[\u00C0-
 _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+|\#[^\n]*)
-    | (?P<iriref><[^<>"{}|^`\\\x00-\x20]*>)
+    | (?P<iriref><(?:[^<>"{}|^`\\\x00-\x20]
+                    |\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*>)
     | (?P<str_long_dq>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
     | (?P<str_long_sq>'''(?:[^'\\]|\\.|'(?!''))*''')
     | (?P<str_dq>"(?:[^"\\\n\r]|\\.)*")
