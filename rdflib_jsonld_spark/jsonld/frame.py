@@ -264,14 +264,17 @@ def _embed_node(nid: str, fr: dict, state: _FrameState,
         out[p] = [_embed_value(v, sub_x, state, ancestors | {nid},
                                mode, sub_explicit, sub_omit)
                   for v in node[p]]
-    if not omit_default:
-        for p in sorted(frame_props - set(node)):
-            for pat in _as_list(fr[p]):
-                if isinstance(pat, dict) and "@default" in pat:
-                    dv = pat["@default"]
-                    out[p] = [dv if isinstance(dv, dict)
-                              else {keys.VALUE: dv}]
-                    break
+    for p in sorted(frame_props - set(node)):
+        # [spec] §3.1 default filling: the PROPERTY frame's own
+        # @omitDefault overrides the inherited flag in either direction
+        # (sweep 15: {"@default": x, "@omitDefault": true} still filled)
+        pat = next((x for x in _as_list(fr[p]) if isinstance(x, dict)),
+                   None)
+        if pat is None or bool(_flag(pat, "@omitDefault", omit_default)):
+            continue
+        if "@default" in pat:
+            dv = pat["@default"]
+            out[p] = [dv if isinstance(dv, dict) else {keys.VALUE: dv}]
     return out
 
 

@@ -1316,6 +1316,35 @@ class _Parser:
 
     def _parse_construct(self) -> Query:
         self.expect_kw("CONSTRUCT")
+        if self.at_kw("WHERE"):
+            # [spec] §16.2.2 CONSTRUCT WHERE shortform: the WHERE block
+            # is a plain BGP that doubles as the template
+            self.take()
+            where = self.parse_group()
+            if len(where.elements) != 1 or where.elements[0][0] != "bgp":
+                raise SparqlError("CONSTRUCT WHERE takes a plain "
+                                  "triple-pattern block")
+            template = []
+            for s, p, o in where.elements[0][1]:
+                if not isinstance(p, str):
+                    raise SparqlError("property paths not allowed in "
+                                      "CONSTRUCT WHERE")
+                if isinstance(o, tuple):
+                    raise SparqlError("tagged literals not supported in "
+                                      "CONSTRUCT WHERE (v1)")
+                # per the §16.2.2 expansion CONSTRUCT {P} WHERE {P},
+                # the template copy's bnodes are template-scoped → mint
+                s, o = (f"?__tbn_{pos[6:]}"
+                        if isinstance(pos, str)
+                        and pos.startswith("?__bn_") else pos
+                        for pos in (s, o))
+                template.append((s, p, o))
+            q = Query(form="construct", where=where, template=template,
+                      needs_types=True)
+            self._parse_modifiers(q)
+            if q.group_by or q.having or q.order_by:
+                raise SparqlError("CONSTRUCT supports LIMIT/OFFSET only")
+            return q
         self.expect_op("{")
         template = []
         for s, p, o in self.parse_triples():

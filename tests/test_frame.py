@@ -263,3 +263,91 @@ def test_graph_frame_match_none_id_yields_empty():
                           "@graph": [{"@type": "Person"}]},
                 compact_output=False)
     assert out == []
+
+
+# --- sweep 15: hand-adjudicated framing corners ------------------------------
+
+CTX15 = {"@vocab": "http://e/"}
+LIB15 = {"@context": CTX15, "@graph": [
+    {"@id": "http://x/lib", "@type": "Library", "name": "L",
+     "contains": {"@id": "http://x/book"}},
+    {"@id": "http://x/book", "@type": "Book", "title": "T1",
+     "author": {"@id": "http://x/al"}},
+    {"@id": "http://x/al", "@type": "Person", "name": "Al", "age": 9},
+]}
+
+
+class TestSweep15Corners:
+    def test_omit_default_per_property_flag(self):
+        data = {"@context": CTX15, "@graph": [
+            {"@id": "http://x/book", "@type": "Book", "title": "T1"}]}
+        # property-level @omitDefault true suppresses the fill
+        # (sweep 15 bug: the flag was read at node level only)
+        out = frame(data, {"@context": CTX15, "@type": "Book",
+                           "author": {"@default": "anon",
+                                      "@omitDefault": True}})
+        assert "author" not in out["@graph"][0]
+        # node-level omit, property overrides back to filling
+        out = frame(data, {"@context": CTX15, "@type": "Book",
+                           "@omitDefault": True,
+                           "author": {"@default": "anon",
+                                      "@omitDefault": False}})
+        assert out["@graph"][0]["author"] == "anon"
+        # node-level omit inherited when the property stays silent
+        out = frame(data, {"@context": CTX15, "@type": "Book",
+                           "@omitDefault": True,
+                           "author": {"@default": "anon"}})
+        assert "author" not in out["@graph"][0]
+
+    def test_nested_frame_shapes_embedded_node(self):
+        out = frame(LIB15, {"@context": CTX15, "@type": "Library",
+                            "contains": {"@explicit": True, "title": {}}})
+        book = out["@graph"][0]["contains"]
+        assert book["title"] == "T1" and "author" not in book
+
+    def test_type_wildcard_and_match_none(self):
+        data = {"@context": CTX15, "@graph": [
+            {"@id": "http://x/t", "@type": "T", "p": 1},
+            {"@id": "http://x/u", "p": 2}]}
+        out = frame(data, {"@context": CTX15, "@type": []})
+        assert [n["@id"] for n in out["@graph"]] == ["http://x/u"]
+        out = frame(data, {"@context": CTX15, "@type": {}})
+        assert [n["@id"] for n in out["@graph"]] == ["http://x/t"]
+
+    def test_value_pattern_language_and_wildcard(self):
+        data = {"@context": CTX15, "@graph": [
+            {"@id": "http://x/a", "lbl": {"@value": "x",
+                                          "@language": "en"}},
+            {"@id": "http://x/b", "lbl": {"@value": "x",
+                                          "@language": "fr"}}]}
+        out = frame(data, {"@context": CTX15,
+                           "lbl": {"@value": "x", "@language": "en"}})
+        assert [n["@id"] for n in out["@graph"]] == ["http://x/a"]
+        out = frame(data, {"@context": CTX15,
+                           "lbl": {"@value": {}, "@language": "fr"}})
+        assert [n["@id"] for n in out["@graph"]] == ["http://x/b"]
+
+    def test_embed_never_inherits_into_properties(self):
+        out = frame(LIB15, {"@context": CTX15, "@type": "Library",
+                            "@embed": "@never", "contains": {}})
+        assert out["@graph"][0]["contains"] == {"@id": "http://x/book"}
+
+    def test_embed_once_shared_node(self):
+        data = {"@context": CTX15, "@graph": [
+            {"@id": "http://x/a", "@type": "T", "p": {"@id": "http://x/c"}},
+            {"@id": "http://x/b", "@type": "T", "p": {"@id": "http://x/c"}},
+            {"@id": "http://x/c", "v": 1}]}
+        out = frame(data, {"@context": CTX15, "@type": "T"})
+        embeds = [n["p"] for n in out["@graph"]]
+        assert {json_shape(e) for e in embeds} == {"full", "ref"}
+        out = frame(data, {"@context": CTX15, "@type": "T",
+                           "@embed": "@always"})
+        assert all(json_shape(n["p"]) == "full" for n in out["@graph"])
+
+    def test_numeric_value_pattern(self):
+        out = frame(LIB15, {"@context": CTX15, "age": {"@value": 9}})
+        assert [n["@id"] for n in out["@graph"]] == ["http://x/al"]
+
+
+def json_shape(node) -> str:
+    return "ref" if set(node) == {"@id"} else "full"

@@ -555,3 +555,17 @@ def test_construct_template_bnodes(quads):
                  "WHERE { ?s v:addr _:a }")
     r, = out.collect()
     assert r.o_value != "_:addr1" and r.o_value.startswith("_:")
+
+
+def test_construct_where_shortform(quads):
+    out = sparql(quads, PFX + "CONSTRUCT WHERE { ?s v:name ?n } LIMIT 10")
+    rows = out.collect()
+    assert {(r.s, r.p, r.o_value) for r in rows} == {
+        (E + "a", V + "name", "Alice"), (E + "b", V + "name", "Bob"),
+        (E + "c", V + "name", "Cara"), (E + "d", V + "name", "Dan")}
+    # lang/datatype carried through from the matched terms
+    tagged = [r for r in rows if r.o_value == "Bob"]
+    assert tagged[0].o_lang == "en"
+    with pytest.raises(SparqlError, match="plain"):
+        sparql(quads, PFX +
+               "CONSTRUCT WHERE { ?s v:name ?n FILTER(?n > \"A\") }")
