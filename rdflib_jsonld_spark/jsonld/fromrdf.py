@@ -21,22 +21,37 @@ compact_nodes) — this module stays Spark-free.
 
 from __future__ import annotations
 
+import re
+
 from . import keys
 from .context import Context, split_iri
 from .compact import _compact_element, _compact_id as _doc_compact_id
 from .tordf import BNODE, IRI, LIT
 
 
+# XSD lexical spaces ([spec] XMLSchema-2 §3.3.13/§3.2.5) — Python's
+# int()/float() are too lenient (whitespace, '_' separators, 'Infinity'),
+# so validate before converting; sweep 16.
+_XSD_INT_RE = re.compile(r"[+-]?[0-9]+\Z")
+_XSD_DOUBLE_RE = re.compile(
+    r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?\Z")
+
+
 def _native(lex: str, dt: str):
-    try:
-        if dt == keys.XSD_INTEGER:
-            return int(lex)
-        if dt == keys.XSD_BOOLEAN:
-            return lex == "true"
-        if dt == keys.XSD_DOUBLE:
-            return float(lex)
-    except ValueError:
-        pass
+    # [spec] JLD-API §10.5 RDF-to-Object: convert only when the lexical
+    # form is a VALID xsd:integer/xsd:double; xsd:boolean converts only
+    # the lexicals 'true'/'false' (not '1'/'0'). INF/-INF/NaN are valid
+    # xsd:double lexicals but have no JSON number representation — keep
+    # the typed string (pyld-compatible). Sweep 16.
+    if dt == keys.XSD_INTEGER and _XSD_INT_RE.match(lex):
+        return int(lex)
+    if dt == keys.XSD_BOOLEAN:
+        if lex == "true":
+            return True
+        if lex == "false":
+            return False
+    if dt == keys.XSD_DOUBLE and _XSD_DOUBLE_RE.match(lex):
+        return float(lex)
     return None
 
 
@@ -234,6 +249,14 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
 
 def _object_repr(g, o, ctx, compact, use_native_types, list_chains,
                  nodes, graph_of, rdf_direction=None):
+    if o == (IRI, keys.RDF_NIL):
+        # [spec] JLD-API §10.5 step 6: every object reference to rdf:nil
+        # is a nil usage whose backwards walk (zero iterations here, the
+        # chain cases are consumed by list_chains) replaces the reference
+        # with an empty list — in ALL object positions: direct property
+        # value, list member, and a malformed list node's rdf:rest.
+        # @type position keeps the IRI (node-map step 5.4). Sweep 16.
+        return {keys.LIST: []}
     if (g, o) in list_chains if o[0] == BNODE else False:
         members = list_chains[(g, o)]
         return {keys.LIST: [
