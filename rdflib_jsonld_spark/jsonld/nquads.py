@@ -14,7 +14,11 @@ from . import keys
 from .tordf import BNODE, IRI, LIT
 
 _ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
-_UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+# full ECHAR set ([spec] N-Quads §2.3: [tbnrf"'\]) — the writer only ever
+# emits the five above (raw \b/\f bytes are grammar-legal in
+# STRING_LITERAL_QUOTE), but the reader must accept all seven; sweep 17.
+_UNESCAPES = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r",
+              "\\t": "\t", "\\b": "\b", "\\f": "\f", "\\'": "'"}
 
 
 def _escape(s: str) -> str:
@@ -99,12 +103,16 @@ def serialize(quads) -> str:
     return "\n".join(sorted(quad_to_nq(q) for q in quads)) + "\n" if quads else ""
 
 
+# BLANK_NODE_LABEL may contain '.' internally but not trailing ([spec]
+# N-Quads §5) — lazy match + lookahead leaves terminating dot(s) to the
+# statement grammar (sweep 17: '_:b0.' used to yield label 'b0.' and eat
+# the final dot). LANGTAG per the spec production (must start alpha).
 _TERM_RE = re.compile(
     r"""\s*(?:
         <(?P<iri>[^>]*)>
-      | _:(?P<bnode>\S+)
+      | _:(?P<bnode>[^\s<"]+?)(?=\.+(?:\s|$)|\s|$)
       | "(?P<lit>(?:[^"\\]|\\.)*)"
-        (?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[A-Za-z0-9-]+))?
+        (?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[a-zA-Z]+(?:-[a-zA-Z0-9]+)*))?
     )""",
     re.VERBOSE,
 )
@@ -122,21 +130,33 @@ def parse_term(text: str, pos: int = 0):
     dt, lang = m.group("dt"), m.group("lang")
     if lang:
         return (LIT, lex, keys.RDF_LANGSTRING, lang.lower()), m.end()
-    return (LIT, lex, dt or keys.XSD_STRING, None), m.end()
+    # UCHAR is legal in every IRIREF, the datatype position included
+    return (LIT, lex, _unescape(dt) if dt else keys.XSD_STRING, None), m.end()
 
 
 def parse_line(line: str):
-    """One N-Quads statement → quad tuple (graph=None for triples)."""
+    """One N-Quads statement → quad tuple (graph=None for triples).
+
+    Validates the full statement grammar (sweep 17): the final '.' is
+    required, only a comment may follow it, and anything else after the
+    terms raises instead of being silently accepted.
+    """
     line = line.strip()
     if not line or line.startswith("#"):
         return None
     s, pos = parse_term(line)
     p, pos = parse_term(line, pos)
     o, pos = parse_term(line, pos)
-    rest = line[pos:].strip()
     g = None
-    if rest and rest != ".":
-        g, pos2 = parse_term(line[pos:])
+    rest = line[pos:].lstrip()
+    if rest and not rest.startswith("."):
+        g, pos = parse_term(line, pos)
+        rest = line[pos:].lstrip()
+    if not rest.startswith("."):
+        raise ValueError(f"missing final '.' in N-Quads statement: {line!r}")
+    tail = rest[1:].lstrip()
+    if tail and not tail.startswith("#"):
+        raise ValueError(f"trailing content after '.': {tail!r}")
     return (g, s, p, o)
 
 

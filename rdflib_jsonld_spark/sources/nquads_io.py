@@ -106,7 +106,8 @@ def write_nquads(quads: DataFrame, path: str, mode: str = "error") -> None:
 
 
 def read_nquads(spark: SparkSession, path: str,
-                decode_labels: bool = True) -> DataFrame:
+                decode_labels: bool = True,
+                strict: bool = True) -> DataFrame:
     """N-Quads text file(s) → quad table (lineage-free columns).
 
     Splittable: `spark.read.text` gives one row per line across file
@@ -118,23 +119,27 @@ def read_nquads(spark: SparkSession, path: str,
     foreign file that legitimately contains both '_:b0' and '_:_eb0'
     would otherwise see them merged."""
     return parse_nquads_lines(spark.read.text(path),
-                              decode_labels=decode_labels)
+                              decode_labels=decode_labels, strict=strict)
 
 
 #: One-regex grammar for a whole statement — the vectorized fast path.
+#: LANGTAG per the spec production; a trailing '# comment' after the final
+#: '.' is grammar-legal (sweep 17). Terminating-dot backtracking already
+#: keeps '.' out of bnode labels here (the anchored $ forces it).
 _LINE_RE = (
     r'^\s*(?:<(?P<s_iri>[^>]*)>|_:(?P<s_bn>[^\s<"]+))'
     r'\s+(?:<(?P<p_iri>[^>]*)>|_:(?P<p_bn>[^\s<"]+))'
     r'\s+(?:<(?P<o_iri>[^>]*)>|_:(?P<o_bn>[^\s<"]+)'
     r'|"(?P<lit>(?:[^"\\]|\\.)*)"'
-    r'(?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[A-Za-z0-9-]+))?)'
+    r'(?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[a-zA-Z]+(?:-[a-zA-Z0-9]+)*))?)'
     r'\s*(?:<(?P<g_iri>[^>]*)>|_:(?P<g_bn>[^\s<"]+))?'
-    r'\s*\.\s*$'
+    r'\s*\.\s*(?:#.*)?$'
 )
 
 
 def parse_nquads_lines(lines: DataFrame,
-                       decode_labels: bool = True) -> DataFrame:
+                       decode_labels: bool = True,
+                       strict: bool = True) -> DataFrame:
     """One-column ``value`` DataFrame of N-Quads statements → quad table.
 
     Vectorized: one compiled-regex ``Series.str.extract`` per Arrow batch
@@ -142,12 +147,19 @@ def parse_nquads_lines(lines: DataFrame,
     decoders applied ONLY to the rows that actually contain escapes —
     ~10× the per-row parser on escape-free corpora, byte-identical output
     (asserted against ``jsonld.nquads.parse_line`` in tests).
+
+    ``strict`` (default): a line that is neither blank, a comment, nor a
+    grammar-valid statement raises with the offending line — malformed
+    data must not vanish silently (sweep 17; the engine-wide silent-drop
+    rule). Pass ``strict=False`` to skip such lines when ingesting
+    known-dirty foreign corpora.
     """
     import re as _re
     from rdflib_jsonld_spark.jsonld.nquads import _unescape, decode_label
 
     unesc_mark = _re.compile(r"\\")
     dec_mark = _re.compile(r"^_e")  # only sink-encoded labels decode
+    skip_mark = _re.compile(r"^\s*(?:#|$)")  # blank / comment lines
 
     def _decode_bn(series: pd.Series) -> pd.Series:
         if not decode_labels:
@@ -158,15 +170,35 @@ def parse_nquads_lines(lines: DataFrame,
             series[mask] = series[mask].map(decode_label)
         return series
 
+    def _unesc_sparse(series: pd.Series) -> pd.Series:
+        # UCHAR is legal in every IRIREF ([spec] N-Quads §2.1) — decode,
+        # but only touch rows that actually carry a backslash (sweep 17:
+        # the fast path diverged from parse_line by never unescaping IRIs)
+        mask = series.notna() & series.str.contains(unesc_mark, na=False)
+        if mask.any():
+            series = series.copy()
+            series[mask] = series[mask].map(_unescape)
+        return series
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in NQ_READ_SCHEMA.fields]
         for pdf in batches:
             v = pdf["value"]
             ext = v.str.extract(_LINE_RE)
             ok = ext["s_iri"].notna() | ext["s_bn"].notna()
+            if strict and not ok.all():
+                bad = v[~ok]
+                bad = bad[~bad.str.contains(skip_mark, na=False)]
+                if len(bad):
+                    raise ValueError(
+                        f"malformed N-Quads line: {bad.iloc[0]!r}"
+                        + (f" (+{len(bad) - 1} more in this batch)"
+                           if len(bad) > 1 else ""))
             ext = ext[ok].copy()
             if ext.empty:
                 continue
+            for c in ("s_iri", "p_iri", "o_iri", "g_iri", "dt"):
+                ext[c] = _unesc_sparse(ext[c])
             for c in ("s_bn", "p_bn", "o_bn", "g_bn"):
                 ext[c] = _decode_bn(ext[c])
             lit = ext["lit"]
