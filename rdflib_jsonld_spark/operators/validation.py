@@ -15,7 +15,10 @@ version shapes in code):
      "properties": [
         {"path": pred,
          "min_count": n, "max_count": n,
-         "datatype": xsd_iri, "node_kind": "iri"|"literal"|"bnode",
+         "datatype": xsd_iri,
+         "node_kind": "iri"|"literal"|"bnode"              # §4.1.3, incl.
+                      |"bnode_or_iri"|"bnode_or_literal"   # the compound
+                      |"iri_or_literal",                   # kinds
          "class": iri,               # values must be instances of iri
          "pattern": regex,           # on the lexical form
          "in": [lexical values],
@@ -36,6 +39,14 @@ sh:equals/disjoint/lessThan §4.5, sh:in/hasValue §4.6, sh:closed
 §4.8). The reference checkout has no validation (tombstone; SHACL
 post-dates it) — KG-QA breadth.
 
+Comparison semantics (sweep 18): sh:equals/sh:disjoint compare full RDF
+terms (kind+lexical+datatype+lang), and the SPARQL-comparison components
+(sh:min/maxInclusive, sh:lessThan) follow the spec's "violation unless
+the comparison returns true" — non-numeric, non-literal, lang-tagged or
+mixed-type operands are violations, never silent passes. sh:in and
+sh:hasValue keep the documented LEXICAL matching (this dict-based shape
+surface takes plain strings; a narrowing, noted here).
+
 Every constraint is JVM column algebra over one (focus ⋈ values)
 join per property shape: counting constraints are a groupBy on the
 focus key, value constraints are narrow filters, sh:class is one
@@ -49,8 +60,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+#: datatypes SPARQL's numeric operator mapping covers ([spec] SPARQL 1.1
+#: §17.1 operand data types) — sh:lessThan / min/maxInclusive compare
+#: numerically only when the value actually carries one of these.
+NUMERIC_DTS = tuple(_XSD + n for n in (
+    "integer", "decimal", "double", "float", "long", "int", "short",
+    "byte", "nonNegativeInteger", "nonPositiveInteger", "negativeInteger",
+    "positiveInteger", "unsignedLong", "unsignedInt", "unsignedShort",
+    "unsignedByte"))
+#: sh:nodeKind values ([spec] SHACL §4.1.3) → allowed o_kind sets; the
+#: three plain kinds keep the module's lowercase convention.
+NODE_KINDS = {
+    "iri": ("iri",), "literal": ("literal",), "bnode": ("bnode",),
+    "bnode_or_iri": ("bnode", "iri"),
+    "bnode_or_literal": ("bnode", "literal"),
+    "iri_or_literal": ("iri", "literal"),
+}
 
 _REPORT_COLS = ("shape_id", "focus", "path", "constraint", "value")
+
+
+def _term_key(kind="o_kind", value="value", dt="o_datatype", lang="o_lang"):
+    """Full-term join key — sh:equals/sh:disjoint compare RDF TERMS, not
+    lexical forms ([spec] SHACL §4.5: 'value nodes'); 'x'@en and 'x'@fr
+    must not count as equal (sweep 18)."""
+    return F.concat_ws("", F.col(kind), F.col(value),
+                       F.coalesce(F.col(dt), F.lit("")),
+                       F.coalesce(F.col(lang), F.lit("")))
 
 
 def _report(df: DataFrame, shape_id: str, path: str, constraint: str,
@@ -122,8 +159,9 @@ def validate(quads: DataFrame, shapes: list[dict]) -> DataFrame:
                     | ~F.col("o_datatype").eqNullSafe(ps["datatype"])),
                     sid, path, "datatype"))
             if "node_kind" in ps:
+                allowed_kinds = NODE_KINDS[ps["node_kind"]]
                 add(_report(
-                    present.where(F.col("o_kind") != ps["node_kind"]),
+                    present.where(~F.col("o_kind").isin(*allowed_kinds)),
                     sid, path, "node_kind"))
             if "class" in ps:
                 types = quads.where(
@@ -134,23 +172,33 @@ def validate(quads: DataFrame, shapes: list[dict]) -> DataFrame:
                     present.join(types, on="value", how="left_anti"),
                     sid, path, "class"))
             if "pattern" in ps:
+                # [spec] SHACL §4.4.2: blank nodes ALWAYS violate
+                # sh:pattern; IRIs match against their string form.
                 add(_report(
-                    present.where(~F.col("value").rlike(ps["pattern"])),
+                    present.where((F.col("o_kind") == "bnode")
+                                  | ~F.col("value").rlike(ps["pattern"])),
                     sid, path, "pattern"))
             if "in" in ps:
                 add(_report(
                     present.where(~F.col("value").isin(ps["in"])),
                     sid, path, "in"))
+            # [spec] SHACL §4.3: a range violation exists whenever the
+            # SPARQL comparison does NOT return true — non-numeric and
+            # non-literal values therefore VIOLATE instead of passing
+            # silently (sweep 18).
+            _rng_num = (F.col("o_kind") == "literal") \
+                & F.col("o_datatype").isin(*NUMERIC_DTS) \
+                & F.col("value").cast("double").isNotNull()
             if "min_inclusive" in ps:
                 add(_report(present.where(
-                    F.col("value").cast("double")
-                    < float(ps["min_inclusive"])), sid, path,
-                    "min_inclusive"))
+                    ~(_rng_num & (F.col("value").cast("double")
+                                  >= float(ps["min_inclusive"])))),
+                    sid, path, "min_inclusive"))
             if "max_inclusive" in ps:
                 add(_report(present.where(
-                    F.col("value").cast("double")
-                    > float(ps["max_inclusive"])), sid, path,
-                    "max_inclusive"))
+                    ~(_rng_num & (F.col("value").cast("double")
+                                  <= float(ps["max_inclusive"])))),
+                    sid, path, "max_inclusive"))
             if "min_length" in ps:
                 add(_report(present.where(
                     (F.col("o_kind") == "bnode")
@@ -185,39 +233,70 @@ def validate(quads: DataFrame, shapes: list[dict]) -> DataFrame:
                              ("disjoint", "disjoint")):
                 if key not in ps:
                     continue
+                # sh:equals/sh:disjoint compare full RDF TERMS ([spec]
+                # SHACL §4.5) — join on the term key, not the lexical
+                # form, so 'x'@en vs 'x'@fr (or an IRI vs a same-lexical
+                # literal) never count as the same value (sweep 18).
                 other = focus.join(
                     quads.where(F.col("p") == ps[key])
                     .select(F.col("s").alias("focus"),
+                            _term_key(value="o_value").alias("_term"),
                             F.col("o_value").alias("value")),
                     on="focus")
-                mine = present.select("focus", "value")
+                mine = present.select("focus", _term_key().alias("_term"),
+                                      "value")
                 if how == "equals":
                     # every value not in BOTH sets is a violation
-                    only_mine = mine.join(other, ["focus", "value"],
-                                          "left_anti")
-                    only_other = other.join(mine, ["focus", "value"],
-                                            "left_anti")
-                    add(_report(only_mine.unionByName(only_other)
+                    only_mine = mine.join(other.select("focus", "_term"),
+                                          ["focus", "_term"], "left_anti")
+                    only_other = other.join(mine.select("focus", "_term"),
+                                            ["focus", "_term"], "left_anti")
+                    add(_report(only_mine.select("focus", "value")
+                                .unionByName(only_other
+                                             .select("focus", "value"))
                                 .distinct(), sid, path, "equals"))
                 else:
-                    add(_report(mine.join(other, ["focus", "value"],
-                                          "left_semi").distinct(),
+                    add(_report(mine.join(other.select("focus", "_term"),
+                                          ["focus", "_term"], "left_semi")
+                                .select("focus", "value").distinct(),
                                 sid, path, "disjoint"))
             if "less_than" in ps:
                 other = focus.join(
                     quads.where(F.col("p") == ps["less_than"])
                     .select(F.col("s").alias("focus"),
-                            F.col("o_value").alias("_v2")),
+                            F.col("o_kind").alias("_k2"),
+                            F.col("o_value").alias("_v2"),
+                            F.col("o_datatype").alias("_dt2"),
+                            F.col("o_lang").alias("_lang2")),
                     on="focus")
-                pairs = present.select("focus", "value").join(other,
-                                                              "focus")
-                num = (F.col("value").cast("double").isNotNull()
-                       & F.col("_v2").cast("double").isNotNull())
-                bad = pairs.where(
-                    F.when(num, F.col("value").cast("double")
-                           >= F.col("_v2").cast("double"))
-                    .otherwise(F.col("value") >= F.col("_v2")))
-                add(_report(bad.select("focus", "value").distinct(),
+                pairs = present.select(
+                    "focus", "o_kind", "value", "o_datatype", "o_lang") \
+                    .join(other, "focus")
+                # [spec] SHACL §4.5.3: a violation exists whenever the
+                # SPARQL '<' comparison does NOT return true — numeric
+                # pairs compare numerically, plain/xsd:string pairs
+                # lexically, and every incomparable pair (IRIs, bnodes,
+                # lang-tagged or mixed-type operands — SPARQL type
+                # errors) VIOLATES instead of passing silently (sweep 18).
+                v1d = F.col("value").cast("double")
+                v2d = F.col("_v2").cast("double")
+                n1 = (F.col("o_kind") == "literal") \
+                    & F.col("o_datatype").isin(*NUMERIC_DTS) \
+                    & v1d.isNotNull()
+                n2 = (F.col("_k2") == "literal") \
+                    & F.col("_dt2").isin(*NUMERIC_DTS) & v2d.isNotNull()
+                s1 = (F.col("o_kind") == "literal") \
+                    & F.col("o_lang").isNull() \
+                    & (F.col("o_datatype").isNull()
+                       | (F.col("o_datatype") == _XSD + "string"))
+                s2 = (F.col("_k2") == "literal") \
+                    & F.col("_lang2").isNull() \
+                    & (F.col("_dt2").isNull()
+                       | (F.col("_dt2") == _XSD + "string"))
+                ok = (n1 & n2 & (v1d < v2d)) \
+                    | (s1 & s2 & (F.col("value") < F.col("_v2")))
+                add(_report(pairs.where(~ok)
+                            .select("focus", "value").distinct(),
                             sid, path, "less_than"))
 
         if shape.get("closed"):

@@ -193,3 +193,138 @@ def test_closed_shape(spark):
     assert got == {
         ("CShape", EX + "c1", EX + "extra", "closed", "boom"),
     }
+
+
+# ---- sweep 18: spec-comparison semantics ----------------------------------
+
+def test_range_nontrue_comparisons_violate(spark):
+    """[spec] SHACL §4.3: min/maxInclusive violate whenever the SPARQL
+    comparison does NOT return true — non-numeric literals, lang-tagged
+    strings, IRIs and bnodes were silently passing."""
+    rows = [
+        (None, EX + "r1", False, RDF_TYPE, "iri", EX + "R", None, None),
+        (None, EX + "r1", False, EX + "v", "literal", "5",
+         XSD + "integer", None),
+        (None, EX + "r2", False, RDF_TYPE, "iri", EX + "R", None, None),
+        (None, EX + "r2", False, EX + "v", "literal", "soon",
+         XSD + "string", None),
+        (None, EX + "r3", False, RDF_TYPE, "iri", EX + "R", None, None),
+        (None, EX + "r3", False, EX + "v", "iri", EX + "five", None, None),
+        (None, EX + "r4", False, RDF_TYPE, "iri", EX + "R", None, None),
+        # numeric-LOOKING lexical but non-numeric datatype: type error
+        (None, EX + "r4", False, EX + "v", "literal", "7",
+         XSD + "string", None),
+    ]
+    shapes = [{"id": "R", "target_class": EX + "R",
+               "properties": [{"path": EX + "v", "min_inclusive": 0,
+                               "max_inclusive": 10}]}]
+    got = viol(validate(q(spark, rows), shapes))
+    assert got == {
+        ("R", EX + "r2", EX + "v", "min_inclusive", "soon"),
+        ("R", EX + "r2", EX + "v", "max_inclusive", "soon"),
+        ("R", EX + "r3", EX + "v", "min_inclusive", EX + "five"),
+        ("R", EX + "r3", EX + "v", "max_inclusive", EX + "five"),
+        ("R", EX + "r4", EX + "v", "min_inclusive", "7"),
+        ("R", EX + "r4", EX + "v", "max_inclusive", "7"),
+    }
+
+
+def test_equals_disjoint_are_term_aware(spark):
+    """sh:equals/sh:disjoint compare RDF terms ([spec] §4.5): 'x'@en and
+    'x'@fr differ; an IRI never equals a same-lexical literal."""
+    LS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    rows = [
+        (None, EX + "t1", False, RDF_TYPE, "iri", EX + "T", None, None),
+        (None, EX + "t1", False, EX + "a", "literal", "x", LS, "en"),
+        (None, EX + "t1", False, EX + "b", "literal", "x", LS, "fr"),
+        (None, EX + "t2", False, RDF_TYPE, "iri", EX + "T", None, None),
+        (None, EX + "t2", False, EX + "a", "iri", EX + "x", None, None),
+        (None, EX + "t2", False, EX + "same", "literal", EX + "x",
+         XSD + "string", None),
+        (None, EX + "t3", False, RDF_TYPE, "iri", EX + "T", None, None),
+        (None, EX + "t3", False, EX + "a", "literal", "x", LS, "en"),
+        (None, EX + "t3", False, EX + "b", "literal", "x", LS, "en"),
+        (None, EX + "t3", False, EX + "same", "literal", "x", LS, "en"),
+    ]
+    shapes = [{"id": "T", "target_class": EX + "T",
+               "properties": [{"path": EX + "a", "equals": EX + "b"},
+                              {"path": EX + "a", "disjoint": EX + "same"}]}]
+    got = viol(validate(q(spark, rows), shapes))
+    assert got == {
+        # t1: 'x'@en vs 'x'@fr — both directions violate equals
+        ("T", EX + "t1", EX + "a", "equals", "x"),
+        # t2: IRI <ex:x> has no equal on b; same-lexical literal is NOT
+        # shared (disjoint holds). equals reports both orphan sides.
+        ("T", EX + "t2", EX + "a", "equals", EX + "x"),
+        # t3: identical terms — equals holds, disjoint violated
+        ("T", EX + "t3", EX + "a", "disjoint", "x"),
+    }
+
+
+def test_less_than_incomparable_pairs_violate(spark):
+    """sh:lessThan ([spec] §4.5.3): SPARQL type errors (mixed numeric/
+    string, lang-tagged operands, IRIs) are violations, never passes."""
+    LS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    rows = [
+        (None, EX + "l1", False, RDF_TYPE, "iri", EX + "L", None, None),
+        (None, EX + "l1", False, EX + "a", "literal", "5",
+         XSD + "integer", None),
+        (None, EX + "l1", False, EX + "z", "literal", "abc",
+         XSD + "string", None),
+        (None, EX + "l2", False, RDF_TYPE, "iri", EX + "L", None, None),
+        (None, EX + "l2", False, EX + "a", "literal", "abc",
+         XSD + "string", None),
+        (None, EX + "l2", False, EX + "z", "literal", "abd",
+         XSD + "string", None),
+        (None, EX + "l3", False, RDF_TYPE, "iri", EX + "L", None, None),
+        (None, EX + "l3", False, EX + "a", "literal", "hi", LS, "en"),
+        (None, EX + "l3", False, EX + "z", "literal", "zz", LS, "en"),
+        (None, EX + "l4", False, RDF_TYPE, "iri", EX + "L", None, None),
+        (None, EX + "l4", False, EX + "a", "iri", EX + "n1", None, None),
+        (None, EX + "l4", False, EX + "z", "iri", EX + "n2", None, None),
+    ]
+    shapes = [{"id": "L", "target_class": EX + "L",
+               "properties": [{"path": EX + "a", "less_than": EX + "z"}]}]
+    got = viol(validate(q(spark, rows), shapes))
+    assert got == {
+        # numeric vs string: type error -> violation
+        ("L", EX + "l1", EX + "a", "less_than", "5"),
+        # lang-tagged operands: type error -> violation
+        ("L", EX + "l3", EX + "a", "less_than", "hi"),
+        # IRIs: type error -> violation
+        ("L", EX + "l4", EX + "a", "less_than", EX + "n1"),
+        # l2 'abc' < 'abd' lexically: conforms
+    }
+
+
+def test_pattern_bnode_always_violates(spark):
+    rows = [
+        (None, EX + "p", False, RDF_TYPE, "iri", EX + "P", None, None),
+        (None, EX + "p", False, EX + "ref", "bnode", "_:abc", None, None),
+        (None, EX + "p", False, EX + "ref", "iri", EX + "abc", None, None),
+    ]
+    shapes = [{"id": "P", "target_class": EX + "P",
+               "properties": [{"path": EX + "ref", "pattern": "abc"}]}]
+    got = viol(validate(q(spark, rows), shapes))
+    # the IRI matches its string form; the bnode violates regardless
+    assert got == {("P", EX + "p", EX + "ref", "pattern", "_:abc")}
+
+
+def test_compound_node_kinds(spark):
+    rows = [
+        (None, EX + "k", False, RDF_TYPE, "iri", EX + "K", None, None),
+        (None, EX + "k", False, EX + "v", "iri", EX + "i", None, None),
+        (None, EX + "k", False, EX + "w", "literal", "lit", None, None),
+        (None, EX + "k", False, EX + "w", "bnode", "_:b", None, None),
+    ]
+    shapes = [{"id": "K", "target_class": EX + "K",
+               "properties": [
+                   {"path": EX + "v", "node_kind": "bnode_or_iri"},
+                   {"path": EX + "w", "node_kind": "bnode_or_literal"},
+                   {"path": EX + "v", "node_kind": "iri_or_literal"}]}]
+    got = viol(validate(q(spark, rows), shapes))
+    assert got == set()
+    shapes[0]["properties"] = [{"path": EX + "w",
+                                "node_kind": "bnode_or_iri"}]
+    got = viol(validate(q(spark, rows), shapes))
+    assert got == {("K", EX + "k", EX + "w", "node_kind", "lit")}
