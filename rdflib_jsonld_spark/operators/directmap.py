@@ -40,6 +40,26 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 
+# RFC 3987 iunreserved = ALPHA / DIGIT / "-" / "." / "_" / "~" / ucschar.
+# Everything else printable-ASCII percent-encodes when a column value is
+# substituted into an IRI ([spec] R2RML §7.3 "IRI-safe version"; Direct
+# Mapping §2.1 row IRIs). '%' must encode FIRST. Non-ASCII stays raw
+# (ucschar is allowed in IRIs); C0 controls are out of scope for
+# relational lexicals (documented narrowing).
+_IRI_SAFE_MAP = [("%", "%25")] + [
+    (c, "%%%02X" % ord(c)) for c in
+    " !\"#$&'()*+,/:;<=>?@[\\]^`{|}"
+]
+
+
+def iri_safe(col: F.Column) -> F.Column:
+    """Percent-encode the non-iunreserved printable-ASCII set — pure
+    chained literal replaces, stays in whole-stage codegen (sweep 19)."""
+    for raw, enc in _IRI_SAFE_MAP:
+        col = F.replace(col, F.lit(raw), F.lit(enc))
+    return col
+
+
 def _xsd_type(dt: T.DataType) -> str:
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
                        T.LongType)):
@@ -73,7 +93,7 @@ def _row_iri(base: str, table: str, df: DataFrame,
         if i:
             parts.append(F.lit(";"))
         parts.append(F.lit(f"{c}="))
-        parts.append(F.col(c).cast("string"))
+        parts.append(iri_safe(F.col(c).cast("string")))
     return F.concat(*parts)
 
 
@@ -123,7 +143,7 @@ def table_to_quads(df: DataFrame, table: str,
                 if i:
                     ref_parts.append(F.lit(";"))
                 ref_parts.append(F.lit(f"{rc}="))
-                ref_parts.append(F.col(c).cast("string"))
+                ref_parts.append(iri_safe(F.col(c).cast("string")))
             parts.append(shell(f"{base}{table}#ref-{c}", "iri",
                                F.concat(*ref_parts), None))
         else:

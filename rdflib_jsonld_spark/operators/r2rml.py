@@ -36,15 +36,20 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-from .directmap import RDF_TYPE, _lexical, _xsd_type
+from .directmap import RDF_TYPE, _lexical, _xsd_type, iri_safe
 
 _REF_RE = re.compile(r"\{([^{}]+)\}")
 
 
-def _template_col(template: str):
+def _template_col(template: str, safe: bool = True):
     """R2RML IRI template → concat expression + referenced columns.
     NULL in any referenced column nulls the whole value (concat
-    propagates NULL), which implements §11 NULL suppression for free."""
+    propagates NULL), which implements §11 NULL suppression for free.
+
+    ``safe``: substitute the IRI-safe (percent-encoded) version of each
+    column value per [spec] R2RML §7.3 — the default, because templates
+    default to IRI term maps. Literal-typed templates pass safe=False
+    (the spec substitutes raw values outside IRI term maps)."""
     parts: list = []
     last = 0
     refs: list[str] = []
@@ -52,7 +57,8 @@ def _template_col(template: str):
         if m.start() > last:
             parts.append(F.lit(template[last:m.start()]))
         refs.append(m.group(1))
-        parts.append(F.col(m.group(1)).cast("string"))
+        val = F.col(m.group(1)).cast("string")
+        parts.append(iri_safe(val) if safe else val)
         last = m.end()
     if last < len(template):
         parts.append(F.lit(template[last:]))
@@ -103,11 +109,19 @@ def triples_map_to_quads(df: DataFrame, mapping: dict) -> DataFrame:
                 dt = "http://www.w3.org/2001/XMLSchema#string"
             parts.append(shell(
                 p_col, kind, F.lit(str(pm["constant"])),
-                LANGSTR if pm.get("lang") else dt, pm.get("lang")))
+                LANGSTR if pm.get("lang") else dt,
+                pm["lang"].lower() if pm.get("lang") else None))
         elif "template" in pm:
-            val, _ = _template_col(pm["template"])
-            parts.append(shell(p_col, pm.get("term_type", "iri"),
-                               val, pm.get("datatype"), pm.get("lang")))
+            kind = pm.get("term_type", "iri")
+            val, _ = _template_col(pm["template"], safe=(kind == "iri"))
+            # a language tag implies rdf:langString ([spec] R2RML §7.4
+            # term generation) — the column branch already did this;
+            # the template branch left o_datatype NULL (sweep 19)
+            parts.append(shell(p_col, kind, val,
+                               LANGSTR if pm.get("lang")
+                               else pm.get("datatype"),
+                               pm["lang"].lower() if pm.get("lang")
+                               else None))
         elif "column" in pm:
             c = pm["column"]
             if pm.get("lang"):

@@ -88,3 +88,54 @@ class TestR2RML:
             triples_map_to_quads(self._df(spark), {
                 "table": "t", "subject": {"template": EX + "x/{id}"},
                 "predicates": [{"predicate": EX + "p"}]})
+
+
+class TestSweep19IriSafe:
+    """[spec] R2RML §7.3: template substitutions into IRI term maps use
+    the IRI-safe (percent-encoded) value; literal templates stay raw.
+    A language tag on a template map implies rdf:langString (§7.4)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("a key/1", "Customer#000000001 50% 'x'")],
+            "k string, name string")
+
+    def test_subject_and_object_templates_percent_encode(self, spark):
+        quads = triples_map_to_quads(self._df(spark), {
+            "table": "t",
+            "subject": {"template": EX + "row/{k}"},
+            "predicates": [
+                {"predicate": EX + "ref", "template": EX + "n/{name}"}]})
+        row = quads.collect()[0]
+        assert row.s == EX + "row/a%20key%2F1"
+        assert row.o_value == EX + "n/Customer%23000000001%2050%25%20%27x%27"
+
+    def test_literal_template_stays_raw(self, spark):
+        quads = triples_map_to_quads(self._df(spark), {
+            "table": "t",
+            "subject": {"template": EX + "row/{k}"},
+            "predicates": [
+                {"predicate": EX + "disp", "template": "name={name}",
+                 "term_type": "literal"}]})
+        assert quads.collect()[0].o_value == \
+            "name=Customer#000000001 50% 'x'"
+
+    def test_template_lang_implies_langstring(self, spark):
+        quads = triples_map_to_quads(self._df(spark), {
+            "table": "t",
+            "subject": {"template": EX + "row/{k}"},
+            "predicates": [
+                {"predicate": EX + "disp", "template": "hi {name}",
+                 "term_type": "literal", "lang": "EN-gb"}]})
+        row = quads.collect()[0]
+        assert row.o_datatype == LANGSTR
+        assert row.o_lang == "en-gb"
+
+    def test_directmap_row_iri_percent_encodes(self, spark):
+        from rdflib_jsonld_spark.operators.directmap import table_to_quads
+        df = spark.createDataFrame([("k 1/x", "v")], "pk string, v string")
+        quads = table_to_quads(df, "t", base=EX, pk=["pk"],
+                               fks={"v": ("other", ["ok"])})
+        rows = {r.p: r for r in quads.collect()}
+        assert rows[RDF_TYPE].s == EX + "t/pk=k%201%2Fx"
+        assert rows[EX + "t#ref-v"].o_value == EX + "other/ok=v"
