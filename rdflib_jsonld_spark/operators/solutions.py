@@ -48,15 +48,25 @@ def _v(name: str) -> str:
     return name[1:] if name.startswith("?") else name
 
 
-def _term_sort_sql(col_sql: str) -> str:
+def _term_sort_sql(col_sql: str, kind_sql: str | None = None) -> str:
     """Total-order sort key for a STRING solution column ([spec] SPARQL
-    1.1 §15.1, simplified): unbound first, then numeric literals by
-    value, then everything else lexically. Sweep 10: plain min/max/
-    orderBy compared lexically, so MIN("9","10") returned "10"."""
+    1.1 §15.1): unbound < blank nodes < IRIs < literals (numeric
+    literals by value before the rest lexically). Sweep 10: plain
+    min/max/orderBy compared lexically, so MIN("9","10") returned "10".
+    Sweep 20: when the var's kind companion survives (``kind_sql``),
+    the spec's term-KIND order applies; without it the shape heuristic
+    ('_:' prefix → bnode, else IRI) only separates the kinds a
+    companion-less var (subject/graph position, BIND output) can mix —
+    uniform within one column, so relative order there is unchanged."""
     cast = f"try_cast({col_sql} AS DOUBLE)"
-    flag = (f"CASE WHEN {col_sql} IS NULL THEN 0 "
-            f"WHEN {cast} IS NOT NULL THEN 1 ELSE 2 END")
-    return f"struct({flag}, {cast}, {col_sql})"
+    if kind_sql is None:
+        kind_sql = (f"(CASE WHEN startswith({col_sql}, '_:') "
+                    f"THEN 'bnode' ELSE 'iri' END)")
+    kindflag = (f"CASE WHEN {col_sql} IS NULL THEN 0 "
+                f"WHEN {kind_sql} = 'bnode' THEN 1 "
+                f"WHEN {kind_sql} = 'iri' THEN 2 ELSE 3 END")
+    numflag = f"CASE WHEN {cast} IS NOT NULL THEN 0 ELSE 1 END"
+    return f"struct({kindflag}, {numflag}, {cast}, {col_sql})"
 
 
 def _agg_col(fn: str, arg: str, alias: str, sep: str,
@@ -75,6 +85,21 @@ def _agg_col(fn: str, arg: str, alias: str, sep: str,
     m = re.fullmatch(r"`(\w+)`|\??(\w+)", arg)
     var = (m.group(1) or m.group(2)) if m else None
     col = F.col(var) if var else F.expr(arg)
+    if fn in ("sum", "avg"):
+        # [spec] SPARQL 1.1 §18.5.1.2/.4 (sweep 20): a type error on ANY
+        # group element errors the WHOLE aggregate → unbound, instead of
+        # SQL's silent skip (SUM(41, "young") was returning 41). Numeric
+        # interpretation stays try_cast (module convention, docstring);
+        # unbound elements are skipped (the pragmatic major-engine
+        # behavior for OPTIONAL-bound vars), and an all-unbound/empty
+        # group yields NULL (DuckDB-oracle parity, documented).
+        col_sql = f"`{var}`" if var else f"({arg})"
+        num = F.expr(f"try_cast({col_sql} AS DOUBLE)")
+        bad = F.max(F.when(col.isNotNull() & num.isNull(),
+                           F.lit(1)).otherwise(F.lit(0)))
+        agg = F.sum(num) if fn == "sum" else F.avg(num)
+        return F.when(bad == F.lit(0), agg) \
+            .otherwise(F.lit(None).cast("double")).alias(alias)
     if fn == "count":
         return F.count(col).alias(alias)  # non-NULL count, per spec
     if fn == "count_distinct":
@@ -138,6 +163,17 @@ def select_solutions(sol: DataFrame, *,
         raise ValueError("group_by requires at least one aggregate")
     for expr in having or []:
         sol = sol.where(F.expr(patch_companion_refs(expr, sol.columns)))
+    # ORDER BY semantically precedes projection ([spec] §18.2.2.5-6);
+    # sorting runs last for Spark's sake, so the kind companions of
+    # ordered vars are carried through projection and dropped after the
+    # sort — §15.1's term-kind order (unbound < bnode < IRI < literal)
+    # needs them (sweep 20).
+    _order_vars = []
+    for k in order_by or []:
+        if not isinstance(k, tuple):
+            m = re.fullmatch(r"(asc|desc)\((.+)\)", k.strip(), re.I)
+            _order_vars.append(_v(m.group(2) if m else k.strip()))
+    _carried: list[str] = []
     if project:
         cols = [_v(c) for c in project]
         if keep_companions:
@@ -149,9 +185,16 @@ def select_solutions(sol: DataFrame, *,
             cols += [cc for c in list(cols)
                      for cc in (f"__typ_{c}__kind", f"__typ_{c}__lang",
                                 f"__typ_{c}__datatype") if cc in have]
-        sol = sol.select(*cols)
+        have = set(sol.columns)
+        _carried = [f"__typ_{n}__kind" for n in _order_vars
+                    if n in cols and f"__typ_{n}__kind" in have
+                    and f"__typ_{n}__kind" not in cols]
+        requested = list(cols)
+        sol = sol.select(*(cols + _carried))
     if distinct:
-        sol = sol.distinct()
+        # distinctness stays over the REQUESTED columns — a carried
+        # sort companion must not split duplicate groups
+        sol = sol.dropDuplicates(requested) if _carried else sol.distinct()
     if order_by:
         keys = []
         dtypes = dict(sol.dtypes)
@@ -163,13 +206,20 @@ def select_solutions(sol: DataFrame, *,
                 continue
             m = re.fullmatch(r"(asc|desc)\((.+)\)", k.strip(), re.I)
             name = _v(m.group(2) if m else k.strip())
-            # STRING solution columns order term-aware (numeric value
-            # before lexical form — sweep 10); typed columns natively
-            col = F.expr(_term_sort_sql(f"`{name}`")) \
+            # STRING solution columns order term-aware (§15.1 kind
+            # order when the kind companion survives, numeric value
+            # before lexical form — sweeps 10/20); typed columns
+            # natively
+            kind_c = f"__typ_{name}__kind"
+            col = F.expr(_term_sort_sql(
+                f"`{name}`",
+                f"`{kind_c}`" if kind_c in dtypes else None)) \
                 if dtypes.get(name) == "string" else F.col(name)
             keys.append(col.desc() if m and m.group(1).lower() == "desc"
                         else col.asc())
         sol = sol.orderBy(*keys)
+    if _carried:
+        sol = sol.drop(*_carried)
     if offset:
         sol = sol.offset(offset)
     if limit is not None:

@@ -1226,8 +1226,9 @@ class _Parser:
         else:
             node = self._parse_expr()
             arg = node[1]
-            if fn in ("sum", "avg") and node[0] == "any":
-                arg = f"try_cast({arg} AS DOUBLE)"
+            # sum/avg numeric interpretation + §18.5 error-poisoning now
+            # live in solutions._agg_col (sweep 20), which needs the RAW
+            # expression to distinguish bound-non-numeric from unbound
         sep = None
         if self._is_op(";"):
             self.take()
@@ -1774,6 +1775,12 @@ def sparql(quads: DataFrame, query: str, *, stats: dict | None = None,
         # typing on the projection — force companion capture and keep
         # the __typ_* columns of projected vars in the output
         q.keep_types = q.needs_types = True
+    if any(not isinstance(k, tuple) for k in (q.order_by or [])):
+        # §15.1 orders by term KIND first (unbound < bnode < IRI <
+        # literal) — ORDER BY over a plain variable needs its kind
+        # companion captured so select_solutions can sort term-aware
+        # (sweep 20); expression keys compile their own guards.
+        q.needs_types = True
     sols = _eval_group(quads, q.where, with_types=q.needs_types,
                        stats=stats, max_iter=max_iter)
     if q.post_values is not None:
