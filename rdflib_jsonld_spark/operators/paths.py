@@ -27,9 +27,11 @@ Semantics notes ([spec] §9.3 evaluation, §18.4 ALP):
 - a path evaluates to the DISTINCT set of (src, dst) term pairs it
   connects — SPARQL path evaluation is set-based (no duplicate solutions
   from multiple routes, no infinite cycles);
-- zero-length paths (``*``/``?``) match every TERM IN THE GRAPH to
-  itself — subjects and objects, literals included; a constant endpoint
-  that does not occur in the graph matches nothing;
+- zero-length paths (``*``/``?``) with variable endpoints match every
+  TERM IN THE GRAPH to itself — subjects and objects, literals
+  included; with a CONSTANT endpoint they match the constant to itself
+  unconditionally, graph membership not required ([spec] §18.4
+  ZeroLengthPath — sweep 21);
 - ``nps`` is the forward negated property set ``!(iri1|...|irin)``;
   inverse and mixed member forms (``!^a``, ``!(a|^b)``) desugar at
   parse time via the spec's own algebra translation
@@ -405,20 +407,17 @@ def _eval_from(quads: DataFrame, path: tuple, seeds: DataFrame,
         # every round (and it may carry a Python expansion upstream)
         edges = eval_path(quads, path[1], graph, max_iter) \
             .localCheckpoint(eager=True)
-        reach = _seeded_closure(edges, seeds, max_iter,
-                                include_zero=(kind == "star"))
-        if kind == "star":
-            # zero-length requires the term to occur in the graph; rows
-            # reached via >=1 edge trivially satisfy this (their src has
-            # an outgoing edge), so one src-membership join covers both
-            reach = reach.join(graph_nodes(quads, graph).select(
-                F.col("node").alias("src")), on="src")
-        return reach
+        # [spec] §18.4 ZeroLengthPath(term X, var Y) binds Y to X
+        # UNCONDITIONALLY — a seeded (constant-endpoint) star includes
+        # the seed itself even when it never occurs in the graph
+        # (sweep 21; only the VAR-VAR zero-length path is restricted to
+        # graph terms). Mid-sequence seeds always occur in the graph,
+        # so this changes nothing for threaded sequences.
+        return _seeded_closure(edges, seeds, max_iter,
+                               include_zero=(kind == "star"))
     if kind == "opt":
         base = _eval_from(quads, path[1], seeds, graph, max_iter)
-        ident = (seeds.join(
-            graph_nodes(quads, graph).select(F.col("node").alias("src")),
-            on="src").select("src", F.col("src").alias("dst")))
+        ident = seeds.select("src", F.col("src").alias("dst"))
         return base.union(ident).distinct()
     raise ValueError(f"unknown path node {path!r}")
 

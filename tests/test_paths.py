@@ -151,14 +151,23 @@ def test_seeded_matches_full(spark, path):
         got = {(r.src, r.dst)
                for r in eval_path_from(df, path, seeds).collect()}
         want = {(s, d) for s, d in naive_eval(CHAIN, path) if s == seed}
+        if path[0] in ("star", "opt"):
+            # seeded zero-length binds the seed to itself UNCONDITIONALLY
+            # ([spec] §18.4 ZeroLengthPath with a constant term; sweep 21)
+            want |= {(seed, seed)}
         assert got == want, (path, seed)
 
 
-def test_star_zero_length_requires_graph_membership(spark):
+def test_star_zero_length_constant_is_unconditional(spark):
+    """[spec] §18.4 ZeroLengthPath(X, vy) with X constant binds ?y to X
+    even when X never occurs in the graph (sweep 21; was restricted to
+    graph terms)."""
     df = quads_df(spark, CHAIN)
     seeds = spark.createDataFrame([(EX + "ghost",)], ["src"])
     out = eval_path_from(df, star(link(EX + "p")), seeds).collect()
-    assert out == []  # not a term of the graph: no zero-length match
+    assert [(r.src, r.dst) for r in out] == [(EX + "ghost", EX + "ghost")]
+    rows = match_path(df, EX + "ghost", star(link(EX + "p")), "?x")
+    assert [r.x for r in rows.collect()] == [EX + "ghost"]
 
 
 # ---------------------------------------------------------------------------
