@@ -167,7 +167,13 @@ def owl_property_closure(quads: DataFrame, max_iter: int = 20
        invert — skipped per RDF abstract syntax).
     2. ``p rdf:type owl:SymmetricProperty`` → ``(s p o)`` yields
        ``(o p s)``.
-    3. ``p rdf:type owl:TransitiveProperty`` → per property, the
+    3. ``p owl:equivalentProperty q`` (prp-eqp1/2) → edges copy in both
+       directions; equivalence CHAINS close on the driver (union-find
+       over the ontology-sized pair list), so ``p ≡ q ≡ r`` propagates
+       in this one pass.
+    4. ``c owl:equivalentClass d`` (cax-eqc1/2) → ``rdf:type`` triples
+       copy across each driver-closed class-equivalence class.
+    5. ``p rdf:type owl:TransitiveProperty`` → per property, the
        transitive closure of its edge set (path doubling —
        O(log diameter) rounds on property-sized edge sets).
 
@@ -191,6 +197,12 @@ def owl_property_closure(quads: DataFrame, max_iter: int = 20
         (F.col("p") == RDF_TYPE)
         & (F.col("o_value") == OWL + "TransitiveProperty"))
         .select("s").distinct().collect()]
+    eqp = [(r["s"], r["o_value"]) for r in quads.where(
+        (F.col("p") == OWL + "equivalentProperty")
+        & (F.col("o_kind") == "iri")).select("s", "o_value").collect()]
+    eqc = [(r["s"], r["o_value"]) for r in quads.where(
+        (F.col("p") == OWL + "equivalentClass")
+        & (F.col("o_kind") == "iri")).select("s", "o_value").collect()]
 
     core = quads.select("g", "s", "s_is_bnode", "p", "o_kind",
                         "o_value", "o_datatype", "o_lang")
@@ -211,7 +223,46 @@ def owl_property_closure(quads: DataFrame, max_iter: int = 20
     for p in sym:
         inferred.append(flipped(core.where(F.col("p") == p), F.lit(p)))
 
-    # transitive stage sees the symmetric/inverse output too
+    def _eq_classes(pairs):
+        # union-find over the ontology-sized pair list: equivalence is
+        # symmetric AND transitive, so chains close on the driver
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups: dict = {}
+        for x in parent:
+            groups.setdefault(find(x), []).append(x)
+        return [sorted(g) for g in groups.values() if len(g) > 1]
+
+    # prp-eqp1/2: copy each member's edges to every other member
+    for group in _eq_classes(eqp):
+        for pa in group:
+            src = core.where(F.col("p") == pa)
+            for pb in group:
+                if pb != pa:
+                    inferred.append(
+                        src.withColumn("p", F.lit(pb))
+                        .withColumn("g", F.lit(None).cast("string")))
+    # cax-eqc1/2: copy rdf:type triples across the class group
+    for group in _eq_classes(eqc):
+        for ca in group:
+            src = core.where((F.col("p") == RDF_TYPE)
+                             & (F.col("o_value") == ca))
+            for cb in group:
+                if cb != ca:
+                    inferred.append(
+                        src.withColumn("o_value", F.lit(cb))
+                        .withColumn("g", F.lit(None).cast("string")))
+
+    # transitive stage sees the symmetric/inverse/equivalence output too
     ext = core
     for part in inferred:
         ext = ext.unionByName(part)

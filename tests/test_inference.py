@@ -215,3 +215,65 @@ class TestOwlSameasRules:
         rows = [(None, self.EX + "a", False, self.EX + "p", "iri",
                  self.EX + "b", None, None)]
         assert owl_sameas_rules(self._quads(spark, rows)).collect() == []
+
+
+def test_owl_equivalent_property_chain(spark):
+    """prp-eqp1/2 with driver-closed chains: p ≡ q ≡ r copies edges
+    across all three in one pass."""
+    from rdflib_jsonld_spark.operators.inference import (
+        OWL, owl_property_closure)
+    E = "http://e/"
+    rows = [
+        (None, E + "p", False, OWL + "equivalentProperty", "iri",
+         E + "q", None, None),
+        (None, E + "q", False, OWL + "equivalentProperty", "iri",
+         E + "r", None, None),
+        (None, E + "a", False, E + "p", "literal", "v", None, None),
+        (None, E + "b", False, E + "r", "iri", E + "c", None, None),
+    ]
+    quads = spark.createDataFrame(rows, SCHEMA)
+    out = owl_property_closure(quads)
+    got = {(r.s, r.p, r.o_value) for r in out.collect()}
+    for pred in ("p", "q", "r"):
+        assert (E + "a", E + pred, "v") in got
+        assert (E + "b", E + pred, E + "c") in got
+
+
+def test_owl_equivalent_class_types(spark):
+    """cax-eqc1/2: rdf:type copies across equivalent classes, both
+    directions."""
+    from rdflib_jsonld_spark.operators.inference import (
+        OWL, RDF_TYPE, owl_property_closure)
+    E = "http://e/"
+    rows = [
+        (None, E + "C", False, OWL + "equivalentClass", "iri",
+         E + "D", None, None),
+        (None, E + "x", False, RDF_TYPE, "iri", E + "C", None, None),
+        (None, E + "y", False, RDF_TYPE, "iri", E + "D", None, None),
+    ]
+    quads = spark.createDataFrame(rows, SCHEMA)
+    out = owl_property_closure(quads)
+    got = {(r.s, r.o_value) for r in out.where(
+        out.p == RDF_TYPE).collect()}
+    assert {(E + "x", E + "C"), (E + "x", E + "D"),
+            (E + "y", E + "C"), (E + "y", E + "D")} <= got
+
+
+def test_owl_equivalence_feeds_transitive(spark):
+    """An equivalentProperty copy of a TransitiveProperty's edges joins
+    the closure input (ordering completeness)."""
+    from rdflib_jsonld_spark.operators.inference import (
+        OWL, RDF_TYPE, owl_property_closure)
+    E = "http://e/"
+    rows = [
+        (None, E + "t", False, RDF_TYPE, "iri",
+         OWL + "TransitiveProperty", None, None),
+        (None, E + "p", False, OWL + "equivalentProperty", "iri",
+         E + "t", None, None),
+        (None, E + "a", False, E + "p", "iri", E + "b", None, None),
+        (None, E + "b", False, E + "t", "iri", E + "c", None, None),
+    ]
+    quads = spark.createDataFrame(rows, SCHEMA)
+    out = owl_property_closure(quads)
+    got = {(r.s, r.p, r.o_value) for r in out.collect()}
+    assert (E + "a", E + "t", E + "c") in got   # copied edge + closure
