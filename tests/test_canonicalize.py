@@ -122,3 +122,34 @@ def test_poison_guard():
     with pytest.raises(ValueError, match="blank nodes share"):
         canonical_hash(quads)
     assert canonical_hash(quads, max_degree_nodes=40)  # opt-in works
+
+
+def test_isomorphic_rejects_wl_confusable_pair():
+    """Two 3-cycles vs one 6-cycle of bnodes — the classic pair plain WL
+    color refinement cannot distinguish; the branching checker must
+    (false-positive guard for the conformance oracle itself)."""
+    from rdflib_jsonld_spark.jsonld.compare import isomorphic
+    from rdflib_jsonld_spark.jsonld.tordf import BNODE, IRI
+    P = (IRI, "http://e/p")
+
+    def cyc(labels):
+        return [(None, (BNODE, labels[i]), P,
+                 (BNODE, labels[(i + 1) % len(labels)]))
+                for i in range(len(labels))]
+
+    two3 = cyc(["a0", "a1", "a2"]) + cyc(["b0", "b1", "b2"])
+    one6 = cyc(["c0", "c1", "c2", "c3", "c4", "c5"])
+    assert not isomorphic(two3, one6)
+    assert isomorphic(one6, cyc(["z3", "z4", "z5", "z0", "z1", "z2"]))
+
+
+def test_isomorphic_bnode_graph_name_wiring():
+    """A graph named by its own subject bnode differs from one named by
+    an unrelated bnode."""
+    from rdflib_jsonld_spark.jsonld.compare import isomorphic
+    from rdflib_jsonld_spark.jsonld.tordf import BNODE, IRI
+    P = (IRI, "http://e/p")
+    X = (IRI, "http://e/x")
+    g_self = [((BNODE, "g"), (BNODE, "g"), P, X)]
+    assert isomorphic(g_self, [((BNODE, "h"), (BNODE, "h"), P, X)])
+    assert not isomorphic(g_self, [((BNODE, "g"), (BNODE, "o"), P, X)])
