@@ -176,3 +176,23 @@ def test_twin_chain_automorphism_regression():
         quads = to_rdf(doc)
         assert isomorphic(quads, to_rdf(from_rdf(quads)))
         assert not isomorphic(quads, quads[:-1])
+
+
+@settings(max_examples=300, deadline=None)
+@given(lex=st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FFF,
+                           blacklist_categories=("Cs",)),
+    max_size=60),
+    lang=st.sampled_from([None, "en", "de-at"]))
+def test_nquads_literal_roundtrip_property(lex, lang):
+    """quad_to_nq → parse_line is the identity for arbitrary literal
+    text including ALL C0 controls (raw \\b/\\f bytes are grammar-legal
+    in STRING_LITERAL_QUOTE; \\n/\\r/\\t/quote/backslash escape —
+    sweep 17 pinned the full ECHAR set reader-side)."""
+    from rdflib_jsonld_spark.jsonld.nquads import parse_line, quad_to_nq
+    from rdflib_jsonld_spark.jsonld.tordf import IRI, LIT
+    from rdflib_jsonld_spark.jsonld import keys
+    dt = keys.RDF_LANGSTRING if lang else keys.XSD_STRING
+    q = (None, (IRI, "http://e/s"), (IRI, "http://e/p"),
+         (LIT, lex, dt, lang))
+    assert parse_line(quad_to_nq(q)) == q
