@@ -55,9 +55,14 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     )
 
     # right rows sort BEFORE left rows at equal ts (side 0 < 1), so an
-    # exactly-simultaneous right row is visible to the left row.
+    # exactly-simultaneous right row is visible to the left row. Two
+    # RIGHT rows tied on (key, ts) would otherwise leave the fill
+    # partitioning-dependent — a content hash of the payload breaks the
+    # tie deterministically (G2 determinism invariant; to_json handles
+    # non-orderable payload types like maps).
     w = (W.partitionBy(*key_cols)
-         .orderBy("__ts", "__side")
+         .orderBy("__ts", "__side",
+                  F.xxhash64(F.to_json(F.struct("__payload"))))
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     filled = (l.unionByName(r)
               .withColumn("__p", F.last("__payload", ignorenulls=True).over(w))

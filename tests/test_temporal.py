@@ -155,3 +155,20 @@ def test_cohort_retention_basic(spark):
     assert (0, 2) not in as_map  # nobody from cohort 0 at +2h
     assert as_map[(1, 0)] == 1   # cohort hour 1: user 3
     assert as_map[(1, 1)] == 1   # user 3 back at +1h
+
+
+def test_asof_tied_right_rows_deterministic(spark):
+    """Two right rows tied on (key, ts): the winner must not depend on
+    partitioning (G2 determinism — the fill breaks ties by payload
+    content hash, not arrival order)."""
+    from rdflib_jsonld_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [("k", 100, "L")], "k string, ts long, tag string")
+    rows = [("k", 50, "alpha"), ("k", 50, "beta")]
+    winners = set()
+    for parts, order in ((1, rows), (4, rows[::-1]), (7, rows)):
+        right = spark.createDataFrame(order, "k string, ts long, v string") \
+            .repartition(parts)
+        out = asof_join(left, right, ["k"])
+        winners.add(out.collect()[0].asof_v)
+    assert len(winners) == 1
