@@ -76,7 +76,7 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
     node object alone; ``index=True`` returns the node map keyed by graph
     id ('@default' for the default graph) then subject id.
     """
-    if rdf_direction not in (None, "i18n-datatype"):
+    if rdf_direction not in (None, "i18n-datatype", "compound-literal"):
         # mirror to_rdf: fail loudly on unsupported/typo'd modes instead
         # of silently degrading to None behavior
         raise ValueError(f"unsupported rdfDirection: {rdf_direction!r}")
@@ -141,12 +141,34 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
             list_chains[(g, head)] = [firsts[c][0] for c in chain]
             list_member.update(chain)
 
+    # ---- compound literals (rdfDirection="compound-literal") -------------
+    # [spec] JLD-API 1.1 §10.5 RDF-to-Object: a BLANK NODE subject with
+    # an rdf:direction entry deserializes as a @value/@language/
+    # @direction map; the node itself leaves the node map.
+    compound: dict = {}
+    if rdf_direction == "compound-literal":
+        cprops: dict = {}
+        for g, s, p, o in quads:
+            if s[0] == BNODE and p[0] == IRI and o[0] == LIT \
+                    and p[1] in (keys.RDF_NS + "value",
+                                 keys.RDF_NS + "language",
+                                 keys.RDF_NS + "direction"):
+                cprops.setdefault((g, s), {}).setdefault(p[1], o[1])
+        for skey, got in cprops.items():
+            if keys.RDF_NS + "direction" not in got:
+                continue
+            vo = {keys.VALUE: got.get(keys.RDF_NS + "value", "")}
+            if keys.RDF_NS + "language" in got:
+                vo[keys.LANG] = got[keys.RDF_NS + "language"].lower()
+            vo[keys.DIRECTION] = got[keys.RDF_NS + "direction"]
+            compound[skey] = vo
+
     # ---- E1/E2: node map --------------------------------------------------
     nodes: dict[tuple, dict] = {}   # (g, subject term) -> node object
     graph_of: dict[tuple, str | None] = {}
     for g, s, p, o in quads:
         skey = (g, s)
-        if skey in list_member:
+        if skey in list_member or skey in compound:
             continue
         node = nodes.get(skey)
         if node is None:
@@ -158,7 +180,7 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
             continue
         pred = _term_key(p)
         obj = _object_repr(g, o, ctx, compact, use_native_types, list_chains,
-                           nodes, graph_of, rdf_direction)
+                           nodes, graph_of, rdf_direction, compound)
         node.setdefault(("pred", pred), []).append(obj)
 
     # ---- assemble tree ----------------------------------------------------
@@ -248,7 +270,9 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
 
 
 def _object_repr(g, o, ctx, compact, use_native_types, list_chains,
-                 nodes, graph_of, rdf_direction=None):
+                 nodes, graph_of, rdf_direction=None, compound=None):
+    if compound and o[0] == BNODE and (g, o) in compound:
+        return dict(compound[(g, o)])
     if o == (IRI, keys.RDF_NIL):
         # [spec] JLD-API §10.5 step 6: every object reference to rdf:nil
         # is a nil usage whose backwards walk (zero iterations here, the
@@ -261,7 +285,8 @@ def _object_repr(g, o, ctx, compact, use_native_types, list_chains,
         members = list_chains[(g, o)]
         return {keys.LIST: [
             _object_repr(g, m, ctx, compact, use_native_types, list_chains,
-                         nodes, graph_of, rdf_direction) for m in members]}
+                         nodes, graph_of, rdf_direction, compound)
+            for m in members]}
     if o[0] == LIT:
         _, lex, dt, lang = o
         if rdf_direction == "i18n-datatype" and dt \

@@ -61,7 +61,7 @@ class _State:
     """
 
     __slots__ = ("counter", "id_map", "prefix", "quads", "generalized",
-                 "allow_ll", "rdf_direction")
+                 "allow_ll", "rdf_direction", "pending")
 
     def __init__(self, prefix: str, generalized: bool, allow_ll: bool,
                  rdf_direction: str | None = None):
@@ -72,6 +72,9 @@ class _State:
         self.generalized = generalized
         self.allow_ll = allow_ll
         self.rdf_direction = rdf_direction
+        # compound-literal helper triples awaiting their parent quad's
+        # graph — flushed by _emit into the same graph
+        self.pending: list = []
 
     def fresh_bnode(self) -> tuple:
         label = f"{self.prefix}{self.counter}"
@@ -105,10 +108,13 @@ def to_rdf(data, context_data=None, base: str | None = None,
     ``rdf_direction``: None (default) drops ``@direction`` on RDF output
     (spec-compliant default); ``"i18n-datatype"`` encodes direction-
     carrying strings as ``i18n:<lang>_<dir>``-typed literals ([spec]
-    JLD-API 1.1 §10.6 step 12 / §8 rdfDirection). ``"compound-literal"``
-    is not implemented (raises ValueError).
+    JLD-API 1.1 §10.6 step 12 / §8 rdfDirection); ``"compound-literal"``
+    reifies direction-carrying strings as a fresh bnode with
+    ``rdf:value`` / ``rdf:language`` / ``rdf:direction`` entries (the
+    spec's second mode), emitted into the SAME graph as the parent
+    triple with the document's deterministic bnode allocator.
     """
-    if rdf_direction not in (None, "i18n-datatype"):
+    if rdf_direction not in (None, "i18n-datatype", "compound-literal"):
         raise ValueError(f"unsupported rdfDirection: {rdf_direction!r}")
     if ctx is None:
         ctx = Context(base=base, registry=registry)
@@ -365,6 +371,9 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                         else lang.lower()
                     if map_dir and state.rdf_direction == "i18n-datatype":
                         obj = _i18n_literal(v, tag, map_dir)
+                    elif map_dir and \
+                            state.rdf_direction == "compound-literal":
+                        obj = _compound_literal(state, v, tag, map_dir)
                     else:
                         dt = keys.RDF_LANGSTRING if tag else keys.XSD_STRING
                         obj = (LIT, v, dt, tag)
@@ -504,6 +513,11 @@ def _nest_into(nested: dict, subj, graph, ctx: Context, state: _State) -> None:
 
 def _emit(state: _State, graph, s, p, o) -> None:
     state.quads.append((graph, s, p, o))
+    if state.pending:
+        # compound-literal helper triples ride in the parent's graph
+        for s2, p2, o2 in state.pending:
+            state.quads.append((graph, s2, p2, o2))
+        state.pending.clear()
 
 
 def _as_list(v, ctx: Context | None = None) -> list:
@@ -758,6 +772,9 @@ def _to_object(v, term, ctx: Context, state: _State, graph,
             direction = _default_direction(term, ctx)
             if direction and state.rdf_direction == "i18n-datatype":
                 return _i18n_literal(v, lang, direction)
+            if direction and state.rdf_direction == "compound-literal" \
+                    and state is not None:
+                return _compound_literal(state, v, lang, direction)
             if lang:
                 return (LIT, v, keys.RDF_LANGSTRING, lang)
             return (LIT, v, keys.XSD_STRING, None)
@@ -794,6 +811,26 @@ def _i18n_literal(value: str, lang, direction) -> tuple:
     empty), no language tag on the literal itself."""
     return (LIT, value, f"{keys.I18N_NS}{(lang or '').lower()}_{direction}",
             None)
+
+
+def _compound_literal(state: _State, value: str, lang, direction) -> tuple:
+    """Direction-carrying string → reified compound literal ([spec]
+    JLD-API 1.1 §10.6 step 12, rdfDirection="compound-literal"): a fresh
+    bnode with rdf:value / rdf:language (lowercase, when tagged) /
+    rdf:direction, queued on state.pending so _emit lands them in the
+    parent triple's graph."""
+    bn = state.fresh_bnode()
+    state.pending.append(
+        (bn, (IRI, keys.RDF_NS + "value"),
+         (LIT, value, keys.XSD_STRING, None)))
+    if lang:
+        state.pending.append(
+            (bn, (IRI, keys.RDF_NS + "language"),
+             (LIT, lang.lower(), keys.XSD_STRING, None)))
+    state.pending.append(
+        (bn, (IRI, keys.RDF_NS + "direction"),
+         (LIT, direction, keys.XSD_STRING, None)))
+    return bn
 
 
 def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
@@ -851,6 +888,8 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
         raise InvalidLanguageTaggedString(repr(v[lang_key]))
     dir_key = next((k for k, e in kmap.items() if e == keys.DIRECTION), None)
     i18n = state is not None and state.rdf_direction == "i18n-datatype"
+    compound = state is not None \
+        and state.rdf_direction == "compound-literal"
     # explicit value objects take ONLY their own @direction — defaults
     # (term/context) apply to raw strings via value expansion, not here
     direction = v[dir_key] if dir_key is not None else None
@@ -867,11 +906,15 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
             if explicit_type is None:
                 if isinstance(value, str) and i18n and direction:
                     return _i18n_literal(value, None, direction)  # i18n#_dir
+                if isinstance(value, str) and compound and direction:
+                    return _compound_literal(state, value, None, direction)
                 return (LIT, _native_lex(value)[0], _native_lex(value)[1], None) \
                     if not isinstance(value, str) else (LIT, value, keys.XSD_STRING, None)
         elif isinstance(value, str):
             if i18n and direction:
                 return _i18n_literal(value, lang, direction)
+            if compound and direction:
+                return _compound_literal(state, value, lang, direction)
             return (LIT, value, keys.RDF_LANGSTRING, lang.lower())
 
     if explicit_type:
@@ -886,6 +929,8 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
         # default-language context.
         if i18n and direction:
             return _i18n_literal(value, None, direction)
+        if compound and direction:
+            return _compound_literal(state, value, None, direction)
         return (LIT, value, keys.XSD_STRING, None)
 
     lex, dt = _native_lex(value)

@@ -93,8 +93,10 @@ def test_rdf_direction_roundtrip():
     assert node2["http://e/p"][0]["@type"].startswith(
         "https://www.w3.org/ns/i18n#")
     import pytest as _pytest
+    # compound-literal is now the SUPPORTED second mode (see
+    # test_compound_literal.py); only typo'd modes raise
     with _pytest.raises(ValueError):
-        to_rdf(doc, rdf_direction="compound-literal")
+        to_rdf(doc, rdf_direction="compound")
 
 
 def test_nquads_roundtrip():
