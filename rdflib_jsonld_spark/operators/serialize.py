@@ -59,20 +59,24 @@ def serialize_documents(quads: DataFrame, context_data=None,
                         use_native_types: bool = False,
                         use_rdf_type: bool = False,
                         auto_compact: bool = False,
-                        indent: int | None = None) -> DataFrame:
+                        indent: int | None = None,
+                        rdf_direction: str | None = None) -> DataFrame:
     """quads (with lineage cols) → one JSON-LD text per source document.
 
     ``indent`` pretty-prints like the reference serializer's kwarg
     (``[checkout] docs/jsonld-serializer.rst:27`` shows ``indent=4``);
     the default stays the compact sort_keys form (deterministic either
-    way — json.dumps with sort_keys is stable for any indent)."""
+    way — json.dumps with sort_keys is stable for any indent).
+    ``rdf_direction`` passes through to from_rdf (i18n-datatype /
+    compound-literal deserialization)."""
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         conv_id, turn_idx = key
         tuples = quads_pdf_to_tuples(pdf)
         tree = from_rdf(tuples, context_data=context_data,
                         use_native_types=use_native_types,
-                        use_rdf_type=use_rdf_type, auto_compact=auto_compact)
+                        use_rdf_type=use_rdf_type, auto_compact=auto_compact,
+                        rdf_direction=rdf_direction)
         if isinstance(tree, list):
             tree = {"@graph": tree} if len(tree) != 1 else tree[0]
         text = json.dumps(tree, sort_keys=True, ensure_ascii=False,
