@@ -28,6 +28,10 @@ CTX = {
     "Scoped": {"@id": f"{EX}Scoped",
                "@context": {"sp": f"{EX}scoped_p"}},
     "byidx": {"@id": f"{EX}byidx", "@container": "@index"},
+    # sweep-22 surface: @json coercion, @set containers (the aliased/
+    # sibling-validation bug family), typed values, @included
+    "jsonval": {"@id": f"{EX}jsonval", "@type": "@json"},
+    "setp": {"@id": f"{EX}setp", "@container": "@set"},
 }
 
 simple_text = st.text(
@@ -90,6 +94,20 @@ def node_objects(depth: int):
             "ex:dirval": st.fixed_dictionaries(
                 {"@value": simple_text,
                  "@direction": st.sampled_from(["ltr", "rtl"])}),
+            # sweep-22 families
+            "jsonval": st.recursive(
+                scalar | st.none(),
+                lambda c: st.lists(c, max_size=3)
+                | st.dictionaries(simple_text, c, max_size=3),
+                max_leaves=6),
+            "setp": st.fixed_dictionaries(
+                {"@set": st.lists(scalar, max_size=3)}),
+            "ex:typed": st.fixed_dictionaries(
+                {"@value": simple_text,
+                 "@type": st.sampled_from(
+                     ["ex:DT", f"{EX}dt2",
+                      "http://www.w3.org/2001/XMLSchema#token"])}),
+            "@included": st.lists(child, max_size=2),
         })
 
 
@@ -196,3 +214,14 @@ def test_nquads_literal_roundtrip_property(lex, lang):
     q = (None, (IRI, "http://e/s"), (IRI, "http://e/p"),
          (LIT, lex, dt, lang))
     assert parse_line(quad_to_nq(q)) == q
+
+
+@settings(max_examples=150, deadline=None)
+@given(documents)
+def test_expand_tordf_differential(doc):
+    """Dual-engine differential (the r03/r04 sweep method, automated):
+    the direct to_rdf walk and the expansion walk must emit isomorphic
+    quad sets for any generated document — divergences between the two
+    engines were the worst bug class the hand sweeps found."""
+    from rdflib_jsonld_spark.jsonld.expansion import expand
+    assert isomorphic(to_rdf(expand(doc)), to_rdf(doc))
