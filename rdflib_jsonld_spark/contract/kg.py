@@ -704,6 +704,45 @@ def q_kg_sparql_text_subquery(spark, sf_dir) -> DataFrame:
         ORDER BY ?e""")
 
 
+def q_kg_star_annotations(spark, sf_dir) -> DataFrame:
+    """RDF-star statement-level annotation ([spec] RDF-star CG report /
+    SPARQL 1.2 WD; operators/star.py — no reference counterpart): each
+    mention's (m, v:about, e) triple is quoted and annotated with a
+    deterministic certainty (1 + doc_id % 7, doc_id recovered from the
+    mention IRI), entirely JVM-side (concat builds the star.py table
+    spelling; no Python in the construction). The SPARQL-star text
+    front-end then matches ``<< ?m v:about ?e >> v:certainty ?c`` —
+    regexp decomposition of the quoted subject, NOT a stored struct —
+    and aggregates per entity alias. All doc_id arithmetic → exact
+    oracle."""
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    quads = shared_doc_quads(spark, sf_dir)
+    vocab = KG + "vocab#"
+    about = quads.where(F.col("p") == vocab + "about")
+    doc_id = F.regexp_extract(F.col("s"), r"m/doc/([0-9]+)$", 1) \
+        .cast("long")
+    annots = about.select(
+        F.lit(None).cast("string").alias("g"),
+        F.concat(F.lit("<< <"), F.col("s"), F.lit("> <"),
+                 F.lit(vocab + "about"), F.lit("> <"),
+                 F.col("o_value"), F.lit("> >>")).alias("s"),
+        F.lit(False).alias("s_is_bnode"),
+        F.lit(vocab + "certainty").alias("p"),
+        F.lit("literal").alias("o_kind"),
+        (F.lit(1) + doc_id % 7).cast("string").alias("o_value"),
+        F.lit("http://www.w3.org/2001/XMLSchema#integer")
+        .alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.col("conv_id"), F.col("turn_idx"))
+    star = quads.select(*annots.columns).unionByName(annots)
+    return sparql(star, f"""
+        PREFIX v: <{KG}vocab#>
+        SELECT ?e (COUNT(?m) AS ?n_annot) (MIN(?c) AS ?min_c)
+               (MAX(?c) AS ?max_c)
+        WHERE {{ << ?m v:about ?e >> v:certainty ?c }}
+        GROUP BY ?e ORDER BY ?e""")
+
+
 def q_kg_sparql_results_tsv(spark, sf_dir) -> DataFrame:
     """SPARQL results TSV encoding (operators/results.py) over a
     ``keep_types=True`` SELECT: an IRI column, a STRLANG-constructed
@@ -1022,6 +1061,7 @@ QUERIES = {
     "kg_sparql_text_ask": q_kg_sparql_text_ask,
     "kg_sparql_text_describe": q_kg_sparql_text_describe,
     "kg_sparql_results_tsv": q_kg_sparql_results_tsv,
+    "kg_star_annotations": q_kg_star_annotations,
     "kg_sparql_update_rewrite": q_kg_sparql_update_rewrite,
     "kg_framed_mentions": q_kg_framed_mentions,
     "kg_graph_dedup_canonical": q_kg_graph_dedup_canonical,
@@ -1523,6 +1563,17 @@ ORACLES: dict = {
                        n_m, al::BIGINT AS n_reach
                 FROM mc WHERE al >= 1
                 ORDER BY e
+            """,
+    "kg_star_annotations": f"""
+                WITH a AS (
+                  SELECT '{KG}e/' || (doc_id % 500)::varchar || '/a' ||
+                             (doc_id % (1 + (doc_id % 500) % 3))::varchar
+                             AS e,
+                         (1 + doc_id % 7)::varchar AS c
+                  FROM documents)
+                SELECT e, count(*)::BIGINT AS n_annot,
+                       min(c) AS min_c, max(c) AS max_c
+                FROM a GROUP BY e ORDER BY e
             """,
     "kg_bgp_group_aggregates": """
                 WITH m AS (

@@ -76,12 +76,22 @@ def decode_label(label: str) -> str:
                        label[len(LABEL_SENTINEL):])
 
 
+#: RDF-star quoted-triple term kind: ("qt", (s_term, p_term, o_term)).
+#: Legal in subject/object position per RDF-star (W3C CG report /
+#: RDF 1.2 WD "quoted triples") — public spec surface, no reference
+#: counterpart (the checkout long predates RDF-star).
+QT = "qt"
+
+
 def term_to_nq(t: tuple) -> str:
     kind = t[0]
     if kind == IRI:
         return f"<{t[1]}>"
     if kind == BNODE:
         return f"_:{encode_label(t[1])}"
+    if kind == QT:
+        s, p, o = t[1]
+        return f"<< {term_to_nq(s)} {term_to_nq(p)} {term_to_nq(o)} >>"
     _, lex, dt, lang = t
     base = f'"{_escape(lex)}"'
     if lang:
@@ -110,7 +120,7 @@ def serialize(quads) -> str:
 _TERM_RE = re.compile(
     r"""\s*(?:
         <(?P<iri>[^>]*)>
-      | _:(?P<bnode>[^\s<"]+?)(?=\.+(?:\s|$)|\s|$)
+      | _:(?P<bnode>[^\s<">]+?)(?=\.+(?:\s|$)|\s|>|$)
       | "(?P<lit>(?:[^"\\]|\\.)*)"
         (?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[a-zA-Z]+(?:-[a-zA-Z0-9]+)*))?
     )""",
@@ -119,6 +129,20 @@ _TERM_RE = re.compile(
 
 
 def parse_term(text: str, pos: int = 0):
+    # RDF-star quoted triple: '<< term term term >>', recursive
+    ws = pos
+    while ws < len(text) and text[ws].isspace():
+        ws += 1
+    if text.startswith("<<", ws):
+        s, p2 = parse_term(text, ws + 2)
+        p, p2 = parse_term(text, p2)
+        o, p2 = parse_term(text, p2)
+        while p2 < len(text) and text[p2].isspace():
+            p2 += 1
+        if not text.startswith(">>", p2):
+            raise ValueError(f"unterminated quoted triple at {ws}: "
+                             f"{text[ws:ws+40]!r}")
+        return (QT, (s, p, o)), p2 + 2
     m = _TERM_RE.match(text, pos)
     if not m:
         raise ValueError(f"bad N-Quads term at {pos}: {text[pos:pos+40]!r}")

@@ -44,7 +44,7 @@ import re
 
 from . import keys
 from .context import norm_url
-from .nquads import decode_label, encode_label, term_to_nq
+from .nquads import QT, decode_label, encode_label, term_to_nq
 from .tordf import BNODE, IRI, LIT
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -89,7 +89,7 @@ _TOKEN_RE = re.compile(
     | (?P<double>[+-]?(?:[0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+)
     | (?P<decimal>[+-]?[0-9]*\.[0-9]+)
     | (?P<integer>[+-]?[0-9]+)
-    | (?P<punct>\^\^|;|,|\.|\[|\]|\(|\)|\{|\})
+    | (?P<punct><<|>>|\{\||\|\}|\^\^|;|,|\.|\[|\]|\(|\)|\{|\})
     | (?P<pname>(?:[A-Za-z_\u00C0-\uFFFF][-0-9A-Za-z_.\u00B7\u00C0-\uFFFF]*)?:(?:"""
     + _PN_LOCAL
     + r""")?)
@@ -341,6 +341,10 @@ class _Parser:
             subj = self._collection()
             self._predicate_object_list(subj)
             return
+        if tok[0] == "punct" and tok[1] == "<<":
+            subj = self._quoted_triple()
+            self._predicate_object_list(subj)
+            return
         subj = self._iri_or_bnode_term()
         self._predicate_object_list(subj)
 
@@ -356,6 +360,14 @@ class _Parser:
                 obj = self._object()
                 self.quads.append((self.graph, subj, pred, obj))
                 tok = self.toks.peek()
+                if tok[0] == "punct" and tok[1] == "{|":
+                    # Turtle-star annotation: the asserted triple is ALSO
+                    # quoted as the subject of the annotation block
+                    # ([spec] RDF 1.2 Turtle WD, annotation syntax)
+                    self.toks.next()
+                    self._predicate_object_list((QT, (subj, pred, obj)))
+                    self.toks.expect("punct", "|}")
+                    tok = self.toks.peek()
                 if tok[0] == "punct" and tok[1] == ",":
                     self.toks.next()
                     continue
@@ -369,13 +381,46 @@ class _Parser:
                     nxt = self.toks.peek()
                     if not (nxt[0] == "punct" and nxt[1] == ";"):
                         break
-                if nxt[0] == "punct" and nxt[1] in ".]}":
+                if nxt[0] == "punct" and nxt[1] in (".", "]", "}", "|}"):
                     return
                 continue
             return
 
+    def _quoted_triple(self):
+        """'<< qtSubject verb qtObject >>' → ("qt", (s, p, o)) term
+        ([spec] RDF 1.2 Turtle WD / RDF-star CG report; quoted triples
+        nest, collections/property-lists are not qt terms)."""
+        self.toks.expect("punct", "<<")
+        s = self._qt_term(subject=True)
+        tok = self.toks.peek()
+        if tok[0] == "keyword" and tok[1] == "a":
+            self.toks.next()
+            pred = (IRI, RDF_TYPE)
+        else:
+            pred = self._iri_term()
+        o = self._qt_term(subject=False)
+        self.toks.expect("punct", ">>")
+        return (QT, (s, pred, o))
+
+    def _qt_term(self, subject: bool):
+        tok = self.toks.peek()
+        if tok[0] == "punct" and tok[1] == "<<":
+            return self._quoted_triple()
+        if tok[0] == "bnode":
+            self.toks.next()
+            return self._labeled_bnode(tok[1])
+        if tok[0] in ("iriref", "pname"):
+            return self._iri_term()
+        if subject:
+            raise TurtleParseError(
+                f"quoted-triple subject must be IRI/bnode/quoted triple, "
+                f"got {tok[1]!r}", tok[2])
+        return self._literal()
+
     def _object(self):
         tok = self.toks.peek()
+        if tok[0] == "punct" and tok[1] == "<<":
+            return self._quoted_triple()
         if tok[0] == "punct" and tok[1] == "[":
             return self._bnode_property_list()
         if tok[0] == "punct" and tok[1] == "(":
@@ -478,6 +523,11 @@ def _shorten(iri: str, rev: list) -> str | None:
 
 def _term_to_turtle(t: tuple, rev: list) -> str:
     kind = t[0]
+    if kind == QT:
+        s, p, o = t[1]
+        p_txt = "a" if p == (IRI, RDF_TYPE) else _term_to_turtle(p, rev)
+        return (f"<< {_term_to_turtle(s, rev)} {p_txt} "
+                f"{_term_to_turtle(o, rev)} >>")
     if kind == IRI:
         # NOTE: rdf:nil is NOT abbreviated to "()" — the collection form
         # is only grammatical in subject/object position, and a graph

@@ -47,7 +47,14 @@ def collect_predicate_stats(quads: DataFrame) -> dict[str, int]:
 
 
 def _pattern_vars(pat: tuple[str, str, str]) -> set[str]:
-    return {x[1:] for x in pat if _is_var(x)}
+    out = set()
+    for x in pat:
+        if _is_var(x):
+            out.add(x[1:])
+        elif isinstance(x, tuple) and x[0] == "qt":
+            # RDF-star quoted pattern ("qt", s, p, o): inner vars join
+            out |= {y[1:] for y in x[1:] if _is_var(y)}
+    return out
 
 
 def _order_patterns(patterns: list[tuple[str, str, str]],
@@ -154,9 +161,60 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
         else:
             cols[var] = src
 
+    type_proj = []
+
+    def qt_constrain(term: tuple, source: str, slot: str):
+        # RDF-star quoted pattern over the star.py table spelling in
+        # ``source``: decompose ONCE into temp columns, then constants
+        # filter and ?vars bind like any other position. Inner object
+        # vars capture kind/datatype/lang companions from the
+        # decomposition (they may be literals).
+        nonlocal df
+        from .star import quoted_components
+        comps = quoted_components(F.col(source))
+        names = [f"__qt{i}{slot}_{k}"
+                 for k in ("s", "p", "okind", "ovalue", "odt", "olang")]
+        for name, col in zip(names, comps):
+            df = df.withColumn(name, col)
+        qs_c, qp_c, qok_c, qov_c, qod_c, qol_c = names
+        df = df.where(F.col(qs_c).isNotNull())  # flat spelling only
+        for inner, colname in ((term[1], qs_c), (term[2], qp_c)):
+            if _is_var(inner):
+                bind(inner[1:], colname)
+            else:
+                df = df.where(F.col(colname) == inner)
+        io = term[3]
+        if _is_var(io):
+            var = io[1:]
+            bind(var, qov_c)
+            if capture_types and typed is not None and var not in typed:
+                typed.add(var)
+                type_proj.extend([
+                    F.col(qok_c).alias(f"{TYPED_PREFIX}{var}__kind"),
+                    F.col(qod_c).alias(f"{TYPED_PREFIX}{var}__datatype"),
+                    F.col(qol_c).alias(f"{TYPED_PREFIX}{var}__lang")])
+        else:
+            lit = decode_literal(io)
+            if lit is not None:
+                lex, lang, dt = lit
+                df = df.where((F.col(qov_c) == lex)
+                              & (F.col(qok_c) == "literal"))
+                if lang:
+                    df = df.where(F.lower(F.col(qol_c)) == lang.lower())
+                else:
+                    df = df.where(
+                        F.col(qol_c).isNull()
+                        & (F.coalesce(F.col(qod_c), F.lit(_XSD_STRING))
+                           == (dt or _XSD_STRING)))
+            else:
+                df = df.where(F.col(qov_c) == io)
+
     if graph_var is not None:
         bind(graph_var, "g")
-    if _is_var(s):
+    if isinstance(s, tuple) and s[0] == "qt":
+        df = df.where(F.col("s").startswith("<<"))
+        qt_constrain(s, "s", "s")
+    elif _is_var(s):
         bind(s[1:], "s")
     else:
         df = df.where(F.col("s") == s)
@@ -164,7 +222,14 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
         bind(p[1:], "p")
     else:
         df = df.where(F.col("p") == p)
-    type_proj = []
+    if isinstance(o, tuple) and o[0] == "qt":
+        df = df.where(F.col("o_kind") == "triple")
+        qt_constrain(o, "o_value", "o")
+        o = "?__qt_consumed"  # sentinel: fall through neither branch
+        proj = [F.col(src).alias(var) for var, src in cols.items()]
+        if not proj:
+            proj = [F.lit(1).alias(f"_exists_{i}")]
+        return df.select(*proj, *type_proj), set(cols)
     if _is_var(o):
         var = o[1:]
         bind(var, "o_value")

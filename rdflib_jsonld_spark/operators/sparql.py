@@ -454,6 +454,30 @@ class _Parser:
         (rdf:first/rdf:rest chain) — the bracketed forms desugar to a
         fresh anonymous node plus triples appended to ``triples``."""
         t = self.peek()
+        if (t is not None and t.kind == "OP" and t.text == "<"
+                and (n := self.peek(1)) is not None
+                and n.kind == "OP" and n.text == "<"):
+            # RDF-star quoted pattern '<< s p o >>' ([spec] SPARQL-star
+            # CG report / SPARQL 1.2 WD): compiles to a ("qt", s, p, o)
+            # pattern term the BGP layer decomposes against the star.py
+            # table spelling. Inner terms are plain terms or variables
+            # (nested quoted patterns: use the kwargs surface).
+            self.take(), self.take()
+            qs = self.term(self.take())
+            pt = self.peek()
+            if pt is not None and pt.kind == "NAME" and pt.text == "a":
+                self.take()
+                qp = _RDF_NS + "type"
+            else:
+                qp = self.term(self.take())
+            qo = self.term(self.take())
+            for _ in range(2):
+                tk = self.take()
+                if tk.kind != "OP" or tk.text != ">":
+                    raise SparqlError(
+                        f"expected '>>' closing quoted pattern, got "
+                        f"{tk.text!r} at char {tk.pos}")
+            return ("qt", qs, qp, qo)
         if t is not None and t.kind == "OP" and t.text == "[":
             self.take()
             node = self._fresh_anon()

@@ -65,10 +65,13 @@ def _encode_label_col(c):
 
 
 def _node_col(c):
-    """IRI-or-bnode column → N-Quads spelling (bnodes carry '_:')."""
-    return F.when(c.startswith("_:"),
-                  F.concat(F.lit("_:"),
-                           _encode_label_col(F.substring(c, 3, 1 << 30)))) \
+    """IRI-or-bnode column → N-Quads spelling (bnodes carry '_:');
+    RDF-star quoted spellings ('<< … >>', star.py table encoding) pass
+    through verbatim — they are already grammar-shaped."""
+    return F.when(c.startswith("<<"), c) \
+        .when(c.startswith("_:"),
+              F.concat(F.lit("_:"),
+                       _encode_label_col(F.substring(c, 3, 1 << 30)))) \
         .otherwise(F.concat(F.lit("<"), c, F.lit(">")))
 
 
@@ -78,7 +81,8 @@ def nquads_lines(quads: DataFrame) -> DataFrame:
     lit_body = F.concat(F.lit('"'), _escape_col(F.col("o_value")),
                         F.lit('"'))
     obj = (
-        F.when(F.col("o_kind") == "literal",
+        F.when(F.col("o_kind") == "triple", F.col("o_value"))
+        .when(F.col("o_kind") == "literal",
                F.when(F.col("o_lang").isNotNull(),
                       F.concat(lit_body, F.lit("@"), F.col("o_lang")))
                .when(F.col("o_datatype").isNotNull()
@@ -155,7 +159,45 @@ def parse_nquads_lines(lines: DataFrame,
     known-dirty foreign corpora.
     """
     import re as _re
-    from rdflib_jsonld_spark.jsonld.nquads import _unescape, decode_label
+    from rdflib_jsonld_spark.jsonld.nquads import (_unescape, decode_label,
+                                                   parse_line)
+    from rdflib_jsonld_spark.operators.star import term_to_star
+
+    def _star_rows(values) -> list[tuple]:
+        # RDF-star slow path: lines containing '<<' go through the pure
+        # recursive parser; quoted terms land in their canonical table
+        # spelling (star.py), plain terms exactly as the fast path spells
+        # them. Raises on malformed lines like the pure parser; in
+        # permissive mode they are skipped.
+        rows = []
+        for ln in values:
+            try:
+                q = parse_line(ln)
+            except ValueError:
+                if strict:
+                    raise
+                continue
+            if q is None:
+                continue
+            g, s, pp, o = q
+
+            def node(t):
+                if t[0] == "qt":
+                    return term_to_star(t)
+                return ("_:" + t[1]) if t[0] == "bnode" else t[1]
+
+            g_str = node(g) if g is not None else None
+            if o[0] == "lit":
+                rows.append((g_str, node(s), s[0] == "bnode", node(pp),
+                             "literal", o[1], o[2], o[3]))
+            elif o[0] == "qt":
+                rows.append((g_str, node(s), False, node(pp),
+                             "triple", term_to_star(o), None, None))
+            else:
+                rows.append((g_str, node(s), s[0] == "bnode", node(pp),
+                             "bnode" if o[0] == "bnode" else "iri",
+                             node(o), None, None))
+        return rows
 
     unesc_mark = _re.compile(r"\\")
     dec_mark = _re.compile(r"^_e")  # only sink-encoded labels decode
@@ -184,6 +226,16 @@ def parse_nquads_lines(lines: DataFrame,
         cols = [f.name for f in NQ_READ_SCHEMA.fields]
         for pdf in batches:
             v = pdf["value"]
+            star = v.str.contains("<<", regex=False)
+            star_out = None
+            if star.any():
+                star_out = pd.DataFrame(
+                    _star_rows(v[star]), columns=cols)
+                v = v[~star]
+                if v.empty:
+                    if len(star_out):
+                        yield star_out
+                    continue
             ext = v.str.extract(_LINE_RE)
             ok = ext["s_iri"].notna() | ext["s_bn"].notna()
             if strict and not ok.all():
@@ -229,6 +281,8 @@ def parse_nquads_lines(lines: DataFrame,
                 "o_datatype": o_dt.where(o_dt.notna(), None),
                 "o_lang": o_lang.where(o_lang.notna(), None),
             }, columns=cols)
+            if star_out is not None and len(star_out):
+                out = pd.concat([out, star_out], ignore_index=True)
             yield out
 
     return lines.mapInPandas(parse, schema=NQ_READ_SCHEMA)

@@ -49,6 +49,10 @@ _TEXT_SCHEMA = T.StructType([T.StructField("value", T.StringType(), False)])
 
 
 def _term_str(t: tuple) -> str:
+    if t[0] == "qt":
+        # RDF-star quoted term → canonical table spelling (star.py)
+        from rdflib_jsonld_spark.operators.star import term_to_star
+        return term_to_star(t)
     return ("_:" + t[1]) if t[0] == BNODE else t[1]
 
 
@@ -59,6 +63,9 @@ def _quad_rows(quads: list, src: str) -> list[tuple]:
         if o[0] == LIT:
             rows.append((g_str, _term_str(s), s[0] == BNODE, _term_str(p),
                          "literal", o[1], o[2], o[3], src))
+        elif o[0] == "qt":
+            rows.append((g_str, _term_str(s), s[0] == BNODE, _term_str(p),
+                         "triple", _term_str(o), None, None, src))
         else:
             rows.append((g_str, _term_str(s), s[0] == BNODE, _term_str(p),
                          "bnode" if o[0] == BNODE else "iri",
