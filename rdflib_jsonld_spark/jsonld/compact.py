@@ -377,7 +377,12 @@ def _compact_id(ctx: Context, iri: str) -> str:
     _, prefixes = ctx._reverse_index()
     for pid, pname in prefixes:
         if iri.startswith(pid) and len(iri) > len(pid):
-            return f"{pname}:{iri[len(pid):]}"
+            suffix = iri[len(pid):]
+            if suffix.startswith("//"):
+                # 'p://x' re-expands verbatim as an IRI, not a CURIE
+                # ([spec] §5.2 step 6.2; sweep 22) — try a shorter prefix
+                continue
+            return f"{pname}:{suffix}"
     return iri
 
 

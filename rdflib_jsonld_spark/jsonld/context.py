@@ -747,12 +747,31 @@ class Context:
         if self.vocab and iri.startswith(self.vocab) \
                 and len(iri) > len(self.vocab):
             sym = iri[len(self.vocab):]
-            candidates.append((len(sym), 0, sym))
+            # A candidate is usable only if it re-expands to iri
+            # ([spec] §6.3 IRI Compaction step 19): a colon sends the
+            # string down the CURIE/absolute-IRI path, '@...' reads as
+            # a keyword, and a term definition for the suffix shadows
+            # the vocab mapping (sweep 22 — all graph-changing).
+            t = self.terms.get(sym)
+            if ":" not in sym and not sym.startswith("@") \
+                    and (t is None or t.id == iri):
+                candidates.append((len(sym), 0, sym))
         for pid, pname in prefixes:
             if iri.startswith(pid) and len(iri) > len(pid):
-                sym = f"{pname}:{iri[len(pid):]}"
+                suffix = iri[len(pid):]
+                if suffix.startswith("//"):
+                    # re-expansion returns 'p://x' verbatim as an IRI
+                    # ([spec] §5.2 step 6.2)
+                    continue
+                sym = f"{pname}:{suffix}"
+                t = self.terms.get(sym)
+                if t is not None and t.id != iri:
+                    # a term definition for the full CURIE spelling
+                    # shadows prefix resolution ([spec] §6.3 step 20.3);
+                    # a shorter prefix may still yield a usable CURIE,
+                    # so keep scanning instead of breaking
+                    continue
                 candidates.append((len(sym), 1, sym))
-                break  # prefixes sorted longest-first: best CURIE found
         if candidates:
             return min(candidates)[2]
         return iri
