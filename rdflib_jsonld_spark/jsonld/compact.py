@@ -202,7 +202,12 @@ def _compact_property_values(ctx: Context, term, values: list,
             return inner[0] if len(inner) == 1 and compact_arrays \
                 else inner
 
-        if keys.ID in container:
+        # Map keys carry exactly ONE component; an entry with extra
+        # structure (@index on a [@graph,@id] entry, @id — the graph
+        # NAME — on a [@graph,@index] entry) cannot re-expand from the
+        # map and falls through to the explicit wrapper (sweep 22b).
+        if keys.ID in container and all(
+                set(v) <= {keys.GRAPH, keys.ID} for v in values):
             gmap: dict = {}
             for v in values:
                 k = _compact_id(ctx, v[keys.ID]) if keys.ID in v \
@@ -210,7 +215,8 @@ def _compact_property_values(ctx: Context, term, values: list,
                 gmap.setdefault(k, []).append(g_content(v))
             return {k: vs[0] if len(vs) == 1 else vs
                     for k, vs in gmap.items()}
-        if keys.INDEX in container:
+        if keys.INDEX in container and keys.ID not in container and all(
+                set(v) <= {keys.GRAPH, keys.INDEX} for v in values):
             gmap = {}
             for v in values:
                 gmap.setdefault(v.get(keys.INDEX, keys.NONE), []) \

@@ -75,6 +75,23 @@ def test_compact_roundtrips_graph(name, doc, cctx):
     assert expand(compacted) == expand(doc), json.dumps(compacted)
 
 
+@pytest.mark.parametrize("container", [["@graph", "@id"],
+                                       ["@graph", "@index"], ["@graph"]])
+@pytest.mark.parametrize("extra", [{}, {"@id": "http://g"},
+                                   {"@index": "i"},
+                                   {"@id": "http://g", "@index": "i"}])
+def test_graph_map_entries_never_drop_structure(container, extra):
+    """Sweep 22b: a [@graph,@id] map entry carrying @index silently lost
+    it, and a [@graph,@index] entry carrying @id lost the graph NAME
+    (RDF-level change). Entries with extra structure now fall through
+    to the explicit graph-object wrapper."""
+    doc = {"http://v/p": {"@graph": [{"http://v/q": "v"}], **extra}}
+    cctx = {"@vocab": "http://v/",
+            "p": {"@id": "http://v/p", "@container": container}}
+    compacted = compact(doc, cctx)
+    assert expand(compacted) == expand(doc), json.dumps(compacted)
+
+
 def test_rejected_candidates_fall_back_correctly():
     # colliding vocab suffix → the CURIE (if any) or absolute IRI wins
     c = compact({"http://v/name": "x"},

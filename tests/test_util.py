@@ -77,8 +77,9 @@ def test_scoped_propagate_from_registry_context():
 def test_from_rdf_rejects_bad_rdf_direction():
     from rdflib_jsonld_spark.jsonld.fromrdf import from_rdf
     import pytest as _pytest
-    with _pytest.raises(ValueError):
-        from_rdf([], rdf_direction="compound-literal")
+    # both spec modes are supported (compound-literal landed r04)
+    assert from_rdf([], rdf_direction="i18n-datatype") == []
+    assert from_rdf([], rdf_direction="compound-literal") == []
     with _pytest.raises(ValueError):
         from_rdf([], rdf_direction="i18n_datatype")  # typo'd
 
