@@ -652,7 +652,10 @@ class _Parser:
             self.take()
             return ("exists", self.parse_group(), True)
         del neg
-        return ("filter", self._compile_expr(self._parse_expr()))
+        # The FILTER constraint itself is evaluated through EBV
+        # ([spec] §17.2.2) — FILTER(?x) on a bare non-boolean term is
+        # a type error (row dropped), not an AnalysisException.
+        return ("filter", self._ebv(self._parse_expr()))
 
     def _parse_values(self):
         multi = self._is_op("(")
@@ -718,15 +721,62 @@ class _Parser:
         node = self._expr_and()
         while self._is_op("||"):
             self.take()
-            node = ("bool", f"({node[1]} OR {self._expr_and()[1]})")
+            node = ("bool", f"({self._ebv(node)} OR "
+                    f"{self._ebv(self._expr_and())})")
         return node
 
     def _expr_and(self):
         node = self._expr_rel()
         while self._is_op("&&"):
             self.take()
-            node = ("bool", f"({node[1]} AND {self._expr_rel()[1]})")
+            node = ("bool", f"({self._ebv(node)} AND "
+                    f"{self._ebv(self._expr_rel())})")
         return node
+
+    def _ebv(self, node) -> str:
+        """Effective boolean value ([spec] §17.2.2). Booleans pass
+        through; numerics are false at 0/NaN (invalid numeric/boolean
+        lexicals are false); string-ish literals are false when empty;
+        IRIs, bnodes, unbound, and other typed literals are a type
+        error — NULL, which SQL three-valued logic then propagates
+        exactly like SPARQL's error semantics (sweep 23: a bare
+        non-boolean in FILTER previously raised an AnalysisException)."""
+        tag, sql = node[0], node[1]
+        if tag == "bool":
+            return sql
+        if tag == "num":
+            return (f"(({sql}) <> 0 AND NOT "
+                    f"isnan(CAST(({sql}) AS DOUBLE)))")
+        if tag == "str":
+            return f"(length({sql}) > 0)"
+        xsb = _sql_str(XSD + "boolean")
+        xs = _sql_str(XSD + "string")
+        num_ebv = (f"coalesce(try_cast({sql} AS DOUBLE) <> 0 AND NOT "
+                   f"isnan(try_cast({sql} AS DOUBLE)), false)")
+        if tag in ("lit", "termx"):
+            lang, dt = node[2], node[3]
+            if dt == XSD + "boolean":
+                return f"({sql} IN ('true', '1'))"
+            if dt in _NUMERIC_DATATYPES:
+                return num_ebv
+            if dt is None or dt == XSD + "string" or lang:
+                return f"(length({sql}) > 0)"
+            return "CAST(NULL AS BOOLEAN)"
+        if tag == "iri":
+            return "CAST(NULL AS BOOLEAN)"
+        v = _uncol(sql)
+        if v is None:
+            return f"(length({sql}) > 0)"
+        kind, dt = self._typ(v, "kind"), self._typ(v, "datatype")
+        lang = self._typ(v, "lang")
+        dts = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
+        return (f"(CASE WHEN {sql} IS NULL OR {kind} <> 'literal' "
+                f"THEN CAST(NULL AS BOOLEAN) "
+                f"WHEN {dt} = {xsb} THEN {sql} IN ('true', '1') "
+                f"WHEN {dt} IN ({dts}) THEN {num_ebv} "
+                f"WHEN {lang} IS NOT NULL OR coalesce({dt}, {xs}) = {xs} "
+                f"THEN length({sql}) > 0 "
+                f"ELSE CAST(NULL AS BOOLEAN) END)")
 
     _REL_OPS = {"=": "=", "!=": "<>", "<": "<", "<=": "<=",
                 ">": ">", ">=": ">="}
@@ -897,7 +947,7 @@ class _Parser:
     def _expr_unary(self):
         if self._is_op("!"):
             self.take()
-            return ("bool", f"(NOT {self._expr_unary()[1]})")
+            return ("bool", f"(NOT {self._ebv(self._expr_unary())})")
         if self._is_op("-"):
             self.take()
             return ("num", f"(- {_as_num(self._expr_unary())})")
@@ -1096,7 +1146,11 @@ class _Parser:
             return ("any", f"coalesce({', '.join(x[1] for x in args)})")
         if up == "IF":
             need(3)
-            return ("any", f"if({a(0)}, {a(1)}, {a(2)})")
+            # [spec] §17.4.1.2: the condition is interpreted through
+            # EBV; an EBV type error errors the whole IF (NULL).
+            cond = self._ebv(args[0])
+            return ("any", f"if({cond} IS NULL, NULL, "
+                    f"if({cond}, {a(1)}, {a(2)}))")
         if up == "LANGMATCHES":
             need(2)
             rng = a(1)
