@@ -252,6 +252,30 @@ _NUMERIC_DATATYPES = tuple(
         "unsignedInt", "unsignedShort", "unsignedByte"))
 
 
+class SqlTag:
+    """A lang (or datatype) slot of a ``lit``/``termx`` expression node
+    holding a SQL EXPRESSION rather than a compile-time constant —
+    produced by string functions that propagate their first argument's
+    language tag ([spec] §17.4.3, sweep 24). Consumers (companion
+    binds, term-aware ``=``, LANG/DATATYPE) render it in SQL instead
+    of folding at compile time."""
+
+    __slots__ = ("sql",)
+
+    def __init__(self, sql: str):
+        self.sql = sql
+
+
+def _tag_sql(tag) -> str:
+    """Render a lang/datatype slot (None | constant str | SqlTag) as a
+    SQL expression."""
+    if tag is None:
+        return "CAST(NULL AS STRING)"
+    if isinstance(tag, SqlTag):
+        return tag.sql
+    return _sql_str(tag)
+
+
 class _Parser:
     def __init__(self, query: str):
         self.q = query
@@ -835,7 +859,16 @@ class _Parser:
             _, vsql, lang, dt = n
             parts = [f"({_qcol(var)} = {vsql})",
                      f"({self._typ(var, 'kind')} = 'literal')"]
-            if lang:
+            if isinstance(lang, SqlTag):
+                # runtime tag (string-fn propagation): langs must agree
+                # null-safely, and an untagged result only equals a
+                # plain/xsd:string literal
+                parts.append(f"({self._typ(var, 'lang')} <=> {lang.sql})")
+                parts.append(
+                    f"({lang.sql} IS NOT NULL OR "
+                    f"coalesce({self._typ(var, 'datatype')}, {xsd_str})"
+                    f" = {_sql_str(dt) if dt else xsd_str})")
+            elif lang:
                 parts.append(f"({self._typ(var, 'lang')} = '{lang}')")
             else:
                 parts.append(f"({self._typ(var, 'lang')} IS NULL)")
@@ -869,6 +902,13 @@ class _Parser:
             # time, lexicals compare in SQL (NULL → type error → NULL)
             if "iri" in (a[0], b[0]):
                 return "false"
+            if isinstance(a[2], SqlTag) or isinstance(b[2], SqlTag):
+                # runtime tag on either side: compare langs in SQL;
+                # datatypes (always compile-time constants) must match
+                if (a[3] or XSD + "string") != (b[3] or XSD + "string"):
+                    return "false"
+                return (f"({a[1]} = {b[1]} AND "
+                        f"{_tag_sql(a[2])} <=> {_tag_sql(b[2])})")
             tags_eq = ((a[2] or None) == (b[2] or None)
                        and (a[3] or XSD + "string")
                        == (b[3] or XSD + "string"))
@@ -906,7 +946,7 @@ class _Parser:
             return [
                 (pre + "kind", g.format("'literal'")),
                 (pre + "lang",
-                 g.format(_sql_str(node[2])) if node[2] else null),
+                 g.format(_tag_sql(node[2])) if node[2] else null),
                 (pre + "datatype",
                  g.format(_sql_str(node[3])) if node[3]
                  and node[3] != XSD + "string" else null),
@@ -1042,6 +1082,89 @@ class _Parser:
             raise SparqlError(f"unsupported regex flags {fl!r}")
         return fl
 
+    def _arg_lang(self, node):
+        """Language tag of a string-function argument: a constant str,
+        None (simple / xsd:string / non-literal), or SqlTag (runtime
+        expression — variables and propagated string-fn results)."""
+        if node[0] in ("lit", "termx"):
+            return node[2] or None
+        if node[0] == "any":
+            v = _uncol(node[1])
+            if v is not None:
+                return SqlTag(self._typ(v, "lang"))
+        return None
+
+    def _compat_guard(self, n1, n2) -> str | None:
+        """[spec] §17.4.3.1.1 argument compatibility for the binary
+        string functions: arg2 must be simple/xsd:string or carry the
+        SAME language tag as arg1. Returns None when statically
+        compatible, "false" when statically incompatible, else a SQL
+        boolean guard (non-true → type error → NULL result)."""
+        l1, l2 = self._arg_lang(n1), self._arg_lang(n2)
+        if l2 is None:
+            return None
+        if isinstance(l1, str) and isinstance(l2, str):
+            return None if l1 == l2 else "false"
+        if l1 is None and isinstance(l2, str):
+            return "false"
+        # at least one runtime tag: NULL l1 with non-NULL l2 yields
+        # NULL (= not true), exactly the type-error path
+        return f"({_tag_sql(l2)} IS NULL OR {_tag_sql(l1)} = {_tag_sql(l2)})"
+
+    def _str_result(self, sql: str, arg0, guard: str | None = None):
+        """Build a string-function result node that propagates arg0's
+        language tag ([spec] §17.4.3: UCASE/LCASE/SUBSTR/REPLACE/
+        STRBEFORE/STRAFTER/CONCAT return a literal with the derived
+        tag), optionally wrapped in an argument-compatibility guard."""
+        if guard == "false":
+            return ("str", "CAST(NULL AS STRING)")
+        if guard:
+            sql = f"(CASE WHEN {guard} THEN {sql} END)"
+        lang = self._arg_lang(arg0) if arg0 is not None else None
+        if lang is None:
+            return ("str", sql)
+        return ("termx", sql, lang, None)
+
+    def _type_fn_const(self, up: str, node):
+        """LANG/DATATYPE/is* over a term-shaped EXPRESSION node
+        (string-fn results, literal/IRI constants — sweep 24;
+        previously only variables were accepted). Returns None for
+        shapes still unsupported (bare numeric/boolean SQL)."""
+        tag, lex = node[0], node[1]
+        langstr = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+        def g(expr: str) -> str:
+            # a NULL value is a propagated type error → stays NULL
+            return f"if(({lex}) IS NOT NULL, {expr}, NULL)"
+
+        if tag == "iri":
+            if up in ("ISIRI", "ISURI"):
+                return ("bool", g("true"))
+            if up in ("ISLITERAL", "ISBLANK", "ISNUMERIC"):
+                return ("bool", g("false"))
+            return (("str", "CAST(NULL AS STRING)"))   # LANG/DATATYPE
+        if tag not in ("lit", "termx", "str"):
+            return None
+        lang = node[2] if tag in ("lit", "termx") else None
+        dt = node[3] if tag in ("lit", "termx") else None
+        if up == "LANG":
+            if isinstance(lang, SqlTag):
+                return ("str", g(f"coalesce({lang.sql}, '')"))
+            return ("str", g(_sql_str(lang or "")))
+        if up == "DATATYPE":
+            plain_dt = _sql_str(dt or XSD + "string")
+            if isinstance(lang, SqlTag):
+                return ("str", g(f"if({lang.sql} IS NOT NULL, "
+                                 f"{_sql_str(langstr)}, {plain_dt})"))
+            return ("str", g(_sql_str(langstr) if lang else
+                             dt and _sql_str(dt) or plain_dt))
+        if up == "ISLITERAL":
+            return ("bool", g("true"))
+        if up == "ISNUMERIC":
+            return ("bool", g("true" if dt in _NUMERIC_DATATYPES
+                              else "false"))
+        return ("bool", g("false"))    # ISIRI/ISURI/ISBLANK
+
     def _compile_call(self, up: str, args: list[tuple]):
         def a(i: int) -> str:
             return args[i][1]
@@ -1054,9 +1177,13 @@ class _Parser:
         if up in _TYPE_FNS:
             self.needs_types = True
             need(1)
-            var = _uncol(a(0))
+            var = _uncol(a(0)) if args[0][0] == "any" else None
             if var is None:
-                raise SparqlError(f"{up} needs a variable argument")
+                node = self._type_fn_const(up, args[0])
+                if node is not None:
+                    return node
+                raise SparqlError(f"{up} needs a variable or term "
+                                  f"argument")
             kind = _qcol(f"{TYPED_PREFIX}{var}__kind")
             if up == "LANG":
                 # [spec] §17.4.4.4: LANG is defined on LITERALS only —
@@ -1097,30 +1224,62 @@ class _Parser:
             return ("num", f"length({a(0)})")
         if up == "UCASE":
             need(1)
-            return ("str", f"upper({a(0)})")
+            return self._str_result(f"upper({a(0)})", args[0])
         if up == "LCASE":
             need(1)
-            return ("str", f"lower({a(0)})")
+            return self._str_result(f"lower({a(0)})", args[0])
         if up in ("CONTAINS", "STRSTARTS", "STRENDS"):
             need(2)
             fn = {"CONTAINS": "contains", "STRSTARTS": "startswith",
                   "STRENDS": "endswith"}[up]
-            return ("bool", f"{fn}({a(0)}, {a(1)})")
-        if up == "STRBEFORE":
+            res = f"{fn}({a(0)}, {a(1)})"
+            g = self._compat_guard(args[0], args[1])
+            if g == "false":
+                return ("bool", "CAST(NULL AS BOOLEAN)")
+            if g:
+                res = f"(CASE WHEN {g} THEN {res} END)"
+            return ("bool", res)
+        if up in ("STRBEFORE", "STRAFTER"):
             need(2)
-            return ("str", f"if(instr({a(0)}, {a(1)}) = 0, '', "
-                    f"substring({a(0)}, 1, instr({a(0)}, {a(1)}) - 1))")
-        if up == "STRAFTER":
-            need(2)
-            return ("str", f"if(instr({a(0)}, {a(1)}) = 0, '', "
-                    f"substring({a(0)}, instr({a(0)}, {a(1)}) "
-                    f"+ length({a(1)})))")
+            if up == "STRBEFORE":
+                sql = (f"if(instr({a(0)}, {a(1)}) = 0, '', "
+                       f"substring({a(0)}, 1, instr({a(0)}, {a(1)}) - 1))")
+            else:
+                sql = (f"if(instr({a(0)}, {a(1)}) = 0, '', "
+                       f"substring({a(0)}, instr({a(0)}, {a(1)}) "
+                       f"+ length({a(1)})))")
+            # [spec] §17.4.3.12-13: the tag carries over only when a
+            # match exists (no-match → empty SIMPLE literal)
+            node = self._str_result(sql, args[0],
+                                    self._compat_guard(args[0], args[1]))
+            if node[0] == "termx" and node[2]:
+                node = ("termx", node[1],
+                        SqlTag(f"if(instr({a(0)}, {a(1)}) > 0, "
+                               f"{_tag_sql(node[2])}, NULL)"), None)
+            return node
         if up == "SUBSTR":
             need(2, 3)
             inner = ", ".join([a(0)] + [_as_num(x) for x in args[1:]])
-            return ("str", f"substring({inner})")
+            return self._str_result(f"substring({inner})", args[0])
         if up == "CONCAT":
-            return ("str", f"concat({', '.join(a(i) for i in range(len(args)))})")
+            # [spec] §17.4.3.12: the tag survives only when ALL
+            # arguments carry the SAME tag
+            if not args:
+                return ("str", "''")
+            sql = f"concat({', '.join(a(i) for i in range(len(args)))})"
+            langs = [self._arg_lang(x) for x in args]
+            if all(isinstance(lg, str) for lg in langs) \
+                    and len(set(langs)) == 1:
+                return ("termx", sql, langs[0], None)
+            if all(lg is None for lg in langs):
+                return ("str", sql)
+            if any(lg is None for lg in langs):
+                return ("str", sql)     # an untagged arg kills the tag
+            e0 = _tag_sql(langs[0])
+            same = " AND ".join(f"({e0} <=> {_tag_sql(lg)})"
+                                for lg in langs[1:])
+            cond = f"{e0} IS NOT NULL" + (f" AND {same}" if same else "")
+            return ("termx", sql, SqlTag(f"if({cond}, {e0}, NULL)"), None)
         if up == "REPLACE":
             need(3, 4)
             pat = a(1)
@@ -1128,7 +1287,8 @@ class _Parser:
                 fl = self._regex_flags(args[3])
                 if fl:
                     pat = f"concat('(?{fl})', {pat})"
-            return ("str", f"regexp_replace({a(0)}, {pat}, {a(2)})")
+            return self._str_result(
+                f"regexp_replace({a(0)}, {pat}, {a(2)})", args[0])
         if up == "REGEX":
             need(2, 3)
             pat = a(1)
@@ -1210,6 +1370,11 @@ class _Parser:
                          f"coalesce({self._typ(v, 'datatype')}, {xs})"
                          f" = {xs})")
                 lex_sql = f"if({guard}, {lex[1]}, NULL)"
+            elif lex[0] in ("lit", "termx") and isinstance(lex[2], SqlTag):
+                # runtime-tagged string-fn result: simple only when the
+                # propagated tag is NULL for this row
+                lex_sql = (f"if({lex[2].sql} IS NULL, {lex[1]}, "
+                           f"CAST(NULL AS STRING))")
             elif lex[0] in ("lit", "termx") and (
                     lex[2] or (lex[3] and lex[3] != XSD + "string")):
                 lex_sql = "CAST(NULL AS STRING)"
