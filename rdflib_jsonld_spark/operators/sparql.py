@@ -816,6 +816,10 @@ class _Parser:
                 if eq is not None:
                     return ("bool",
                             f"(NOT {eq})" if op == "<>" else eq)
+            node, rhs = _numeric_const(node), _numeric_const(rhs)
+            ord_sql = self._term_ord_sql(node, rhs, op)
+            if ord_sql is not None:
+                return ("bool", ord_sql)
             lt, ls = node[0], node[1]
             rt, rs = rhs[0], rhs[1]
             if lt == "num" and rt != "num":
@@ -833,6 +837,95 @@ class _Parser:
             self.take()
             return ("bool", f"({node[1]} NOT IN {self._expr_list()})")
         return node
+
+    def _term_ord_sql(self, a, b, op: str) -> str | None:
+        """Value-based ``<``/``<=``/``>``/``>=`` ([spec] §17.3 operator
+        mapping, sweep 25): runtime type dispatch for variable
+        operands. Numerics compare by VALUE (lexical "7" < "30" was
+        comparing as strings), dateTimes as timestamps, booleans as
+        false<true, simple/xsd:string by codepoint; every pairing
+        OUTSIDE the operator mapping (lang-tagged strings, mixed
+        types, non-literals) is a type error → NULL."""
+        if op in ("=", "<>"):
+            return None
+
+        def var_of(n):
+            return _uncol(n[1]) if n[0] == "any" else None
+
+        xs = _sql_str(XSD + "string")
+        nums = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
+        dtt = _sql_str(XSD + "dateTime")
+        xsb = _sql_str(XSD + "boolean")
+        av, bv = var_of(a), var_of(b)
+
+        def comp(var: str):
+            k = self._typ(var, "kind")
+            lg = self._typ(var, "lang")
+            d = f"coalesce({self._typ(var, 'datatype')}, {xs})"
+            return k, lg, d
+
+        if av and bv:
+            ka, la, da = comp(av)
+            kb, lb, db = comp(bv)
+            x, y = _qcol(av), _qcol(bv)
+            return (
+                f"(CASE WHEN {ka} <> 'literal' OR {kb} <> 'literal' "
+                f"OR {la} IS NOT NULL OR {lb} IS NOT NULL "
+                f"THEN CAST(NULL AS BOOLEAN) "
+                f"WHEN {da} IN ({nums}) AND {db} IN ({nums}) "
+                f"THEN try_cast({x} AS DOUBLE) {op} "
+                f"try_cast({y} AS DOUBLE) "
+                f"WHEN {da} = {dtt} AND {db} = {dtt} "
+                f"THEN try_cast({x} AS TIMESTAMP) {op} "
+                f"try_cast({y} AS TIMESTAMP) "
+                f"WHEN {da} = {xsb} AND {db} = {xsb} "
+                f"THEN ({x} IN ('true', '1')) {op} ({y} IN ('true', '1')) "
+                f"WHEN {da} = {xs} AND {db} = {xs} THEN {x} {op} {y} "
+                f"ELSE CAST(NULL AS BOOLEAN) END)")
+
+        other = b if av else (a if bv else None)
+        if other is not None and other[0] == "num":
+            # variable vs numeric expression: an IRI/bnode or a
+            # lang-tagged/non-numeric-typed literal is a type error.
+            # An UNKNOWN datatype (computed BIND columns, simple
+            # literals) keeps the pre-sweep-25 try_cast behavior —
+            # documented pragmatic narrowing, an uncastable lexical
+            # still errors via try_cast NULL.
+            var = av or bv
+            k, lg, _ = comp(var)
+            draw = self._typ(var, "datatype")
+            vn = f"try_cast({_qcol(var)} AS DOUBLE)"
+            ls, rs = (vn, other[1]) if av else (other[1], vn)
+            return (f"(CASE WHEN {k} = 'literal' AND {lg} IS NULL "
+                    f"AND ({draw} IS NULL OR {draw} IN ({nums})) "
+                    f"THEN {ls} {op} {rs} "
+                    f"ELSE CAST(NULL AS BOOLEAN) END)")
+        lit = other
+        if lit is None or lit[0] != "lit":
+            return None
+        var = av or bv
+        vs = _qcol(var)
+        ls, rs = (vs, lit[1]) if av else (lit[1], vs)
+        k, lg, d = comp(var)
+        _, lex, lang, dt = lit
+        if lang:
+            # ordering is not defined on language-tagged strings
+            return "CAST(NULL AS BOOLEAN)"
+        if dt is None or dt == XSD + "string":
+            return (f"(CASE WHEN {k} = 'literal' AND {lg} IS NULL "
+                    f"AND {d} = {xs} THEN {ls} {op} {rs} "
+                    f"ELSE CAST(NULL AS BOOLEAN) END)")
+        if dt == XSD + "dateTime":
+            return (f"(CASE WHEN {k} = 'literal' AND {d} = {dtt} "
+                    f"THEN try_cast({ls} AS TIMESTAMP) {op} "
+                    f"try_cast({rs} AS TIMESTAMP) "
+                    f"ELSE CAST(NULL AS BOOLEAN) END)")
+        if dt == XSD + "boolean":
+            return (f"(CASE WHEN {k} = 'literal' AND {d} = {xsb} "
+                    f"THEN ({ls} IN ('true', '1')) {op} "
+                    f"({rs} IN ('true', '1')) "
+                    f"ELSE CAST(NULL AS BOOLEAN) END)")
+        return None
 
     def _typ(self, var: str, which: str) -> str:
         """SQL for a variable's kind/datatype/lang companion column
@@ -857,6 +950,18 @@ class _Parser:
 
         def lit_guard(var: str, n) -> str:
             _, vsql, lang, dt = n
+            if not lang and dt in _NUMERIC_DATATYPES:
+                # [spec] §17.3/§17.4.1.7 (sweep 25): numeric literals
+                # compare by VALUE across the numeric tree; a numeric
+                # vs a NON-numeric literal is a type error (NULL), vs
+                # a non-literal false
+                nums = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
+                return (f"(CASE WHEN {self._typ(var, 'kind')} <> "
+                        f"'literal' THEN false "
+                        f"WHEN {self._typ(var, 'datatype')} IN ({nums}) "
+                        f"THEN try_cast({_qcol(var)} AS DOUBLE) = "
+                        f"try_cast({vsql} AS DOUBLE) "
+                        f"ELSE CAST(NULL AS BOOLEAN) END)")
             parts = [f"({_qcol(var)} = {vsql})",
                      f"({self._typ(var, 'kind')} = 'literal')"]
             if isinstance(lang, SqlTag):
@@ -892,9 +997,21 @@ class _Parser:
             ka, kb = self._typ(av, "kind"), self._typ(bv, "kind")
             la, lb = self._typ(av, "lang"), self._typ(bv, "lang")
             da, db = self._typ(av, "datatype"), self._typ(bv, "datatype")
-            return (f"({_qcol(av)} = {_qcol(bv)} AND {ka} <=> {kb} AND "
-                    f"{la} <=> {lb} AND coalesce({da}, {xsd_str}) <=> "
-                    f"coalesce({db}, {xsd_str}))")
+            term_eq = (f"({_qcol(av)} = {_qcol(bv)} AND {ka} <=> {kb} AND "
+                       f"{la} <=> {lb} AND coalesce({da}, {xsd_str}) <=> "
+                       f"coalesce({db}, {xsd_str}))")
+            # [spec] §17.3 (sweep 25): two numeric literals compare by
+            # VALUE ("30"^^xsd:integer = "30.0"^^xsd:decimal); a
+            # numeric vs a non-numeric LITERAL is a type error
+            nums = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
+            both_lit = f"{ka} = 'literal' AND {kb} = 'literal'"
+            na, nb = f"{da} IN ({nums})", f"{db} IN ({nums})"
+            return (f"(CASE WHEN {both_lit} AND {na} AND {nb} "
+                    f"THEN try_cast({_qcol(av)} AS DOUBLE) = "
+                    f"try_cast({_qcol(bv)} AS DOUBLE) "
+                    f"WHEN {both_lit} AND (coalesce({na}, false) <> "
+                    f"coalesce({nb}, false)) THEN CAST(NULL AS BOOLEAN) "
+                    f"ELSE {term_eq} END)")
         if "termx" in (a[0], b[0]) and a[0] in ("lit", "termx", "iri") \
                 and b[0] in ("lit", "termx", "iri"):
             # a constructed literal term (STRLANG/STRDT/TIMEZONE) vs a
@@ -957,6 +1074,27 @@ class _Parser:
                 return []
             return [(pre + w, _qcol(f"{TYPED_PREFIX}{src}__{w}"))
                     for w in ("kind", "lang", "datatype")]
+        if node[0] in ("str", "num", "bool"):
+            # computed expressions ARE literals (sweep 25: the alias's
+            # shape-derived kind was 'iri', so term-aware = and the
+            # typed comparisons silently dropped every row). "num"
+            # derives the xsd type from the SQL runtime type.
+            g = f"if({_qcol(var)} IS NOT NULL, {{}}, NULL)"
+            null = "CAST(NULL AS STRING)"
+            if node[0] == "num":
+                dt = (f"if(typeof({_qcol(var)}) IN ('tinyint', "
+                      f"'smallint', 'int', 'bigint'), "
+                      f"{_sql_str(XSD + 'integer')}, "
+                      f"{_sql_str(XSD + 'double')})")
+            elif node[0] == "bool":
+                dt = _sql_str(XSD + "boolean")
+            else:
+                dt = None
+            return [
+                (pre + "kind", g.format("'literal'")),
+                (pre + "lang", null),
+                (pre + "datatype", g.format(dt) if dt else null),
+            ]
         return []
 
     def _expr_list(self) -> str:
@@ -1750,6 +1888,16 @@ def _uncol(sql: str) -> str | None:
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _numeric_const(node):
+    """A numeric-DATATYPED literal constant ("7"^^xsd:integer) takes
+    part in comparisons by VALUE, not lexical form ([spec] §17.3
+    operator mapping; sweep 25: ?a > "20"^^xsd:integer compared the
+    lexical strings). Invalid lexicals become NULL → type error."""
+    if node[0] == "lit" and not node[2] and node[3] in _NUMERIC_DATATYPES:
+        return ("num", f"try_cast({node[1]} AS DOUBLE)")
+    return node
 
 
 def _as_num(node) -> str:
