@@ -934,7 +934,7 @@ class _Parser:
         self.needs_types = True
         return _qcol(f"{TYPED_PREFIX}{var}__{which}")
 
-    def _term_eq_sql(self, a, b) -> str | None:
+    def _term_eq_sql(self, a, b, value_eq: bool = True) -> str | None:
         """RDF-term-aware ``=``/``!=`` ([spec] SPARQL 1.1 §17.4.1.7
         RDFterm-equal, with the RDF 1.1 identification of simple
         literals and xsd:string). Returns None when neither side is a
@@ -950,7 +950,7 @@ class _Parser:
 
         def lit_guard(var: str, n) -> str:
             _, vsql, lang, dt = n
-            if not lang and dt in _NUMERIC_DATATYPES:
+            if value_eq and not lang and dt in _NUMERIC_DATATYPES:
                 # [spec] §17.3/§17.4.1.7 (sweep 25): numeric literals
                 # compare by VALUE across the numeric tree; a numeric
                 # vs a NON-numeric literal is a type error (NULL), vs
@@ -1000,6 +1000,8 @@ class _Parser:
             term_eq = (f"({_qcol(av)} = {_qcol(bv)} AND {ka} <=> {kb} AND "
                        f"{la} <=> {lb} AND coalesce({da}, {xsd_str}) <=> "
                        f"coalesce({db}, {xsd_str}))")
+            if not value_eq:          # sameTerm: strict term identity
+                return term_eq
             # [spec] §17.3 (sweep 25): two numeric literals compare by
             # VALUE ("30"^^xsd:integer = "30.0"^^xsd:decimal); a
             # numeric vs a non-numeric LITERAL is a type error
@@ -1466,8 +1468,10 @@ class _Parser:
         if up == "SAMETERM":
             need(2)
             # exact term identity — kind/lang/datatype aware when the
-            # arguments are variables or term constants (sweep 10)
-            eq = self._term_eq_sql(args[0], args[1])
+            # arguments are variables or term constants (sweep 10);
+            # value_eq=False: sameTerm("30"^^xsd:integer,
+            # "30.0"^^xsd:decimal) is FALSE even though = is true
+            eq = self._term_eq_sql(args[0], args[1], value_eq=False)
             if eq is not None:
                 return ("bool", eq)
             return ("bool", f"({a(0)} <=> {a(1)})")

@@ -82,6 +82,18 @@ def test_typed_constant_compares_by_value(cmp_quads):
     assert none2.count() == 0
 
 
+def test_sameterm_stays_strict(cmp_quads):
+    # sameTerm is term IDENTITY: 7 and 7.0 are = but not sameTerm
+    out = sparql(cmp_quads, PFX +
+                 "SELECT ?x WHERE { ?x v:age ?a . ?y v:age ?b "
+                 "FILTER(?a = ?b && !sameTerm(?a, ?b)) }")
+    assert subs(out) == ["b", "c"]
+    none = sparql(cmp_quads, PFX + """
+        SELECT ?x WHERE { ?x v:age ?a
+                          FILTER(sameTerm(?a, "7.00"^^xsd:decimal)) }""")
+    assert none.count() == 0
+
+
 def test_datetime_value_compare(cmp_quads):
     out = sparql(cmp_quads, PFX + """
         SELECT ?x WHERE { ?x v:ts ?t
