@@ -829,14 +829,55 @@ class _Parser:
             return ("bool", f"({ls} {op} {rs})")
         if self.at_kw("IN"):
             self.take()
-            return ("bool", f"({node[1]} IN {self._expr_list()})")
+            return ("bool", self._in_sql(node))
         if self.at_kw("NOT") and self.peek(1) is not None \
                 and self.peek(1).kind == "NAME" \
                 and self.peek(1).text.upper() == "IN":
             self.take()
             self.take()
-            return ("bool", f"({node[1]} NOT IN {self._expr_list()})")
+            return ("bool", f"(NOT {self._in_sql(node)})")
         return node
+
+    def _in_sql(self, node) -> str:
+        """[spec] §17.4.1.9-10: ``e IN (m1, m2)`` ≡ ``e = m1 || e =
+        m2`` and NOT IN is its negation — term-aware with ||-style
+        error propagation (sweep 26: members compared by lexical form
+        only, so ?n IN ("Bob"@en) matched a plain "Bob" and numeric
+        members compared as strings)."""
+        self.expect_op("(")
+        items = []
+        if not self._is_op(")"):
+            items.append(self._parse_expr())
+            while self._is_op(","):
+                self.take()
+                items.append(self._parse_expr())
+        self.expect_op(")")
+        if not items:
+            return "false"
+        nums = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
+        parts = []
+        for m in items:
+            eq = self._term_eq_sql(node, m)
+            if eq is None:
+                m2 = _numeric_const(m)
+                if m2[0] == "num" and node[0] == "any" \
+                        and _uncol(node[1]):
+                    # variable = numeric member: by value for numeric
+                    # (or unknown/computed) literals, false for
+                    # non-literals, type error otherwise
+                    var = _uncol(node[1])
+                    k = self._typ(var, "kind")
+                    lg = self._typ(var, "lang")
+                    d = self._typ(var, "datatype")
+                    eq = (f"(CASE WHEN {k} <> 'literal' THEN false "
+                          f"WHEN {lg} IS NULL AND ({d} IS NULL OR "
+                          f"{d} IN ({nums})) THEN "
+                          f"try_cast({node[1]} AS DOUBLE) = {m2[1]} "
+                          f"ELSE CAST(NULL AS BOOLEAN) END)")
+                else:
+                    eq = f"({node[1]} = {m[1]})"
+            parts.append(eq)
+        return "(" + " OR ".join(parts) + ")"
 
     def _term_ord_sql(self, a, b, op: str) -> str | None:
         """Value-based ``<``/``<=``/``>``/``>=`` ([spec] §17.3 operator
@@ -1098,15 +1139,6 @@ class _Parser:
                 (pre + "datatype", g.format(dt) if dt else null),
             ]
         return []
-
-    def _expr_list(self) -> str:
-        self.expect_op("(")
-        items = [self._parse_expr()[1]]
-        while self._is_op(","):
-            self.take()
-            items.append(self._parse_expr()[1])
-        self.expect_op(")")
-        return "(" + ", ".join(items) + ")"
 
     def _expr_add(self):
         node = self._expr_mul()

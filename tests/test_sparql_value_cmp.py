@@ -118,6 +118,25 @@ def test_ordering_type_errors(cmp_quads):
     assert subs(out) == ["a"]
 
 
+def test_in_is_term_aware(cmp_quads):
+    # [spec] §17.4.1.9: IN ≡ chained = — term-aware, value-based for
+    # numerics. "x" is plain; "y"@en must not match a plain member.
+    out = sparql(cmp_quads, PFX + """
+        SELECT ?x WHERE { ?x v:name ?n FILTER(?n IN ("x", "z")) }""")
+    assert subs(out) == ["a"]
+    out2 = sparql(cmp_quads, PFX + """
+        SELECT ?x WHERE { ?x v:name ?n FILTER(?n IN ("y"@en)) }""")
+    assert subs(out2) == ["b"]
+    # numeric members compare by value (7.0^^decimal matches 7)
+    out3 = sparql(cmp_quads, PFX +
+                  "SELECT ?x WHERE { ?x v:age ?a FILTER(?a IN (7, 99)) }")
+    assert subs(out3) == ["b", "c"]
+    # NOT IN: the lang-tagged name is != every plain member → kept
+    out4 = sparql(cmp_quads, PFX + """
+        SELECT ?x WHERE { ?x v:name ?n FILTER(?n NOT IN ("x")) }""")
+    assert subs(out4) == ["b"]
+
+
 def test_bind_computed_alias_is_literal(cmp_quads):
     out = sparql(cmp_quads, PFX + """
         SELECT ?x WHERE { ?x v:name ?n BIND(CONCAT(STR(?n), "!") AS ?c)
