@@ -8,6 +8,7 @@ the rebuild the same round-trip: quad tuples ↔ N-Quads lines per
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from . import keys
@@ -48,6 +49,17 @@ def _unescape(s: str) -> str:
 
 
 _LABEL_ENC = {"_": "__", "/": "_s", "#": "_h", ":": "_c", ".": "_d"}
+#: PN_CHARS ([spec] N-Quads §5 / Turtle §6.5) plus the four chars the
+#: table escapes — a label containing anything OUTSIDE this set cannot
+#: be made grammar-safe by the table and is hashed instead. Shared with
+#: the JVM twin (sources.nquads_io) so both encoders agree exactly.
+_PN_CHARS = ("0-9A-Za-z_\\-\u00B7\u00C0-\u00D6\u00D8-\u00F6"
+             "\u00F8-\u02FF\u0300-\u036F\u0370-\u037D\u037F-\u1FFF"
+             "\u200C-\u200D\u203F-\u2040\u2070-\u218F\u2C00-\u2FEF"
+             "\u3001-\uD7FF\uF900-\uFDCF\uFDF0-\uFFFD")
+LABEL_ILLEGAL_PATTERN = ("[^" + _PN_CHARS + "/#:."
+                         + chr(0x10000) + "-" + chr(0xEFFFF) + "]")
+_LABEL_ILLEGAL_RE = re.compile(LABEL_ILLEGAL_PATTERN)
 _LABEL_DEC = {"_": "_", "s": "/", "h": "#", "c": ":", "d": "."}
 _DEC_RE = re.compile(r"_([_shcd])")
 
@@ -63,7 +75,18 @@ def encode_label(label: str) -> str:
     """Injective map of pipeline bnode labels (which carry ``/ # : .``
     lineage salts — SURVEY.md §1.2/D11) onto the grammar N-Quads allows
     for BLANK_NODE_LABEL ([spec] N-Quads §5, PN_CHARS), prefixed with the
-    sentinel so the reader only ever decodes labels this writer made."""
+    sentinel so the reader only ever decodes labels this writer made.
+
+    A label with any OTHER grammar-illegal character (space, quotes,
+    … — reachable through foreign documents' blank node identifiers)
+    is deterministically RELABELED to ``_x`` + md5-prefix instead of
+    being emitted raw as an unparseable label (sweep 27). Relabeling a
+    bnode is sound — labels carry no RDF semantics — and the hashed
+    form is stable across partitions and runs. ``_x`` is unambiguous:
+    the table never emits it ('_' always encodes to '__')."""
+    if _LABEL_ILLEGAL_RE.search(label):
+        digest = hashlib.md5(label.encode("utf-8")).hexdigest()[:16]
+        return LABEL_SENTINEL + "_x" + digest
     return LABEL_SENTINEL + "".join(_LABEL_ENC.get(c, c) for c in label)
 
 

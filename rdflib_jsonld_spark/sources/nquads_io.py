@@ -57,11 +57,19 @@ def _encode_label_col(c):
     """JVM twin of jsonld.nquads.encode_label: injectively map lineage-
     salted labels onto N-Quads BLANK_NODE_LABEL grammar. '_' escape FIRST;
     the '_e' sentinel marks sink-encoded labels so the reader leaves
-    foreign labels untouched (see jsonld.nquads.LABEL_SENTINEL)."""
-    for raw, enc in (("_", "__"), ("/", "_s"), ("#", "_h"),
-                     (":", "_c"), (".", "_d")):
-        c = F.replace(c, F.lit(raw), F.lit(enc))
-    return F.concat(F.lit("_e"), c)
+    foreign labels untouched (see jsonld.nquads.LABEL_SENTINEL). Labels
+    with chars outside the table's safe set (space, quotes, … — foreign
+    documents' identifiers) are deterministically relabeled to a hashed
+    form instead of emitted unparseable (sweep 27; bnode labels carry no
+    RDF semantics, so stable relabeling is sound)."""
+    from rdflib_jsonld_spark.jsonld.nquads import LABEL_ILLEGAL_PATTERN
+    hashed = F.concat(F.lit("_e_x"), F.substring(F.md5(c), 1, 16))
+    enc = c
+    for raw, code in (("_", "__"), ("/", "_s"), ("#", "_h"),
+                      (":", "_c"), (".", "_d")):
+        enc = F.replace(enc, F.lit(raw), F.lit(code))
+    return F.when(c.rlike(LABEL_ILLEGAL_PATTERN), hashed) \
+        .otherwise(F.concat(F.lit("_e"), enc))
 
 
 def _node_col(c):

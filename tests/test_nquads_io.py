@@ -143,6 +143,32 @@ def test_foreign_bnode_labels_pass_through(spark, tmp_path):
     assert subs == {"_:b_d1", "_:b.1"}
 
 
+def test_illegal_bnode_labels_hashed_not_emitted_raw(spark):
+    """Sweep 27: a label with grammar-illegal chars (space, quote, é —
+    reachable via foreign documents' blank node identifiers) must be
+    deterministically RELABELED, never emitted as an unparseable
+    BLANK_NODE_LABEL. Pure and JVM encoders must agree bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from rdflib_jsonld_spark.jsonld.nquads import encode_label, parse_line
+    from rdflib_jsonld_spark.sources.nquads_io import _encode_label_col
+
+    labels = ["a b", 'q"x', " ls", "ok-label", "s/h#c.d_e",
+              "é", "emoji🙂"]                   # last two: legal PN_CHARS
+    pure = [encode_label(lab) for lab in labels]
+    for lab, enc in zip(labels, pure):
+        # every encoded label parses back as a legal statement
+        parse_line(f"_:{enc} <http://e/p> <http://e/o> .")
+        assert enc.startswith("_e")
+    assert len(set(pure)) == len(pure)          # distinct inputs distinct
+    assert pure[3] == "_eok-label"              # safe labels keep the table
+    assert pure[5] == "_eé" and pure[6] == "_eemoji🙂"   # exact round-trip
+    df = spark.createDataFrame([(lab,) for lab in labels], "l string") \
+        .select(_encode_label_col(F.col("l")).alias("e"))
+    jvm = [r.e for r in df.collect()]
+    assert jvm == pure
+
+
 def test_decode_labels_opt_out(spark, tmp_path):
     """decode_labels=False: even sentinel-shaped foreign labels pass
     through verbatim (for corpora this sink did not write)."""
