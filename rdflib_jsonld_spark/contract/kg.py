@@ -614,6 +614,33 @@ def q_kg_sparql_text_aggregate(spark, sf_dir) -> DataFrame:
         LIMIT 30""")
 
 
+def q_kg_sparql_text_semantics(spark, sf_dir) -> DataFrame:
+    """Text-layer EXPRESSION semantics (sweeps 23-26): EBV of a bare
+    numeric variable in FILTER, value-based ``=``/``<`` (confidence is
+    the canonical double lexical "9.0E-1" — a lexical compare against
+    0.9 would match nothing), term-aware IN with mixed numeric types
+    (13.0 matches the integer 13), a typed-constant comparison, and
+    STRLANG/LANG/sameTerm over computed string-fn results. Counts are
+    doc_id arithmetic → exact SQL oracle."""
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    quads = shared_doc_quads(spark, sf_dir)
+    return sparql(quads, f"""
+        PREFIX v: <{KG}vocab#>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?ent (COUNT(*) AS ?n)
+        WHERE {{
+          ?m a v:Mention ; v:about ?e ; v:confidence ?c .
+          BIND(xsd:integer(STRBEFORE(STRAFTER(STR(?e), "/e/"), "/a"))
+               AS ?ent)
+          BIND(STRLANG(SUBSTR(STR(?m), 1, 5), "en") AS ?tag)
+          FILTER(?c && LANG(?tag) = "en" && sameTerm(?tag, "https"@en))
+          FILTER(?c = 0.9 && ?ent IN (7, 13.0, 21)
+                 || ?ent < "5"^^xsd:integer)
+        }}
+        GROUP BY ?ent
+        ORDER BY ?ent""")
+
+
 def q_kg_sparql_text_union_negation(spark, sf_dir) -> DataFrame:
     """Text-layer UNION + per-branch BIND + FILTER NOT EXISTS: three
     branches tag their solutions with a kind; the third branch (mentions
@@ -1055,6 +1082,7 @@ QUERIES = {
     "kg_sameas_closure": q_kg_sameas_closure,
     "kg_path_alias_reach": q_kg_path_alias_reach,
     "kg_sparql_text_aggregate": q_kg_sparql_text_aggregate,
+    "kg_sparql_text_semantics": q_kg_sparql_text_semantics,
     "kg_sparql_text_union_negation": q_kg_sparql_text_union_negation,
     "kg_sparql_text_path": q_kg_sparql_text_path,
     "kg_sparql_text_subquery": q_kg_sparql_text_subquery,
@@ -1493,6 +1521,14 @@ ORACLES: dict = {
                 HAVING count(mention) > 5
                 ORDER BY n_mentions DESC, grp
                 LIMIT 30
+            """,
+    "kg_sparql_text_semantics": """
+                SELECT (doc_id % 500)::BIGINT AS ent,
+                       count(*)::BIGINT AS n
+                FROM documents
+                WHERE (doc_id % 500) IN (7, 13, 21)
+                   OR (doc_id % 500) < 5
+                GROUP BY 1 ORDER BY 1
             """,
     "kg_sparql_text_union_negation": """
                 WITH mj AS (
