@@ -137,6 +137,25 @@ def test_in_is_term_aware(cmp_quads):
     assert subs(out4) == ["b"]
 
 
+def test_order_and_extrema_value_based_across_lexical_forms(spark):
+    # canonical double "9.0E-1" sorts between 0.5 and 2 — a lexical
+    # order would put it last; MIN/MAX agree (sweep 20/11 machinery,
+    # pinned here against the sweep-25 comparison rework)
+    rows = [(None, E + "a", False, V + "v", "literal", "9.0E-1",
+             XSD + "double", None),
+            (None, E + "b", False, V + "v", "literal", "0.5",
+             XSD + "decimal", None),
+            (None, E + "c", False, V + "v", "literal", "2",
+             XSD + "integer", None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    q = sparql(df, PFX + "SELECT ?s ?x WHERE { ?s v:v ?x } ORDER BY ?x")
+    assert [r.s.rsplit("/", 1)[-1] for r in q.collect()] == ["b", "a", "c"]
+    q2 = sparql(df, PFX + "SELECT (MIN(?x) AS ?lo) (MAX(?x) AS ?hi) "
+                "WHERE { ?s v:v ?x }")
+    row = q2.collect()[0]
+    assert (row.lo, row.hi) == ("0.5", "2")
+
+
 def test_bind_computed_alias_is_literal(cmp_quads):
     out = sparql(cmp_quads, PFX + """
         SELECT ?x WHERE { ?x v:name ?n BIND(CONCAT(STR(?n), "!") AS ?c)
