@@ -133,6 +133,34 @@ def test_strlang_rejects_runtime_tagged_input(lang_quads):
     assert subs(out) == ["pl", "xs"]
 
 
+def test_union_aligns_runtime_tag_companions(spark):
+    # one branch BINDs a computed tagged term (runtime SqlTag
+    # companions), the other binds the same var from data — the union
+    # aligner must reconcile the companion columns so LANG and
+    # term-aware = stay exact across branches
+    rows = [(None, E + "a", False, V + "name", "literal", "bob",
+             None, "en"),
+            (None, E + "b", False, V + "alt", "literal", "sue",
+             None, "cy")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql(df, PFX + """
+        SELECT ?s ?u ?l WHERE {
+          { ?s v:name ?n BIND(UCASE(?n) AS ?u) } UNION { ?s v:alt ?u }
+          BIND(LANG(?u) AS ?l) }""")
+    got = {r.s.rsplit("/", 1)[-1]: (r.u, r.l) for r in out.collect()}
+    assert got == {"a": ("BOB", "en"), "b": ("sue", "cy")}
+    f1 = sparql(df, PFX + """
+        SELECT ?s WHERE {
+          { ?s v:name ?n BIND(UCASE(?n) AS ?u) } UNION { ?s v:alt ?u }
+          FILTER(?u = "BOB"@en) }""")
+    assert subs(f1) == ["a"]
+    f2 = sparql(df, PFX + """
+        SELECT ?s WHERE {
+          { ?s v:name ?n BIND(UCASE(?n) AS ?u) } UNION { ?s v:alt ?u }
+          FILTER(?u = "sue"@cy) }""")
+    assert subs(f2) == ["b"]
+
+
 def test_type_fn_const_shapes(lang_quads):
     out = sparql(lang_quads, f'PREFIX xsd: <{XSD}> ' + PFX + """
         SELECT ?s WHERE { ?s v:name ?n
