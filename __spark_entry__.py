@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rdflib_jsonld_spark.contract.common import KG, _t  # noqa: F401
 from rdflib_jsonld_spark.contract import docs, kg, relational
+from rdflib_jsonld_spark.contract import interleave_registries
 from rdflib_jsonld_spark.contract.kg import *  # noqa: F401,F403
 from rdflib_jsonld_spark.contract.relational import *  # noqa: F401,F403
 from rdflib_jsonld_spark.contract.docs import *  # noqa: F401,F403
@@ -32,11 +33,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query (SURVEY.md §2):
-    name -> callable(spark, sf_dir) -> DataFrame."""
-    return {**kg.QUERIES, **relational.QUERIES, **docs.QUERIES}
+    name -> callable(spark, sf_dir) -> DataFrame. Round-robin ordered
+    across kg/doc/emb/relational domains so the driver's first-50
+    CORRECTNESS sample covers every domain (VERDICT r04 #1)."""
+    return interleave_registries(kg.QUERIES, relational.QUERIES, docs.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twin for every queries() entry (same parquet views);
-    the driver compares rows/schema/values at sf=0.01."""
-    return {**kg.ORACLES, **relational.ORACLES, **docs.ORACLES}
+    the driver compares rows/schema/values at sf=0.01. Ordered to
+    mirror queries() exactly."""
+    merged = {**kg.ORACLES, **relational.ORACLES, **docs.ORACLES}
+    ordered = {name: merged[name] for name in queries() if name in merged}
+    ordered.update({name: sql for name, sql in merged.items()
+                    if name not in ordered})
+    return ordered

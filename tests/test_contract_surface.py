@@ -75,3 +75,23 @@ def test_module_registries_map_their_own_defs():
 def test_every_oracle_has_a_query():
     orphan = set(entry.oracle_sql()) - set(entry.queries())
     assert not orphan, f"oracle_sql keys without a query: {sorted(orphan)}"
+
+
+def test_first_50_round_robins_domains():
+    """The driver's CORRECTNESS gate samples queries()[:50]; pin that
+    every domain appears there (VERDICT r04 'What's wrong #1')."""
+    first50 = list(entry.queries())[:50]
+    domains = {n.split("_", 1)[0] for n in first50}
+    domains = {d if d in ("kg", "doc", "emb") else "other" for d in domains}
+    assert domains == {"kg", "doc", "emb", "other"}, domains
+    # and in real proportion, not a token appearance
+    from collections import Counter
+    c = Counter(n.split("_", 1)[0] if n.split("_", 1)[0] in ("kg", "doc", "emb")
+                else "other" for n in first50)
+    assert min(c.values()) >= 10, c
+    # flagship stays first (entry() and queries()[0] agree)
+    assert list(entry.queries())[0] == "kg_entity_counts_documents"
+    # ordering is a pure reorder: same key set as the module registries
+    from rdflib_jsonld_spark.contract import docs as d, kg as k, relational as r
+    assert set(entry.queries()) == set(k.QUERIES) | set(r.QUERIES) | set(d.QUERIES)
+    assert list(entry.queries()) == list(entry.oracle_sql())
