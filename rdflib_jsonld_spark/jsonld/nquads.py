@@ -151,15 +151,19 @@ _TERM_RE = re.compile(
 )
 
 
-def parse_term(text: str, pos: int = 0):
-    # RDF-star quoted triple: '<< term term term >>', recursive
+def parse_term(text: str, pos: int = 0, decode: bool = True):
+    # RDF-star quoted triple: '<< term term term >>', recursive.
+    # ``decode=False`` keeps sentinel-shaped bnode labels raw — the
+    # distributed reader's decode_labels=False contract (ADVICE r04:
+    # the '<<' slow path decoded unconditionally while the fast path
+    # honoured the flag, splitting one foreign label into two terms).
     ws = pos
     while ws < len(text) and text[ws].isspace():
         ws += 1
     if text.startswith("<<", ws):
-        s, p2 = parse_term(text, ws + 2)
-        p, p2 = parse_term(text, p2)
-        o, p2 = parse_term(text, p2)
+        s, p2 = parse_term(text, ws + 2, decode)
+        p, p2 = parse_term(text, p2, decode)
+        o, p2 = parse_term(text, p2, decode)
         while p2 < len(text) and text[p2].isspace():
             p2 += 1
         if not text.startswith(">>", p2):
@@ -172,7 +176,8 @@ def parse_term(text: str, pos: int = 0):
     if m.group("iri") is not None:
         return (IRI, _unescape(m.group("iri"))), m.end()
     if m.group("bnode") is not None:
-        return (BNODE, decode_label(m.group("bnode"))), m.end()
+        label = m.group("bnode")
+        return (BNODE, decode_label(label) if decode else label), m.end()
     lex = _unescape(m.group("lit"))
     dt, lang = m.group("dt"), m.group("lang")
     if lang:
@@ -181,7 +186,7 @@ def parse_term(text: str, pos: int = 0):
     return (LIT, lex, _unescape(dt) if dt else keys.XSD_STRING, None), m.end()
 
 
-def parse_line(line: str):
+def parse_line(line: str, decode: bool = True):
     """One N-Quads statement → quad tuple (graph=None for triples).
 
     Validates the full statement grammar (sweep 17): the final '.' is
@@ -191,13 +196,13 @@ def parse_line(line: str):
     line = line.strip()
     if not line or line.startswith("#"):
         return None
-    s, pos = parse_term(line)
-    p, pos = parse_term(line, pos)
-    o, pos = parse_term(line, pos)
+    s, pos = parse_term(line, 0, decode)
+    p, pos = parse_term(line, pos, decode)
+    o, pos = parse_term(line, pos, decode)
     g = None
     rest = line[pos:].lstrip()
     if rest and not rest.startswith("."):
-        g, pos = parse_term(line, pos)
+        g, pos = parse_term(line, pos, decode)
         rest = line[pos:].lstrip()
     if not rest.startswith("."):
         raise ValueError(f"missing final '.' in N-Quads statement: {line!r}")

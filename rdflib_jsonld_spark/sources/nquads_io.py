@@ -72,11 +72,50 @@ def _encode_label_col(c):
         .otherwise(F.concat(F.lit("_e"), enc))
 
 
+def _tok_quotes_odd(tok):
+    """Does this space-split token flip string-literal quote parity?
+    Counts UNESCAPED '\"' — strip '\\\\' pairs first so a literal
+    backslash before a real quote still counts it, then strip '\\\"'."""
+    x = F.replace(F.replace(tok, F.lit("\\\\"), F.lit("")),
+                  F.lit('\\"'), F.lit(""))
+    return (F.length(x) - F.length(F.replace(x, F.lit('"'), F.lit("")))) \
+        % 2 == 1
+
+
+def _encode_star_col(c):
+    """Quoted-triple table spelling ('<< … >>', star.py) → grammar-safe
+    N-Quads spelling: every bnode label INSIDE the spelling goes through
+    the same sentinel encoder as plain cells (ADVICE r04 medium: raw
+    labels carrying '/ # : .' were emitted as unparseable
+    BLANK_NODE_LABELs). Pure JVM: one `F.aggregate` fold over the
+    space-split tokens of the canonical spelling — '_:' tokens outside
+    string literals are re-labeled, quote parity guards literal bodies
+    that themselves contain ' _:x ' text. Labels containing the
+    spelling's own delimiters (space, '\"') are not recoverable from a
+    flat spelling and stay the caller's malformed-cell problem."""
+    return F.aggregate(
+        F.split(c, " "),
+        F.struct(F.lit(False).alias("inq"), F.lit("").alias("acc")),
+        lambda st, tok: F.struct(
+            (st["inq"] != _tok_quotes_odd(tok)).alias("inq"),
+            F.concat(
+                st["acc"],
+                F.when(F.length(st["acc"]) == 0, F.lit(""))
+                .otherwise(F.lit(" ")),
+                F.when((~st["inq"]) & tok.startswith("_:"),
+                       F.concat(F.lit("_:"),
+                                _encode_label_col(
+                                    F.substring(tok, 3, 1 << 30))))
+                .otherwise(tok)).alias("acc")),
+        lambda st: st["acc"])
+
+
 def _node_col(c):
     """IRI-or-bnode column → N-Quads spelling (bnodes carry '_:');
-    RDF-star quoted spellings ('<< … >>', star.py table encoding) pass
-    through verbatim — they are already grammar-shaped."""
-    return F.when(c.startswith("<<"), c) \
+    RDF-star quoted spellings ('<< … >>', star.py table encoding) keep
+    their shape but get their inner bnode labels sentinel-encoded like
+    every plain cell (`_encode_star_col`)."""
+    return F.when(c.startswith("<<"), _encode_star_col(c)) \
         .when(c.startswith("_:"),
               F.concat(F.lit("_:"),
                        _encode_label_col(F.substring(c, 3, 1 << 30)))) \
@@ -89,7 +128,7 @@ def nquads_lines(quads: DataFrame) -> DataFrame:
     lit_body = F.concat(F.lit('"'), _escape_col(F.col("o_value")),
                         F.lit('"'))
     obj = (
-        F.when(F.col("o_kind") == "triple", F.col("o_value"))
+        F.when(F.col("o_kind") == "triple", _encode_star_col(F.col("o_value")))
         .when(F.col("o_kind") == "literal",
                F.when(F.col("o_lang").isNotNull(),
                       F.concat(lit_body, F.lit("@"), F.col("o_lang")))
@@ -177,10 +216,14 @@ def parse_nquads_lines(lines: DataFrame,
         # spelling (star.py), plain terms exactly as the fast path spells
         # them. Raises on malformed lines like the pure parser; in
         # permissive mode they are skipped.
+        # decode passes through to parse_term so the slow path honours
+        # decode_labels exactly like the fast path's _decode_bn (ADVICE
+        # r04 high: one foreign '_:_eb0' otherwise split into two terms
+        # depending on whether its line also contained '<<').
         rows = []
         for ln in values:
             try:
-                q = parse_line(ln)
+                q = parse_line(ln, decode=decode_labels)
             except ValueError:
                 if strict:
                     raise

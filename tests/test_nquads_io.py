@@ -256,3 +256,87 @@ def test_fuzzed_literals_roundtrip(spark, tmp_path):
     got = {(r["o_value"], r["o_datatype"], r["o_lang"])
            for r in back.collect()}
     assert want == got
+
+
+def _star_quad_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+
+
+def test_star_inner_bnode_labels_roundtrip(spark, tmp_path):
+    """ADVICE r04 (medium): bnode labels inside quoted-triple spellings
+    carry lineage salts ('/ # : .') — the sink must emit them as
+    grammar-valid BLANK_NODE_LABELs (sentinel-encoded, like plain cells)
+    and the reader must decode them back to the raw table spelling."""
+    import re
+    df = _star_quad_df(spark, [
+        # quoted spelling in OBJECT position with a salted inner bnode
+        (None, "http://e/s", False, "http://e/p", "triple",
+         "<< _:b/0#x <http://e/q> _:c.1:z >>", None, None),
+        # quoted spelling in SUBJECT position, salted outer bnode object
+        (None, "<< <http://e/a> <http://e/q> _:b/0#x >>", False,
+         "http://e/cert", "bnode", "_:b/0#x", None, None),
+    ])
+    path = str(tmp_path / "star.nq")
+    write_nquads(df, path)
+    lines = [r.value for r in spark.read.text(path).collect()]
+    # every emitted BLANK_NODE_LABEL is grammar-valid (no / # : inside)
+    for ln in lines:
+        for label in re.findall(r"_:([^\s<\">]+)", ln):
+            assert not re.search(r"[/#:]", label), (label, ln)
+            assert label.startswith("_e"), (label, ln)
+    back = read_nquads(spark, path)
+    got = {tuple(r) for r in back.collect()}
+    want = {tuple(r) for r in df.collect()}
+    assert got == want
+
+
+def test_star_literal_with_bnode_text_not_rewritten(spark, tmp_path):
+    """A string literal INSIDE a quoted spelling whose text contains
+    ' _:x.y ' must pass through untouched (quote-parity guard)."""
+    sp = '<< <http://e/a> <http://e/q> "see _:x.y and \\"q\\" _:z.w" >>'
+    df = _star_quad_df(spark, [
+        (None, "http://e/s", False, "http://e/p", "triple",
+         sp, None, None)])
+    path = str(tmp_path / "starlit.nq")
+    write_nquads(df, path)
+    [ln] = [r.value for r in spark.read.text(path).collect()]
+    assert '"see _:x.y and \\"q\\" _:z.w"' in ln
+    back = read_nquads(spark, path).collect()
+    assert back[0].o_value == sp
+
+
+def test_star_line_bnode_subject_consistent_with_plain(spark, tmp_path):
+    """ADVICE r04 (high): one bnode appearing BOTH on a '<<'-bearing
+    line and a plain line must come back as ONE term, under both
+    decode_labels settings."""
+    df = _star_quad_df(spark, [
+        (None, "_:b.0", True, "http://e/p", "triple",
+         "<< <http://e/a> <http://e/q> <http://e/b> >>", None, None),
+        (None, "_:b.0", True, "http://e/p2", "literal",
+         "has << inside", "http://www.w3.org/2001/XMLSchema#string", None),
+        (None, "_:b.0", True, "http://e/p3", "iri", "http://e/o",
+         None, None),
+    ])
+    path = str(tmp_path / "mix.nq")
+    write_nquads(df, path)
+    back = read_nquads(spark, path)
+    subs = {r.s for r in back.collect()}
+    assert subs == {"_:b.0"}
+    # decode_labels=False: the sink-encoded spelling stays raw, but
+    # STILL one single term across slow ('<<') and fast paths
+    raw = read_nquads(spark, path, decode_labels=False)
+    subs_raw = {r.s for r in raw.collect()}
+    assert len(subs_raw) == 1 and subs_raw == {"_:_eb_d0"}
+
+
+def test_sink_plan_still_jvm_only_with_star_branch(spark):
+    """The star-cell encoder is column algebra — no Python stage may
+    appear in the write plan even though the branch exists."""
+    df = _star_quad_df(spark, [
+        (None, "http://e/s", False, "http://e/p", "iri", "http://e/o",
+         None, None)])
+    plan = nquads_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan
