@@ -33,12 +33,11 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from .classify import _bucket
+from .classify import MAX_LITERAL_BUCKETS, _bucket  # noqa: F401 — cap
+# shared with the classifier weight maps (ratio tables above it would
+# bloat the plan / break codegen; the collect() in dsir_log_weights is
+# bounded by the same number)
 from .search import TOKEN_SPLIT
-
-# ratio tables above this would bloat the plan / break codegen; the
-# collect() in dsir_log_weights is bounded by the same number.
-MAX_LITERAL_BUCKETS = 1 << 16
 
 
 def _with_grams(docs: DataFrame, text_col: str, out: str) -> DataFrame:

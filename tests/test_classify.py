@@ -223,3 +223,79 @@ class TestTrainClassifier:
             return tot
 
         assert loss(w, bias) < loss([0.0] * 16, 0.0)
+
+
+def test_scoring_broadcast_fallback_matches_literal(spark, monkeypatch):
+    """Past MAX_LITERAL_BUCKETS the forward pass switches to a broadcast
+    (bucket, weight) join; scores must match the literal-map path."""
+    from rdflib_jsonld_spark.operators import classify
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "beta beta delta xyz"),
+         (4, None)], "doc_id long, text string")
+    weights = {b: (b % 7 - 3) / 4.0 for b in range(0, 512, 3)}
+    lit = classify.linear_text_classifier(
+        docs, weights, bias=0.25, n_buckets=512).collect()
+    monkeypatch.setattr(classify, "MAX_LITERAL_BUCKETS", 8)
+    bc = classify.linear_text_classifier(
+        docs, weights, bias=0.25, n_buckets=512).collect()
+    lit_m = {r.doc_id: (round(r.clf_score, 12), r.clf_label) for r in lit}
+    bc_m = {r.doc_id: (round(r.clf_score, 12), r.clf_label) for r in bc}
+    assert lit_m == bc_m
+    # schema unchanged by the fallback (no temp columns leak)
+    assert sorted(lit[0].asDict()) == sorted(bc[0].asDict())
+
+
+def test_training_broadcast_fallback_matches_literal(spark, monkeypatch):
+    """Training past the cap (broadcast weight table per round) must
+    reproduce the literal-map training trajectory."""
+    from rdflib_jsonld_spark.operators import classify
+    docs = spark.createDataFrame(
+        [(1, "good clean text here", 1), (2, "spam spam junk", 0),
+         (3, "clean good words", 1), (4, "", 0), (5, "junk junk", 0)],
+        "doc_id long, text string, label int")
+    w_lit, b_lit = classify.train_linear_classifier(
+        docs, "label", n_buckets=32, n_rounds=3)
+    monkeypatch.setattr(classify, "MAX_LITERAL_BUCKETS", 4)
+    w_bc, b_bc = classify.train_linear_classifier(
+        docs, "label", n_buckets=32, n_rounds=3)
+    assert round(b_lit, 12) == round(b_bc, 12)
+    assert [round(x, 12) for x in w_lit] == [round(x, 12) for x in w_bc]
+
+
+def test_training_single_action_bias_matches_reference(spark):
+    """The folded NULL-bucket bias gradient must equal the explicit
+    full-batch logistic recurrence computed in numpy."""
+    import math
+    from rdflib_jsonld_spark.operators import classify
+    rows = [(1, "a b a", 1), (2, "b c", 0), (3, "", 1), (4, "c c c a", 0)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    n_buckets, seed, lr, rounds = 16, "clf-v1", 1.0, 4
+    w_s, b_s = classify.train_linear_classifier(
+        docs, "label", n_buckets=n_buckets, n_rounds=rounds, lr=lr,
+        seed=seed)
+    # driver-side reference
+    import hashlib
+    def bucket(tok):
+        h = hashlib.md5(f"{tok}\x1fclf-v1".encode()).hexdigest()[:8]
+        return int(h, 16) % n_buckets
+    feats = []
+    for _, text, y in [(r[0], r[1], r[2]) for r in rows]:
+        toks = [t for t in (text or "").lower().split() if t]
+        feats.append(([bucket(t) for t in toks], float(y)))
+    w = [0.0] * n_buckets
+    bias = 0.0
+    n = len(rows)
+    for _ in range(rounds):
+        gw = [0.0] * n_buckets
+        gb = 0.0
+        for toks, y in feats:
+            dot = sum(w[b] for b in toks) / len(toks) if toks else 0.0
+            r = 1.0 / (1.0 + math.exp(-(bias + dot))) - y
+            for b in toks:
+                gw[b] += r / len(toks)
+            gb += r
+        for b in range(n_buckets):
+            w[b] -= lr * gw[b] / n
+        bias -= lr * gb / n
+    assert round(b_s, 9) == round(bias, 9)
+    assert [round(x, 9) for x in w_s] == [round(x, 9) for x in w]
