@@ -147,15 +147,31 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
     # @direction map; the node itself leaves the node map.
     compound: dict = {}
     if rdf_direction == "compound-literal":
+        # A bnode deserializes as a compound literal ONLY when its
+        # predicate set is a subset of {rdf:value, rdf:language,
+        # rdf:direction}, single-valued, all-literal, and includes
+        # rdf:direction — a bnode that merely CARRIES an rdf:direction
+        # among other properties stays a node (ADVICE r04: we silently
+        # dropped its other triples, and duplicate rdf:value kept an
+        # arbitrary first).
+        cpreds = (keys.RDF_NS + "value", keys.RDF_NS + "language",
+                  keys.RDF_NS + "direction")
         cprops: dict = {}
+        disq: set = set()
         for g, s, p, o in quads:
-            if s[0] == BNODE and p[0] == IRI and o[0] == LIT \
-                    and p[1] in (keys.RDF_NS + "value",
-                                 keys.RDF_NS + "language",
-                                 keys.RDF_NS + "direction"):
-                cprops.setdefault((g, s), {}).setdefault(p[1], o[1])
+            if s[0] != BNODE:
+                continue
+            skey = (g, s)
+            if p[0] == IRI and p[1] in cpreds and o[0] == LIT:
+                slots = cprops.setdefault(skey, {})
+                if p[1] in slots:
+                    disq.add(skey)          # duplicate slot → real node
+                else:
+                    slots[p[1]] = o[1]
+            else:
+                disq.add(skey)              # foreign property → real node
         for skey, got in cprops.items():
-            if keys.RDF_NS + "direction" not in got:
+            if skey in disq or keys.RDF_NS + "direction" not in got:
                 continue
             vo = {keys.VALUE: got.get(keys.RDF_NS + "value", "")}
             if keys.RDF_NS + "language" in got:

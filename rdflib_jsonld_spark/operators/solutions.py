@@ -91,14 +91,18 @@ def _agg_col(fn: str, arg: str, alias: str, sep: str,
         # SQL's silent skip (SUM(41, "young") was returning 41). Numeric
         # interpretation stays try_cast (module convention, docstring);
         # unbound elements are skipped (the pragmatic major-engine
-        # behavior for OPTIONAL-bound vars), and an all-unbound/empty
-        # group yields NULL (DuckDB-oracle parity, documented).
+        # behavior for OPTIONAL-bound vars). §18.5.1.2 defines Sum of
+        # the empty multiset as 0 and §18.5.1.4 Avg of it as 0 (ADVICE
+        # r04: we used to return NULL for DuckDB parity) — so a clean
+        # group with no numeric elements coalesces to 0; only the
+        # error-poisoned case stays unbound. DuckDB oracles for such
+        # groups need coalesce(sum(x), 0).
         col_sql = f"`{var}`" if var else f"({arg})"
         num = F.expr(f"try_cast({col_sql} AS DOUBLE)")
         bad = F.max(F.when(col.isNotNull() & num.isNull(),
                            F.lit(1)).otherwise(F.lit(0)))
         agg = F.sum(num) if fn == "sum" else F.avg(num)
-        return F.when(bad == F.lit(0), agg) \
+        return F.when(bad == F.lit(0), F.coalesce(agg, F.lit(0.0))) \
             .otherwise(F.lit(None).cast("double")).alias(alias)
     if fn == "count":
         return F.count(col).alias(alias)  # non-NULL count, per spec

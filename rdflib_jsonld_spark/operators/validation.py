@@ -85,9 +85,16 @@ def _term_key(kind="o_kind", value="value", dt="o_datatype", lang="o_lang"):
     """Full-term join key — sh:equals/sh:disjoint compare RDF TERMS, not
     lexical forms ([spec] SHACL §4.5: 'value nodes'); 'x'@en and 'x'@fr
     must not count as equal (sweep 18)."""
-    return F.concat_ws("", F.col(kind), F.col(value),
+    # \x1f-separated with the free-text lexical form LAST: kind is a
+    # fixed word, datatype an IRI, lang alphanumeric — none can contain
+    # \x1f — so the remainder after the third separator is unambiguously
+    # the value even if the value itself contains the separator
+    # (ADVICE r04: a separator the VALUE can contain still allowed
+    # value/datatype boundary collisions with value in second position).
+    return F.concat_ws("\x1f", F.col(kind),
                        F.coalesce(F.col(dt), F.lit("")),
-                       F.coalesce(F.col(lang), F.lit("")))
+                       F.coalesce(F.col(lang), F.lit("")),
+                       F.col(value))
 
 
 def _report(df: DataFrame, shape_id: str, path: str, constraint: str,

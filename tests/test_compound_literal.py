@@ -99,3 +99,48 @@ def test_bad_mode_still_raises():
         to_rdf({}, rdf_direction="compound")
     with pytest.raises(ValueError):
         from_rdf([], rdf_direction="compound")
+
+
+def test_bnode_with_extra_properties_stays_a_node():
+    """ADVICE r04: a bnode that merely CARRIES rdf:direction among
+    other properties must deserialize as a NODE (no triples dropped),
+    not collapse into a @value map."""
+    q = [
+        (None, (BNODE, "n0"), (IRI, RDF + "direction"), (LIT, "rtl", XS, None)),
+        (None, (BNODE, "n0"), (IRI, RDF + "value"), (LIT, "x", XS, None)),
+        (None, (BNODE, "n0"), (IRI, E + "other"), (LIT, "kept", XS, None)),
+        (None, (IRI, E + "s"), (IRI, E + "p"), (BNODE, "n0")),
+    ]
+    out = from_rdf(q, rdf_direction="compound-literal")
+    nodes = {n.get("@id"): n for n in out}
+    ref = nodes[E + "s"][E + "p"][0]
+    assert ref == {"@id": "_:n0"}
+    bn = nodes["_:n0"]
+    assert bn[E + "other"] == [{"@value": "kept"}]
+    assert RDF + "direction" in bn and RDF + "value" in bn
+
+
+def test_bnode_with_duplicate_value_stays_a_node():
+    """Duplicate rdf:value slots disqualify — no arbitrary-first pick."""
+    q = [
+        (None, (BNODE, "n0"), (IRI, RDF + "direction"), (LIT, "rtl", XS, None)),
+        (None, (BNODE, "n0"), (IRI, RDF + "value"), (LIT, "x", XS, None)),
+        (None, (BNODE, "n0"), (IRI, RDF + "value"), (LIT, "y", XS, None)),
+        (None, (IRI, E + "s"), (IRI, E + "p"), (BNODE, "n0")),
+    ]
+    out = from_rdf(q, rdf_direction="compound-literal")
+    nodes = {n.get("@id"): n for n in out}
+    bn = nodes["_:n0"]
+    assert sorted(v["@value"] for v in bn[RDF + "value"]) == ["x", "y"]
+
+
+def test_bnode_with_nonliteral_slot_stays_a_node():
+    """A non-literal rdf:value disqualifies the compound shape."""
+    q = [
+        (None, (BNODE, "n0"), (IRI, RDF + "direction"), (LIT, "rtl", XS, None)),
+        (None, (BNODE, "n0"), (IRI, RDF + "value"), (IRI, E + "iri")),
+        (None, (IRI, E + "s"), (IRI, E + "p"), (BNODE, "n0")),
+    ]
+    out = from_rdf(q, rdf_direction="compound-literal")
+    nodes = {n.get("@id"): n for n in out}
+    assert "_:n0" in nodes

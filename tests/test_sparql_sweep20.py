@@ -111,3 +111,15 @@ def test_order_by_subject_var_shape_heuristic(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     out = sparql(df, PFX + "SELECT ?s WHERE { ?s v:p ?o } ORDER BY ?s")
     assert [r.s for r in out.collect()] == ["_:sb", E + "sa"]
+
+
+def test_sum_avg_empty_multiset_is_zero(agg_quads):
+    """[spec] §18.5.1.2 Sum({}) = 0, §18.5.1.4 Avg({}) = 0 (ADVICE r04):
+    a group whose var is never numeric-bound — here an OPTIONAL var that
+    never matches — aggregates to 0, not unbound; error-poisoned groups
+    stay unbound (previous test)."""
+    out = sparql(agg_quads, PFX + """
+        SELECT ?s (SUM(?w) AS ?total) (AVG(?w) AS ?avg)
+        WHERE { ?s v:age ?a OPTIONAL { ?s v:weight ?w } }
+        GROUP BY ?s ORDER BY ?s""").collect()
+    assert all((r.total, r.avg) == (0.0, 0.0) for r in out), out

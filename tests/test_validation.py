@@ -328,3 +328,19 @@ def test_compound_node_kinds(spark):
                                 "node_kind": "bnode_or_iri"}]
     got = viol(validate(q(spark, rows), shapes))
     assert got == {("K", EX + "k", EX + "w", "node_kind", "lit")}
+
+
+def test_term_key_no_boundary_collisions(spark):
+    """ADVICE r04: distinct terms whose concatenations collide at the
+    value/datatype boundary must produce DISTINCT join keys."""
+    from rdflib_jsonld_spark.operators.validation import _term_key
+    df = spark.createDataFrame(
+        [("literal", "ab", "http://X", None),
+         ("literal", "a", "bhttp://X", None),      # value suffix vs dt prefix
+         ("literal", "x", "http://d", "en"),
+         ("literal", "x", "http://den", None),     # dt suffix vs lang
+         ("literal", "x\x1fy", "http://d", None),  # separator inside value
+         ("literal", "x", "http://d", None)],
+        "o_kind string, value string, o_datatype string, o_lang string")
+    keys = [r.k for r in df.select(_term_key().alias("k")).collect()]
+    assert len(set(keys)) == len(keys), keys
