@@ -190,9 +190,19 @@ def select_solutions(sol: DataFrame, *,
                      for cc in (f"__typ_{c}__kind", f"__typ_{c}__lang",
                                 f"__typ_{c}__datatype") if cc in have]
         have = set(sol.columns)
-        _carried = [f"__typ_{n}__kind" for n in _order_vars
-                    if n in cols and f"__typ_{n}__kind" in have
-                    and f"__typ_{n}__kind" not in cols]
+        # carry ORDER BY vars (and their kind companions) through the
+        # projection even when unprojected: a dropped order var would
+        # otherwise resolve through Spark's missing-reference rule as a
+        # plain column and sort LEXICALLY, bypassing _term_sort_sql
+        # (found by the sparql golden corpus, order-numeric-value).
+        _carried = []
+        for n in _order_vars:
+            if n not in cols and n in have:
+                _carried.append(n)
+            kc = f"__typ_{n}__kind"
+            if (n in cols or n in _carried) and kc in have \
+                    and kc not in cols:
+                _carried.append(kc)
         requested = list(cols)
         sol = sol.select(*(cols + _carried))
     if distinct:
