@@ -636,7 +636,11 @@ class _Parser:
                                       f"got {t.text!r}")
                 g.elements.append(("graph", term, self.parse_group()))
             elif self.at_kw("SERVICE"):
-                raise SparqlError("SERVICE (federation) is not supported")
+                raise SparqlError(
+                    "SERVICE (federation) is not supported by design — "
+                    "materialize the remote graph into a quad table "
+                    "(read_nquads/read_jsonld_files) and join it as "
+                    "data; see README 'Network posture'")
             elif self.at_kw("SELECT"):
                 raise SparqlError("a sub-SELECT must be wrapped in its "
                                   "own braces: { SELECT ... }")
