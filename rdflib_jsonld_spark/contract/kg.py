@@ -770,6 +770,71 @@ def q_kg_star_annotations(spark, sf_dir) -> DataFrame:
         GROUP BY ?e ORDER BY ?e""")
 
 
+def q_kg_star_annotation_docs(spark, sf_dir) -> DataFrame:
+    """JSON-LD-star ``@annotation`` DOCUMENT syntax end-to-end (r05;
+    jsonld/expansion.py + tordf.py star support, no reference
+    counterpart — the checkout predates RDF-star): deterministic
+    per-document JSON-LD-star docs (a v:cites edge annotated with a
+    v:weight) run through the pure core inside the same Arrow seam as
+    transcript expansion, yielding BOTH the asserted base triple and
+    the quoted-triple-subject annotation quad; star.py decomposes the
+    quoted spelling JVM-side and the aggregate cross-checks that every
+    annotation has its asserted base. All doc_id arithmetic → exact
+    DuckDB oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from rdflib_jsonld_spark.jsonld import to_rdf
+    from rdflib_jsonld_spark.operators.expand import _term_cols
+    from rdflib_jsonld_spark.operators.star import with_quoted_components
+
+    vocab = KG + "vocab#"
+    ent = KG + "e/doc/"
+    doc_ids = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("s", T.StringType(), False),
+        T.StructField("p", T.StringType(), False),
+        T.StructField("o_kind", T.StringType(), False),
+        T.StructField("o_value", T.StringType(), False),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                doc = {"@id": f"{ent}{did}",
+                       f"{vocab}cites": {
+                           "@id": f"{ent}{(did * 7 + 3) % 97}",
+                           "@annotation": {
+                               f"{vocab}weight": (did % 5) + 1}}}
+                for g, s, p, o in to_rdf(doc):
+                    s_str, _ = _term_cols(s)
+                    if o[0] == "lit":
+                        rows.append((s_str, p[1], "literal", o[1]))
+                    else:
+                        o_str, _ = _term_cols(o)
+                        rows.append((s_str, p[1],
+                                     "triple" if o[0] == "qt" else "iri",
+                                     o_str))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    quads = doc_ids.mapInPandas(gen, schema=schema).persist()
+    ann = (with_quoted_components(
+               quads.where(F.col("s").startswith("<<")), "s", "q")
+           .where(F.col("p") == vocab + "weight")
+           .select(F.col("qs").alias("src"), F.col("qo_value").alias("e"),
+                   F.col("o_value").cast("long").alias("w")))
+    base = (quads.where(F.col("p") == vocab + "cites")
+            .select(F.col("s").alias("src"),
+                    F.col("o_value").alias("e")))
+    joined = ann.join(base, ["src", "e"], "inner")
+    return (joined.groupBy("e")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_annot"),
+                 F.sum("w").cast("long").alias("sum_w"),
+                 F.max("w").cast("long").alias("max_w"))
+            .orderBy("e"))
+
+
 def q_kg_sparql_results_tsv(spark, sf_dir) -> DataFrame:
     """SPARQL results TSV encoding (operators/results.py) over a
     ``keep_types=True`` SELECT: an IRI column, a STRLANG-constructed
@@ -1090,6 +1155,7 @@ QUERIES = {
     "kg_sparql_text_describe": q_kg_sparql_text_describe,
     "kg_sparql_results_tsv": q_kg_sparql_results_tsv,
     "kg_star_annotations": q_kg_star_annotations,
+    "kg_star_annotation_docs": q_kg_star_annotation_docs,
     "kg_sparql_update_rewrite": q_kg_sparql_update_rewrite,
     "kg_framed_mentions": q_kg_framed_mentions,
     "kg_graph_dedup_canonical": q_kg_graph_dedup_canonical,
@@ -1609,6 +1675,16 @@ ORACLES: dict = {
                   FROM documents)
                 SELECT e, count(*)::BIGINT AS n_annot,
                        min(c) AS min_c, max(c) AS max_c
+                FROM a GROUP BY e ORDER BY e
+            """,
+    "kg_star_annotation_docs": f"""
+                WITH a AS (
+                  SELECT '{KG}e/doc/' || ((doc_id * 7 + 3) % 97)::varchar
+                             AS e,
+                         (doc_id % 5 + 1)::BIGINT AS w
+                  FROM documents)
+                SELECT e, count(*)::BIGINT AS n_annot,
+                       sum(w)::BIGINT AS sum_w, max(w)::BIGINT AS max_w
                 FROM a GROUP BY e ORDER BY e
             """,
     "kg_bgp_group_aggregates": """

@@ -89,6 +89,10 @@ def _compact_element(ctx: Context, term, element, compact_arrays: bool):
 
     # node object / node reference
     if keys.ID in element and set(element) == {keys.ID}:
+        if isinstance(element[keys.ID], dict):
+            # JSON-LD-star embedded node reference
+            return {ctx.alias(keys.ID): _compact_element(
+                ctx, None, element[keys.ID], compact_arrays)}
         compacted_id = _compact_id(ctx, element[keys.ID])
         if term is not None and term.type == keys.ID:
             return compacted_id
@@ -100,7 +104,19 @@ def _compact_element(ctx: Context, term, element, compact_arrays: bool):
     for key in element:
         values = element[key]
         if key == keys.ID:
-            result[ctx.alias(keys.ID)] = _compact_id(ctx, values)
+            # a dict @id is a JSON-LD-star embedded node — it compacts
+            # like a (one-property) node object
+            result[ctx.alias(keys.ID)] = (
+                _compact_element(ctx, None, values, compact_arrays)
+                if isinstance(values, dict) else _compact_id(ctx, values))
+            continue
+        if key == keys.ANNOTATION:
+            # JSON-LD-star draft: annotation objects compact like node
+            # objects (they have no @id); single maps unwrap
+            anns = [_compact_element(ctx, None, v, compact_arrays)
+                    for v in values]
+            result[ctx.alias(keys.ANNOTATION)] = \
+                anns[0] if len(anns) == 1 and compact_arrays else anns
             continue
         if key == keys.TYPE:
             types = [ctx.shrink_iri(t) for t in values]
@@ -311,6 +327,7 @@ def _compact_value(ctx: Context, term, vobj: dict):
 
     vobj = dict(vobj)
     index = vobj.pop(keys.INDEX, None)
+    annotation = vobj.pop(keys.ANNOTATION, None)  # JSON-LD-star draft
     value = vobj.get(keys.VALUE)
     vdir = vobj.get(keys.DIRECTION)
 
@@ -356,6 +373,14 @@ def _compact_value(ctx: Context, term, vobj: dict):
         if not isinstance(out, dict):
             out = {ctx.alias(keys.VALUE): out}
         out[ctx.alias(keys.INDEX)] = index
+    if annotation is not None:
+        # an annotated value can never scalar-reduce — the edge
+        # annotation must survive compaction (JSON-LD-star draft)
+        if not isinstance(out, dict):
+            out = {ctx.alias(keys.VALUE): out}
+        anns = [_compact_element(ctx, None, a, True) for a in annotation]
+        out[ctx.alias(keys.ANNOTATION)] = anns[0] if len(anns) == 1 \
+            else anns
     return out
 
 

@@ -236,3 +236,18 @@ class ConflictingIndexes(JsonLdError):
     """[spec] JLD-API expansion step 13.8.3.7.2: an item in an @index
     container map carries its own @index differing from the map key."""
     code = "conflicting indexes"
+
+
+class InvalidAnnotation(JsonLdError):
+    # [spec] JSON-LD-star draft ("invalid annotation"): @annotation is
+    # only legal on an embedded value/node under a (non-reverse)
+    # property — never top-level, in @graph/@included/@list position,
+    # or carrying @id/@value/@list content.
+    code = "invalid annotation"
+
+
+class InvalidEmbeddedNode(JsonLdError):
+    # [spec] JSON-LD-star draft ("invalid embedded node"): an embedded
+    # node (@id whose value is a map) must describe exactly ONE triple:
+    # one property (or @type) with one value, no @annotation inside.
+    code = "invalid embedded node"

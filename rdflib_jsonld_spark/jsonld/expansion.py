@@ -26,8 +26,9 @@ import re as _re
 
 from . import keys
 from .context import Context, UNDEF
-from .errors import (ConflictingIndexes,
-                     InvalidBaseDirection, InvalidIdValue,
+from .errors import (ConflictingIndexes, InvalidAnnotation,
+                     InvalidBaseDirection, InvalidEmbeddedNode,
+                     InvalidIdValue,
                      InvalidIncludedValue, InvalidIndexValue,
                      InvalidLanguageTaggedString,
                      InvalidLanguageTaggedValue, InvalidNestValue,
@@ -42,7 +43,8 @@ _ABS_IRI_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 # the only entries a value object admits ([spec] §5.1 step 13.4.3); a
 # local @context is legal but consumed before the value walk
 _VALUE_OBJECT_KEYS = frozenset({keys.VALUE, keys.TYPE, keys.LANG,
-                                keys.DIRECTION, keys.INDEX, keys.CONTEXT})
+                                keys.DIRECTION, keys.INDEX, keys.CONTEXT,
+                                keys.ANNOTATION})  # JSON-LD-star draft
 
 
 _key_survives = keys.key_survives  # [spec] §5.1 step 13.3 (ADVICE r03)
@@ -154,6 +156,11 @@ def _expand_element(ctx: Context, active_key: str | None, element,
     val_key = next((k for k, e in kmap.items() if e == keys.VALUE), None)
     if val_key is not None:
         vo = _expand_value_object(ctx, element, kmap, val_key)
+        if vo is not None and keys.ANNOTATION in vo and (
+                in_list or active_key is None
+                or ctx.expand_key(active_key) == keys.GRAPH):
+            # JSON-LD-star draft: annotated value outside a triple slot
+            raise InvalidAnnotation("@annotation in a non-embedded position")
         if vo is not None and (active_key is None or
                                ctx.expand_key(active_key) == keys.GRAPH):
             return None  # free-floating value object ([spec] step 19.1)
@@ -169,6 +176,11 @@ def _expand_element(ctx: Context, active_key: str | None, element,
             continue  # B2: unmapped keys are dropped
 
         if expanded_key == keys.ID:
+            if isinstance(value, dict):
+                # JSON-LD-star draft: embedded node (quoted-triple
+                # subject) — expanded form keeps the nested map
+                result[keys.ID] = _expand_embedded(ctx, value)
+                continue
             if not isinstance(value, str):
                 # [spec] §5.1 step 13.4.3.1
                 raise InvalidIdValue(repr(value))
@@ -207,6 +219,9 @@ def _expand_element(ctx: Context, active_key: str | None, element,
                 if not isinstance(n, dict) or keys.VALUE in n:
                     # node objects only — value objects are errors
                     raise InvalidIncludedValue(repr(n))
+                if keys.ANNOTATION in n:
+                    # no base triple exists for a sibling node
+                    raise InvalidAnnotation("@annotation under @included")
             if inc:
                 result.setdefault(keys.INCLUDED, []).extend(inc)
             continue
@@ -231,6 +246,10 @@ def _expand_element(ctx: Context, active_key: str | None, element,
                                 or keys.LIST in v:
                             # [spec] §5.1 step 13.4.9
                             raise InvalidReversePropertyValue(repr(v))
+                        if keys.ANNOTATION in v:
+                            # JSON-LD-star draft: no reverse annotations
+                            raise InvalidAnnotation(
+                                "@annotation under @reverse")
                         rmap.setdefault(p_iri, []).append(v)
             continue
 
@@ -263,6 +282,25 @@ def _expand_element(ctx: Context, active_key: str | None, element,
             result[keys.INDEX] = value
             continue
 
+        if expanded_key == keys.ANNOTATION:
+            # JSON-LD-star draft: annotation objects expand like node
+            # objects but must stay edge-shaped — no @id/@value/@list/
+            # @graph; position legality is checked on the RESULT below
+            anns = []
+            for item in _raw_array(value):
+                if not isinstance(item, dict):
+                    raise InvalidAnnotation(repr(item))
+                for node2 in _ensure_array(
+                        _expand_element(ctx, key, item)):
+                    if not isinstance(node2, dict) or any(
+                            e in node2 for e in (keys.ID, keys.VALUE,
+                                                 keys.LIST, keys.GRAPH)):
+                        raise InvalidAnnotation(repr(node2))
+                    anns.append(node2)
+            if anns:
+                result.setdefault(keys.ANNOTATION, []).extend(anns)
+            continue
+
         if expanded_key in keys.KEYWORDS:
             continue  # @version/@prefix/etc. carry no expanded output
 
@@ -283,6 +321,9 @@ def _expand_element(ctx: Context, active_key: str | None, element,
                         or keys.LIST in v:
                     # [spec] §5.1 step 14 (reverse terms take nodes only)
                     raise InvalidReversePropertyValue(repr(v))
+                if keys.ANNOTATION in v:
+                    # JSON-LD-star draft: no reverse annotations
+                    raise InvalidAnnotation("@annotation on a reverse value")
                 rmap.setdefault(expanded_key, []).append(v)
         else:
             result.setdefault(expanded_key, []).extend(expanded_value)
@@ -319,6 +360,12 @@ def _expand_element(ctx: Context, active_key: str | None, element,
         if active_key is None or ctx.expand_key(active_key) == keys.GRAPH:
             return None
         return result
+    if keys.ANNOTATION in result and (
+            in_list or active_key is None
+            or ctx.expand_key(active_key) == keys.GRAPH):
+        # JSON-LD-star draft: a top-level / @graph-item / list-item
+        # node has no base triple to annotate
+        raise InvalidAnnotation("@annotation in a non-embedded position")
     if active_key is None or ctx.expand_key(active_key) == keys.GRAPH:
         # [spec] §5.1 step 19: free-floating values dropped — maps
         # containing @value or @list (19.1; sweep 7: these survived
@@ -562,6 +609,22 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
             if not isinstance(element[key], str):
                 raise InvalidIndexValue(repr(element[key]))
             result[keys.INDEX] = element[key]
+        elif expanded_key == keys.ANNOTATION:
+            # JSON-LD-star draft: annotated VALUE — same expansion and
+            # edge-shape rules as the node-object branch
+            anns = []
+            for item in _raw_array(element[key]):
+                if not isinstance(item, dict):
+                    raise InvalidAnnotation(repr(item))
+                for node2 in _ensure_array(
+                        _expand_element(ctx, key, item)):
+                    if not isinstance(node2, dict) or any(
+                            e in node2 for e in (keys.ID, keys.VALUE,
+                                                 keys.LIST, keys.GRAPH)):
+                        raise InvalidAnnotation(repr(node2))
+                    anns.append(node2)
+            if anns:
+                result.setdefault(keys.ANNOTATION, []).extend(anns)
     # [spec] §5.1 step 13.4.3 (cont.): @type never coexists with
     # @language or @direction in a value object
     if keys.TYPE in result and (keys.LANG in result
@@ -586,6 +649,61 @@ def _expand_value_object(ctx: Context, element: dict, kmap: dict,
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _expand_embedded(ctx: Context, element: dict) -> dict:
+    """JSON-LD-star draft "embedded node": an ``@id`` whose value is a
+    map describing exactly ONE (non-asserted) triple — @id plus one
+    property (or @type) with one value. Expanded form keeps the nested
+    map: ``{"@id": <iri-or-nested>, <prop-iri>: [<expanded value>]}``.
+    Twin of tordf._embedded_triple so both walks agree."""
+    inner = ctx.load(element[keys.CONTEXT]) if keys.CONTEXT in element \
+        else ctx
+    kmap = {k: inner.expand_key(k) for k in element}
+    if any(e == keys.ANNOTATION for e in kmap.values()):
+        raise InvalidEmbeddedNode("@annotation inside an embedded node")
+    id_key = next((k for k, e in kmap.items() if e == keys.ID), None)
+    if id_key is None:
+        raise InvalidEmbeddedNode("embedded node requires @id")
+    idv = element[id_key]
+    if isinstance(idv, dict):
+        es = _expand_embedded(inner, idv)
+    elif isinstance(idv, str):
+        es = _expand_id(inner, idv)
+        if es is None:
+            raise InvalidEmbeddedNode(f"unresolvable embedded @id {idv!r}")
+    else:
+        raise InvalidIdValue(repr(idv))
+    props = [(k, e) for k, e in kmap.items()
+             if e not in (None, keys.CONTEXT, keys.ID)]
+    if len(props) != 1:
+        raise InvalidEmbeddedNode(
+            f"embedded node needs exactly one property, got "
+            f"{[k for k, _ in props]!r}")
+    k, e = props[0]
+    vals = element[k] if isinstance(element[k], list) else [element[k]]
+    if len(vals) != 1:
+        raise InvalidEmbeddedNode(
+            f"embedded property {k!r} needs exactly one value")
+    if e == keys.TYPE:
+        t = vals[0]
+        t_iri = inner.expand_iri(t, vocab=True) if isinstance(t, str) \
+            else None
+        if t_iri is None or t_iri in keys.KEYWORDS:
+            raise InvalidEmbeddedNode(f"embedded @type {t!r}")
+        return {keys.ID: es, keys.TYPE: [t_iri]}
+    if e in keys.KEYWORDS:
+        raise InvalidEmbeddedNode(f"keyword {e} in an embedded node")
+    ev = _ensure_array(_expand_element(inner, k, vals[0]))
+    if len(ev) != 1:
+        raise InvalidEmbeddedNode(
+            f"embedded value of {k!r} expanded to {len(ev)} objects")
+    if isinstance(ev[0], dict) and keys.ANNOTATION in ev[0]:
+        # the embedded triple is not asserted — nothing to annotate
+        # (mirrors tordf: _to_object inside _embedded_triple receives
+        # the value unstripped and raises through _add_to_graph)
+        raise InvalidAnnotation("@annotation inside an embedded node")
+    return {keys.ID: es, e: ev}
+
 
 def _expand_id(ctx: Context, value: str) -> str | None:
     if value.startswith("_:"):

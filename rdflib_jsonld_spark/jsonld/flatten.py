@@ -90,6 +90,33 @@ def _key(obj) -> str:
     return json.dumps(obj, sort_keys=True)
 
 
+def _relabel_bnodes(obj, issuer: _Issuer):
+    """Relabel every blank-node identifier inside a kept-verbatim
+    JSON-LD-star fragment (an @annotation object or an embedded @id
+    map) through the SAME issuer as the hoisted nodes, so a bnode
+    shared between the fragment and the asserted graph stays one node
+    after flattening."""
+    if isinstance(obj, list):
+        return [_relabel_bnodes(v, issuer) for v in obj]
+    if not isinstance(obj, dict):
+        return obj
+    out = {}
+    for k, v in obj.items():
+        if k == keys.ID:
+            if isinstance(v, dict):
+                out[k] = _relabel_bnodes(v, issuer)
+            elif isinstance(v, str) and v.startswith("_:"):
+                out[k] = issuer.issue(v)
+            else:
+                out[k] = v
+        elif k == keys.TYPE and isinstance(v, list):
+            out[k] = [issuer.issue(t) if isinstance(t, str)
+                      and t.startswith("_:") else t for t in v]
+        else:
+            out[k] = _relabel_bnodes(v, issuer)
+    return out
+
+
 def _append_unique(values: list, obj) -> None:
     k = _key(obj)
     if not any(_key(v) == k for v in values):
@@ -119,6 +146,9 @@ def _generate(element, node_map, issuer: _Issuer, active_graph: str,
             for t in element[keys.TYPE]]}
 
     if keys.VALUE in element:  # value object: attach, never a node
+        if keys.ANNOTATION in element:
+            element = {**element, keys.ANNOTATION: _relabel_bnodes(
+                element[keys.ANNOTATION], issuer)}
         if list_ is not None:
             list_.append(element)
         elif active_subject is not None:
@@ -138,15 +168,26 @@ def _generate(element, node_map, issuer: _Issuer, active_graph: str,
         return None
 
     # --- node object -------------------------------------------------------
+    # JSON-LD-star: @annotation describes the EDGE — it rides on the
+    # node REFERENCE in the parent's property array, never on the
+    # hoisted node (bnode ids inside it relabel through the issuer)
+    annotation = element.get(keys.ANNOTATION)
     raw_id = element.get(keys.ID)
-    if raw_id is None or raw_id.startswith("_:"):
-        node_id = issuer.issue(raw_id)
+    if isinstance(raw_id, dict):
+        # embedded node (quoted-triple subject): the map IS the
+        # identifier; key the node map by its canonical JSON
+        node_id = _relabel_bnodes(raw_id, issuer)
+        node_key = "\x00qt" + _key(node_id)
+    elif raw_id is None or raw_id.startswith("_:"):
+        node_id = node_key = issuer.issue(raw_id)
     else:
-        node_id = raw_id
-    node = graph.setdefault(node_id, {keys.ID: node_id})
+        node_id = node_key = raw_id
+    node = graph.setdefault(node_key, {keys.ID: node_id})
 
     if active_subject is not None or list_ is not None:
         ref = {keys.ID: node_id}
+        if annotation is not None:
+            ref[keys.ANNOTATION] = _relabel_bnodes(annotation, issuer)
         if list_ is not None:
             list_.append(ref)
         else:
@@ -180,10 +221,10 @@ def _generate(element, node_map, issuer: _Issuer, active_graph: str,
 
     for prop in sorted(element):
         if prop in (keys.ID, keys.TYPE, keys.INDEX, keys.REV, keys.GRAPH,
-                    keys.INCLUDED):
+                    keys.INCLUDED, keys.ANNOTATION):
             continue
         p = issuer.issue(prop) if prop.startswith("_:") else prop
         node.setdefault(p, [])
         _generate(element[prop], node_map, issuer, active_graph,
-                  node_id, p, None)
+                  node_key, p, None)
     return node_id

@@ -77,7 +77,10 @@ def _merged_node_map(element) -> dict:
     merged: dict[str, dict] = {}
     for gname in sorted(node_map):
         for nid, node in node_map[gname].items():
-            tgt = merged.setdefault(nid, {keys.ID: nid})
+            # nid is the node-map KEY; for JSON-LD-star embedded-@id
+            # nodes it is a '\\x00qt'-prefixed canonical string, while
+            # the node's real @id stays the embedded map (flatten.py)
+            tgt = merged.setdefault(nid, {keys.ID: node[keys.ID]})
             for k, vs in node.items():
                 if k == keys.ID:
                     continue
@@ -249,7 +252,9 @@ def _embed_node(nid: str, fr: dict, state: _FrameState,
     node = state.merged.get(nid)
     if node is None:
         return {keys.ID: nid}
-    out: dict = {keys.ID: nid}
+    # node-map KEY vs real @id: embedded-@id (JSON-LD-star) nodes key
+    # by a canonical string but their @id is the embedded map
+    out: dict = {keys.ID: node.get(keys.ID, nid)}
     if node.get(keys.TYPE):
         out[keys.TYPE] = list(node[keys.TYPE])
     frame_props = {k for k in fr if not k.startswith("@")}
@@ -284,16 +289,34 @@ def _embed_value(v, sub: dict, state: _FrameState, ancestors: frozenset,
         return {keys.LIST: [
             _embed_value(m, sub, state, ancestors, mode, explicit,
                          omit_default) for m in v[keys.LIST]]}
+    # JSON-LD-star: an @annotation rides the EDGE — it must neither
+    # block embedding of the referenced node nor be lost (r05 sweep:
+    # an annotated reference silently skipped embedding)
+    annotation = None
+    if isinstance(v, dict) and keys.ANNOTATION in v \
+            and set(v) == {keys.ID, keys.ANNOTATION} \
+            and isinstance(v.get(keys.ID), str):
+        annotation = v[keys.ANNOTATION]
+        v = {keys.ID: v[keys.ID]}
+
+    def _with_ann(out):
+        if annotation is not None and isinstance(out, dict):
+            out = dict(out)
+            out[keys.ANNOTATION] = annotation
+        return out
+
     if not (isinstance(v, dict) and set(v) == {keys.ID}):
         return v                       # value object / literal
     tid = v[keys.ID]
+    if not isinstance(tid, str):       # embedded-@id node (quoted triple)
+        return _with_ann({keys.ID: tid})
     if tid not in state.merged or mode == "@never" or tid in ancestors:
-        return {keys.ID: tid}
+        return _with_ann({keys.ID: tid})
     if mode == "@once" and tid in state.embedded:
-        return {keys.ID: tid}
+        return _with_ann({keys.ID: tid})
     state.embedded.add(tid)
-    return _embed_node(tid, sub, state, ancestors, mode, explicit,
-                       omit_default)
+    return _with_ann(_embed_node(tid, sub, state, ancestors, mode,
+                                 explicit, omit_default))
 
 
 def _frame_named_graphs(expanded, fx: dict, fctx: Context, embed: str,

@@ -26,7 +26,7 @@ import re
 from . import keys
 from .context import Context, split_iri
 from .compact import _compact_element, _compact_id as _doc_compact_id
-from .tordf import BNODE, IRI, LIT
+from .tordf import BNODE, IRI, LIT, QT
 
 
 # XSD lexical spaces ([spec] XMLSchema-2 §3.3.13/§3.2.5) — Python's
@@ -55,6 +55,47 @@ def _native(lex: str, dt: str):
     return None
 
 
+def _annotation_maps(quads):
+    """Partition RDF-star annotation quads (JSON-LD-star draft,
+    from-RDF direction): a quad whose SUBJECT is a quoted triple whose
+    base triple is asserted in the same graph re-nests as @annotation
+    on that triple's object entry; one whose base is NOT asserted stays
+    a node whose @id is an embedded node map. Returns
+    ``(plain_quads, ann_map)`` where ann_map keys are
+    ``(g, s, p, o)`` base quads and values are ``[(p2, o2), ...]``."""
+    if not any(s[0] == QT for _, s, _, _ in quads):
+        return quads, {}
+    asserted = {(g, s, p, o) for g, s, p, o in quads}
+    ann_map: dict = {}
+    out = []
+    for g, s, p, o in quads:
+        if s[0] == QT and (g, *s[1]) in asserted:
+            ann_map.setdefault((g, *s[1]), []).append((p, o))
+        else:
+            out.append((g, s, p, o))
+    return out, ann_map
+
+
+def _lit_repr(o):
+    _, lex, dt, lang = o
+    if lang:
+        return {keys.VALUE: lex, keys.LANG: lang}
+    if dt == keys.XSD_STRING or dt is None:
+        return {keys.VALUE: lex}
+    return {keys.VALUE: lex, keys.TYPE: dt}
+
+
+def _embedded_id(t: tuple):
+    """QT subject term → expanded embedded-node map for @id
+    (tordf._embedded_triple's inverse)."""
+    qs, qp, qo = t[1]
+    es = _embedded_id(qs) if qs[0] == QT else _term_key(qs)
+    if qp == (IRI, keys.RDF_TYPE) and qo[0] != LIT:
+        return {keys.ID: es, keys.TYPE: [_term_key(qo)]}
+    od = _lit_repr(qo) if qo[0] == LIT else {keys.ID: _term_key(qo)}
+    return {keys.ID: es, _term_key(qp): [od]}
+
+
 def _term_key(t: tuple) -> str:
     return f"_:{t[1]}" if t[0] == BNODE else t[1]
 
@@ -80,6 +121,7 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
         # mirror to_rdf: fail loudly on unsupported/typo'd modes instead
         # of silently degrading to None behavior
         raise ValueError(f"unsupported rdfDirection: {rdf_direction!r}")
+    quads, ann_map = _annotation_maps(list(quads))
     if auto_compact and context_data is None:
         context_data = derive_context(quads)
     ctx = Context(base=base, registry=registry)
@@ -188,15 +230,23 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
             continue
         node = nodes.get(skey)
         if node is None:
-            node = {keys.ID: _term_key(s)}
+            node = {keys.ID: _embedded_id(s) if s[0] == QT
+                    else _term_key(s)}
             nodes[skey] = node
             graph_of[skey] = g
-        if p == (IRI, keys.RDF_TYPE) and o[0] != LIT and not use_rdf_type:
+        annotated = (g, s, p, o) in ann_map
+        if p == (IRI, keys.RDF_TYPE) and o[0] != LIT and not use_rdf_type \
+                and not annotated:
             node.setdefault(keys.TYPE, []).append(_term_key(o))
             continue
         pred = _term_key(p)
         obj = _object_repr(g, o, ctx, compact, use_native_types, list_chains,
                            nodes, graph_of, rdf_direction, compound)
+        if annotated:
+            obj = dict(obj)
+            obj[keys.ANNOTATION] = [_annotation_repr(
+                g, s, p, o, ann_map, ctx, compact, use_native_types,
+                list_chains, nodes, graph_of, rdf_direction, compound)]
         node.setdefault(("pred", pred), []).append(obj)
 
     # ---- assemble tree ----------------------------------------------------
@@ -231,7 +281,9 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
 
     # attach named graphs under their naming node (if present in default)
     result_list = []
-    default_ids = {nodes[skey][keys.ID]: skey for skey, _ in default_nodes}
+    default_ids = {nodes[skey][keys.ID]: skey
+                   for skey, _ in default_nodes
+                   if isinstance(nodes[skey][keys.ID], str)}
     consumed = set()
     for g, members in named.items():
         gid = _term_key(g)
@@ -283,6 +335,27 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
             return out
         return {keys.CONTEXT: ctx_out, ctx.alias(keys.GRAPH): body}
     return result_list
+
+
+def _annotation_repr(g, s, p, o, ann_map, ctx, compact,
+                     use_native_types, list_chains, nodes, graph_of,
+                     rdf_direction=None, compound=None):
+    """Build the expanded @annotation object for base quad (g,s,p,o):
+    one map of {pred: [object reprs]}, recursing for annotations ON
+    annotations (nested quoted subjects)."""
+    qt = (QT, (s, p, o))
+    out: dict = {}
+    for p2, o2 in ann_map[(g, s, p, o)]:
+        o_repr = _object_repr(g, o2, ctx, compact, use_native_types,
+                              list_chains, nodes, graph_of,
+                              rdf_direction, compound)
+        if (g, qt, p2, o2) in ann_map:
+            o_repr = dict(o_repr)
+            o_repr[keys.ANNOTATION] = [_annotation_repr(
+                g, qt, p2, o2, ann_map, ctx, compact, use_native_types,
+                list_chains, nodes, graph_of, rdf_direction, compound)]
+        out.setdefault(_term_key(p2), []).append(o_repr)
+    return out
 
 
 def _object_repr(g, o, ctx, compact, use_native_types, list_chains,

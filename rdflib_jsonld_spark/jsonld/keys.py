@@ -25,14 +25,17 @@ REV = "@reverse"
 SET = "@set"
 TYPE = "@type"
 VALUE = "@value"
+#: JSON-LD-star draft (json-ld-star CG, "annotation objects") — no
+#: reference counterpart (the checkout predates RDF-star entirely).
+ANNOTATION = "@annotation"
 VERSION = "@version"
 VOCAB = "@vocab"
 
 #: Every keyword recognized by the processor ([spec] JSON-LD 1.1 §1.7).
 KEYWORDS = {
-    BASE, CONTAINER, CONTEXT, DIRECTION, GRAPH, ID, IMPORT, INCLUDED, INDEX,
-    JSON, LANG, LIST, NEST, NONE, PREFIX, PROPAGATE, PROTECTED, REV, SET,
-    TYPE, VALUE, VERSION, VOCAB,
+    ANNOTATION, BASE, CONTAINER, CONTEXT, DIRECTION, GRAPH, ID, IMPORT,
+    INCLUDED, INDEX, JSON, LANG, LIST, NEST, NONE, PREFIX, PROPAGATE,
+    PROTECTED, REV, SET, TYPE, VALUE, VERSION, VOCAB,
 }
 
 def key_survives(expanded_key) -> bool:

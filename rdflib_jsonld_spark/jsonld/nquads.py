@@ -12,7 +12,7 @@ import hashlib
 import re
 
 from . import keys
-from .tordf import BNODE, IRI, LIT
+from .tordf import BNODE, IRI, LIT, QT  # noqa: F401
 
 _ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
 # full ECHAR set ([spec] N-Quads §2.3: [tbnrf"'\]) — the writer only ever
@@ -99,11 +99,8 @@ def decode_label(label: str) -> str:
                        label[len(LABEL_SENTINEL):])
 
 
-#: RDF-star quoted-triple term kind: ("qt", (s_term, p_term, o_term)).
-#: Legal in subject/object position per RDF-star (W3C CG report /
-#: RDF 1.2 WD "quoted triples") — public spec surface, no reference
-#: counterpart (the checkout long predates RDF-star).
-QT = "qt"
+#: QT ("qt") canonically lives in tordf.py with the other term kinds;
+#: re-exported here for the existing import surface (operators/star.py).
 
 
 def term_to_nq(t: tuple) -> str:

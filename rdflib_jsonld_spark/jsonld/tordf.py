@@ -31,8 +31,9 @@ import re as _re
 
 from . import keys
 from .context import Context, UNDEF
-from .errors import (ConflictingIndexes,
-                     InvalidBaseDirection, InvalidIdValue,
+from .errors import (ConflictingIndexes, InvalidAnnotation,
+                     InvalidBaseDirection, InvalidEmbeddedNode,
+                     InvalidIdValue,
                      InvalidIncludedValue, InvalidIndexValue,
                      InvalidLanguageTaggedString,
                      InvalidLanguageTaggedValue, InvalidListOfLists,
@@ -51,6 +52,11 @@ _VALUE_OBJECT_KEYS = frozenset({keys.VALUE, keys.TYPE, keys.LANG,
 IRI = "iri"
 BNODE = "bnode"
 LIT = "lit"
+#: RDF-star quoted-triple term kind: ("qt", (s_term, p_term, o_term)).
+#: Legal in subject/object position per RDF-star (W3C CG report / RDF
+#: 1.2 WD) — canonical home here so the document walks can emit it;
+#: nquads.py re-exports it.
+QT = "qt"
 
 
 class _State:
@@ -165,7 +171,8 @@ def _node_keyword_map(node: dict, ctx: Context) -> dict:
 
 
 def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
-                  topmost: bool = False, from_map: bool = False):
+                  topmost: bool = False, from_map: bool = False,
+                  force_subj: tuple | None = None):
     """Node object → subject term; emits quads. [v0.5.0] parser.py
     _add_to_graph (~L160-200, D2) + _key_to_graph (~L200-330, B1/D3-D6)."""
     if not isinstance(node, dict):
@@ -205,14 +212,19 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     only_graph = topmost and not any(
         e for e in kmap.values() if e not in (keys.GRAPH, keys.CONTEXT, None))
 
-    # Subject: @id → IRI/bnode, else fresh bnode (D2).
-    subj = None
+    # Subject: @id → IRI/bnode (or a quoted triple when the @id value is
+    # an embedded node — JSON-LD-star draft), else fresh bnode (D2).
+    subj = force_subj
     id_key = next((k for k, e in kmap.items() if e == keys.ID), None)
-    if id_key is not None:
-        if not isinstance(node[id_key], str):
+    if id_key is not None and force_subj is None:
+        idv = node[id_key]
+        if isinstance(idv, dict):
+            subj = _embedded_triple(idv, graph, ctx, state)
+        elif not isinstance(idv, str):
             # [spec] 1.1 API expansion step 13.4.3.1
-            raise InvalidIdValue(repr(node[id_key]))
-        subj = _to_rdf_id(node[id_key], ctx, state)
+            raise InvalidIdValue(repr(idv))
+        else:
+            subj = _to_rdf_id(idv, ctx, state)
     if subj is None and not only_graph:
         subj = state.fresh_bnode()
 
@@ -306,6 +318,16 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                                 raise InvalidReversePropertyValue(repr(v))
                             _emit(state, graph, obj, pred, subj)
             continue
+
+        if expanded == keys.ANNOTATION:
+            # Annotations at the sites that can host them (object values
+            # under a non-reverse property) are stripped by the parent's
+            # emission loop BEFORE this walk runs — one surviving here
+            # sits in a position with no base triple to annotate
+            # (top-level node, @graph/@included/@nest item, graph
+            # container entry): [spec] JSON-LD-star draft error.
+            raise InvalidAnnotation(
+                "@annotation outside an embedded value/node position")
 
         if expanded in keys.KEYWORDS:
             continue
@@ -446,10 +468,17 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                         v2 = dict(v)
                         v2[keys.TYPE] = _as_list(v.get(keys.TYPE, [])) + [mkey] \
                             if keys.TYPE in v else mkey
+                    v2, anns = _split_annotations(v2, sub_ctx)
                     obj = _to_object(v2, term, sub_ctx, state, graph,
                                      from_map=True)
                     if obj is not None:
                         _emit(state, graph, subj, pred, obj)
+                        for ann in anns:
+                            _annotate(ann, (QT, (subj, pred, obj)),
+                                      graph, sub_ctx, state)
+                    elif anns:
+                        raise InvalidAnnotation(
+                            "@annotation on a dropped value")
             continue
 
         if keys.LIST in container and not _is_list_object(value):
@@ -487,13 +516,107 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
             continue
 
         for v in _as_list(value, sub_ctx):
-            obj = _to_object(v, term, sub_ctx, state, graph)
+            v2, anns = _split_annotations(v, sub_ctx)
+            obj = _to_object(v2, term, sub_ctx, state, graph)
             if obj is not None:
                 _emit(state, graph, subj, pred, obj)
+                # JSON-LD-star annotation syntax: assert the base triple
+                # (above) AND each annotation property with the QUOTED
+                # triple as subject
+                for ann in anns:
+                    _annotate(ann, (QT, (subj, pred, obj)), graph,
+                              sub_ctx, state)
+            elif anns:
+                raise InvalidAnnotation("@annotation on a dropped value")
 
     # Free-floating value check (B3): a node with only @id emits nothing by
     # itself — quads come from its uses. That matches set semantics.
     return subj
+
+
+def _split_annotations(v, ctx: Context):
+    """Return ``(value_without_@annotation, [annotation maps])`` for a
+    dict value; non-dicts pass through with no annotations. [spec]
+    JSON-LD-star draft: @annotation carries one map or an array of
+    maps — anything else is an invalid annotation."""
+    if not isinstance(v, dict):
+        return v, []
+    inner = ctx.load(v[keys.CONTEXT]) if keys.CONTEXT in v else ctx
+    ann_keys = [k for k in v if inner.expand_key(k) == keys.ANNOTATION]
+    if not ann_keys:
+        return v, []
+    anns = []
+    for k in ann_keys:
+        for item in _as_list(v[k], inner):
+            if not isinstance(item, dict):
+                raise InvalidAnnotation(repr(item))
+            anns.append(item)
+    v2 = {k: val for k, val in v.items() if k not in ann_keys}
+    return v2, anns
+
+
+def _annotate(ann: dict, qt_subj: tuple, graph, ctx: Context,
+              state: _State) -> None:
+    """Emit one annotation object's properties with the quoted triple
+    as subject (JSON-LD-star draft annotation syntax). Annotation
+    objects describe the EDGE, never a node: @id (or @value/@list/
+    @graph shapes) inside one is an invalid annotation."""
+    inner = ctx.load(ann[keys.CONTEXT]) if keys.CONTEXT in ann else ctx
+    for k in ann:
+        if inner.expand_key(k) in (keys.ID, keys.VALUE, keys.LIST,
+                                   keys.GRAPH):
+            raise InvalidAnnotation(f"{k!r} inside an annotation object")
+    _add_to_graph(ann, graph, ctx, state, force_subj=qt_subj)
+
+
+def _embedded_triple(node: dict, graph, ctx: Context,
+                     state: _State) -> tuple:
+    """``@id`` whose value is a map → quoted-triple subject term
+    ([spec] JSON-LD-star draft "embedded node"): the map must describe
+    exactly ONE triple — an @id plus exactly one property (or @type)
+    with exactly one value — and is NOT asserted."""
+    inner = ctx.load(node[keys.CONTEXT]) if keys.CONTEXT in node else ctx
+    kmap = {k: inner.expand_key(k) for k in node}
+    if any(e == keys.ANNOTATION for e in kmap.values()):
+        raise InvalidEmbeddedNode("@annotation inside an embedded node")
+    id_key = next((k for k, e in kmap.items() if e == keys.ID), None)
+    if id_key is None:
+        raise InvalidEmbeddedNode("embedded node requires @id")
+    idv = node[id_key]
+    if isinstance(idv, dict):
+        es = _embedded_triple(idv, graph, inner, state)
+    elif isinstance(idv, str):
+        es = _to_rdf_id(idv, inner, state)
+    else:
+        raise InvalidIdValue(repr(idv))
+    if es is None:
+        raise InvalidEmbeddedNode(f"unresolvable embedded @id {idv!r}")
+    props = [(k, e) for k, e in kmap.items()
+             if e not in (None, keys.CONTEXT, keys.ID)]
+    if len(props) != 1:
+        raise InvalidEmbeddedNode(
+            f"embedded node needs exactly one property, got "
+            f"{[k for k, _ in props]!r}")
+    k, e = props[0]
+    vals = node[k] if isinstance(node[k], list) else [node[k]]
+    if len(vals) != 1:
+        raise InvalidEmbeddedNode(
+            f"embedded property {k!r} needs exactly one value")
+    if e == keys.TYPE:
+        t = vals[0]
+        t_iri = inner.expand_iri(t, vocab=True) if isinstance(t, str) \
+            else None
+        if t_iri is None or t_iri in keys.KEYWORDS:
+            raise InvalidEmbeddedNode(f"embedded @type {t!r}")
+        return (QT, (es, (IRI, keys.RDF_TYPE), _iri_or_bnode(t_iri, state)))
+    if e in keys.KEYWORDS:
+        raise InvalidEmbeddedNode(f"keyword {e} in an embedded node")
+    term = inner.terms.get(k)
+    sub_ctx = inner.subcontext_for_term(k)
+    eo = _to_object(vals[0], term, sub_ctx, state, graph)
+    if eo is None:
+        raise InvalidEmbeddedNode(f"embedded value of {k!r} dropped")
+    return (QT, (es, _iri_or_bnode(e, state), eo))
 
 
 def _nest_into(nested: dict, subj, graph, ctx: Context, state: _State) -> None:
@@ -845,6 +968,12 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
     extra = [k for k, e in kmap.items()
              if _key_survives(e) and e not in _VALUE_OBJECT_KEYS]
     if extra:
+        if any(kmap[k] == keys.ANNOTATION for k in extra):
+            # allowed-position annotations are stripped by the parent
+            # emission loop before this runs; one left over sits where
+            # no base triple exists (e.g. inside @list) — JSON-LD-star
+            # draft "invalid annotation"
+            raise InvalidAnnotation("@annotation in a list/invalid position")
         raise InvalidValueObject(f"unexpected entries {extra!r}")
     _lk = next((k for k, e in kmap.items() if e == keys.LANG), None)
     _dk = next((k for k, e in kmap.items() if e == keys.DIRECTION), None)

@@ -58,9 +58,14 @@ def extract_blocks(text: str) -> list[str]:
 
 
 def _term_cols(t: tuple) -> tuple[str, bool]:
-    """term → (string form, is_bnode). Bnodes keep the '_:' prefix."""
+    """term → (string form, is_bnode). Bnodes keep the '_:' prefix;
+    quoted triples (JSON-LD-star @annotation / embedded @id) take the
+    canonical '<< … >>' table spelling (operators/star.py)."""
     if t[0] == BNODE:
         return "_:" + t[1], True
+    if t[0] == "qt":
+        from rdflib_jsonld_spark.operators.star import term_to_star
+        return term_to_star(t), False
     return t[1], False
 
 
@@ -100,8 +105,9 @@ def quads_for_turn(conv_id: str, turn_idx: int, text: str,
                              dt, lang, conv_id, turn_idx))
             else:
                 o_str, o_bn = _term_cols(o)
-                rows.append((g_str, s_str, s_bn, p_str,
-                             "bnode" if o_bn else "iri", o_str,
+                o_kind = "bnode" if o_bn else (
+                    "triple" if o[0] == "qt" else "iri")
+                rows.append((g_str, s_str, s_bn, p_str, o_kind, o_str,
                              None, None, conv_id, turn_idx))
     return rows, errors
 

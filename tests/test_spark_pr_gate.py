@@ -32,6 +32,8 @@ def _row_to_term(kind, value, dt, lang):
     if kind == "literal":
         return (LIT, value, dt or "http://www.w3.org/2001/XMLSchema#string",
                 lang)
+    if kind == "triple" or value.startswith("<<"):
+        return nquads.parse_term(value)[0]  # quoted-triple spelling
     if value.startswith("_:"):
         return (BNODE, value[2:])
     return (IRI, value)
@@ -53,7 +55,9 @@ def test_spark_pipeline_pr_gate(spark):
     for r in quads.collect():
         g = None if r.g is None else (
             (BNODE, r.g[2:]) if r.g.startswith("_:") else (IRI, r.g))
-        s = (BNODE, r.s[2:]) if r.s_is_bnode else (IRI, r.s)
+        s = (BNODE, r.s[2:]) if r.s_is_bnode else (
+            nquads.parse_term(r.s)[0] if r.s.startswith("<<")
+            else (IRI, r.s))
         p = (BNODE, r.p[2:]) if r.p.startswith("_:") else (IRI, r.p)
         o = _row_to_term(r.o_kind, r.o_value, r.o_datatype, r.o_lang)
         by_conv.setdefault(r.conv_id, []).append((g, s, p, o))

@@ -188,15 +188,17 @@ def test_subselect_aggregate_joins_outer(quads):
 
 
 def test_subselect_topk_modifiers(quads):
-    # ORDER+LIMIT apply INSIDE the subquery, before the outer join;
-    # plain ?a orders by lexical form ("7" > "41"), a numeric BIND
-    # orders by value (41 wins)
+    # ORDER+LIMIT apply INSIDE the subquery, before the outer join.
+    # A plain ?a over xsd:integer literals orders by VALUE (41 wins) —
+    # §15.1 via op:numeric-less-than — including when ?a is NOT
+    # projected (r05 corpus fix: unprojected order vars used to fall
+    # back to lexical sort, where "7" > "41" picked Dan)
     out = sparql(quads, PFX + """
         SELECT ?name WHERE {
           { SELECT ?x WHERE { ?x v:age ?a } ORDER BY DESC(?a) LIMIT 1 }
           ?x v:name ?name .
         }""")
-    assert vals(out, "name") == [("Dan",)]
+    assert vals(out, "name") == [("Bob",)]
     out = sparql(quads, PFX + """
         PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
         SELECT ?name WHERE {

@@ -1,0 +1,194 @@
+"""JSON-LD-star document syntax (VERDICT r04 #6): @annotation and
+embedded-@id nodes through BOTH engines (expansion.py + tordf.py), the
+from-RDF re-nesting direction, and compaction. [spec] JSON-LD-star
+draft (json-ld-star CG report) — no reference counterpart (the checkout
+predates RDF-star). Goldens 0204-0209 pin the N-Quads shapes; these
+tests pin engine coherence, round trips, and the error surface."""
+
+import pytest
+
+from rdflib_jsonld_spark.jsonld import keys, to_rdf
+from rdflib_jsonld_spark.jsonld.compact import compact
+from rdflib_jsonld_spark.jsonld.errors import (InvalidAnnotation,
+                                               InvalidEmbeddedNode)
+from rdflib_jsonld_spark.jsonld.expansion import expand
+from rdflib_jsonld_spark.jsonld.fromrdf import from_rdf
+from rdflib_jsonld_spark.jsonld.tordf import IRI, LIT, QT
+
+EX = "http://ex/"
+CTX = {"ex": EX, "knows": {"@id": EX + "knows"},
+       "certainty": EX + "certainty"}
+
+ANNOT_DOC = {"@context": {"ex": EX}, "@id": "ex:a",
+             "ex:knows": {"@id": "ex:b",
+                          "@annotation": {"ex:certainty": "high"}}}
+
+
+def test_annotation_asserts_base_and_quoted():
+    quads = to_rdf(ANNOT_DOC)
+    base = (None, (IRI, EX + "a"), (IRI, EX + "knows"), (IRI, EX + "b"))
+    qt = (None, (QT, (base[1], base[2], base[3])),
+          (IRI, EX + "certainty"),
+          (LIT, "high", keys.XSD_STRING, None))
+    assert sorted(map(repr, quads)) == sorted(map(repr, [base, qt]))
+
+
+def test_expansion_keeps_annotation_and_both_engines_agree():
+    exp = expand(ANNOT_DOC)
+    assert exp[0][EX + "knows"][0][keys.ANNOTATION] == [
+        {EX + "certainty": [{"@value": "high"}]}]
+    assert sorted(map(repr, to_rdf(exp))) == \
+        sorted(map(repr, to_rdf(ANNOT_DOC)))
+
+
+def test_nested_annotation_and_value_object():
+    doc = {"@context": {"ex": EX}, "@id": "ex:a",
+           "ex:age": {"@value": "30",
+                      "@annotation": {
+                          "ex:src": {"@id": "ex:doc",
+                                     "@annotation": {"ex:page": "3"}}}}}
+    quads = to_rdf(doc)
+    kinds = sorted(q[1][0] for q in quads)
+    assert kinds == ["iri", "qt", "qt"]
+    assert sorted(map(repr, to_rdf(expand(doc)))) == \
+        sorted(map(repr, quads))
+    # deepest subject is a nested quoted triple
+    nested = [q for q in quads if q[1][0] == QT and q[1][1][0][0] == QT]
+    assert len(nested) == 1 and nested[0][2] == (IRI, EX + "page")
+
+
+def test_embedded_id_not_asserted():
+    doc = {"@context": {"ex": EX},
+           "@id": {"@id": "ex:a", "ex:p": {"@id": "ex:o"}},
+           "ex:c": "z"}
+    quads = to_rdf(doc)
+    assert len(quads) == 1
+    g, s, p, o = quads[0]
+    assert s == (QT, ((IRI, EX + "a"), (IRI, EX + "p"), (IRI, EX + "o")))
+    assert sorted(map(repr, to_rdf(expand(doc)))) == \
+        sorted(map(repr, quads))
+
+
+def test_embedded_id_with_type_property():
+    doc = {"@context": {"ex": EX},
+           "@id": {"@id": "ex:a", "@type": "ex:T"}, "ex:c": "z"}
+    [q] = to_rdf(doc)
+    assert q[1] == (QT, ((IRI, EX + "a"), (IRI, keys.RDF_TYPE),
+                         (IRI, EX + "T")))
+
+
+def test_from_rdf_renests_annotation():
+    quads = to_rdf(ANNOT_DOC)
+    back = from_rdf(quads)
+    assert sorted(map(repr, to_rdf(back))) == sorted(map(repr, quads))
+    node = next(n for n in back if n["@id"] == EX + "a")
+    ann = node[EX + "knows"][0][keys.ANNOTATION]
+    assert ann == [{EX + "certainty": [{"@value": "high"}]}]
+
+
+def test_from_rdf_unasserted_base_keeps_embedded_id():
+    qt = (QT, ((IRI, EX + "a"), (IRI, EX + "p"), (IRI, EX + "o")))
+    quads = [(None, qt, (IRI, EX + "c"), (LIT, "z", keys.XSD_STRING,
+                                          None))]
+    back = from_rdf(quads)
+    assert back[0]["@id"] == {"@id": EX + "a",
+                              EX + "p": [{"@id": EX + "o"}]}
+    assert sorted(map(repr, to_rdf(back))) == sorted(map(repr, quads))
+
+
+def test_compaction_roundtrips_annotation_and_embedded():
+    doc = {"@context": CTX, "@id": "ex:a",
+           "knows": {"@id": "ex:b", "@annotation": {"certainty": "c1"}}}
+    comp = compact(doc, CTX)
+    assert comp["knows"]["@annotation"] == {"certainty": "c1"}
+    assert expand(comp) == expand(doc)
+    doc2 = {"@context": CTX,
+            "@id": {"@id": "ex:a", "knows": {"@id": "ex:b"}},
+            "certainty": "c2"}
+    comp2 = compact(doc2, CTX)
+    assert expand(comp2) == expand(doc2)
+
+
+def test_from_rdf_with_context_compacts_annotation():
+    quads = to_rdf({"@context": CTX, "@id": "ex:a",
+                    "knows": {"@id": "ex:b",
+                              "@annotation": {"certainty": "c"}}})
+    back = from_rdf(quads, context_data=CTX)
+    assert sorted(map(repr, to_rdf(back))) == sorted(map(repr, quads))
+
+
+@pytest.mark.parametrize("bad,err", [
+    ({"@id": "http://x/a", "@annotation": {"http://x/p": "v"}},
+     InvalidAnnotation),                                  # top-level
+    ({"@context": {"ex": EX}, "@id": "ex:a",
+      "ex:p": {"@list": [{"@id": "ex:b",
+                          "@annotation": {"ex:q": "v"}}]}},
+     InvalidAnnotation),                                  # inside @list
+    ({"@context": {"ex": EX}, "@id": "ex:a",
+      "ex:p": {"@id": "ex:b", "@annotation": {"@id": "ex:c"}}},
+     InvalidAnnotation),                                  # @id inside
+    ({"@context": {"ex": EX}, "@id": "ex:a",
+      "@reverse": {"ex:p": {"@id": "ex:b",
+                            "@annotation": {"ex:q": "v"}}}},
+     InvalidAnnotation),                                  # reverse
+    ({"@context": {"ex": EX}, "@id": "ex:a",
+      "@included": [{"@id": "ex:b", "ex:p": "v",
+                     "@annotation": {"ex:q": "v"}}]},
+     InvalidAnnotation),                                  # @included
+    ({"@context": {"ex": EX}, "@id": {"@id": "ex:a"}, "ex:c": "z"},
+     InvalidEmbeddedNode),                                # no property
+    ({"@context": {"ex": EX},
+      "@id": {"@id": "ex:a", "ex:p": "x", "ex:q": "y"}, "ex:c": "z"},
+     InvalidEmbeddedNode),                                # two props
+    ({"@context": {"ex": EX},
+      "@id": {"@id": "ex:a", "ex:p": ["x", "y"]}, "ex:c": "z"},
+     InvalidEmbeddedNode),                                # two values
+    ({"@context": {"ex": EX},
+      "@id": {"@id": "ex:a",
+              "ex:p": {"@id": "ex:o",
+                       "@annotation": {"ex:q": "v"}}}, "ex:c": "z"},
+     InvalidAnnotation),  # annotation nested inside embedded value
+], ids=["toplevel", "in-list", "id-inside", "reverse", "included",
+        "no-prop", "two-props", "two-values", "ann-in-embedded"])
+def test_error_surface_both_engines(bad, err):
+    from rdflib_jsonld_spark.jsonld.errors import JsonLdError
+    with pytest.raises(JsonLdError):
+        expand(bad)
+    with pytest.raises(JsonLdError):
+        to_rdf(bad)
+    # and at least one engine raises the SPECIFIC class
+    raised = []
+    for fn in (expand, to_rdf):
+        try:
+            fn(bad)
+        except JsonLdError as e:
+            raised.append(type(e))
+    assert any(issubclass(r, err) for r in raised), raised
+
+
+def test_framing_embeds_annotated_reference():
+    """r05 sweep (framing × star): an @annotation on a reference rides
+    the edge — it must neither block embedding of the referenced node
+    nor be lost."""
+    from rdflib_jsonld_spark.jsonld.frame import frame
+    doc = {"@context": {"ex": EX}, "@graph": [
+        {"@id": "ex:a", "@type": "ex:T",
+         "ex:knows": {"@id": "ex:b",
+                      "@annotation": {"ex:certainty": "high"}}},
+        {"@id": "ex:b", "@type": "ex:U", "ex:name": "B"}]}
+    out = frame(doc, {"@context": {"ex": EX}, "@type": "ex:T"})
+    [node] = out["@graph"]
+    knows = node["ex:knows"]
+    assert knows["ex:name"] == "B"                    # embedded
+    assert knows["@annotation"] == {"ex:certainty": "high"}  # kept
+
+
+def test_framing_keeps_embedded_id_subject():
+    from rdflib_jsonld_spark.jsonld.frame import frame
+    doc = {"@context": {"ex": EX}, "@graph": [
+        {"@id": {"@id": "ex:a", "ex:p": {"@id": "ex:o"}},
+         "@type": "ex:T", "ex:c": "z"}]}
+    out = frame(doc, {"@context": {"ex": EX}, "@type": "ex:T"})
+    [node] = out["@graph"]
+    assert node["@id"] == {"@id": "ex:a", "ex:p": {"@id": "ex:o"}}
+    assert node["ex:c"] == "z"
