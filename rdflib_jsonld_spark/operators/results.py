@@ -197,7 +197,11 @@ def _tsv_term(t) -> str:
     if t["kind"] == "uri":
         return f"<{t['value']}>"
     if t["kind"] == "bnode":
-        return t["value"]
+        # N-Triples BLANK_NODE_LABEL grammar: pipeline labels carry
+        # '/ # : .' lineage salts — same sentinel encoder as every
+        # other writer (sweep 27 class; r05 sweep: TSV emitted raw)
+        from rdflib_jsonld_spark.jsonld.nquads import encode_label
+        return "_:" + encode_label(t["value"][2:])
     val = t["value"]
     for raw, esc in _NT_ESC:
         val = val.replace(raw, esc)
@@ -249,10 +253,13 @@ def _tsv_term_col(df: DataFrame, var: str):
         .when(t["datatype"].isNotNull(),
               F.concat(lit, F.lit("^^<"), t["datatype"], F.lit(">"))) \
         .otherwise(lit)
+    from rdflib_jsonld_spark.sources.nquads_io import _encode_label_col
+    bnode = F.concat(F.lit("_:"),
+                     _encode_label_col(F.substring(t["value"], 3, 1 << 30)))
     return (F.when(t["kind"].isNull(), F.lit(""))
             .when(t["kind"] == "uri",
                   F.concat(F.lit("<"), t["value"], F.lit(">")))
-            .when(t["kind"] == "bnode", t["value"])
+            .when(t["kind"] == "bnode", bnode)
             .otherwise(lit)).alias(var)
 
 

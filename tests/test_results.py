@@ -82,7 +82,9 @@ def test_csv_and_tsv(sols):
     assert tl[0] == "?s\t?o"
     assert f'<{E}a>\t"30"^^<{XSD}integer>' in tl
     assert f'<{E}b>\t"Bob"@en' in tl
-    assert f"<{E}b>\t_:x1" in tl
+    # bnode labels go through the sentinel encoder (r05: TSV writers
+    # joined the sweep-27 writer-grammar convention)
+    assert f"<{E}b>\t_:_ex1" in tl
 
 
 def test_csv_quoting_and_unbound(spark, quads):
@@ -118,3 +120,27 @@ def test_write_results_roundtrip(spark, sols, tmp_path):
     assert all(r["s"]["type"] == "uri" for r in recs)
     langs = {r["o"].get("xml:lang") for r in recs}
     assert "en" in langs
+
+
+def test_tsv_bnode_labels_grammar_encoded(spark):
+    """r05 sweep (writer escaping): pipeline bnode labels carry
+    '/ # : .' lineage salts — the TSV writers (driver string AND
+    distributed JVM column) must emit grammar-legal BLANK_NODE_LABELs
+    via the shared sentinel encoder, byte-identically."""
+    from rdflib_jsonld_spark.jsonld.nquads import encode_label
+    from rdflib_jsonld_spark.operators.results import to_tsv, tsv_lines
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    quads = spark.createDataFrame(
+        [(None, "_:c1/0/2#5", True, "http://p", "iri", "http://o",
+          None, None)],
+        "g string, s string, s_is_bnode boolean, p string, o_kind string,"
+        " o_value string, o_datatype string, o_lang string")
+    out = sparql(quads, "SELECT ?s ?o WHERE { ?s <http://p> ?o }",
+                 keep_types=True)
+    body = to_tsv(out).splitlines()[1]
+    enc = "_:" + encode_label("c1/0/2#5")
+    assert body.split("\t")[0] == enc
+    import re
+    assert not re.search(r"[/#]", body.split("\t")[0])
+    [jvm_row] = tsv_lines(out).collect()
+    assert jvm_row[0] == body

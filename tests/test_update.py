@@ -309,3 +309,50 @@ def test_insert_template_bnodes(quads):
         parse_update(PFX + "DELETE { ?s v:p _:b } WHERE { ?s v:p ?o }")
     with pytest.raises(SparqlError, match="not allowed in DATA"):
         parse_update(PFX + "INSERT DATA { e:x v:p [ v:q 1 ] }")
+
+
+def test_using_dataset_corners(spark):
+    """r05 sweep: USING / USING NAMED dataset composition corners,
+    pinned under the engine's ConjunctiveGraph union-default convention
+    (plain patterns match the union of the WHERE dataset — bgp.py:308):
+    - USING NAMED only: plain patterns see the named graphs' rows
+      (union semantics); GRAPH ?g ranges over the named set;
+    - USING only: GRAPH ?g matches NOTHING (named set empty, rows moved
+      to the default graph);
+    - templates still target the store-wide WITH scope, inserts land in
+      the default graph absent GRAPH/WITH."""
+    from rdflib_jsonld_spark.operators.update import update
+    rows = [("http://g1", "http://a", False, "http://p", "literal", "1",
+             None, None),
+            ("http://g2", "http://b", False, "http://p", "literal", "2",
+             None, None),
+            (None, "http://c", False, "http://p", "literal", "3",
+             None, None)]
+    q = spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+
+    def marks(df):
+        return sorted((r.g, r.s) for r in df.collect()
+                      if r.p == "http://mark")
+
+    out = update(q, 'INSERT { ?s <http://mark> "x" } '
+                    'USING NAMED <http://g1> '
+                    'WHERE { ?s <http://p> ?o }')
+    assert marks(out) == [(None, "http://a")]
+    out2 = update(q, 'INSERT { ?s <http://mark> "y" } '
+                     'USING <http://g1> WHERE { ?s <http://p> ?o }')
+    assert marks(out2) == [(None, "http://a")]
+    out3 = update(q, 'INSERT { ?s <http://mark> "z" } '
+                     'USING NAMED <http://g2> '
+                     'WHERE { GRAPH ?g { ?s <http://p> ?o } }')
+    assert marks(out3) == [(None, "http://b")]
+    out4 = update(q, 'INSERT { ?s <http://mark> "w" } '
+                     'USING <http://g1> '
+                     'WHERE { GRAPH ?g { ?s <http://p> ?o } }')
+    assert marks(out4) == []
+    # nonexistent USING graph -> empty dataset -> no solutions
+    out5 = update(q, 'INSERT { ?s <http://mark> "v" } '
+                     'USING <http://nope> WHERE { ?s <http://p> ?o }')
+    assert marks(out5) == []
