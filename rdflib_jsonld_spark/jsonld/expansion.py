@@ -425,6 +425,12 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
                         # 13.7.4.2): every entry becomes a graph object;
                         # @index keys annotate it (non-semantic in
                         # toRdf), @id keys NAME the graph
+                        if keys.ANNOTATION in node:
+                            # graph contents have no base triple
+                            # (JSON-LD-star draft; r05 sweep divergence
+                            # — tordf already raised here)
+                            raise InvalidAnnotation(
+                                "@annotation under a @graph container")
                         if keys.GRAPH in node and not (
                                 set(node) - {keys.GRAPH, keys.ID,
                                              keys.INDEX}):
@@ -499,6 +505,11 @@ def _expand_container_value(ctx: Context, key: str, term, container: set,
             for node in _ensure_array(expanded):
                 if not isinstance(node, dict):
                     continue
+                if keys.ANNOTATION in node:
+                    # r05 sweep: mirrors tordf (graph contents have no
+                    # base triple to annotate — JSON-LD-star draft)
+                    raise InvalidAnnotation(
+                        "@annotation under a @graph container")
                 if keys.GRAPH in node and set(node) <= {
                         keys.GRAPH, keys.ID, keys.INDEX}:
                     # already a GRAPH OBJECT (@graph with only @id/@index

@@ -620,18 +620,13 @@ def _embedded_triple(node: dict, graph, ctx: Context,
 
 
 def _nest_into(nested: dict, subj, graph, ctx: Context, state: _State) -> None:
-    """@nest: properties of the nested map attach to the outer subject."""
-    fake = dict(nested)
-    # Reuse _add_to_graph machinery by forcing the outer subject: emit via a
-    # temporary node that has the outer @id. Bnode subjects round-trip
-    # through the id_map.
-    if subj[0] == BNODE:
-        label = f"_:__nest_{subj[1]}"
-        state.id_map[label] = subj[1]
-        fake[keys.ID] = label
-    else:
-        fake[keys.ID] = subj[1]
-    _add_to_graph(fake, graph, ctx, state)
+    """@nest: properties of the nested map attach to the outer subject
+    (force_subj — carries ANY term kind, including quoted-triple
+    subjects inside annotation objects; r05 sweep: the previous
+    fake-@id trick raised InvalidIdValue for @nest inside
+    @annotation). A nested map's own @id is ignored, matching the
+    expansion twin's nest-merge loop."""
+    _add_to_graph(dict(nested), graph, ctx, state, force_subj=subj)
 
 
 def _emit(state: _State, graph, s, p, o) -> None:

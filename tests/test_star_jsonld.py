@@ -192,3 +192,60 @@ def test_framing_keeps_embedded_id_subject():
     [node] = out["@graph"]
     assert node["@id"] == {"@id": "ex:a", "ex:p": {"@id": "ex:o"}}
     assert node["ex:c"] == "z"
+
+
+def test_graph_container_annotation_errors_both_engines():
+    """r05 sweep: a @graph-container value carrying @annotation has no
+    base triple — both engines must raise (expansion silently accepted
+    before)."""
+    bad = {"@context": {"ex": EX,
+                        "p": {"@id": EX + "p", "@container": "@graph"}},
+           "@id": "ex:a",
+           "p": {"@id": "ex:b", "@annotation": {"ex:c": "v"}}}
+    for fn in (expand, to_rdf):
+        with pytest.raises(InvalidAnnotation):
+            fn(bad)
+    # graph-keyed maps ([@graph, @index]) too
+    bad2 = {"@context": {"ex": EX,
+                         "p": {"@id": EX + "p",
+                               "@container": ["@graph", "@index"]}},
+            "@id": "ex:a",
+            "p": {"k": {"@id": "ex:b", "@annotation": {"ex:c": "v"}}}}
+    for fn in (expand, to_rdf):
+        with pytest.raises(InvalidAnnotation):
+            fn(bad2)
+
+
+def test_nest_inside_annotation_agrees():
+    """r05 sweep: @nest inside an annotation object merges into the
+    quoted-triple subject in BOTH engines (the tordf fake-@id nest
+    trick used to raise InvalidIdValue on qt subjects)."""
+    doc = {"@context": {"ex": EX}, "@id": "ex:a",
+           "ex:p": {"@id": "ex:b",
+                    "@annotation": {"@nest": {"ex:c": "v"}}}}
+    q1 = sorted(map(repr, to_rdf(doc)))
+    q2 = sorted(map(repr, to_rdf(expand(doc))))
+    assert q1 == q2
+    assert any("'qt'" in q and "ex/c" in q for q in q1)
+
+
+def test_annotation_through_containers_agree():
+    """@annotation survives @set wrapping and @id/@index container
+    unfolding identically in both engines."""
+    docs = [
+        {"@context": {"ex": EX}, "@id": "ex:a",
+         "ex:p": {"@set": [{"@id": "ex:b",
+                            "@annotation": {"ex:c": "v"}}]}},
+        {"@context": {"ex": EX,
+                      "p": {"@id": EX + "p", "@container": "@id"}},
+         "@id": "ex:a", "p": {"ex:b": {"@annotation": {"ex:c": "v"}}}},
+        {"@context": {"ex": EX,
+                      "p": {"@id": EX + "p", "@container": "@index"}},
+         "@id": "ex:a",
+         "p": {"k": {"@id": "ex:b", "@annotation": {"ex:c": "v"}}}},
+    ]
+    for doc in docs:
+        q1 = sorted(map(repr, to_rdf(doc)))
+        q2 = sorted(map(repr, to_rdf(expand(doc))))
+        assert q1 == q2, doc
+        assert any("'qt'" in q for q in q1), doc
