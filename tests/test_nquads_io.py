@@ -340,3 +340,44 @@ def test_sink_plan_still_jvm_only_with_star_branch(spark):
          None, None)])
     plan = nquads_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan, plan
+
+
+def test_document_star_quads_roundtrip_distributed(spark, tmp_path):
+    """r05: quads produced by the JSON-LD-star DOCUMENT syntax (nested
+    annotations, salted bnode labels, literal containing '<<' and
+    quotes) survive the distributed sink/source round trip with labels
+    consistently sentinel-encoded at every nesting depth."""
+    from rdflib_jsonld_spark.jsonld import to_rdf
+    from rdflib_jsonld_spark.jsonld.tordf import BNODE, LIT
+    from rdflib_jsonld_spark.operators.expand import _term_cols
+    EX = "http://ex/"
+    doc = {"@context": {"ex": EX}, "@id": "ex:a",
+           "ex:p": {"@id": "_:inner/salt#1",
+                    "@annotation": {"ex:src": {"@id": "ex:doc",
+                        "@annotation": {"ex:note": 'two words "q" <<'}}}}}
+    rows = []
+    for g, s, p, o in to_rdf(doc):
+        s_str, s_bn = _term_cols(s)
+        if o[0] == LIT:
+            rows.append((None, s_str, s_bn, p[1], "literal",
+                         o[1], o[2], o[3]))
+        else:
+            o_str, o_bn = _term_cols(o)
+            kind = "bnode" if o[0] == BNODE else (
+                "triple" if o[0] == "qt" else "iri")
+            rows.append((None, s_str, s_bn, p[1], kind, o_str,
+                         None, None))
+    df = spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+    path = str(tmp_path / "docstar.nq")
+    write_nquads(df, path)
+    import re
+    for ln in (r.value for r in spark.read.text(path).collect()):
+        for label in re.findall(r"_:([^\s<\">]+)", ln):
+            assert label.startswith("_e") and "/" not in label, ln
+    back = read_nquads(spark, path)
+    got = sorted(map(str, (tuple(r) for r in back.collect())))
+    want = sorted(map(str, (tuple(r) for r in df.collect())))
+    assert got == want
