@@ -249,3 +249,35 @@ def test_annotation_through_containers_agree():
         q2 = sorted(map(repr, to_rdf(expand(doc))))
         assert q1 == q2, doc
         assert any("'qt'" in q for q in q1), doc
+
+
+def test_from_rdf_star_graph_scoping():
+    """r05 sweep: annotation quads attach only when the base triple is
+    asserted in the SAME graph; a cross-graph base stays an
+    embedded-@id node; duplicate annotation predicates merge values.
+    All three shapes round-trip."""
+    G = (IRI, EX + "g1")
+    base = ((IRI, EX + "a"), (IRI, EX + "p"), (IRI, EX + "b"))
+    xs = keys.XSD_STRING
+
+    same = [(G, *base),
+            (G, (QT, base), (IRI, EX + "c"), (LIT, "v", xs, None))]
+    back = from_rdf(same)
+    inner = back[0]["@graph"][0][EX + "p"][0]
+    assert inner[keys.ANNOTATION] == [{EX + "c": [{"@value": "v"}]}]
+    assert sorted(map(repr, to_rdf(back))) == sorted(map(repr, same))
+
+    cross = [(None, *base),
+             (G, (QT, base), (IRI, EX + "c"), (LIT, "v", xs, None))]
+    back2 = from_rdf(cross)
+    gnode = next(n for n in back2 if n["@id"] == EX + "g1")
+    assert isinstance(gnode["@graph"][0]["@id"], dict)  # embedded, no attach
+    assert sorted(map(repr, to_rdf(back2))) == sorted(map(repr, cross))
+
+    multi = [(None, *base),
+             (None, (QT, base), (IRI, EX + "c"), (LIT, "v", xs, None)),
+             (None, (QT, base), (IRI, EX + "c"), (LIT, "w", xs, None))]
+    back3 = from_rdf(multi)
+    ann = back3[0][EX + "p"][0][keys.ANNOTATION]
+    assert ann == [{EX + "c": [{"@value": "v"}, {"@value": "w"}]}]
+    assert sorted(map(repr, to_rdf(back3))) == sorted(map(repr, multi))
