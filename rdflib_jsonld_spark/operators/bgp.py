@@ -177,9 +177,15 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
         for name, col in zip(names, comps):
             df = df.withColumn(name, col)
         qs_c, qp_c, qok_c, qov_c, qod_c, qol_c = names
-        df = df.where(F.col(qs_c).isNotNull())  # flat spelling only
+        df = df.where(F.col(qs_c).isNotNull())
         for inner, colname in ((term[1], qs_c), (term[2], qp_c)):
-            if _is_var(inner):
+            if isinstance(inner, tuple) and inner[0] == "qt":
+                # nested quoted pattern (annotation on an annotation):
+                # the decomposition left the inner '<< … >>' spelling in
+                # this column — peel the next level recursively
+                df = df.where(F.col(colname).startswith("<<"))
+                qt_constrain(inner, colname, slot + "n")
+            elif _is_var(inner):
                 bind(inner[1:], colname)
             else:
                 df = df.where(F.col(colname) == inner)

@@ -541,16 +541,37 @@ class _Parser:
             while True:
                 obj = self._node(triples)
                 triples.append((subj, pred, obj))
+                # SPARQL 1.2 annotation block '{| p2 o2 ; ... |}'
+                # ([spec] SPARQL 1.2 WD / SPARQL-star CG "annotation
+                # syntax"): sugar for a po-list whose subject is the
+                # quoted base triple — the query twin of JSON-LD-star's
+                # @annotation. Nested blocks recurse naturally (the
+                # inner po-list's objects take their own blocks).
+                while (self._is_op("{")
+                        and (n2 := self.peek(1)) is not None
+                        and n2.kind == "OP" and n2.text == "|"):
+                    if not isinstance(pred, str):
+                        raise SparqlError(
+                            "annotation block on a property path has "
+                            "no single base triple to annotate")
+                    self.take(), self.take()
+                    self._parse_po_list(("qt", subj, pred, obj), triples)
+                    tk = self.take()
+                    if tk is None or tk.kind != "OP" or tk.text != "|":
+                        raise SparqlError(
+                            "expected '|}' closing annotation block")
+                    self.expect_op("}")
                 if self._is_op(","):
                     self.take()
                     continue
                 break
             if self._is_op(";"):
                 self.take()
-                # allow trailing ';' before '.' or a closing bracket
+                # allow trailing ';' before '.', a closing bracket, or
+                # an annotation block's '|}'
                 nxt = self.peek()
                 if nxt is None or (nxt.kind == "OP"
-                                   and nxt.text in (".", "}", "]")):
+                                   and nxt.text in (".", "}", "]", "|")):
                     break
                 continue
             break

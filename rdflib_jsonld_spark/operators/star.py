@@ -67,11 +67,15 @@ def term_to_star(t: tuple) -> str:
     return base
 
 
-#: flat quoted-triple spelling — subject (iri|bnode), predicate iri,
-#: object (iri|bnode|literal[^^dt|@lang]). Nested quoted components do
-#: not match (their extraction returns NULL; re-encode and recurse).
+#: quoted-triple spelling — subject (iri|bnode|NESTED quoted spelling),
+#: predicate iri, object (iri|bnode|literal[^^dt|@lang]). One nesting
+#: level is peeled per application: a nested SUBJECT is captured as its
+#: whole '<< … >>' spelling (group 3; greedy, re-anchored by the
+#: trailing ' <pred> obj >>') for quoted_components to decompose again.
+#: Nested OBJECT positions stay unmatched (not produced by the
+#: annotation syntax; use the kwargs surface).
 _STAR_RE = (
-    r'^<< (?:<([^>]*)>|(_:[^\s<">]+))'
+    r'^<< (?:<([^>]*)>|(_:[^\s<">]+)|(<< .* >>))'
     r' <([^>]*)>'
     r' (?:<([^>]*)>|(_:[^\s<">]+)'
     r'|"((?:[^"\\]|\\.)*)"'
@@ -92,22 +96,25 @@ def _unescape_col(c: Column) -> Column:
 def quoted_components(col: Column) -> list[Column]:
     """STRING column of quoted-triple spellings → the component columns
     ``[qs, qp, qo_kind, qo_value, qo_datatype, qo_lang]`` (all NULL when
-    the cell is not a flat quoted spelling)."""
-    g = [F.regexp_extract(col, _STAR_RE, i) for i in range(1, 9)]
+    the cell is not a quoted spelling). A NESTED quoted subject comes
+    back as its own '<< … >>' spelling in ``qs`` — apply again to peel
+    the next level (one level per call)."""
+    g = [F.regexp_extract(col, _STAR_RE, i) for i in range(1, 10)]
     is_q = col.rlike(_STAR_RE)
-    qs = F.when(is_q, F.when(g[1] != "", g[1]).otherwise(g[0]))
-    qp = F.when(is_q, g[2])
-    has_lit = is_q & (g[3] == "") & (g[4] == "")
+    qs = F.when(is_q, F.when(g[1] != "", g[1])
+                .when(g[2] != "", g[2]).otherwise(g[0]))
+    qp = F.when(is_q, g[3])
+    has_lit = is_q & (g[4] == "") & (g[5] == "")
     qo_kind = F.when(has_lit, F.lit("literal")) \
-        .when(is_q & (g[4] != ""), F.lit("bnode")) \
+        .when(is_q & (g[5] != ""), F.lit("bnode")) \
         .when(is_q, F.lit("iri"))
-    qo_value = F.when(has_lit, _unescape_col(g[5])) \
-        .when(is_q & (g[4] != ""), g[4]).when(is_q, g[3])
-    qo_dt = F.when(has_lit & (g[6] != ""), g[6]) \
-        .when(has_lit & (g[7] != ""),
+    qo_value = F.when(has_lit, _unescape_col(g[6])) \
+        .when(is_q & (g[5] != ""), g[5]).when(is_q, g[4])
+    qo_dt = F.when(has_lit & (g[7] != ""), g[7]) \
+        .when(has_lit & (g[8] != ""),
               F.lit(keys.RDF_LANGSTRING)) \
         .when(has_lit, F.lit(XSD_STRING))
-    qo_lang = F.when(has_lit & (g[7] != ""), F.lower(g[7]))
+    qo_lang = F.when(has_lit & (g[8] != ""), F.lower(g[8]))
     return [qs, qp, qo_kind, qo_value, qo_dt, qo_lang]
 
 

@@ -15,8 +15,9 @@ import pathlib
 import pytest
 
 from rdflib_jsonld_spark.jsonld.nquads import parse
-from rdflib_jsonld_spark.jsonld.tordf import BNODE, LIT
+from rdflib_jsonld_spark.jsonld.tordf import BNODE, LIT, QT
 from rdflib_jsonld_spark.operators.sparql import SparqlError, sparql
+from rdflib_jsonld_spark.operators.star import term_to_star
 
 CORPUS = sorted((pathlib.Path(__file__).parent
                  / "fixtures" / "sparql").glob("*.json"))
@@ -27,6 +28,8 @@ SCHEMA = ("g string, s string, s_is_bnode boolean, p string, "
 
 
 def _term_str(t):
+    if t[0] == QT:
+        return term_to_star(t)
     return ("_:" + t[1]) if t[0] == BNODE else t[1]
 
 
@@ -38,9 +41,10 @@ def _quad_rows(nq_text):
             rows.append((g_str, _term_str(s), s[0] == BNODE,
                          _term_str(p), "literal", o[1], o[2], o[3]))
         else:
+            kind = "bnode" if o[0] == BNODE else (
+                "triple" if o[0] == QT else "iri")
             rows.append((g_str, _term_str(s), s[0] == BNODE,
-                         _term_str(p), "bnode" if o[0] == BNODE else "iri",
-                         _term_str(o), None, None))
+                         _term_str(p), kind, _term_str(o), None, None))
     return rows
 
 
