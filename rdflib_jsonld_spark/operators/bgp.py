@@ -483,6 +483,78 @@ def construct(quads: DataFrame,
     return instantiate_template(sols, template)
 
 
+def _star_escape_col(c):
+    """JVM twin of the star.py table-spelling literal escaping
+    (backslash FIRST; matches operators/star.py term_to_star)."""
+    for raw, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+        c = F.replace(c, F.lit(raw), F.lit(esc))
+    return c
+
+
+def _qt_template_col(term: tuple, have: set):
+    """Template quoted-triple term → a column building its star.py
+    table spelling from the current solution row (SPARQL 1.2 annotation
+    blocks / quoted templates in CONSTRUCT and Update). Components are
+    vars (spelled by their type companions when captured), constants,
+    or nested quoted terms (recursion)."""
+    comps = []
+    for pos in term[1:]:
+        if isinstance(pos, tuple) and pos[0] == "qt":
+            comps.append(_qt_template_col(pos, have))
+            continue
+        if _is_var(pos):
+            var = pos[1:]
+            v = F.col(var)
+            shape = F.when(v.startswith("_:"), F.lit("bnode")) \
+                .when(v.startswith("<<"), F.lit("triple")) \
+                .otherwise(F.lit("iri"))
+            if f"{TYPED_PREFIX}{var}__kind" in have:
+                kind = F.coalesce(F.col(f"{TYPED_PREFIX}{var}__kind"),
+                                  shape)
+                dt = F.col(f"{TYPED_PREFIX}{var}__datatype")
+                lang = F.col(f"{TYPED_PREFIX}{var}__lang")
+            else:
+                kind = shape
+                dt = F.lit(None).cast("string")
+                lang = F.lit(None).cast("string")
+            lit_sp = F.concat(F.lit('"'), _star_escape_col(v), F.lit('"'))
+            lit_sp = F.when(lang.isNotNull(),
+                            F.concat(lit_sp, F.lit("@"), lang)) \
+                .when(dt.isNotNull() & (dt != XSD_STRING),
+                      F.concat(lit_sp, F.lit("^^<"), dt, F.lit(">"))) \
+                .otherwise(lit_sp)
+            comps.append(
+                F.when(kind == "literal", lit_sp)
+                .when(kind == "bnode", v)
+                .when(kind == "triple", v)     # already a spelling
+                .otherwise(F.concat(F.lit("<"), v, F.lit(">"))))
+            continue
+        enc = decode_literal(pos)
+        if enc is not None:
+            val, elang, edt = enc
+            esc = (val.replace("\\", "\\\\").replace('"', '\\"')
+                   .replace("\n", "\\n").replace("\r", "\\r")
+                   .replace("\t", "\\t"))
+            sp = f'"{esc}"'
+            if elang:
+                sp += f"@{elang}"
+            elif edt and edt != XSD_STRING:
+                sp += f"^^<{edt}>"
+            comps.append(F.lit(sp))
+        elif pos.startswith("_:"):
+            comps.append(F.lit(pos))
+        elif re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", pos):
+            comps.append(F.lit(f"<{pos}>"))
+        else:
+            esc = (pos.replace("\\", "\\\\").replace('"', '\\"')
+                   .replace("\n", "\\n").replace("\r", "\\r")
+                   .replace("\t", "\\t"))
+            comps.append(F.lit(f'"{esc}"'))
+    return F.concat(F.lit("<< "), comps[0], F.lit(" "), comps[1],
+                    F.lit(" "), comps[2], F.lit(" >>"))
+
+
 def instantiate_template(sols: DataFrame,
                          template: list[tuple[str, str, str]],
                          graph: str | None = None) -> DataFrame:
@@ -507,10 +579,20 @@ def instantiate_template(sols: DataFrame,
     out = None
     for s, p, o in template:
         def _subj(pos):
+            if isinstance(pos, tuple) and pos[0] == "qt":
+                # quoted-triple template term (annotation blocks /
+                # '<< … >>' in CONSTRUCT/Update templates): build the
+                # star.py table spelling from the solution row
+                return _qt_template_col(pos, have)
             return F.col(pos[1:]) if _is_var(pos) else F.lit(pos)
 
         s_col, p_col = _subj(s), _subj(p)
-        if _is_var(o):
+        if isinstance(o, tuple) and o[0] == "qt":
+            o_col = _qt_template_col(o, have)
+            kind = F.lit("triple")
+            dt = F.lit(None).cast("string")
+            lang = F.lit(None).cast("string")
+        elif _is_var(o):
             var = o[1:]
             o_col = F.col(var)
             shape_kind = F.when(o_col.startswith("_:"), F.lit("bnode")) \

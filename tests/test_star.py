@@ -139,3 +139,98 @@ def test_sparql_star_object_position_and_join(star_quads):
         SELECT ?s ?c WHERE {{ << ?s e:p ?v >> e:certainty ?c .
                               ?s e:p ?v }}""")
     assert [tuple(r) for r in out.collect()] == [(E + "a", "0.9")]
+
+
+# --- SPARQL 1.2 annotation blocks (r05) -------------------------------------
+
+def _star_doc_quads(spark):
+    from rdflib_jsonld_spark.jsonld import to_rdf
+    from rdflib_jsonld_spark.jsonld.tordf import BNODE, LIT
+    from rdflib_jsonld_spark.operators.expand import _term_cols
+    EX = "http://ex/"
+    doc = {"@context": {"ex": EX}, "@id": "ex:a",
+           "ex:knows": [
+               {"@id": "ex:b", "@annotation": {
+                   "ex:certainty": 0.9,
+                   "ex:src": {"@id": "ex:doc",
+                              "@annotation": {"ex:page": 3}}}},
+               {"@id": "ex:c", "@annotation": {"ex:certainty": 0.4}}]}
+    rows = []
+    for g, s, p, o in to_rdf(doc):
+        s_str, s_bn = _term_cols(s)
+        if o[0] == LIT:
+            rows.append((None, s_str, s_bn, p[1], "literal",
+                         o[1], o[2], o[3]))
+        else:
+            o_str, _ = _term_cols(o)
+            kind = "bnode" if o[0] == BNODE else (
+                "triple" if o[0] == "qt" else "iri")
+            rows.append((None, s_str, s_bn, p[1], kind, o_str,
+                         None, None))
+    return spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+
+
+def test_annotation_block_select(spark):
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    q = _star_doc_quads(spark)
+    out = sparql(q, "PREFIX ex: <http://ex/> SELECT ?o ?c WHERE "
+                    "{ ?s ex:knows ?o {| ex:certainty ?c |} } ORDER BY ?o")
+    assert [(r.o, r.c) for r in out.collect()] == [
+        ("http://ex/b", "9.0E-1"), ("http://ex/c", "4.0E-1")]
+    # FILTER over the annotation var
+    out2 = sparql(q, "PREFIX ex: <http://ex/> SELECT ?o WHERE "
+                     "{ ?s ex:knows ?o {| ex:certainty ?c |} "
+                     "FILTER(?c > 0.5) }")
+    assert [r.o for r in out2.collect()] == ["http://ex/b"]
+
+
+def test_annotation_block_nested(spark):
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    q = _star_doc_quads(spark)
+    out = sparql(q, "PREFIX ex: <http://ex/> SELECT ?o ?src ?pg WHERE "
+                    "{ ?s ex:knows ?o {| ex:src ?src {| ex:page ?pg |} |} }")
+    assert [(r.o, r.src, r.pg) for r in out.collect()] == [
+        ("http://ex/b", "http://ex/doc", "3")]
+
+
+def test_annotation_block_semicolon_and_path_rejection(spark):
+    from rdflib_jsonld_spark.operators.sparql import SparqlError, sparql
+    q = _star_doc_quads(spark)
+    out = sparql(q, "PREFIX ex: <http://ex/> SELECT ?o ?c ?s2 WHERE "
+                    "{ ?s ex:knows ?o {| ex:certainty ?c ; ex:src ?s2 |} }")
+    assert [(r.o, r.s2) for r in out.collect()] == [
+        ("http://ex/b", "http://ex/doc")]
+    import pytest as _pytest
+    with _pytest.raises(SparqlError, match="annotation block"):
+        sparql(q, "PREFIX ex: <http://ex/> SELECT ?o WHERE "
+                  "{ ?s ex:knows/ex:knows ?o {| ex:certainty ?c |} }")
+
+
+def test_annotation_block_construct_and_update(spark):
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    from rdflib_jsonld_spark.operators.update import update
+    rows = [(None, "http://ex/a", False, "http://ex/knows", "iri",
+             "http://ex/b", None, None)]
+    q = spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+    got = sparql(q, "PREFIX ex: <http://ex/> CONSTRUCT "
+                    "{ ?s ex:knows ?o {| ex:conf 1 |} } "
+                    "WHERE { ?s ex:knows ?o }").collect()
+    spellings = {r.s for r in got}
+    assert "<< <http://ex/a> <http://ex/knows> <http://ex/b> >>" \
+        in spellings
+    assert "http://ex/a" in spellings          # base triple asserted too
+    # INSERT block, then DELETE block removes base + annotation
+    ins = update(q, "PREFIX ex: <http://ex/> INSERT "
+                    "{ ?s ex:knows ?o {| ex:conf 2 |} } "
+                    "WHERE { ?s ex:knows ?o }")
+    assert ins.count() == 2
+    dele = update(ins, "PREFIX ex: <http://ex/> DELETE "
+                       "{ ?s ex:knows ?o {| ex:conf ?c |} } "
+                       "WHERE { ?s ex:knows ?o {| ex:conf ?c |} }")
+    assert dele.count() == 0
