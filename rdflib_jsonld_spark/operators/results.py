@@ -82,7 +82,8 @@ def _term_struct(df: DataFrame, var: str):
             F.lit(None).cast("string").alias("lang"),
             F.when(v.isNotNull(), F.lit(dt)).alias("datatype"),
         ).alias(var)
-    shape = (F.when(v.startswith("_:"), F.lit("bnode"))
+    shape = (F.when(v.startswith("<<"), F.lit("triple"))
+             .when(v.startswith("_:"), F.lit("bnode"))
              .when(v.rlike(_SCHEME_RE), F.lit("uri"))
              .otherwise(F.lit("literal")))
     if f"__typ_{var}__kind" in have:
@@ -117,6 +118,35 @@ def _collect(df: DataFrame):
 
 # --- driver-side, format-exact serializers ---------------------------------
 
+def _json_triple(spelling: str) -> dict:
+    """'<< … >>' table spelling → SPARQL 1.2 results JSON triple value
+    ({"subject": …, "predicate": …, "object": …}, recursing on nested
+    quoted subjects)."""
+    from rdflib_jsonld_spark.jsonld.nquads import parse_term
+    from rdflib_jsonld_spark.jsonld.tordf import BNODE, IRI, LIT, QT
+
+    def term(t):
+        if t[0] == IRI:
+            return {"type": "uri", "value": t[1]}
+        if t[0] == BNODE:
+            return {"type": "bnode", "value": t[1]}
+        if t[0] == QT:
+            s, p, o = t[1]
+            return {"type": "triple", "value": {
+                "subject": term(s), "predicate": term(p),
+                "object": term(o)}}
+        out = {"type": "literal", "value": t[1]}
+        if t[3]:
+            out["xml:lang"] = t[3]
+        elif t[2] and t[2] != XSD + "string":
+            out["datatype"] = t[2]
+        return out
+
+    (qt, _) = parse_term(spelling)
+    s, p, o = qt[1]
+    return {"subject": term(s), "predicate": term(p), "object": term(o)}
+
+
 def to_json(df: DataFrame, *, indent: int | None = None) -> str:
     """SPARQL 1.1 Query Results JSON Format."""
     if _is_ask(df):
@@ -130,11 +160,17 @@ def to_json(df: DataFrame, *, indent: int | None = None) -> str:
             t = r[n]
             if t is None or t["kind"] is None:
                 continue   # unbound → binding omitted
-            cell = {"type": t["kind"], "value": t["value"]}
-            if t["lang"]:
-                cell["xml:lang"] = t["lang"]
-            elif t["datatype"]:
-                cell["datatype"] = t["datatype"]
+            if t["kind"] == "triple":
+                # SPARQL 1.2 results draft: quoted-triple binding as a
+                # nested s/p/o value (decomposed from the table
+                # spelling by the pure-core star parser)
+                cell = {"type": "triple", "value": _json_triple(t["value"])}
+            else:
+                cell = {"type": t["kind"], "value": t["value"]}
+                if t["lang"]:
+                    cell["xml:lang"] = t["lang"]
+                elif t["datatype"]:
+                    cell["datatype"] = t["datatype"]
             b[n] = cell
         bindings.append(b)
     return json.dumps({"head": {"vars": names},
@@ -161,7 +197,9 @@ def to_xml(df: DataFrame) -> str:
             if t is None or t["kind"] is None:
                 continue
             val = escape(t["value"])
-            if t["kind"] == "uri":
+            if t["kind"] == "triple":
+                inner = _xml_triple(t["value"])
+            elif t["kind"] == "uri":
                 inner = f"<uri>{val}</uri>"
             elif t["kind"] == "bnode":
                 inner = f"<bnode>{escape(t['value'][2:])}</bnode>"
@@ -177,6 +215,36 @@ def to_xml(df: DataFrame) -> str:
         out.append("<result>" + "".join(cells) + "</result>")
     out += ["</results>", "</sparql>"]
     return "\n".join(out)
+
+
+def _xml_triple(spelling: str) -> str:
+    """'<< … >>' spelling → SPARQL 1.2 results XML <triple> element."""
+    from rdflib_jsonld_spark.jsonld.nquads import parse_term
+    from rdflib_jsonld_spark.jsonld.tordf import BNODE, IRI, QT
+
+    def term(t):
+        if t[0] == IRI:
+            return f"<uri>{escape(t[1])}</uri>"
+        if t[0] == BNODE:
+            return f"<bnode>{escape(t[1])}</bnode>"
+        if t[0] == QT:
+            s, p, o = t[1]
+            return ("<triple><subject>" + term(s) + "</subject>"
+                    "<predicate>" + term(p) + "</predicate>"
+                    "<object>" + term(o) + "</object></triple>")
+        lex = escape(t[1])
+        if t[3]:
+            return f"<literal xml:lang={quoteattr(t[3])}>{lex}</literal>"
+        if t[2] and t[2] != XSD + "string":
+            return (f"<literal datatype={quoteattr(t[2])}>{lex}"
+                    f"</literal>")
+        return f"<literal>{lex}</literal>"
+
+    (qt, _) = parse_term(spelling)
+    s, p, o = qt[1]
+    return ("<triple><subject>" + term(s) + "</subject>"
+            "<predicate>" + term(p) + "</predicate>"
+            "<object>" + term(o) + "</object></triple>")
 
 
 def _csv_cell(value: str | None) -> str:
@@ -196,6 +264,12 @@ def _tsv_term(t) -> str:
         return ""
     if t["kind"] == "uri":
         return f"<{t['value']}>"
+    if t["kind"] == "triple":
+        # quoted-triple spelling is already N-Triples-shaped; re-spell
+        # through the pure core so inner bnode labels get the same
+        # sentinel encoding as plain cells
+        from rdflib_jsonld_spark.jsonld.nquads import parse_term, term_to_nq
+        return term_to_nq(parse_term(t["value"])[0])
     if t["kind"] == "bnode":
         # N-Triples BLANK_NODE_LABEL grammar: pipeline labels carry
         # '/ # : .' lineage salts — same sentinel encoder as every
@@ -253,10 +327,13 @@ def _tsv_term_col(df: DataFrame, var: str):
         .when(t["datatype"].isNotNull(),
               F.concat(lit, F.lit("^^<"), t["datatype"], F.lit(">"))) \
         .otherwise(lit)
-    from rdflib_jsonld_spark.sources.nquads_io import _encode_label_col
+    from rdflib_jsonld_spark.sources.nquads_io import (_encode_label_col,
+                                                       _encode_star_col)
     bnode = F.concat(F.lit("_:"),
                      _encode_label_col(F.substring(t["value"], 3, 1 << 30)))
     return (F.when(t["kind"].isNull(), F.lit(""))
+            .when(t["kind"] == "triple",
+                  _encode_star_col(t["value"]))  # inner labels encoded
             .when(t["kind"] == "uri",
                   F.concat(F.lit("<"), t["value"], F.lit(">")))
             .when(t["kind"] == "bnode", bnode)

@@ -144,3 +144,33 @@ def test_tsv_bnode_labels_grammar_encoded(spark):
     assert not re.search(r"[/#]", body.split("\t")[0])
     [jvm_row] = tsv_lines(out).collect()
     assert jvm_row[0] == body
+
+
+def test_quoted_triple_bindings_serialize_as_triple_terms(spark):
+    """r05: a variable bound to a quoted-triple spelling serializes per
+    the SPARQL 1.2 results draft — nested s/p/o in JSON, <triple> in
+    XML, the raw (label-encoded) spelling in TSV; driver and JVM TSV
+    agree byte-for-byte."""
+    import json as _json
+    from rdflib_jsonld_spark.operators.results import (to_json, to_tsv,
+                                                       to_xml, tsv_lines)
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    rows = [(None, "<< <http://ex/a> <http://ex/knows> _:b/0 >>", False,
+             "http://ex/conf", "literal", "0.9",
+             "http://www.w3.org/2001/XMLSchema#decimal", None)]
+    q = spark.createDataFrame(
+        rows, "g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+    sel = sparql(q, "SELECT ?s ?c WHERE { ?s <http://ex/conf> ?c }",
+                 keep_types=True)
+    tsv_line = to_tsv(sel).splitlines()[1]
+    assert tsv_line.startswith("<< <http://ex/a>")
+    assert "_:_eb_s0" in tsv_line          # inner label sentinel-encoded
+    [jvm] = [r[0] for r in tsv_lines(sel).collect()]
+    assert jvm == tsv_line
+    cell = _json.loads(to_json(sel))["results"]["bindings"][0]["s"]
+    assert cell["type"] == "triple"
+    assert cell["value"]["object"] == {"type": "bnode", "value": "b/0"}
+    x = to_xml(sel)
+    assert "<triple><subject>" in x and "<bnode>b/0</bnode>" in x
