@@ -770,6 +770,43 @@ def q_kg_star_annotations(spark, sf_dir) -> DataFrame:
         GROUP BY ?e ORDER BY ?e""")
 
 
+def q_kg_star_annotation_blocks(spark, sf_dir) -> DataFrame:
+    """SPARQL 1.2 annotation-block syntax (r05; operators/sparql.py
+    annotation sugar — no reference counterpart): the SAME annotated
+    mention store as kg_star_annotations, queried with
+    ``?m v:about ?e {| v:certainty ?c |}`` instead of an explicit
+    quoted-subject pattern. The block additionally requires the BASE
+    triple asserted (it is, for every mention), so the aggregate equals
+    kg_star_annotations' — same exact doc_id-arithmetic oracle shape,
+    different front-end surface under driver verification."""
+    from rdflib_jsonld_spark.operators.sparql import sparql
+    quads = shared_doc_quads(spark, sf_dir)
+    vocab = KG + "vocab#"
+    about = quads.where(F.col("p") == vocab + "about")
+    doc_id = F.regexp_extract(F.col("s"), r"m/doc/([0-9]+)$", 1) \
+        .cast("long")
+    annots = about.select(
+        F.lit(None).cast("string").alias("g"),
+        F.concat(F.lit("<< <"), F.col("s"), F.lit("> <"),
+                 F.lit(vocab + "about"), F.lit("> <"),
+                 F.col("o_value"), F.lit("> >>")).alias("s"),
+        F.lit(False).alias("s_is_bnode"),
+        F.lit(vocab + "certainty").alias("p"),
+        F.lit("literal").alias("o_kind"),
+        (F.lit(1) + doc_id % 7).cast("string").alias("o_value"),
+        F.lit("http://www.w3.org/2001/XMLSchema#integer")
+        .alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.col("conv_id"), F.col("turn_idx"))
+    star = quads.select(*annots.columns).unionByName(annots)
+    return sparql(star, f"""
+        PREFIX v: <{KG}vocab#>
+        SELECT ?e (COUNT(?m) AS ?n_annot) (MIN(?c) AS ?min_c)
+               (MAX(?c) AS ?max_c)
+        WHERE {{ ?m v:about ?e {{| v:certainty ?c |}} }}
+        GROUP BY ?e ORDER BY ?e""")
+
+
 def q_kg_star_annotation_docs(spark, sf_dir) -> DataFrame:
     """JSON-LD-star ``@annotation`` DOCUMENT syntax end-to-end (r05;
     jsonld/expansion.py + tordf.py star support, no reference
@@ -1156,6 +1193,7 @@ QUERIES = {
     "kg_sparql_results_tsv": q_kg_sparql_results_tsv,
     "kg_star_annotations": q_kg_star_annotations,
     "kg_star_annotation_docs": q_kg_star_annotation_docs,
+    "kg_star_annotation_blocks": q_kg_star_annotation_blocks,
     "kg_sparql_update_rewrite": q_kg_sparql_update_rewrite,
     "kg_framed_mentions": q_kg_framed_mentions,
     "kg_graph_dedup_canonical": q_kg_graph_dedup_canonical,
@@ -1667,6 +1705,17 @@ ORACLES: dict = {
                 ORDER BY e
             """,
     "kg_star_annotations": f"""
+                WITH a AS (
+                  SELECT '{KG}e/' || (doc_id % 500)::varchar || '/a' ||
+                             (doc_id % (1 + (doc_id % 500) % 3))::varchar
+                             AS e,
+                         (1 + doc_id % 7)::varchar AS c
+                  FROM documents)
+                SELECT e, count(*)::BIGINT AS n_annot,
+                       min(c) AS min_c, max(c) AS max_c
+                FROM a GROUP BY e ORDER BY e
+            """,
+    "kg_star_annotation_blocks": f"""
                 WITH a AS (
                   SELECT '{KG}e/' || (doc_id % 500)::varchar || '/a' ||
                              (doc_id % (1 + (doc_id % 500) % 3))::varchar
