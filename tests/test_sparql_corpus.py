@@ -71,6 +71,15 @@ def test_sparql_corpus_case(spark, path):
             sparql(quads, c["query"]).collect()
         return
     out = sparql(quads, c["query"])
+    if c.get("construct") is not None:
+        # expected graph as N-Quads text (bnode-free templates only —
+        # set comparison, no isomorphism needed)
+        want = sorted(map(repr, _quad_rows(c["construct"])))
+        got = sorted(repr((r.g, r.s, bool(r.s_is_bnode), r.p, r.o_kind,
+                           r.o_value, r.o_datatype, r.o_lang))
+                     for r in out.collect())
+        assert got == want, f"{c['clause']} — {c['comment']}"
+        return
     if c.get("ask") is not None:
         [row] = out.collect()
         assert row.ask == c["ask"], c["clause"]
