@@ -49,6 +49,42 @@ _FLAG_KEYS = ("@embed", "@explicit", "@requireAll", "@omitDefault",
               "@default")
 _EMBED_MODES = ("@once", "@always", "@never")
 
+# sentinel value object standing in for an explicit @null default
+# ([spec] Framing §3.1: "@default": "@null" (or JSON null) emits the
+# property with value null); restored to JSON null after compaction.
+_NULL_MARK = "\x00@null"
+
+
+def _embed_mode(v):
+    """Normalize an @embed value ([spec] Framing §4.2: MUST be one of
+    @always/@never/@once/true/false; true ≡ @once, false ≡ @never —
+    sweep 28: booleans were rejected)."""
+    if v is True:
+        return "@once"
+    if v is False:
+        return "@never"
+    if v not in _EMBED_MODES:
+        raise InvalidEmbedValue(
+            f"@embed must be one of {_EMBED_MODES} or true/false")
+    return v
+
+
+def _restore_nulls(obj):
+    """Replace the @null-default sentinel with JSON null in framed
+    output (both the expanded and the compacted shapes)."""
+    if isinstance(obj, dict):
+        if obj.get(keys.VALUE) == _NULL_MARK:
+            return None
+        return {k: _restore_nulls(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        out = [_restore_nulls(v) for v in obj]
+        # compact_arrays turned [sentinel] into the bare sentinel before
+        # we ran; a surviving singleton list of null stays a list
+        return out
+    if obj == _NULL_MARK:
+        return None
+    return obj
+
 
 def _as_list(v):
     if v is None:
@@ -174,12 +210,18 @@ def _property_matches(node: dict, prop: str, pat, ctx: Context) -> bool:
         return False
     if _is_wildcard(pat):
         return True
+    # [spec] §3.2: a list object matches when any of its ITEMS match
+    # the value pattern (sweep 28: patterns never looked inside @list)
+    flat = []
+    for v in node[prop]:
+        if isinstance(v, dict) and keys.LIST in v:
+            flat.extend(x for x in v[keys.LIST] if isinstance(x, dict))
+        elif isinstance(v, dict):
+            flat.append(v)
     pats = _as_list(pat)
     for p in pats:
         if isinstance(p, dict) and keys.VALUE in p:
-            if any(isinstance(v, dict)
-                   and _value_pattern_matches(p, v, ctx)
-                   for v in node[prop]):
+            if any(_value_pattern_matches(p, v, ctx) for v in flat):
                 return True
         else:
             # nested frame: presence selects; the subframe shapes the
@@ -262,7 +304,7 @@ def _embed_node(nid: str, fr: dict, state: _FrameState,
         if explicit and p not in frame_props:
             continue
         sub = _sub_frame(fr.get(p))
-        mode = _flag(sub, "@embed", embed_mode)
+        mode = _embed_mode(_flag(sub, "@embed", embed_mode))
         sub_explicit = bool(_flag(sub, "@explicit", explicit))
         sub_omit = bool(_flag(sub, "@omitDefault", omit_default))
         sub_x = _expand_frame(sub, state.ctx) if sub else {}
@@ -279,8 +321,55 @@ def _embed_node(nid: str, fr: dict, state: _FrameState,
             continue
         if "@default" in pat:
             dv = pat["@default"]
-            out[p] = [dv if isinstance(dv, dict) else {keys.VALUE: dv}]
+            # [spec] §3.1: an explicit @null (or JSON null) default
+            # emits the property with value null (sweep 28)
+            if dv is None or dv == "@null":
+                out[p] = [{keys.VALUE: _NULL_MARK}]
+            else:
+                out[p] = [dv if isinstance(dv, dict)
+                          else {keys.VALUE: dv}]
+    _embed_reverse(fr, nid, out, state, ancestors, embed_mode,
+                   explicit, omit_default)
     return out
+
+
+def _embed_reverse(fr: dict, nid: str, out: dict, state: _FrameState,
+                   ancestors: frozenset, embed_mode: str,
+                   explicit: bool, omit_default: bool) -> None:
+    """Reverse framing ([spec] Framing §3.1 step 4.7.4): a frame's
+    ``@reverse`` map embeds, per reverse property, every node that
+    REFERENCES the current node via that property (sweep 28: @reverse
+    in frames was silently ignored — the silent-drop class)."""
+    rev = next((r for r in _as_list(fr.get(keys.REV))
+                if isinstance(r, dict)), None)
+    if not rev:
+        return
+    rout: dict = {}
+    for rk, rpat in rev.items():
+        rprop = state.ctx.expand_key(rk)
+        if rprop is None or rprop.startswith("@"):
+            continue
+        sub = _sub_frame(rpat)
+        mode = _embed_mode(_flag(sub, "@embed", embed_mode))
+        sub_explicit = bool(_flag(sub, "@explicit", explicit))
+        sub_omit = bool(_flag(sub, "@omitDefault", omit_default))
+        sub_x = _expand_frame(sub, state.ctx) if sub else {}
+        refs = []
+        for oid in sorted(state.merged):
+            for vv in _as_list(state.merged[oid].get(rprop)):
+                items = vv[keys.LIST] if isinstance(vv, dict) \
+                    and keys.LIST in vv else [vv]
+                if any(isinstance(x, dict) and x.get(keys.ID) == nid
+                       for x in items):
+                    refs.append(oid)
+                    break
+        vals = [_embed_value({keys.ID: oid}, sub_x, state,
+                             ancestors | {nid}, mode, sub_explicit,
+                             sub_omit) for oid in refs]
+        if vals:
+            rout[rprop] = vals
+    if rout:
+        out[keys.REV] = rout
 
 
 def _embed_value(v, sub: dict, state: _FrameState, ancestors: frozenset,
@@ -342,9 +431,7 @@ def _frame_named_graphs(expanded, fx: dict, fctx: Context, embed: str,
                         if g != DEFAULT and g in want)
     inner_raw = next((g for g in _as_list(fx[keys.GRAPH])
                       if isinstance(g, dict)), {})
-    g_embed = _flag(inner_raw, "@embed", embed)
-    if g_embed not in _EMBED_MODES:
-        raise InvalidEmbedValue(f"@embed must be one of {_EMBED_MODES}")
+    g_embed = _embed_mode(_flag(inner_raw, "@embed", embed))
     g_explicit = bool(_flag(inner_raw, "@explicit", explicit))
     g_require_all = bool(_flag(inner_raw, "@requireAll", require_all))
     g_omit = bool(_flag(inner_raw, "@omitDefault", omit_default))
@@ -392,9 +479,7 @@ def frame(data, frame_doc, *, base: str | None = None,
         fctx = Context(base=base, registry=registry or {})
         if ctx_data is not None:
             fctx = fctx.load(ctx_data)
-    embed = _flag(frame_doc, "@embed", embed)
-    if embed not in _EMBED_MODES:
-        raise InvalidEmbedValue(f"@embed must be one of {_EMBED_MODES}")
+    embed = _embed_mode(_flag(frame_doc, "@embed", embed))
     explicit = bool(_flag(frame_doc, "@explicit", explicit))
     require_all = bool(_flag(frame_doc, "@requireAll", require_all))
     omit_default = bool(_flag(frame_doc, "@omitDefault", omit_default))
@@ -417,7 +502,7 @@ def frame(data, frame_doc, *, base: str | None = None,
             framed.append(_embed_node(nid, fx, state, frozenset(),
                                       embed, explicit, omit_default))
     if not compact_output:
-        return framed
+        return _restore_nulls(framed)
     from .compact import compact as _compact
     out = _compact(framed, ctx_data, base=base, registry=registry,
                    expanded=True, compact_arrays=True)
@@ -427,4 +512,4 @@ def frame(data, frame_doc, *, base: str | None = None,
         out = {fctx.alias(keys.GRAPH): [body] if body else []}
         if ctx_data is not None:
             out = {keys.CONTEXT: ctx_data, **out}
-    return out
+    return _restore_nulls(out)

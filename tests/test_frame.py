@@ -351,3 +351,96 @@ class TestSweep15Corners:
 
 def json_shape(node) -> str:
     return "ref" if set(node) == {"@id"} else "full"
+
+
+class TestSweep28Corners:
+    """Sweep 28 — framing deep probe ([spec] json-ld11-framing):
+    boolean @embed aliases (§4.2), @default @null/JSON-null (§3.1),
+    value patterns inside @list (§3.2), @reverse framing (§3.1)."""
+
+    DOC = {
+        "@context": CTX,
+        "@graph": [
+            {"@id": f"{EX}a", "@type": "T", "name": "A",
+             "knows": {"@id": f"{EX}b"}},
+            {"@id": f"{EX}b", "@type": "T", "name": "B",
+             "likes": {"@id": f"{EX}a"}},
+        ],
+    }
+
+    def test_boolean_embed_true_is_once(self):
+        out = frame(self.DOC, {"@context": CTX, "@type": "T",
+                               "@embed": True})
+        shapes = {json_shape(n["knows"]) if "knows" in n
+                  else json_shape(n["likes"]) for n in out["@graph"]}
+        # @once: first reference embeds, already-embedded stays a ref
+        assert "full" in shapes
+
+    def test_boolean_embed_false_is_never(self):
+        out = frame(self.DOC, {"@context": CTX, "@type": "T",
+                               "@embed": False})
+        for n in out["@graph"]:
+            ref = n.get("knows") or n.get("likes")
+            assert json_shape(ref) == "ref"
+
+    def test_embed_link_still_invalid(self):
+        from rdflib_jsonld_spark.jsonld.errors import InvalidEmbedValue
+        with pytest.raises(InvalidEmbedValue):
+            frame(self.DOC, {"@context": CTX, "@embed": "@link"})
+
+    @pytest.mark.parametrize("dv", [None, "@null"])
+    def test_default_null_emits_json_null(self, dv):
+        out = frame(self.DOC, {"@context": CTX, "@id": f"{EX}a",
+                               "missing": {"@default": dv}})
+        assert out["@graph"][0]["missing"] is None
+
+    def test_default_null_expanded_output(self):
+        out = frame(self.DOC, {"@context": CTX, "@id": f"{EX}a",
+                               "missing": {"@default": "@null"}},
+                    compact_output=False)
+        assert out[0][f"{EX}missing"] == [None]
+
+    def test_value_pattern_matches_inside_list(self):
+        doc = {"@context": {"@vocab": EX,
+                            "tags": {"@container": "@list"}},
+               "@graph": [
+                   {"@id": f"{EX}x", "tags": ["red", "blue"]},
+                   {"@id": f"{EX}y", "tags": ["green"]}]}
+        fr = {"@context": {"@vocab": EX,
+                           "tags": {"@container": "@list"}},
+              "tags": {"@value": "red"}}
+        out = frame(doc, fr)
+        assert [n["@id"] for n in out["@graph"]] == [f"{EX}x"]
+
+    def test_reverse_framing_embeds_referrers(self):
+        fr = {"@context": CTX, "@id": f"{EX}a",
+              "@reverse": {"likes": {"@embed": "@never"}}}
+        out = frame(self.DOC, fr)
+        node = out["@graph"][0]
+        assert node["@reverse"]["likes"] == {"@id": f"{EX}b"}
+
+    def test_reverse_framing_full_embed_and_subframe(self):
+        doc = {"@context": CTX, "@graph": [
+            {"@id": f"{EX}root", "@type": "R"},
+            {"@id": f"{EX}c1", "parent": {"@id": f"{EX}root"},
+             "name": "c1", "extra": 1},
+            {"@id": f"{EX}c2", "parent": {"@id": f"{EX}root"},
+             "name": "c2"}]}
+        fr = {"@context": CTX, "@type": "R",
+              "@reverse": {"parent": {"@explicit": True, "name": {}}}}
+        out = frame(doc, fr)
+        kids = out["@graph"][0]["@reverse"]["parent"]
+        assert sorted(k["name"] for k in kids) == ["c1", "c2"]
+        assert all("extra" not in k for k in kids)
+
+    def test_reverse_framing_sees_list_references(self):
+        doc = {"@context": {"@vocab": EX,
+                            "members": {"@container": "@list"}},
+               "@graph": [
+                   {"@id": f"{EX}g", "members": [{"@id": f"{EX}m"}]},
+                   {"@id": f"{EX}m", "@type": "M"}]}
+        fr = {"@context": {"@vocab": EX}, "@type": "M",
+              "@reverse": {"members": {"@embed": "@never"}}}
+        out = frame(doc, fr)
+        assert out["@graph"][0]["@reverse"]["members"] == \
+            {"@id": f"{EX}g"}
