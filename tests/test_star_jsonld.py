@@ -281,3 +281,79 @@ def test_from_rdf_star_graph_scoping():
     ann = back3[0][EX + "p"][0][keys.ANNOTATION]
     assert ann == [{EX + "c": [{"@value": "v"}, {"@value": "w"}]}]
     assert sorted(map(repr, to_rdf(back3))) == sorted(map(repr, multi))
+
+
+class TestSweep29FramingStar:
+    """Sweep 29 — framing × star interaction probes, pinned: annotated
+    edges survive embedding / @explicit / value objects, framed output
+    stays to_rdf-coherent with the source, and quoted-triple
+    embedded-@id nodes frame as regular top-level nodes."""
+
+    VOCAB = {"@vocab": EX}
+    DOC = {"@context": VOCAB, "@graph": [
+        {"@id": EX + "a", "@type": "Person", "name": "A",
+         "knows": {"@id": EX + "b", "@annotation": {"since": 2020}}},
+        {"@id": EX + "b", "@type": "Person", "name": "B"},
+    ]}
+
+    def _frame(self, doc, fr, **kw):
+        from rdflib_jsonld_spark.jsonld.frame import frame
+        return frame(doc, fr, **kw)
+
+    def test_annotation_survives_embedding(self):
+        out = self._frame(self.DOC, {"@context": self.VOCAB,
+                                     "@type": "Person"})
+        a = next(n for n in out["@graph"] if n["@id"] == EX + "a")
+        assert a["knows"]["@annotation"] == {"since": 2020}
+        assert a["knows"]["name"] == "B"          # still embedded
+
+    def test_annotation_survives_explicit(self):
+        out = self._frame(self.DOC, {"@context": self.VOCAB,
+                                     "@id": EX + "a",
+                                     "@explicit": True, "knows": {}})
+        node = out["@graph"][0]
+        assert node["knows"]["@annotation"] == {"since": 2020}
+        assert "name" not in node
+
+    def test_annotated_value_object_passthrough(self):
+        doc = {"@context": self.VOCAB, "@graph": [
+            {"@id": EX + "a",
+             "name": {"@value": "A",
+                      "@annotation": {"certainty": 0.9}}}]}
+        out = self._frame(doc, {"@context": self.VOCAB,
+                                "@id": EX + "a"})
+        assert out["@graph"][0]["name"] == {
+            "@value": "A", "@annotation": {"certainty": 0.9}}
+
+    def test_expanded_output_expands_annotation_keys(self):
+        out = self._frame(self.DOC, {"@context": self.VOCAB,
+                                     "@type": "Person"},
+                          compact_output=False)
+        a = next(n for n in out if n["@id"] == EX + "a")
+        ann = a[EX + "knows"][0]["@annotation"]
+        assert ann == [{EX + "since": [{"@value": 2020}]}]
+
+    def test_framed_output_tordf_coherent(self):
+        src = sorted(map(repr, to_rdf(self.DOC)))
+        out = self._frame(self.DOC, {"@context": self.VOCAB,
+                                     "@type": "Person"})
+        framed = sorted(set(map(repr, to_rdf(out))))
+        assert src == framed
+
+    def test_property_pattern_matches_annotated_ref(self):
+        out = self._frame(self.DOC, {"@context": self.VOCAB,
+                                     "knows": {"@id": EX + "b"}})
+        assert [n["@id"] for n in out["@graph"]] == [EX + "a"]
+
+    def test_embedded_id_node_frames_and_roundtrips(self):
+        doc = {"@context": self.VOCAB, "@graph": [
+            {"@id": {"@id": EX + "a", "knows": {"@id": EX + "b"}},
+             "certainty": 0.9},
+            {"@id": EX + "a", "knows": {"@id": EX + "b"}},
+        ]}
+        out = self._frame(doc, {"@context": self.VOCAB})
+        subs = [n["@id"] for n in out["@graph"]]
+        assert any(isinstance(s, dict) for s in subs)
+        src = sorted(map(repr, to_rdf(doc)))
+        framed = sorted(set(map(repr, to_rdf(out))))
+        assert src == framed
