@@ -28,9 +28,23 @@ from itertools import permutations
 
 from . import keys
 from .nquads import _escape
-from .tordf import BNODE, IRI
+from .tordf import BNODE, IRI, QT
 
 CANON_PREFIX = "c14n"
+
+
+def _iter_bnodes(t):
+    """Blank-node labels in a term, descending into quoted triples
+    (RDF 1.2 triple terms participate in canonicalization — sweep 29:
+    star quads raised a bare ValueError and were silently dropped by
+    hash stages' error guards)."""
+    if t is None:
+        return
+    if t[0] == BNODE:
+        yield t[1]
+    elif t[0] == QT:
+        for inner in t[1]:
+            yield from _iter_bnodes(inner)
 
 
 def _term_nq(t, labels: dict | None = None) -> str:
@@ -40,6 +54,10 @@ def _term_nq(t, labels: dict | None = None) -> str:
     if kind == BNODE:
         lbl = labels.get(t[1], t[1]) if labels is not None else t[1]
         return f"_:{lbl}"
+    if kind == QT:
+        s, p, o = t[1]
+        return (f"<<( {_term_nq(s, labels)} {_term_nq(p, labels)} "
+                f"{_term_nq(o, labels)} )>>")
     _, lex, dt, lang = t
     base = f'"{_escape(lex)}"'
     if lang:
@@ -103,8 +121,8 @@ def _hash_first_degree(state: _State, n: str) -> str:
     for q in state.bnode_quads[n]:
         labels = {}
         for t in q:
-            if t is not None and t[0] == BNODE:
-                labels[t[1]] = "a" if t[1] == n else "z"
+            for b in _iter_bnodes(t):
+                labels[b] = "a" if b == n else "z"
         lines.append(_quad_nq(q, labels) + "\n")
     return _sha256("".join(sorted(lines)))
 
@@ -133,9 +151,10 @@ def _hash_n_degree(state: _State, identifier: str, issuer: _Issuer,
     related_hashes: dict[str, set] = {}
     for quad in state.bnode_quads[identifier]:
         for pos, t in (("s", quad[1]), ("o", quad[3]), ("g", quad[0])):
-            if t is not None and t[0] == BNODE and t[1] != identifier:
-                h = _hash_related(state, t[1], quad, issuer, pos, fdh)
-                related_hashes.setdefault(h, set()).add(t[1])
+            for b in _iter_bnodes(t):
+                if b != identifier:
+                    h = _hash_related(state, b, quad, issuer, pos, fdh)
+                    related_hashes.setdefault(h, set()).add(b)
     data = ""
     for rh in sorted(related_hashes):
         data += rh
@@ -188,8 +207,8 @@ def canonicalize(quads: list, max_degree_nodes: int = 24) -> list:
     state = _State()
     for q in quads:
         for t in q:
-            if t is not None and t[0] == BNODE:
-                state.bnode_quads.setdefault(t[1], []).append(q)
+            for b in _iter_bnodes(t):
+                state.bnode_quads.setdefault(b, []).append(q)
 
     fdh = {n: _hash_first_degree(state, n) for n in state.bnode_quads}
     by_hash: dict[str, list] = {}
@@ -222,8 +241,12 @@ def canonicalize(quads: list, max_degree_nodes: int = 24) -> list:
     labels = state.canonical.map
 
     def relabel(t):
-        if t is not None and t[0] == BNODE:
+        if t is None:
+            return t
+        if t[0] == BNODE:
             return (BNODE, labels[t[1]])
+        if t[0] == QT:
+            return (QT, tuple(relabel(x) for x in t[1]))
         return t
 
     return [tuple(relabel(t) for t in q) for q in quads]

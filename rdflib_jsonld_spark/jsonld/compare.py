@@ -27,16 +27,29 @@ from __future__ import annotations
 import hashlib
 from itertools import permutations
 
-from .tordf import BNODE
+from .canonicalize import _iter_bnodes
+from .tordf import BNODE, QT
 
 
 def _bnodes(quads) -> set:
     out = set()
     for q in quads:
         for t in q:  # g, s, p, o — p may be a bnode under generalized RDF
-            if t is not None and t[0] == BNODE:
-                out.add(t[1])
+            out.update(_iter_bnodes(t))
     return out
+
+
+def _remap_term(t, mapping):
+    """Relabel bnodes in a term, descending into quoted triples
+    (sweep 29: QT-internal bnodes were baked in as repr constants,
+    making isomorphic star datasets compare unequal)."""
+    if t is None:
+        return t
+    if t[0] == BNODE:
+        return (BNODE, mapping[t[1]])
+    if t[0] == QT:
+        return (QT, tuple(_remap_term(x, mapping) for x in t[1]))
+    return t
 
 
 def _h(s: str) -> str:
@@ -49,22 +62,38 @@ def _build_incidence(quads):
     color, so each refinement round touches only incident quads."""
     labels = _bnodes(quads)
     inc: dict[str, list] = {b: [] for b in labels}
+
+    def _tok(t, b):
+        """Per-round render token for one term: constants stay fixed,
+        bnodes render as self/current color, quoted triples recurse."""
+        if t is None:
+            return ("c", "∅")
+        if t[0] == BNODE:
+            return ("self",) if t[1] == b else ("b", t[1])
+        if t[0] == QT:
+            return ("qt", tuple(_tok(x, b) for x in t[1]))
+        return ("c", repr(t))
+
     for q in quads:
-        involved = {t[1] for t in q if t is not None and t[0] == BNODE}
+        involved = set()
+        for t in q:
+            involved.update(_iter_bnodes(t))
         for b in involved:
             role = "".join(
                 r for r, t in zip("GSPO", q)
-                if t is not None and t[0] == BNODE and t[1] == b)
-            toks = []
-            for t in q:
-                if t is None:
-                    toks.append(("c", "∅"))
-                elif t[0] == BNODE:
-                    toks.append(("self",) if t[1] == b else ("b", t[1]))
-                else:
-                    toks.append(("c", repr(t)))
-            inc[b].append((role, toks))
+                if t is not None and b in set(_iter_bnodes(t)))
+            inc[b].append((role, tuple(_tok(t, b) for t in q)))
     return labels, inc
+
+
+def _render_tok(tok, sig) -> str:
+    if tok[0] == "c":
+        return tok[1]
+    if tok[0] == "self":
+        return "self"
+    if tok[0] == "qt":
+        return "<<" + "|".join(_render_tok(x, sig) for x in tok[1]) + ">>"
+    return f"b:{sig[tok[1]]}"
 
 
 def _refine(inc, labels, init_sig: dict[str, str], rounds: int):
@@ -81,15 +110,8 @@ def _refine(inc, labels, init_sig: dict[str, str], rounds: int):
         for b in labels:
             parts = []
             for role, toks in inc[b]:
-                rendered = []
-                for tok in toks:
-                    if tok[0] == "c":
-                        rendered.append(tok[1])
-                    elif tok[0] == "self":
-                        rendered.append("self")
-                    else:
-                        rendered.append(f"b:{sig[tok[1]]}")
-                parts.append(role + "|" + "|".join(rendered))
+                parts.append(role + "|" + "|".join(
+                    _render_tok(tok, sig) for tok in toks))
             new[b] = _h(sig[b] + "&" + "&".join(sorted(parts)))
         sig = new
         new_n = len(set(sig.values()))
@@ -109,12 +131,8 @@ def _finish_mapping(quads, sig) -> frozenset:
         seen[sig[b]] = n + 1
         mapping[b] = f"c{sig[b]}_{n}"
 
-    def remap(t):
-        if t is not None and t[0] == BNODE:
-            return (BNODE, mapping[t[1]])
-        return t
-
-    return frozenset(tuple(remap(t) for t in q) for q in quads)
+    return frozenset(tuple(_remap_term(t, mapping) for t in q)
+                     for q in quads)
 
 
 def _tied_groups(sig):
@@ -218,13 +236,7 @@ def isomorphic(a, b, branch_budget: int = 160) -> bool:
         bset = set(map(tuple, b))
         for perm in permutations(bb):
             m = dict(zip(ba, perm))
-
-            def remap(t, m=m):
-                if t is not None and t[0] == BNODE:
-                    return (BNODE, m[t[1]])
-                return t
-
-            if {tuple(remap(t) for t in q) for q in a} == bset:
+            if {tuple(_remap_term(t, m) for t in q) for q in a} == bset:
                 return True
         return False
     forms_a = set(_canon_forms(a, branch=True, budget=[branch_budget],

@@ -153,3 +153,66 @@ def test_isomorphic_bnode_graph_name_wiring():
     g_self = [((BNODE, "g"), (BNODE, "g"), P, X)]
     assert isomorphic(g_self, [((BNODE, "h"), (BNODE, "h"), P, X)])
     assert not isomorphic(g_self, [((BNODE, "g"), (BNODE, "o"), P, X)])
+
+
+class TestSweep29StarCanonicalization:
+    """Sweep 29: RDF-star quoted triples through RDFC-1.0-style
+    canonicalization and WL isomorphism. Before this sweep, QT terms
+    raised a bare ValueError in canonicalize (silently dropping star
+    blocks in docops.canonical_hash_stage's error guard) and compare.py
+    baked QT-internal bnode labels in as repr constants. Triple terms
+    now serialize as N-Triples 1.2 ``<<( s p o )>>`` and their bnodes
+    participate in hashing, refinement, and relabeling."""
+
+    def _star(self, l1, l2):
+        from rdflib_jsonld_spark.jsonld.tordf import QT
+        base = (bn(l1), iri("p"), bn(l2))
+        return [(None, *base),
+                (None, (QT, base), iri("c"), lit("v")),
+                (None, bn(l2), iri("q"), lit("x"))]
+
+    def test_star_iso_hash_equal(self):
+        a, b = self._star("x1", "y1"), self._star("m9", "n3")
+        assert canonical_hash(a) == canonical_hash(b)
+        assert isomorphic(a, b)
+
+    def test_star_non_iso_differs(self):
+        from rdflib_jsonld_spark.jsonld.tordf import QT
+        a = self._star("x1", "y1")
+        c = [(None, bn("x1"), iri("p"), bn("y1")),
+             (None, (QT, (bn("y1"), iri("p"), bn("x1"))),
+              iri("c"), lit("v")),
+             (None, bn("y1"), iri("q"), lit("x"))]
+        assert canonical_hash(a) != canonical_hash(c)
+        assert not isomorphic(a, c)
+
+    def test_qt_only_bnode_relabeled(self):
+        from rdflib_jsonld_spark.jsonld.tordf import QT
+        o1 = [(None, (QT, (bn("w"), iri("p"), iri("o"))),
+               iri("c"), lit("v"))]
+        o2 = [(None, (QT, (bn("k7"), iri("p"), iri("o"))),
+               iri("c"), lit("v"))]
+        assert canonical_hash(o1) == canonical_hash(o2)
+        assert isomorphic(o1, o2)
+        nq = canonical_nquads(o1)
+        assert "_:c14n0" in nq and "_:w" not in nq
+        assert nq.startswith("<<( ")
+
+    def test_nested_qt_serialization(self):
+        from rdflib_jsonld_spark.jsonld.tordf import QT
+        inner = (bn("z"), iri("p"), iri("o"))
+        quads = [(None, (QT, ((QT, inner), iri("p2"), iri("o2"))),
+                  iri("c"), lit("v")),
+                 (None, bn("z"), iri("q"), lit("k"))]
+        nq = canonical_nquads(quads)
+        assert "<<( <<( _:c14n0" in nq
+        assert canonical_hash(quads) == canonical_hash(
+            [(q[0], q[1], q[2], q[3]) for q in quads])
+
+    def test_annotated_doc_canonical_hash_stable(self):
+        doc = {"@context": {"@vocab": EX}, "@id": EX + "a",
+               "knows": {"@id": EX + "b",
+                         "@annotation": {"since": 2020}}}
+        h1 = canonical_hash(to_rdf(doc))
+        h2 = canonical_hash(list(reversed(to_rdf(doc))))
+        assert h1 == h2
