@@ -33,9 +33,12 @@ N-Quads sentinel codec (:func:`.nquads.encode_label`) so lineage-salted
 pipeline labels survive the grammar and foreign labels pass through
 untouched.
 
+RDF-star: quoted triples ``<< s p o >>`` (nested to any depth) and
+annotation blocks ``{| … |}`` parse to the ``(qt, (s, p, o))`` term
+encoding; the serializer emits quoted spellings back.
+
 Deliberate narrowings (documented): no ``\\u`` surrogate-pair joining
-beyond Python's ``chr``; no ``@forAll``/``@forSome`` (N3-only); nested
-quoted triples (RDF-star) are out of scope.
+beyond Python's ``chr``; no ``@forAll``/``@forSome`` (N3-only).
 """
 
 from __future__ import annotations
@@ -264,14 +267,27 @@ class _Parser:
                 self._graph_body(None)
             else:
                 # TriG labeled block or plain triples: parse the first term,
-                # then look for '{'.
-                if tok[0] in ("iriref", "pname"):
+                # then look for '{'. labelOrSubject ::= iri | BlankNode
+                # ([spec] TriG §2.2 grammar [3g]/[7g] — sweep 30: bnode
+                # and ANON graph labels were rejected).
+                if tok[0] in ("iriref", "pname", "bnode"):
                     save = (self.toks.pos, self.toks._tok)
-                    term = self._iri_term()
+                    term = self._iri_or_bnode_term()
                     nxt = self.toks.peek()
                     if nxt[0] == "punct" and nxt[1] == "{":
                         self._graph_body(term)
                         continue
+                    self.toks.pos, self.toks._tok = save
+                elif tok[0] == "punct" and tok[1] == "[":
+                    save = (self.toks.pos, self.toks._tok)
+                    self.toks.next()
+                    nxt = self.toks.peek()
+                    if nxt[0] == "punct" and nxt[1] == "]":
+                        self.toks.next()
+                        after = self.toks.peek()
+                        if after[0] == "punct" and after[1] == "{":
+                            self._graph_body(self._fresh_bnode())
+                            continue
                     self.toks.pos, self.toks._tok = save
                 self._triples()
                 self.toks.expect("punct", ".")
