@@ -108,6 +108,17 @@ def node_objects(depth: int):
                      ["ex:DT", f"{EX}dt2",
                       "http://www.w3.org/2001/XMLSchema#token"])}),
             "@included": st.lists(child, max_size=2),
+            # r05 star surface: annotated node references + annotated
+            # value objects ([spec] JSON-LD-star draft; sweep 29/31)
+            "ex:annref": st.fixed_dictionaries(
+                {"@id": iri_local,
+                 "@annotation": st.fixed_dictionaries(
+                     {}, optional={"ex:since": scalar,
+                                   "name": simple_text})}),
+            "ex:annval": st.fixed_dictionaries(
+                {"@value": simple_text,
+                 "@annotation": st.fixed_dictionaries(
+                     {"ex:cert": scalar})}),
         })
 
 
