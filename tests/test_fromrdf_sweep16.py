@@ -149,3 +149,91 @@ def test_empty_list_round_trip():
     back = from_rdf(quads)
     assert back == [{"@id": EX + "s", EX + "p": [{"@list": []}]}]
     assert isomorphic(to_rdf({"@graph": back}), quads)
+
+
+class TestSweep31ListCorners:
+    """Sweep 31 — list-reassembly corner probes, all verified
+    spec-faithful ([spec] JLD-API §10.5 well-formed-list conditions +
+    per-graph nil-usages walk). Pinned as regressions; no engine
+    changes were needed."""
+
+    S, P, Q, X = (IRI, EX + "s"), (IRI, EX + "p"), (IRI, EX + "q"), \
+        (IRI, EX + "x")
+    FIRST, REST = (IRI, keys.RDF_FIRST), (IRI, keys.RDF_REST)
+    NIL = (IRI, keys.RDF_NIL)
+
+    def _lit(self, v):
+        return (LIT, v, keys.XSD_STRING, None)
+
+    def _rt(self, quads):
+        return isomorphic(quads, to_rdf(from_rdf(quads)))
+
+    def test_cycle_stays_nodes_and_roundtrips(self):
+        quads = [(None, self.S, self.P, (BNODE, "l0")),
+                 (None, (BNODE, "l0"), self.FIRST, self._lit("a")),
+                 (None, (BNODE, "l0"), self.REST, (BNODE, "l1")),
+                 (None, (BNODE, "l1"), self.FIRST, self._lit("b")),
+                 (None, (BNODE, "l1"), self.REST, (BNODE, "l0"))]
+        out = from_rdf(quads)
+        assert not any("@list" in str(n) for n in out)
+        assert self._rt(quads)
+
+    def test_self_cycle_terminates(self):
+        quads = [(None, (BNODE, "l0"), self.FIRST, self._lit("a")),
+                 (None, (BNODE, "l0"), self.REST, (BNODE, "l0"))]
+        assert self._rt(quads)
+
+    def test_shared_tail_keeps_all_nodes(self):
+        quads = [(None, self.S, self.P, (BNODE, "l0")),
+                 (None, self.S, self.Q, (BNODE, "l1")),
+                 (None, (BNODE, "l0"), self.FIRST, self._lit("a")),
+                 (None, (BNODE, "l0"), self.REST, (BNODE, "l2")),
+                 (None, (BNODE, "l1"), self.FIRST, self._lit("b")),
+                 (None, (BNODE, "l1"), self.REST, (BNODE, "l2")),
+                 (None, (BNODE, "l2"), self.FIRST, self._lit("c")),
+                 (None, (BNODE, "l2"), self.REST, self.NIL)]
+        assert self._rt(quads)
+
+    def test_two_firsts_not_converted(self):
+        quads = [(None, self.S, self.P, (BNODE, "l0")),
+                 (None, (BNODE, "l0"), self.FIRST, self._lit("a")),
+                 (None, (BNODE, "l0"), self.FIRST, self._lit("b")),
+                 (None, (BNODE, "l0"), self.REST, self.NIL)]
+        out = from_rdf(quads)
+        assert not any("@list" in k for n in out for k in n)
+        assert self._rt(quads)
+
+    def test_multi_ref_head_not_converted(self):
+        quads = [(None, self.S, self.P, (BNODE, "l0")),
+                 (None, self.S, self.Q, (BNODE, "l0")),
+                 (None, (BNODE, "l0"), self.FIRST, self._lit("a")),
+                 (None, (BNODE, "l0"), self.REST, self.NIL)]
+        assert self._rt(quads)
+
+    def test_typed_list_node_stays_node(self):
+        # we keep rdf:type rdf:List chains node-shaped (stricter than
+        # the spec's allowance; round trip stays lossless either way)
+        quads = [(None, self.S, self.P, (BNODE, "l0")),
+                 (None, (BNODE, "l0"), (IRI, keys.RDF_TYPE),
+                  (IRI, keys.RDF_NS + "List")),
+                 (None, (BNODE, "l0"), self.FIRST, self._lit("a")),
+                 (None, (BNODE, "l0"), self.REST, self.NIL)]
+        assert self._rt(quads)
+
+    def test_cross_graph_chain_converts_per_graph(self):
+        """Per-graph nil-usages walk ([spec] §10.5 loops per graph
+        object): the default-graph chain converts to @list even when
+        the SAME bnode carries a triple in another graph — the other
+        graph keeps its node, and cross-graph bnode coreference is
+        lost by the @list abstraction (spec-mandated lossiness)."""
+        G = (IRI, EX + "g")
+        quads = [(None, self.S, self.P, (BNODE, "l0")),
+                 (None, (BNODE, "l0"), self.FIRST, self._lit("a")),
+                 (None, (BNODE, "l0"), self.REST, self.NIL),
+                 (G, (BNODE, "l0"), self.FIRST, self._lit("z"))]
+        out = from_rdf(quads)
+        top = next(n for n in out if n.get("@id") == EX + "s")
+        assert top[EX + "p"] == [{"@list": [{"@value": "a"}]}]
+        gnode = next(n for n in out if n.get("@id") == EX + "g")
+        assert gnode["@graph"][0][keys.RDF_FIRST] == [{"@value": "z"}]
+        assert not isomorphic(quads, to_rdf(out))  # documented loss
