@@ -99,8 +99,13 @@ def _agg_col(fn: str, arg: str, alias: str, sep: str,
         # groups need coalesce(sum(x), 0).
         col_sql = f"`{var}`" if var else f"({arg})"
         num = F.expr(f"try_cast({col_sql} AS DOUBLE)")
-        bad = F.max(F.when(col.isNotNull() & num.isNull(),
-                           F.lit(1)).otherwise(F.lit(0)))
+        # coalesce: max() over the ZERO-ROW global group is NULL, which
+        # made `bad == 0` fall through to unbound — but §18.3 evaluates
+        # aggregates over one empty group when the pattern has no
+        # solutions, so Sum/Avg must still be 0 there (sweep 32)
+        bad = F.coalesce(
+            F.max(F.when(col.isNotNull() & num.isNull(),
+                         F.lit(1)).otherwise(F.lit(0))), F.lit(0))
         agg = F.sum(num) if fn == "sum" else F.avg(num)
         return F.when(bad == F.lit(0), F.coalesce(agg, F.lit(0.0))) \
             .otherwise(F.lit(None).cast("double")).alias(alias)
