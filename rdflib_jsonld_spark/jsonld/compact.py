@@ -55,10 +55,15 @@ def compact(data, context_data=None, base: str | None = None,
 
 # ---------------------------------------------------------------------------
 
-def _compact_element(ctx: Context, term, element, compact_arrays: bool):
-    """[spec] §6.1 Compaction Algorithm over expanded-form values."""
+def _compact_element(ctx: Context, term, element, compact_arrays: bool,
+                     from_map: bool = False):
+    """[spec] §6.1 Compaction Algorithm over expanded-form values.
+    ``from_map`` marks direct entries of container maps — the step-2
+    previous-context revert is skipped for them, mirroring expansion's
+    from-map flag (sweep 33: compaction applied no scoped contexts)."""
     if isinstance(element, list):
-        out = [_compact_element(ctx, term, item, compact_arrays)
+        out = [_compact_element(ctx, term, item, compact_arrays,
+                                from_map=from_map)
                for item in element]
         keep_array = (term is not None
                       and (keys.SET in term.container
@@ -68,6 +73,15 @@ def _compact_element(ctx: Context, term, element, compact_arrays: bool):
         return out
     if not isinstance(element, dict):
         return element
+
+    # Non-propagating scoped-context revert ([spec] §6.1 step 2, the
+    # compaction mirror of expansion step 8): a pending type-scoped
+    # context drops on entry to a nested element unless it is a value
+    # object or a subject reference.
+    if ctx.previous is not None and not from_map:
+        is_subject_ref = keys.ID in element and set(element) <= {keys.ID}
+        if keys.VALUE not in element and not is_subject_ref:
+            ctx = ctx.previous
 
     if keys.VALUE in element:
         return _compact_value(ctx, term, element)
@@ -99,6 +113,15 @@ def _compact_element(ctx: Context, term, element, compact_arrays: bool):
         if term is not None and term.type == keys.VOCAB:
             return ctx.shrink_iri(element[keys.ID])
         return {ctx.alias(keys.ID): compacted_id}
+
+    # Type-scoped contexts ([spec] §6.1 step 9; 1.1 §4.1.8): each of the
+    # node's compacted @type terms applies its scoped context, in
+    # lexicographic order, before the entry loop — so term selection for
+    # the node's own properties sees the scoped definitions (sweep 33).
+    if keys.TYPE in element:
+        tnames = [ctx.shrink_iri(t) for t in element[keys.TYPE]
+                  if isinstance(t, str)]
+        ctx = ctx.subcontext_for_type(tnames)
 
     result: dict = {}
     for key in element:
@@ -207,13 +230,21 @@ def _compact_property_values(ctx: Context, term, values: list,
     @container ([spec] §6.1 steps 12.8)."""
     container = term.container if term is not None else set()
 
+    # Property-scoped context ([spec] §6.1 step 5 / 1.1 §4.1.9): the
+    # selected term's local context governs the compaction of its
+    # values AND its container-map keys — the inverse of expansion's
+    # parent-side subcontext_for_term (sweep 33).
+    if term is not None and term.context is not UNDEF:
+        ctx = ctx.subcontext_for_term(term.name)
+
     if keys.GRAPH in container and values and all(
             isinstance(v, dict) and keys.GRAPH in v for v in values):
         # [spec] §6.1 steps 12.8.7-9: graph containers fold the @graph
         # wrapper away — simple containers inline the graph content,
         # @graph+@id / @graph+@index key a map (absent key → @none).
         def g_content(v):
-            inner = [_compact_element(ctx, None, n, compact_arrays)
+            inner = [_compact_element(ctx, None, n, compact_arrays,
+                                      from_map=True)
                      for n in v[keys.GRAPH]]
             return inner[0] if len(inner) == 1 and compact_arrays \
                 else inner
@@ -273,7 +304,8 @@ def _compact_property_values(ctx: Context, term, values: list,
         for v in values:
             stripped = {k: x for k, x in v.items() if k != keys.INDEX}
             imap.setdefault(v.get(keys.INDEX, keys.NONE), []).append(
-                _compact_element(ctx, term, stripped, compact_arrays))
+                _compact_element(ctx, term, stripped, compact_arrays,
+                                 from_map=True))
         return {idx: vs[0] if len(vs) == 1 and compact_arrays else vs
                 for idx, vs in imap.items()}
 
@@ -290,7 +322,8 @@ def _compact_property_values(ctx: Context, term, values: list,
                 node[keys.TYPE] = rest_types
             tkey = ctx.shrink_iri(first) if first is not None else keys.NONE
             tmap.setdefault(tkey, []).append(
-                _compact_element(ctx, None, node, compact_arrays))
+                _compact_element(ctx, None, node, compact_arrays,
+                                 from_map=True))
         return {t: vs[0] if len(vs) == 1 and compact_arrays else vs
                 for t, vs in tmap.items()}
 
@@ -303,7 +336,8 @@ def _compact_property_values(ctx: Context, term, values: list,
             ikey = _compact_id(ctx, v[keys.ID]) if keys.ID in v \
                 else keys.NONE
             idmap.setdefault(ikey, []).append(
-                _compact_element(ctx, None, node, compact_arrays)
+                _compact_element(ctx, None, node, compact_arrays,
+                                 from_map=True)
                 if node else {})
         return {i: vs[0] if len(vs) == 1 and compact_arrays else vs
                 for i, vs in idmap.items()}

@@ -248,3 +248,82 @@ def test_mismatched_direction_never_enters_language_map():
                                "@direction": "ltr"}]})
     assert out["http://e/p"] == {"@value": "x", "@language": "en",
                                  "@direction": "ltr"}
+
+
+class TestSweep33ScopedCompaction:
+    """Sweep 33 — compaction applies scoped contexts ([spec] JLD-API
+    §6.1 steps 2/5/9): before this sweep compaction ignored property-
+    and type-scoped contexts entirely, so scoped terms never won term
+    selection (round trips held, but shapes diverged from conformant
+    processors)."""
+
+    EX = "http://ex/"
+
+    def _c(self, expanded, ctx):
+        return compact(expanded, ctx, expanded=True)
+
+    def test_type_scoped_term_wins_selection(self):
+        ctx = {"@vocab": self.EX,
+               "T": {"@id": self.EX + "T",
+                     "@context": {"items": {"@id": self.EX + "i",
+                                            "@container": "@list"}}}}
+        expanded = [{"@id": self.EX + "a", "@type": [self.EX + "T"],
+                     self.EX + "i": [{"@list": [{"@value": 1},
+                                                {"@value": 2}]}]}]
+        out = self._c(expanded, ctx)
+        assert out["items"] == [1, 2]
+        assert isomorphic(to_rdf(expanded), to_rdf(out))
+
+    def test_property_scoped_term_wins_selection(self):
+        ctx = {"@vocab": self.EX,
+               "branch": {"@id": self.EX + "branch",
+                          "@context": {"deep": self.EX + "deep_p"}}}
+        expanded = [{"@id": self.EX + "a",
+                     self.EX + "branch": [
+                         {"@id": self.EX + "b",
+                          self.EX + "deep_p": [{"@value": "x"}]}]}]
+        out = self._c(expanded, ctx)
+        assert out["branch"]["deep"] == "x"
+        assert isomorphic(to_rdf(expanded), to_rdf(out))
+
+    def test_property_scope_propagates_to_grandchild(self):
+        ctx = {"@vocab": self.EX,
+               "branch": {"@id": self.EX + "branch",
+                          "@context": {"deep": self.EX + "deep_p"}}}
+        expanded = [{"@id": self.EX + "a",
+                     self.EX + "branch": [
+                         {"@id": self.EX + "b",
+                          self.EX + "branch": [
+                              {"@id": self.EX + "c",
+                               self.EX + "deep_p": [{"@value": "y"}]}]}]}]
+        out = self._c(expanded, ctx)
+        assert out["branch"]["branch"]["deep"] == "y"
+
+    def test_type_scope_does_not_reach_untyped_child(self):
+        ctx = {"@vocab": self.EX, "knows": {"@id": self.EX + "knows"},
+               "T": {"@id": self.EX + "T",
+                     "@context": {"nick": self.EX + "secret"}}}
+        expanded = [{"@id": self.EX + "a", "@type": [self.EX + "T"],
+                     self.EX + "secret": [{"@value": "me"}],
+                     self.EX + "knows": [
+                         {"@id": self.EX + "b",
+                          self.EX + "secret": [{"@value": "you"}]}]}]
+        out = self._c(expanded, ctx)
+        assert out["nick"] == "me"
+        # untyped child reverts: the scoped term must NOT be chosen
+        assert out["knows"]["secret"] == "you"
+        assert "nick" not in out["knows"]
+        assert isomorphic(to_rdf(expanded), to_rdf(out))
+
+    def test_type_scope_reaches_container_map_entries(self):
+        ctx = {"@vocab": self.EX,
+               "byid": {"@id": self.EX + "byid", "@container": "@id"},
+               "T": {"@id": self.EX + "T",
+                     "@context": {"nick": self.EX + "secret"}}}
+        expanded = [{"@id": self.EX + "a", "@type": [self.EX + "T"],
+                     self.EX + "byid": [
+                         {"@id": self.EX + "k",
+                          self.EX + "secret": [{"@value": "kept"}]}]}]
+        out = self._c(expanded, ctx)
+        assert out["byid"][self.EX + "k"]["nick"] == "kept"
+        assert isomorphic(to_rdf(expanded), to_rdf(out))
