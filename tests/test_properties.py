@@ -236,3 +236,42 @@ def test_expand_tordf_differential(doc):
     engines were the worst bug class the hand sweeps found."""
     from rdflib_jsonld_spark.jsonld.expansion import expand
     assert isomorphic(to_rdf(expand(doc)), to_rdf(doc))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    lbl=st.text(alphabet=st.sampled_from(
+        list("abzAZ09_-.:/#") + ["é", "ł"]),
+        min_size=1, max_size=12),
+    wild=st.text(alphabet=st.characters(min_codepoint=33,
+                                        max_codepoint=0x2FF,
+                                        blacklist_categories=("Cs",)),
+                 min_size=1, max_size=12),
+    lex=st.text(alphabet=st.characters(min_codepoint=0,
+                                       max_codepoint=0x2FFF,
+                                       blacklist_categories=("Cs",)),
+                max_size=40),
+    nest=st.booleans())
+def test_nquads_star_roundtrip_property(lbl, wild, lex, nest):
+    """quad_to_nq → parse_line over quoted-triple quads: the IDENTITY
+    for inner bnode labels in the sentinel-restorable class (PN_CHARS
+    plus '/#:.'), and a FIXED POINT for arbitrary labels (sweep 27
+    hashes grammar-illegal chars one-way — deterministic, stable on
+    re-serialization). Literal text is adversarial: '<<' / ' _:x '
+    lookalikes (the ADVICE-r04 slow-path class, property-hardened)."""
+    from rdflib_jsonld_spark.jsonld.nquads import parse_line, quad_to_nq
+    from rdflib_jsonld_spark.jsonld.tordf import BNODE, IRI, LIT, QT
+    from rdflib_jsonld_spark.jsonld import keys
+
+    def star_quad(label):
+        inner = ((BNODE, label), (IRI, "http://e/p"),
+                 (LIT, lex, keys.XSD_STRING, None))
+        subj = (QT, ((QT, inner), (IRI, "http://e/q"),
+                     (IRI, "http://e/o"))) if nest else (QT, inner)
+        return (None, subj, (IRI, "http://e/c"),
+                (LIT, lex, keys.XSD_STRING, None))
+
+    q = star_quad(lbl)
+    assert parse_line(quad_to_nq(q)) == q
+    once = parse_line(quad_to_nq(star_quad(wild)))
+    assert parse_line(quad_to_nq(once)) == once
