@@ -36,7 +36,26 @@ the parallel text/CSV writers, one results row per line.
 from __future__ import annotations
 
 import json
-from xml.sax.saxutils import escape, quoteattr
+import re as _re
+from xml.sax.saxutils import escape as _sax_escape
+from xml.sax.saxutils import quoteattr as _sax_quoteattr
+
+#: chars with NO representation in XML 1.0 (not even as &#x..;):
+#: C0 controls minus \t\n\r, surrogates, U+FFFE/U+FFFF ([spec] XML 1.0
+#: §2.2 Char). Sweep 34: the writer emitted them raw, producing
+#: non-well-formed output any downstream parser rejects — they are
+#: substituted with U+FFFD (documented lossy policy; JSON/CSV/TSV
+#: escape or carry them losslessly, use those formats for such data).
+_XML_ILLEGAL = _re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
+
+
+def escape(s: str) -> str:
+    return _sax_escape(_XML_ILLEGAL.sub("�", s))
+
+
+def quoteattr(s: str) -> str:
+    return _sax_quoteattr(_XML_ILLEGAL.sub("�", s))
 
 from pyspark.sql import DataFrame, functions as F
 

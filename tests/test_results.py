@@ -174,3 +174,25 @@ def test_quoted_triple_bindings_serialize_as_triple_terms(spark):
     assert cell["value"]["object"] == {"type": "bnode", "value": "b/0"}
     x = to_xml(sel)
     assert "<triple><subject>" in x and "<bnode>b/0</bnode>" in x
+
+
+def test_xml_illegal_chars_substituted(spark):
+    """Sweep 34: XML-1.0-unrepresentable chars (C0 minus tab/nl/cr,
+    U+FFFE/FFFF) are substituted with U+FFFD so the output stays
+    well-formed — they were emitted raw before, which every downstream
+    XML parser rejects. JSON/CSV/TSV carry them losslessly."""
+    import xml.dom.minidom
+    rows = [(None, E + "d", False, V + "p", "literal",
+             "ctrl\x01char\x00nul￿tail", None, None),
+            (None, E + "e", False, V + "p", "literal",
+             "kept\ttab\nnl", None, None)]
+    quads = spark.createDataFrame(rows, SCHEMA)
+    out = sparql(quads, PFX + "SELECT ?o WHERE { ?s v:p ?o } ORDER BY ?o")
+    x = to_xml(out)
+    xml.dom.minidom.parseString(x)  # well-formed
+    assert "ctrl�char�nul�tail" in x
+    assert "kept\ttab\nnl" in x          # XML-legal whitespace survives
+    j = json.loads(to_json(out))
+    vals = sorted(b["o"]["value"]
+                  for b in j["results"]["bindings"])
+    assert vals[0] == "ctrl\x01char\x00nul￿tail"  # JSON lossless
