@@ -70,6 +70,14 @@ def _compact_element(ctx: Context, term, element, compact_arrays: bool,
                            or keys.LIST in term.container))
         if compact_arrays and len(out) == 1 and not keep_array:
             return out[0]
+        if term is not None and term.type == keys.JSON and len(out) == 1:
+            # the raw JSON IS the term value ([spec] expansion step
+            # 13.6 reads the WHOLE key value as one @json literal): a
+            # kept single-value wrapper would re-expand as one array
+            # literal — collapse it even under compact_arrays=False
+            # (sweep 35; found by the 1500-example compact fuzz via
+            # flatten's compact_arrays=False path)
+            return out[0]
         return out
     if not isinstance(element, dict):
         return element
@@ -198,6 +206,14 @@ def _compact_element(ctx: Context, term, element, compact_arrays: bool,
                 # each literal matches the @json term alone, but the
                 # merged array would re-expand as ONE literal of the
                 # whole array (step 13.6) — fall back to the IRI key
+                pterm = None
+            if pterm is not None and keys.LIST in pterm.container \
+                    and len(vs) > 1:
+                # same class for @list containers (sweep 35, found by
+                # the compact fuzz via a flattened self-reference): two
+                # list values under one @list-container key re-expand
+                # as ONE nested list — fall back to the IRI key, where
+                # each keeps its explicit {"@list": ...} wrapper
                 pterm = None
             if pterm is not None:
                 pkey = pterm.name

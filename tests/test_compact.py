@@ -327,3 +327,44 @@ class TestSweep33ScopedCompaction:
         out = self._c(expanded, ctx)
         assert out["byid"][self.EX + "k"]["nick"] == "kept"
         assert isomorphic(to_rdf(expanded), to_rdf(out))
+
+
+class TestSweep35CompactArraysFalse:
+    """Sweep 35 — found by a 2000-example compact fuzz through
+    flatten's compact_arrays=False path: wrappers that MUST collapse
+    (or split) regardless of compactArrays because the array shape is
+    semantic, not cosmetic."""
+
+    EX = "http://ex/"
+
+    def test_json_single_value_collapses_without_compact_arrays(self):
+        ctx = {"jv": {"@id": self.EX + "jv", "@type": "@json"}}
+        expanded = [{"@id": self.EX + "a",
+                     self.EX + "jv": [{"@value": [], "@type": "@json"}]}]
+        out = compact(expanded, ctx, expanded=True, compact_arrays=False)
+        # [[]] would re-expand as ONE literal '[[]]' (step 13.6)
+        node = out["@graph"][0] if "@graph" in out else out
+        assert node["jv"] == []
+        assert isomorphic(to_rdf(expanded), to_rdf(out))
+
+    def test_two_lists_never_share_a_list_container_key(self):
+        ctx = {"items": {"@id": self.EX + "i", "@container": "@list"}}
+        expanded = [{"@id": self.EX + "a",
+                     self.EX + "i": [{"@list": [{"@value": 1}]},
+                                     {"@list": [{"@value": 2},
+                                                {"@value": 3}]}]}]
+        out = compact(expanded, ctx, expanded=True)
+        node = out["@graph"][0] if "@graph" in out else out
+        # falls back to the IRI key with explicit @list wrappers
+        assert self.EX + "i" in node
+        assert {"@list": [1]} in node[self.EX + "i"]
+        assert isomorphic(to_rdf(expanded), to_rdf(out))
+
+    def test_single_list_still_folds_into_container(self):
+        ctx = {"items": {"@id": self.EX + "i", "@container": "@list"}}
+        expanded = [{"@id": self.EX + "a",
+                     self.EX + "i": [{"@list": [{"@value": 1},
+                                                {"@value": 2}]}]}]
+        out = compact(expanded, ctx, expanded=True)
+        node = out["@graph"][0] if "@graph" in out else out
+        assert node["items"] == [1, 2]

@@ -275,3 +275,14 @@ def test_nquads_star_roundtrip_property(lbl, wild, lex, nest):
     assert parse_line(quad_to_nq(q)) == q
     once = parse_line(quad_to_nq(star_quad(wild)))
     assert parse_line(quad_to_nq(once)) == once
+
+
+@given(documents)
+@settings(max_examples=60, deadline=None)
+def test_flatten_compacted_preserves_graph_property(doc):
+    """flatten(compact_context=) — the compact_arrays=False path —
+    must also preserve the graph (sweep 35 found two wrapper-shape
+    bugs only reachable through it)."""
+    ctx_data = doc.get("@context")
+    out = flatten(doc, ctx_data, compact_context=ctx_data)
+    assert isomorphic(to_rdf(doc), to_rdf(out)), (doc, out)
