@@ -286,3 +286,71 @@ def test_flatten_compacted_preserves_graph_property(doc):
     ctx_data = doc.get("@context")
     out = flatten(doc, ctx_data, compact_context=ctx_data)
     assert isomorphic(to_rdf(doc), to_rdf(out)), (doc, out)
+
+
+# ---------------------------------------------------------------------------
+# chaos totality (sweep 35 campaigns: 1500-2500-example runs clean; these
+# always-on versions keep the property at suite speed)
+# ---------------------------------------------------------------------------
+
+_TTL_FRAG = st.sampled_from([
+    "@prefix", "ex:", "<http://e/>", ".", ";", ",", "a", "[", "]",
+    "(", ")", "{", "|", "}", "<<", ">>", "{|", "|}", '"lit"', "'''x'''",
+    "1.5", "-2e3", "true", "_:b", "@en", "^^", "GRAPH", "@base",
+    "PREFIX", "#c\n", "\\u0041", '"unterminated', "\n", " "])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.one_of(st.lists(_TTL_FRAG, max_size=20).map(" ".join),
+                 st.text(max_size=60)))
+def test_parser_chaos_only_documented_errors(text):
+    """Arbitrary text into the Turtle and N-Quads parsers either parses
+    or raises the documented error class — never IndexError/KeyError/
+    RecursionError (totality; 2500-example campaign clean)."""
+    from rdflib_jsonld_spark.jsonld.turtle import (TurtleParseError,
+                                                   parse as tparse)
+    from rdflib_jsonld_spark.jsonld.nquads import parse as nqparse
+    try:
+        tparse(text)
+    except TurtleParseError:
+        pass
+    try:
+        nqparse(text)
+    except ValueError:
+        pass
+
+
+_FRAME_PAT = st.one_of(
+    st.just({}), st.just([]),
+    st.fixed_dictionaries({}, optional={"@default": st.one_of(
+        st.none(), st.just("@null"), simple_text)}),
+    st.fixed_dictionaries({"@value": simple_text}),
+    iri_local.map(lambda i: {"@id": EX + i[3:]}))
+
+_FRAMES = st.fixed_dictionaries({}, optional={
+    "@id": st.one_of(iri_local, st.just({}), st.just([])),
+    "@type": st.one_of(st.sampled_from(["ex:T1", "ex:T2", "Scoped"]),
+                       st.just({}), st.just([])),
+    "@embed": st.sampled_from(["@once", "@never", "@always", True, False]),
+    "@explicit": st.booleans(),
+    "@requireAll": st.booleans(),
+    "@omitDefault": st.booleans(),
+    "name": _FRAME_PAT, "knows": _FRAME_PAT, "ex:other": _FRAME_PAT,
+    "@reverse": st.fixed_dictionaries({"knows": st.just({})}),
+}).map(lambda f: {"@context": CTX, **f})
+
+
+@settings(max_examples=60, deadline=None)
+@given(documents, _FRAMES)
+def test_frame_chaos_serializable(doc, fr):
+    """Any (document, frame) pair either raises a documented JsonLdError
+    or produces output both frame modes can serialize (totality;
+    1500-example campaign clean)."""
+    from rdflib_jsonld_spark.jsonld.frame import frame
+    from rdflib_jsonld_spark.jsonld.errors import JsonLdError
+    try:
+        out = frame(doc, fr)
+    except JsonLdError:
+        return
+    to_rdf(out)
+    to_rdf(frame(doc, fr, compact_output=False))
