@@ -90,8 +90,10 @@ def _embedded_id(t: tuple):
     (tordf._embedded_triple's inverse)."""
     qs, qp, qo = t[1]
     es = _embedded_id(qs) if qs[0] == QT else _term_key(qs)
-    if qp == (IRI, keys.RDF_TYPE) and qo[0] != LIT:
+    if qp == (IRI, keys.RDF_TYPE) and qo[0] in (IRI, BNODE):
         return {keys.ID: es, keys.TYPE: [_term_key(qo)]}
+    if qo[0] == QT:
+        return {keys.ID: es, _term_key(qp): [{keys.ID: _embedded_id(qo)}]}
     od = _lit_repr(qo) if qo[0] == LIT else {keys.ID: _term_key(qo)}
     return {keys.ID: es, _term_key(qp): [od]}
 
@@ -235,8 +237,11 @@ def from_rdf(quads, context_data=None, base=None, use_native_types=False,
             nodes[skey] = node
             graph_of[skey] = g
         annotated = (g, s, p, o) in ann_map
-        if p == (IRI, keys.RDF_TYPE) and o[0] != LIT and not use_rdf_type \
-                and not annotated:
+        if p == (IRI, keys.RDF_TYPE) and o[0] in (IRI, BNODE) \
+                and not use_rdf_type and not annotated:
+            # only IRI/bnode objects convert to @type; literal AND
+            # triple-term objects stay property-form (sweep 35 fuzz:
+            # a QT object leaked its raw tuple into @type)
             node.setdefault(keys.TYPE, []).append(_term_key(o))
             continue
         pred = _term_key(p)
@@ -360,6 +365,11 @@ def _annotation_repr(g, s, p, o, ann_map, ctx, compact,
 
 def _object_repr(g, o, ctx, compact, use_native_types, list_chains,
                  nodes, graph_of, rdf_direction=None, compound=None):
+    if o[0] == QT:
+        # quoted triple in OBJECT position → embedded-@id node reference
+        # (sweep 35 fuzz: the raw term tuple leaked into the document as
+        # {"@id": (kind, ...)}, which to_rdf rightly rejects)
+        return {keys.ID: _embedded_id(o)}
     if compound and o[0] == BNODE and (g, o) in compound:
         return dict(compound[(g, o)])
     if o == (IRI, keys.RDF_NIL):

@@ -357,3 +357,45 @@ class TestSweep29FramingStar:
         src = sorted(map(repr, to_rdf(doc)))
         framed = sorted(set(map(repr, to_rdf(out))))
         assert src == framed
+
+
+class TestSweep35QtObjects:
+    """Sweep 35 (random-quads fuzz): quoted triples in OBJECT position
+    leaked their raw term tuple into the document ({"@id": (kind,...)}
+    and even @type entries) instead of building embedded-@id nodes."""
+
+    A, B, C = (IRI, EX + "a"), (IRI, EX + "b"), (IRI, EX + "c")
+
+    def _rt(self, quads):
+        from rdflib_jsonld_spark.jsonld.compare import isomorphic
+        return isomorphic(quads, to_rdf(from_rdf(quads)))
+
+    def test_qt_object_roundtrips(self):
+        q = [(None, self.A, self.B, self.C),
+             (None, self.A, self.B, (QT, (self.A, self.B, self.C)))]
+        back = from_rdf(q)
+        emb = back[0][EX + "b"][1]["@id"]
+        assert isinstance(emb, dict) and emb["@id"] == EX + "a"
+        assert self._rt(q)
+
+    def test_qt_object_nested_roundtrips(self):
+        q = [(None, self.A, self.B,
+              (QT, ((QT, (self.A, self.B, self.C)), self.B, self.C)))]
+        assert self._rt(q)
+
+    def test_qt_object_of_rdf_type_stays_property(self):
+        RDF_TYPE = (IRI, keys.RDF_TYPE)
+        q = [(None, self.A, RDF_TYPE,
+              (QT, (self.A, self.B, self.C)))]
+        back = from_rdf(q)
+        assert "@type" not in back[0]
+        assert keys.RDF_TYPE in back[0]
+        assert self._rt(q)
+
+    def test_qt_inside_embedded_id_property_position(self):
+        # << a b <<a b c>> >> used as a SUBJECT (embedded id whose
+        # property value is itself a quoted triple)
+        q = [(None, (QT, (self.A, self.B,
+                          (QT, (self.A, self.B, self.C)))),
+              self.B, self.C)]
+        assert self._rt(q)
