@@ -158,11 +158,26 @@ def parse_term(text: str, pos: int = 0, decode: bool = True):
     while ws < len(text) and text[ws].isspace():
         ws += 1
     if text.startswith("<<", ws):
-        s, p2 = parse_term(text, ws + 2, decode)
+        # both star spellings parse: '<< s p o >>' (quoted triple, the
+        # pipeline interchange form) and '<<( s p o )>>' (N-Triples 1.2
+        # triple term, what canonical_nquads emits — sweep 35: our own
+        # canonical output was unreadable by our own parser)
+        p1 = ws + 2
+        paren = text.startswith("(", p1)
+        if paren:
+            p1 += 1
+        s, p2 = parse_term(text, p1, decode)
         p, p2 = parse_term(text, p2, decode)
         o, p2 = parse_term(text, p2, decode)
         while p2 < len(text) and text[p2].isspace():
             p2 += 1
+        if paren:
+            if not text.startswith(")", p2):
+                raise ValueError(f"unterminated triple term at {ws}: "
+                                 f"{text[ws:ws+40]!r}")
+            p2 += 1
+            while p2 < len(text) and text[p2].isspace():
+                p2 += 1
         if not text.startswith(">>", p2):
             raise ValueError(f"unterminated quoted triple at {ws}: "
                              f"{text[ws:ws+40]!r}")
@@ -210,8 +225,12 @@ def parse_line(line: str, decode: bool = True):
 
 
 def parse(text_or_lines) -> list:
-    lines = text_or_lines.splitlines() if isinstance(text_or_lines, str) \
-        else text_or_lines
+    # EOL is [#xD#xA]+ ([spec] N-Quads §5 grammar) — NOT str.splitlines,
+    # which also splits on \v \f U+0085 U+2028 U+2029 U+001C-1E, all of
+    # which are grammar-LEGAL raw inside STRING_LITERAL_QUOTE (sweep 35
+    # text-loop fuzz: a literal carrying U+0085 split mid-statement)
+    lines = re.split("[\r\n]+", text_or_lines) \
+        if isinstance(text_or_lines, str) else text_or_lines
     out = []
     for ln in lines:
         q = parse_line(ln)

@@ -572,13 +572,23 @@ def _term_to_turtle(t: tuple, rev: list) -> str:
     return q
 
 
+def _okey(t):
+    """None-safe total order over term tuples (sweep 35: sorting a
+    None-lang literal against a tagged one raised TypeError)."""
+    if t is None:
+        return ""
+    if isinstance(t, tuple):
+        return tuple(_okey(x) for x in t)
+    return t
+
+
 def _triples_block(triples, rev: list) -> list:
     """Sorted subject-grouped ``;``/``,``-elided statement lines."""
     by_subj: dict = {}
     for s, p, o in triples:
         by_subj.setdefault(s, {}).setdefault(p, set()).add(o)
     lines = []
-    for s in sorted(by_subj, key=lambda t: (t[0], t[1:])):
+    for s in sorted(by_subj, key=_okey):
         s_txt = _term_to_turtle(s, rev)
         preds = by_subj[s]
 
@@ -588,7 +598,7 @@ def _triples_block(triples, rev: list) -> list:
         parts = []
         for p in sorted(preds, key=pred_key):
             p_txt = "a" if p[1] == RDF_TYPE else _term_to_turtle(p, rev)
-            objs = sorted(preds[p], key=lambda t: (t[0], t[1:]))
+            objs = sorted(preds[p], key=_okey)
             o_txt = ", ".join(_term_to_turtle(o, rev) for o in objs)
             parts.append(f"{p_txt} {o_txt}")
         lines.append(f"{s_txt} " + " ;\n        ".join(parts) + " .")
@@ -643,7 +653,7 @@ def serialize_trig(quads, prefixes: dict | None = None) -> str:
         if out:
             out.append("")
         out.extend(_triples_block(default, rev))
-    for g in sorted(by_graph, key=lambda t: (t[0], t[1:])):
+    for g in sorted(by_graph, key=_okey):
         if out:
             out.append("")
         out.append(f"GRAPH {_term_to_turtle(g, rev)} {{")

@@ -396,3 +396,37 @@ def test_fromrdf_random_quads_roundtrip_property(quads):
     doc-derived quads (sweep 35: a 3000-example campaign found the
     QT-object raw-tuple leak and the @type triple-term leak)."""
     assert isomorphic(quads, to_rdf(from_rdf(quads)))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_q_strategy())
+def test_text_format_loops_property(quads):
+    """Three text loops over random star quads (sweep 35 campaigns,
+    2500 examples each): canonical N-Quads → parse, writer N-Quads →
+    parse, TriG serialize → parse — all isomorphic. Found: the
+    canonicalizer's '<<( )>>' spelling was unreadable by our own
+    parser; parse() split statements on U+0085/U+2028 (splitlines ≠
+    the grammar's [#xD#xA]+ EOL); Turtle's deterministic sort crashed
+    on None-vs-str literal language tags."""
+    from rdflib_jsonld_spark.jsonld import nquads, turtle
+    from rdflib_jsonld_spark.jsonld.canonicalize import canonical_nquads
+    dedup = list(set(map(tuple, quads)))
+    assert isomorphic(dedup, nquads.parse(canonical_nquads(quads)))
+    text = "\n".join(nquads.quad_to_nq(q) for q in quads)
+    assert sorted(map(repr, nquads.parse(text))) == sorted(map(repr, quads))
+    assert isomorphic(dedup, turtle.parse(turtle.serialize_trig(quads)))
+
+
+def test_nel_and_triple_term_spelling_regressions():
+    """Pinned minimal cases for the sweep-35 text-loop finds."""
+    from rdflib_jsonld_spark.jsonld import nquads
+    from rdflib_jsonld_spark.jsonld import keys as K
+    from rdflib_jsonld_spark.jsonld.tordf import IRI, LIT, QT
+    # U+0085 raw inside a literal must not split the statement
+    q = (None, (IRI, "http://e/s"), (IRI, "http://e/p"),
+         (LIT, "a\x85b c", K.XSD_STRING, None))
+    assert nquads.parse(nquads.quad_to_nq(q)) == [q]
+    # the N-Triples 1.2 triple-term spelling parses
+    got = nquads.parse('<<( <http://e/a> <http://e/p> <http://e/b> )>> '
+                       '<http://e/c> "v" .')
+    assert got[0][1][0] == QT
