@@ -30,6 +30,7 @@ from . import keys
 from .errors import (ContextNotAvailable, InvalidBaseDirection,
                      InvalidBaseIRI, InvalidContainerMapping,
                      InvalidContext, InvalidDefaultLanguage,
+                     InvalidImportValue,
                      InvalidIRIMapping, InvalidKeywordAlias,
                      InvalidLanguageMapping, InvalidPrefixValue,
                      InvalidPropagateValue, InvalidReverseProperty,
@@ -264,6 +265,8 @@ class Context:
 
         if keys.IMPORT in src:  # [spec] 1.1 §6.1 step 5.6
             imp = src[keys.IMPORT]
+            if not isinstance(imp, str):  # step 5.6.1
+                raise InvalidImportValue(repr(imp))
             iri = norm_url(self.base, imp)
             if iri not in self.registry:
                 raise ContextNotAvailable(iri)

@@ -23,6 +23,12 @@ class InvalidContext(JsonLdError):
     code = "invalid local context"
 
 
+class InvalidImportValue(JsonLdError):
+    """[spec] 1.1 §6.1 step 5.6.1: @import must be a string (sweep 35
+    chaos: a list crashed context loading with a raw TypeError)."""
+    code = "invalid @import value"
+
+
 class ContextNotAvailable(JsonLdError):
     """Remote context IRI not found in the offline registry.
 

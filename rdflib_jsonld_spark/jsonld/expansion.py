@@ -273,6 +273,14 @@ def _expand_element(ctx: Context, active_key: str | None, element,
             # @set is sugar: expansion of its contents replaces the map
             # ([spec] §5.1 step 13.4.11) — merge siblings like @index below.
             _check_set_list_siblings(kmap, keys.SET)
+            idx2 = next((k for k, e in kmap.items()
+                         if e == keys.INDEX), None)
+            if idx2 is not None and not isinstance(element[idx2], str):
+                # step 13.4.8 validates the sibling @index VALUE before
+                # the early return (sweep 35: a null @index on a set
+                # object slipped past — the branch returns before the
+                # @index key's own turn in this loop)
+                raise InvalidIndexValue(repr(element[idx2]))
             return _expand_element(ctx, active_key, value, in_list=in_list)
 
         if expanded_key == keys.INDEX:
@@ -285,7 +293,15 @@ def _expand_element(ctx: Context, active_key: str | None, element,
         if expanded_key == keys.ANNOTATION:
             # JSON-LD-star draft: annotation objects expand like node
             # objects but must stay edge-shaped — no @id/@value/@list/
-            # @graph; position legality is checked on the RESULT below
+            # @graph. Position legality fires on the ENTRY, not the
+            # expanded result (sweep 35 differential: an EMPTY
+            # "@annotation": [] at top level slipped past the
+            # result-based check below while to_rdf errored).
+            if in_list or active_key is None \
+                    or ctx.expand_key(active_key) in (keys.GRAPH,
+                                                      keys.INCLUDED):
+                raise InvalidAnnotation(
+                    "@annotation in a non-embedded position")
             anns = []
             for item in _raw_array(value):
                 if not isinstance(item, dict):
@@ -331,6 +347,14 @@ def _expand_element(ctx: Context, active_key: str | None, element,
     # @nest properties merge into the enclosing node ([spec] 1.1 §9.10).
     for nest_key, nested in nests:
         nested_ctx = ctx.subcontext_for_term(nest_key)
+        # step 13.8: each nested value must be a MAP without (aliased)
+        # @value — checked on the RAW map, before expansion can null
+        # the evidence away (sweep 35: {"@nest": {"@value": null}}
+        # slipped through while the to_rdf twin errored)
+        for raw in (nested if isinstance(nested, list) else [nested]):
+            if not isinstance(raw, dict) or any(
+                    nested_ctx.expand_key(k) == keys.VALUE for k in raw):
+                raise InvalidNestValue(repr(raw))
         sub = _expand_element(nested_ctx, None, nested)
         for node in _ensure_array(sub):
             if not isinstance(node, dict):
@@ -345,6 +369,15 @@ def _expand_element(ctx: Context, active_key: str | None, element,
                     rmap = result.setdefault(keys.REV, {})
                     for p, vs in nv.items():
                         rmap.setdefault(p, []).extend(vs)
+                elif nk == keys.INDEX:
+                    # @index stays a SCALAR keyword value — the generic
+                    # merge array-wrapped it, producing invalid expanded
+                    # form (sweep 35 differential); a different index
+                    # already on the node is the spec's conflict error
+                    if result.get(keys.INDEX, nv) != nv:
+                        raise ConflictingIndexes(
+                            f"{result[keys.INDEX]!r} vs {nv!r} via @nest")
+                    result[keys.INDEX] = nv
                 else:
                     result.setdefault(nk, []).extend(
                         nv if isinstance(nv, list) else [nv])
@@ -729,6 +762,15 @@ def _raw_array(v) -> list:
     if isinstance(v, list):
         return v
     if isinstance(v, dict) and keys.SET in v:
+        # sibling rule ([spec] step 14.2) applies to keyword-position
+        # set objects too — KEYWORD siblings are never droppable, so
+        # they error even in this alias-blind helper (sweep 35:
+        # {"@type": {"@set": [], "@id": []}} silently dropped the @id)
+        bad = [k for k in v
+               if k not in (keys.SET, keys.INDEX, keys.CONTEXT)
+               and k in keys.KEYWORDS]
+        if bad:
+            raise InvalidSetOrListObject(f"@set with {bad!r}")
         inner = v[keys.SET]
         return inner if isinstance(inner, list) else [inner]
     return [v]

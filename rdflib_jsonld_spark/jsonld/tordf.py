@@ -196,6 +196,58 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
 
     kmap = _node_keyword_map(node, ctx)
 
+    # Free-floating VALUE OBJECT (object-position ones route through
+    # _to_object before this function): validate per the value-object
+    # rules — the errors the expansion engine raises here too — then
+    # drop it (B3). Sweep 35 wild-doc differential: this path used to
+    # node-walk the leftovers, emitting a spurious rdf:type quad for
+    # {"@value": null, "@type": T} and silently accepting invalid
+    # @value arrays. state=None keeps validation side-effect-free (no
+    # compound-literal pending quads for a dropped object).
+    vo_key = next((k for k, e in kmap.items() if e == keys.VALUE), None)
+    if vo_key is not None:
+        _value_object_to_term(node, kmap, vo_key, None, ctx, None)
+        return None
+    # Free-floating LIST OBJECT: same treatment — the @list/@index
+    # sibling rule applies ([spec] expansion step 14.1) AND the members
+    # still validate (expansion walks them before the drop — e.g. an
+    # @id: null member errors). A scratch state discards their quads
+    # without disturbing the main bnode counter (D11 determinism).
+    if any(e == keys.LIST for e in kmap.values()):
+        _check_list_siblings(node, ctx)
+        lkey = next(k for k, e in kmap.items() if e == keys.LIST)
+        scratch = _State(state.prefix, state.generalized, state.allow_ll,
+                         state.rdf_direction)
+        _add_list(_as_list(node[lkey], ctx), None, ctx, scratch, graph)
+        return None
+    # Top-level SET OBJECT unwraps to its members ([spec] expansion
+    # step 14.2) — sweep 35 wild-doc differential: this path silently
+    # dropped the whole object, LOSING its members' quads. Sibling
+    # rule first (@index/@context only), then each member processes
+    # at the same position; free-floating scalars drop as usual.
+    set_key = next((k for k, e in kmap.items() if e == keys.SET), None)
+    if set_key is not None:
+        bad = [k for k, e in kmap.items() if k != set_key
+               and _key_survives(e)
+               and e not in (keys.INDEX, keys.CONTEXT)]
+        if bad:
+            raise InvalidSetOrListObject(f"@set with {bad!r}")
+        s_idx = next((k for k, e in kmap.items() if e == keys.INDEX),
+                     None)
+        if s_idx is not None and not isinstance(node[s_idx], str):
+            raise InvalidIndexValue(repr(node[s_idx]))
+        last = None
+        sq = list(node[set_key]) if isinstance(node[set_key], list) \
+            else [node[set_key]]
+        while sq:  # nested arrays flatten (expansion step 5.2.4)
+            item = sq.pop(0)
+            if isinstance(item, list):
+                sq[0:0] = item
+            elif isinstance(item, dict):
+                last = _add_to_graph(item, graph, ctx, state,
+                                     topmost=topmost, from_map=from_map)
+        return last
+
     # Type-scoped contexts ([spec] 1.1 §4.1.8, C5): collect raw @type terms.
     type_key = next((k for k, e in kmap.items() if e == keys.TYPE), None)
     if type_key is not None:
@@ -208,9 +260,61 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     keys.check_colliding_keywords(kmap)
 
     # A bare top-level {"@graph": [...]} (no @id) targets the default graph
-    # ([v0.5.0] parser.py D1/D3 dispatch).
+    # ([v0.5.0] parser.py D1/D3 dispatch). Keys that expansion's
+    # normalization DROPS as empty (@reverse {} / @nest {}|[]) are
+    # vacuous here too (sweep 35 differential: an empty @reverse made
+    # the @graph land under a spurious bnode graph name).
+    def _has_map(v):
+        if isinstance(v, dict):
+            return True
+        if isinstance(v, list):
+            return any(_has_map(x) for x in v)
+        return False
+
+    def _semantic(k, e):
+        """Does this entry keep a topmost map from being a bare graph
+        object? Mirrors expansion: stray keywords the walk ignores
+        (e.g. a literal "@json"/"@container" KEY) and entries whose
+        expansion drops to nothing (empty @reverse/@nest/@included)
+        are vacuous (sweep 35 differential)."""
+        if e is None or e in (keys.GRAPH, keys.CONTEXT):
+            return False
+        if e == keys.TYPE:
+            # @type is semantic iff it KEEPS a member after expansion's
+            # filtering (empty arrays and keyword/unexpandable members
+            # drop; non-strings error later, so they count)
+            raw = node[k] if isinstance(node[k], list) else [node[k]]
+            for t in raw:
+                if not isinstance(t, str):
+                    return True  # errors later — still semantic
+                ti = ctx.expand_iri(t, vocab=True)
+                if ti is not None and ti not in keys.KEYWORDS:
+                    return True
+            return False
+        if e == keys.REV:
+            # semantic iff a member key survives the REV branch's own
+            # filtering (keyword/unexpandable keys are skipped there)
+            if not isinstance(node[k], dict):
+                return True  # errors later — still semantic
+            for rk in node[k]:
+                ri = ctx.expand_iri(rk, vocab=True)
+                if ri == keys.REV:
+                    return True  # errors later
+                if ri is not None and ri not in keys.KEYWORDS:
+                    return True
+            return False
+        if e == keys.NEST:
+            return node[k] not in ({}, [])
+        if e == keys.INCLUDED:
+            return _has_map(node[k])
+        if e in keys.KEYWORDS and e not in (
+                keys.TYPE, keys.ID, keys.INDEX, keys.ANNOTATION,
+                keys.LIST, keys.SET, keys.VALUE):
+            return False  # ignored by the walk AND by expansion
+        return True
+
     only_graph = topmost and not any(
-        e for e in kmap.values() if e not in (keys.GRAPH, keys.CONTEXT, None))
+        _semantic(k, e) for k, e in kmap.items())
 
     # Subject: @id → IRI/bnode (or a quoted triple when the @id value is
     # an embedded node — JSON-LD-star draft), else fresh bnode (D2).
@@ -225,6 +329,19 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
             raise InvalidIdValue(repr(idv))
         else:
             subj = _to_rdf_id(idv, ctx, state)
+    elif id_key is not None:
+        # forced-subject walks (@nest merge) IGNORE the nested @id but
+        # still validate it, like the expansion twin (sweep 35
+        # differential: {"@nest": {"@id": null}} and invalid embedded
+        # @id maps silently passed). A scratch state keeps validation
+        # allocation-free for the main document.
+        idv = node[id_key]
+        if isinstance(idv, dict):
+            _embedded_triple(idv, graph, ctx,
+                             _State(state.prefix, state.generalized,
+                                    state.allow_ll, state.rdf_direction))
+        elif not isinstance(idv, str):
+            raise InvalidIdValue(repr(idv))
     if subj is None and not only_graph:
         subj = state.fresh_bnode()
 
@@ -253,8 +370,12 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
         if expanded == keys.GRAPH:
             # Nested @graph under a node with @id → named-graph quads (D3).
             target = None if only_graph else subj
-            for item in _as_list(value, ctx):
-                if isinstance(item, dict):
+            gq = list(_as_list(value, ctx))
+            while gq:  # nested arrays flatten (expansion step 5.2.4)
+                item = gq.pop(0)
+                if isinstance(item, list):
+                    gq[0:0] = item
+                elif isinstance(item, dict):
                     _add_to_graph(item, target, ctx, state)
             continue
 
@@ -271,9 +392,19 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                     continue
                 if item is None:
                     continue
-                if not isinstance(item, dict) or any(
-                        ctx.expand_key(k) == keys.VALUE for k in item):
+                if not isinstance(item, dict):
                     # node objects only ([spec] §5.1 13.4.6.x; sweep 6)
+                    raise InvalidIncludedValue(repr(item))
+                ikmap = {k: ctx.expand_key(k) for k in item}
+                ival = next((k for k, e in ikmap.items()
+                             if e == keys.VALUE), None)
+                if ival is not None:
+                    # a value object that expands to NULL vanishes like
+                    # expansion's null drop (sweep 35); one that
+                    # survives is "not a node object" → error
+                    if _value_object_to_term(item, ikmap, ival, None,
+                                             ctx, None) is None:
+                        continue
                     raise InvalidIncludedValue(repr(item))
                 _add_to_graph(item, graph, ctx, state)
             continue
@@ -302,7 +433,15 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                     if p_iri is None or p_iri in keys.KEYWORDS:
                         continue
                     pred = _iri_or_bnode(p_iri, state)
-                    for v in _as_list(rv, ctx):
+                    rq = list(_as_list(rv, ctx))
+                    rvals = []
+                    while rq:  # nested arrays flatten (step 5.2.4)
+                        it = rq.pop(0)
+                        if isinstance(it, list):
+                            rq[0:0] = it
+                        else:
+                            rvals.append(it)
+                    for v in rvals:
                         if isinstance(v, dict) and (
                                 _is_list_object(v) or any(
                                     ctx.expand_key(k) == keys.LIST
@@ -515,9 +654,45 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                     _emit(state, graph, subj, pred, gterm)
             continue
 
-        for v in _as_list(value, sub_ctx):
-            v2, anns = _split_annotations(v, sub_ctx)
-            obj = _to_object(v2, term, sub_ctx, state, graph)
+        # nested plain arrays FLATTEN in non-list positions ([spec]
+        # expansion step 5.2.4; sweep 35 differential: [[false]] was
+        # silently dropped by the direct walk). Set objects unwrap
+        # here carrying their LOCAL @context into the members (the
+        # _as_list unwrap discarded it — invalid contexts passed
+        # silently and member terms resolved in the wrong scope).
+        queue = [(v, sub_ctx) for v in
+                 (value if isinstance(value, list) else [value])]
+        flat = []
+        while queue:
+            item, ictx = queue.pop(0)
+            if isinstance(item, list):
+                queue[0:0] = [(x, ictx) for x in item]
+                continue
+            skey = None
+            if isinstance(item, dict):
+                skey = next((k for k in item
+                             if ictx.expand_key(k) == keys.SET), None)
+            if skey is None:
+                flat.append((item, ictx))
+                continue
+            ictx2 = ictx.load(item[keys.CONTEXT]) \
+                if keys.CONTEXT in item else ictx
+            bad = [k for k in item if k != skey
+                   and _key_survives(ictx2.expand_key(k))
+                   and ictx2.expand_key(k) not in (keys.INDEX,
+                                                   keys.CONTEXT)]
+            if bad:
+                raise InvalidSetOrListObject(f"@set with {bad!r}")
+            s_idx = next((k for k in item
+                          if ictx2.expand_key(k) == keys.INDEX), None)
+            if s_idx is not None and not isinstance(item[s_idx], str):
+                raise InvalidIndexValue(repr(item[s_idx]))
+            sv = item[skey]
+            queue[0:0] = [(x, ictx2) for x in
+                          (sv if isinstance(sv, list) else [sv])]
+        for v, ictx in flat:
+            v2, anns = _split_annotations(v, ictx)
+            obj = _to_object(v2, term, ictx, state, graph)
             if obj is not None:
                 _emit(state, graph, subj, pred, obj)
                 # JSON-LD-star annotation syntax: assert the base triple
@@ -525,7 +700,7 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                 # triple as subject
                 for ann in anns:
                     _annotate(ann, (QT, (subj, pred, obj)), graph,
-                              sub_ctx, state)
+                              ictx, state)
             elif anns:
                 raise InvalidAnnotation("@annotation on a dropped value")
 
@@ -688,6 +863,10 @@ def _check_list_siblings(v: dict, ctx: Context) -> None:
                                          keys.CONTEXT)]
     if bad:
         raise InvalidSetOrListObject(f"@list with {bad!r}")
+    idx = next((k for k in v if ctx.expand_key(k) == keys.INDEX), None)
+    if idx is not None and not isinstance(v[idx], str):
+        # step 13.4.8 validates the @index VALUE here too (sweep 35)
+        raise InvalidIndexValue(repr(v[idx]))
 
 
 def _iri_or_bnode(iri: str, state: _State) -> tuple:
@@ -996,15 +1175,28 @@ def _value_object_to_term(v: dict, kmap: dict, val_key: str, term,
         if explicit_type is None or not (explicit_type.startswith("_:")
                                          or _ABS_IRI_RE.match(explicit_type)):
             raise InvalidTypedValue(repr(t))
+    # @index validates BEFORE the null-@value drop ([spec] step 13.4.8
+    # runs per-entry; sweep 35 differential: {"@index": null,
+    # "@value": null} silently dropped while expansion errored)
+    idx_key = next((k for k, e in kmap.items() if e == keys.INDEX), None)
+    if idx_key is not None and not isinstance(v[idx_key], str):
+        raise InvalidIndexValue(repr(v[idx_key]))
+    # @language / @direction VALUE validation also precedes the null
+    # drop ([spec] steps 13.4.5/13.4.6 run per entry; sweep 35)
+    _lk2 = next((k for k, e in kmap.items() if e == keys.LANG), None)
+    if _lk2 is not None and v[_lk2] is not None \
+            and not isinstance(v[_lk2], str):
+        raise InvalidLanguageTaggedString(repr(v[_lk2]))
+    _dk2 = next((k for k, e in kmap.items() if e == keys.DIRECTION), None)
+    if _dk2 is not None and v[_dk2] is not None \
+            and v[_dk2] not in ("ltr", "rtl"):
+        raise InvalidBaseDirection(repr(v[_dk2]))
     if value is None:
         return None  # B3
     if isinstance(value, (list, dict)):
         # [spec] 1.1 API expansion step 13.4.7.x: only @json-typed values
         # may be compound (handled above)
         raise InvalidValueObjectValue(repr(value))
-    idx_key = next((k for k, e in kmap.items() if e == keys.INDEX), None)
-    if idx_key is not None and not isinstance(v[idx_key], str):
-        raise InvalidIndexValue(repr(v[idx_key]))
     lang_key = next((k for k, e in kmap.items() if e == keys.LANG), None)
     if lang_key is not None and v[lang_key] is not None \
             and not isinstance(v[lang_key], str):

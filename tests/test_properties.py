@@ -430,3 +430,50 @@ def test_nel_and_triple_term_spelling_regressions():
     got = nquads.parse('<<( <http://e/a> <http://e/p> <http://e/b> )>> '
                        '<http://e/c> "v" .')
     assert got[0][1][0] == QT
+
+
+_WILD_KEYS = st.sampled_from([
+    "@id", "@type", "@value", "@language", "@direction", "@list", "@set",
+    "@graph", "@context", "@reverse", "@nest", "@index", "@included",
+    "@json", "@vocab", "@base", "@container", "@annotation", "@version",
+    "@propagate", "@protected", "@prefix", "@import", "@none",
+    "p", "q", "ex:p", "http://e/p", "", ":", "foo:bar", "_:b"])
+_WILD_LEAF = st.one_of(
+    st.none(), st.booleans(), st.integers(-5, 5), st.text(max_size=6),
+    st.sampled_from(["@id", "@json", "@none", "ex:x", "http://e/x",
+                     "ltr", "rtl", "en", ""]))
+_WILD_JSON = st.recursive(
+    _WILD_LEAF,
+    lambda c: st.one_of(st.lists(c, max_size=3),
+                        st.dictionaries(_WILD_KEYS, c, max_size=4)),
+    max_leaves=12)
+_WILD_DOCS = st.dictionaries(_WILD_KEYS, _WILD_JSON, max_size=5)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_WILD_DOCS)
+def test_wild_doc_dual_engine_differential(doc):
+    """Sweep 36: WILD documents (keyword-biased random JSON, far off
+    the generator's valid-shape distribution) through BOTH engines:
+    each either raises a documented JsonLdError or succeeds; they must
+    AGREE on error-vs-success and on the graph. The 20k-example
+    campaign found ~14 real divergences, including three silent
+    data-loss bugs (top-level @set objects dropped whole, nested
+    arrays dropped in property/@reverse/@graph positions)."""
+    from rdflib_jsonld_spark.jsonld.errors import JsonLdError
+    from rdflib_jsonld_spark.jsonld.expansion import expand
+
+    def run(fn):
+        try:
+            return fn(doc), None
+        except JsonLdError as e:
+            return None, type(e).__name__
+        except RecursionError:
+            return None, "rec"
+    ex, e_err = run(expand)
+    q1, t_err = run(to_rdf)
+    if "rec" in (e_err, t_err):
+        return
+    assert (e_err is None) == (t_err is None), (doc, e_err, t_err)
+    if e_err is None:
+        assert isomorphic(q1, to_rdf(ex)), doc
