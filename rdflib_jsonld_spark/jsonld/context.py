@@ -34,7 +34,8 @@ from .errors import (ContextNotAvailable, InvalidBaseDirection,
                      InvalidIRIMapping, InvalidKeywordAlias,
                      InvalidLanguageMapping, InvalidPrefixValue,
                      InvalidPropagateValue, InvalidReverseProperty,
-                     InvalidTermDefinition, InvalidVersionValue,
+                     InvalidTermDefinition, InvalidTypeMapping,
+                     InvalidVersionValue,
                      InvalidVocabMapping, ProtectedTermRedefinition,
                      RecursiveContextInclusion)
 
@@ -431,15 +432,20 @@ class Context:
 
         container = dfn.get(keys.CONTAINER)
         if container is None:
-            cset = set()
+            members = []
         elif isinstance(container, list):
-            cset = set(container)
+            members = container
         else:
-            cset = {container}
+            members = [container]
+        if not all(isinstance(c, str) for c in members):
+            # [spec] §6.2 step 19 — validate BEFORE set-building
+            # (sweep 36: a dict member raised a raw unhashable-type
+            # TypeError instead of the documented error)
+            raise InvalidContainerMapping(f"{name}: {container!r}")
+        cset = set(members)
         _VALID_CONTAINERS = {keys.LIST, keys.SET, keys.INDEX, keys.LANG,
                              keys.ID, keys.TYPE, keys.GRAPH}
-        if not cset <= _VALID_CONTAINERS or not all(
-                isinstance(c, str) for c in cset):
+        if not cset <= _VALID_CONTAINERS:
             # [spec] §6.2 step 19
             raise InvalidContainerMapping(f"{name}: {container!r}")
         if keys.REV in dfn and not cset <= {keys.SET, keys.INDEX}:
@@ -449,6 +455,10 @@ class Context:
         typ = UNDEF
         if keys.TYPE in dfn:
             t = dfn[keys.TYPE]
+            if not isinstance(t, str):
+                # [spec] §6.2 step 17.1: the type mapping must be a
+                # string (sweep 36: a list crashed IRI expansion raw)
+                raise InvalidTypeMapping(f"{name}: {t!r}")
             if t in (keys.ID, keys.VOCAB, keys.JSON, keys.NONE):
                 typ = t
             else:

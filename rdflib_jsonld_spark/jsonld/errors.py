@@ -196,6 +196,12 @@ class CollidingKeywords(JsonLdError):
     code = "colliding keywords"
 
 
+class InvalidTypeMapping(JsonLdError):
+    # [spec] 1.1 API create-term-definition step 17.1: a term's @type
+    # must be a string (sweep 36: a list crashed IRI expansion raw).
+    code = "invalid type mapping"
+
+
 class InvalidVersionValue(JsonLdError):
     # [spec] 1.1 API context processing step 5.5.1: @version must be
     # the number 1.1 exactly (sweep 9: any other value was silently

@@ -477,3 +477,27 @@ def test_wild_doc_dual_engine_differential(doc):
     assert (e_err is None) == (t_err is None), (doc, e_err, t_err)
     if e_err is None:
         assert isomorphic(q1, to_rdf(ex)), doc
+
+
+@settings(max_examples=120, deadline=None)
+@given(_WILD_DOCS)
+def test_wild_doc_downstream_ops_property(doc):
+    """Sweep 36 (cont.): when to_rdf accepts a wild document, the
+    downstream document ops must not crash raw, and compact/flatten
+    preserve the graph (8k-example campaign; found raw TypeErrors in
+    context term loading: dict @container members, list @type)."""
+    from rdflib_jsonld_spark.jsonld.errors import JsonLdError
+
+    try:
+        q = to_rdf(doc)
+    except (JsonLdError, RecursionError):
+        return
+    try:
+        c = compact(doc, None)
+        assert isomorphic(q, to_rdf(c)), ("compact", doc)
+        f = flatten(doc)
+        assert isomorphic(q, to_rdf(f)), ("flatten", doc)
+        from rdflib_jsonld_spark.jsonld.frame import frame
+        to_rdf(frame(doc, {}))
+    except (JsonLdError, RecursionError):
+        return
