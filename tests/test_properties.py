@@ -501,3 +501,60 @@ def test_wild_doc_downstream_ops_property(doc):
         to_rdf(frame(doc, {}))
     except (JsonLdError, RecursionError):
         return
+
+
+_CTX_KW = st.sampled_from([
+    "@id", "@type", "@container", "@language", "@direction", "@context",
+    "@reverse", "@nest", "@prefix", "@protected", "@propagate", "@index",
+    "@vocab", "@base", "@version", "@import", "@none", "@set", "@list",
+    "@graph", "@json", "@value"])
+_CTX_LEAF = st.one_of(
+    st.none(), st.booleans(), st.integers(-3, 3),
+    st.sampled_from(["@id", "@json", "@set", "@list", "@index",
+                     "@language", "@graph", "@type", "@none", "@nest",
+                     "ltr", "http://e/x", "ex:y", "x", "", ":", "_:b",
+                     "1.1", "te rm"]))
+_CTX_TDEF = st.recursive(
+    _CTX_LEAF,
+    lambda c: st.one_of(st.lists(c, max_size=3),
+                        st.dictionaries(_CTX_KW, c, max_size=4)),
+    max_leaves=8)
+_CTX_NAME = st.sampled_from(["p", "ex:p", "@id", "@gr", "", ":", "x y",
+                             "http://e/t", "_:b", "@", "te:rm"])
+_CTXS = st.one_of(
+    st.none(), st.booleans(), st.integers(-2, 2),
+    st.sampled_from(["http://ctx/unknown", ""]),
+    st.dictionaries(st.one_of(_CTX_NAME, _CTX_KW), _CTX_TDEF,
+                    max_size=4),
+    st.lists(st.one_of(st.none(),
+                       st.dictionaries(_CTX_NAME, _CTX_TDEF,
+                                       max_size=3)),
+             max_size=3))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_CTXS, st.sampled_from(["p", "ex:p", "http://e/p", "@type"]))
+def test_wild_context_dual_engine_property(ctx, key):
+    """Sweep 36 (cont.): WILD @context values (random term definitions
+    over keyword fragments) — documented errors only, error-agreement,
+    and graph agreement between the engines (12k-example campaign
+    clean after the dict-@container / list-@type totality fixes)."""
+    from rdflib_jsonld_spark.jsonld.errors import JsonLdError
+    from rdflib_jsonld_spark.jsonld.expansion import expand
+
+    doc = {"@context": ctx, "@id": "http://e/a", key: "v"}
+
+    def run(fn):
+        try:
+            return fn(doc), None
+        except JsonLdError as e:
+            return None, type(e).__name__
+        except RecursionError:
+            return None, "rec"
+    ex, e_err = run(expand)
+    q1, t_err = run(to_rdf)
+    if "rec" in (e_err, t_err):
+        return
+    assert (e_err is None) == (t_err is None), (doc, e_err, t_err)
+    if e_err is None:
+        assert isomorphic(q1, to_rdf(ex)), doc
