@@ -170,6 +170,55 @@ def _node_keyword_map(node: dict, ctx: Context) -> dict:
     return dict(zip(kt, ctx.expand_keys(kt)))
 
 
+
+def _graph_obj_has_map(v):
+    if isinstance(v, dict):
+        return True
+    if isinstance(v, list):
+        return any(_graph_obj_has_map(x) for x in v)
+    return False
+
+
+def _semantic_entry(ctx: Context, node: dict, k, e) -> bool:
+    """Does this entry keep a topmost map from being a bare graph
+    object? Mirrors expansion: stray keywords the walk ignores (e.g. a
+    literal "@json"/"@container" KEY) and entries whose expansion drops
+    to nothing (empty @reverse/@nest/@included, fully-filtered @type)
+    are vacuous (sweeps 35-36 differential)."""
+    if e is None or e in (keys.GRAPH, keys.CONTEXT):
+        return False
+    if e == keys.TYPE:
+        raw = node[k] if isinstance(node[k], list) else [node[k]]
+        for t in raw:
+            if not isinstance(t, str):
+                return True  # errors later — still semantic
+            ti = ctx.expand_iri(t, vocab=True)
+            if ti is not None and ti not in keys.KEYWORDS:
+                return True
+        return False
+    if e == keys.REV:
+        # semantic iff a member key survives the REV branch's own
+        # filtering (keyword/unexpandable keys are skipped there)
+        if not isinstance(node[k], dict):
+            return True  # errors later — still semantic
+        for rk in node[k]:
+            ri = ctx.expand_iri(rk, vocab=True)
+            if ri == keys.REV:
+                return True  # errors later
+            if ri is not None and ri not in keys.KEYWORDS:
+                return True
+        return False
+    if e == keys.NEST:
+        return node[k] not in ({}, [])
+    if e == keys.INCLUDED:
+        return _graph_obj_has_map(node[k])
+    if e in keys.KEYWORDS and e not in (
+            keys.TYPE, keys.ID, keys.INDEX, keys.ANNOTATION,
+            keys.LIST, keys.SET, keys.VALUE):
+        return False  # ignored by the walk AND by expansion
+    return True
+
+
 def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
                   topmost: bool = False, from_map: bool = False,
                   force_subj: tuple | None = None):
@@ -264,57 +313,12 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     # normalization DROPS as empty (@reverse {} / @nest {}|[]) are
     # vacuous here too (sweep 35 differential: an empty @reverse made
     # the @graph land under a spurious bnode graph name).
-    def _has_map(v):
-        if isinstance(v, dict):
-            return True
-        if isinstance(v, list):
-            return any(_has_map(x) for x in v)
-        return False
-
-    def _semantic(k, e):
-        """Does this entry keep a topmost map from being a bare graph
-        object? Mirrors expansion: stray keywords the walk ignores
-        (e.g. a literal "@json"/"@container" KEY) and entries whose
-        expansion drops to nothing (empty @reverse/@nest/@included)
-        are vacuous (sweep 35 differential)."""
-        if e is None or e in (keys.GRAPH, keys.CONTEXT):
-            return False
-        if e == keys.TYPE:
-            # @type is semantic iff it KEEPS a member after expansion's
-            # filtering (empty arrays and keyword/unexpandable members
-            # drop; non-strings error later, so they count)
-            raw = node[k] if isinstance(node[k], list) else [node[k]]
-            for t in raw:
-                if not isinstance(t, str):
-                    return True  # errors later — still semantic
-                ti = ctx.expand_iri(t, vocab=True)
-                if ti is not None and ti not in keys.KEYWORDS:
-                    return True
-            return False
-        if e == keys.REV:
-            # semantic iff a member key survives the REV branch's own
-            # filtering (keyword/unexpandable keys are skipped there)
-            if not isinstance(node[k], dict):
-                return True  # errors later — still semantic
-            for rk in node[k]:
-                ri = ctx.expand_iri(rk, vocab=True)
-                if ri == keys.REV:
-                    return True  # errors later
-                if ri is not None and ri not in keys.KEYWORDS:
-                    return True
-            return False
-        if e == keys.NEST:
-            return node[k] not in ({}, [])
-        if e == keys.INCLUDED:
-            return _has_map(node[k])
-        if e in keys.KEYWORDS and e not in (
-                keys.TYPE, keys.ID, keys.INDEX, keys.ANNOTATION,
-                keys.LIST, keys.SET, keys.VALUE):
-            return False  # ignored by the walk AND by expansion
-        return True
-
+    # A bare top-level {"@graph": [...]} (no @id) targets the default
+    # graph ([v0.5.0] parser.py D1/D3 dispatch); the semantics mirror
+    # expansion's normalization (see _semantic_entry). Only computed at
+    # the top level — the per-node hot path pays nothing.
     only_graph = topmost and not any(
-        _semantic(k, e) for k, e in kmap.items())
+        _semantic_entry(ctx, node, k, e) for k, e in kmap.items())
 
     # Subject: @id → IRI/bnode (or a quoted triple when the @id value is
     # an embedded node — JSON-LD-star draft), else fresh bnode (D2).
