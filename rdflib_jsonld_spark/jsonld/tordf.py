@@ -253,7 +253,16 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     # {"@value": null, "@type": T} and silently accepting invalid
     # @value arrays. state=None keeps validation side-effect-free (no
     # compound-literal pending quads for a dropped object).
-    vo_key = next((k for k, e in kmap.items() if e == keys.VALUE), None)
+    vo_key = set_key = None
+    has_list = False
+    for _k, _e in kmap.items():  # ONE pass for all three guards (hot path)
+        if _e == keys.VALUE:
+            if vo_key is None:
+                vo_key = _k
+        elif _e == keys.LIST:
+            has_list = True
+        elif _e == keys.SET and set_key is None:
+            set_key = _k
     if vo_key is not None:
         _value_object_to_term(node, kmap, vo_key, None, ctx, None)
         return None
@@ -262,7 +271,7 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     # still validate (expansion walks them before the drop — e.g. an
     # @id: null member errors). A scratch state discards their quads
     # without disturbing the main bnode counter (D11 determinism).
-    if any(e == keys.LIST for e in kmap.values()):
+    if has_list:
         _check_list_siblings(node, ctx)
         lkey = next(k for k, e in kmap.items() if e == keys.LIST)
         scratch = _State(state.prefix, state.generalized, state.allow_ll,
@@ -274,7 +283,6 @@ def _add_to_graph(node: dict, graph, ctx: Context, state: _State,
     # dropped the whole object, LOSING its members' quads. Sibling
     # rule first (@index/@context only), then each member processes
     # at the same position; free-floating scalars drop as usual.
-    set_key = next((k for k, e in kmap.items() if e == keys.SET), None)
     if set_key is not None:
         bad = [k for k, e in kmap.items() if k != set_key
                and _key_survives(e)
