@@ -273,8 +273,6 @@ def patch_companion_refs(sql: str, columns) -> str:
     lang/datatype are NULL. Lets term-aware filters (sparql.py sweep 10)
     run against subject/predicate/graph variables without capturing
     companions for every position."""
-    if TYPED_PREFIX not in sql:
-        return sql
     cols = set(columns)
 
     def rep(m):
@@ -287,7 +285,53 @@ def patch_companion_refs(sql: str, columns) -> str:
                     f"ELSE 'iri' END)")
         return "CAST(NULL AS STRING)"
 
-    return _COMPANION_REF_RE.sub(rep, sql)
+    if TYPED_PREFIX in sql:
+        sql = _COMPANION_REF_RE.sub(rep, sql)
+    return _patch_missing_vars(sql, cols)
+
+
+def _patch_missing_vars(sql: str, cols: set) -> str:
+    """NULL out backticked references to columns absent from the
+    solution table ([spec] a variable used in an expression but bound
+    nowhere in the pattern is simply UNBOUND — a type error where
+    evaluated, never an UNRESOLVED_COLUMN AnalysisException; sweep 37).
+    Quote-aware: content inside single-quoted SQL string constants
+    (which escape ``\\`` and ``'`` per the compiler's _sql_str) is
+    never rewritten."""
+    if "`" not in sql:
+        return sql
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "`":
+            j = sql.find("`", i + 1)
+            if j < 0:
+                out.append(sql[i:])
+                break
+            name = sql[i + 1:j]
+            if name in cols or not re.fullmatch(r"\w+", name):
+                out.append(sql[i:j + 1])
+            else:
+                out.append("CAST(NULL AS STRING)")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _first_object_binders(patterns) -> dict[str, int]:

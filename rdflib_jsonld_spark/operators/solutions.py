@@ -38,7 +38,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["select_solutions", "sparql_select"]
 
 _AGG_FNS = frozenset({
-    "count", "count_distinct", "sum", "avg", "min", "max",
+    "count", "count_distinct", "sum", "sum_distinct", "avg",
+    "avg_distinct", "min", "max",
     "sample", "group_concat", "group_concat_distinct",
 })
 
@@ -85,7 +86,7 @@ def _agg_col(fn: str, arg: str, alias: str, sep: str,
     m = re.fullmatch(r"`(\w+)`|\??(\w+)", arg)
     var = (m.group(1) or m.group(2)) if m else None
     col = F.col(var) if var else F.expr(arg)
-    if fn in ("sum", "avg"):
+    if fn in ("sum", "avg", "sum_distinct", "avg_distinct"):
         # [spec] SPARQL 1.1 §18.5.1.2/.4 (sweep 20): a type error on ANY
         # group element errors the WHOLE aggregate → unbound, instead of
         # SQL's silent skip (SUM(41, "young") was returning 41). Numeric
@@ -106,7 +107,15 @@ def _agg_col(fn: str, arg: str, alias: str, sep: str,
         bad = F.coalesce(
             F.max(F.when(col.isNotNull() & num.isNull(),
                          F.lit(1)).otherwise(F.lit(0))), F.lit(0))
-        agg = F.sum(num) if fn == "sum" else F.avg(num)
+        if fn.endswith("_distinct"):
+            # SUM/AVG(DISTINCT ?x): dedup at numeric-VALUE level —
+            # consistent with the module's try_cast value convention
+            # (the spec dedups terms; "1"^^xsd:integer vs
+            # "1.0"^^xsd:double collapsing is the documented deviation)
+            agg = F.expr(f"{fn[:-9]}(DISTINCT "
+                         f"try_cast({col_sql} AS DOUBLE))")
+        else:
+            agg = F.sum(num) if fn == "sum" else F.avg(num)
         return F.when(bad == F.lit(0), F.coalesce(agg, F.lit(0.0))) \
             .otherwise(F.lit(None).cast("double")).alias(alias)
     if fn == "count":
@@ -158,13 +167,36 @@ def select_solutions(sol: DataFrame, *,
       ``offset`` / ``limit``: the §15 modifiers, applied in spec order.
     """
     from .bgp import patch_companion_refs
+    # A projected / grouped / aggregated / ordered variable the WHERE
+    # clause never binds is simply UNBOUND ([spec] §18.2.4 projection
+    # over a variable not in scope yields unbound cells) — materialize
+    # it as a NULL column instead of letting Spark raise
+    # UNRESOLVED_COLUMN (sweep 37).
+    _plain = [p for p in project or []] + [g for g in group_by or []]
+    for fn_, arg_, _al in aggregates or []:
+        if arg_ != "*":
+            m = re.fullmatch(r"`(\w+)`|\??(\w+)", str(arg_))
+            if m:
+                _plain.append(m.group(1) or m.group(2))
+    for k in order_by or []:
+        if not isinstance(k, tuple):
+            m = re.fullmatch(r"(asc|desc)\((.+)\)", k.strip(), re.I)
+            _plain.append(m.group(2) if m else k.strip())
+    bound = {_v(v) for _e, v in bind or []}
+    bound |= {al for _f, _a, al in aggregates or []}
+    for name in dict.fromkeys(_v(p) for p in _plain):
+        if name not in sol.columns and name not in bound:
+            sol = sol.withColumn(name, F.lit(None).cast("string"))
     for expr, var in bind or []:
         sol = sol.withColumn(
             _v(var), F.expr(patch_companion_refs(expr, sol.columns)))
     if aggregates:
         dtypes = {n: t for n, t in sol.dtypes
                   if not n.startswith("__typ_")}
-        aggs = [_agg_col(fn, arg, alias, group_concat_sep, dtypes)
+        aggs = [_agg_col(fn,
+                         arg if arg == "*" else
+                         patch_companion_refs(arg, sol.columns),
+                         alias, group_concat_sep, dtypes)
                 for fn, arg, alias in aggregates]
         sol = (sol.groupBy(*[_v(g) for g in group_by]).agg(*aggs)
                if group_by else sol.agg(*aggs))
@@ -178,10 +210,19 @@ def select_solutions(sol: DataFrame, *,
     # sort — §15.1's term-kind order (unbound < bnode < IRI < literal)
     # needs them (sweep 20).
     _order_vars = []
+    _expr_order_vars = []
     for k in order_by or []:
         if not isinstance(k, tuple):
             m = re.fullmatch(r"(asc|desc)\((.+)\)", k.strip(), re.I)
             _order_vars.append(_v(m.group(2) if m else k.strip()))
+        else:
+            # expression keys (sweep 37): their compiled SQL dispatches
+            # on companion columns — carry the referenced vars AND all
+            # three companions through projection, else the patched
+            # shape-fallback mis-kinds object literals as IRIs
+            for m in re.finditer(r"`(\w+)`", k[1]):
+                if not m.group(1).startswith("__typ_"):
+                    _expr_order_vars.append(m.group(1))
     _carried: list[str] = []
     if project:
         cols = [_v(c) for c in project]
@@ -208,6 +249,15 @@ def select_solutions(sol: DataFrame, *,
             if (n in cols or n in _carried) and kc in have \
                     and kc not in cols:
                 _carried.append(kc)
+        for n in dict.fromkeys(_expr_order_vars):
+            if n not in cols and n not in _carried and n in have:
+                _carried.append(n)
+            if n in cols or n in _carried:
+                for w in ("kind", "lang", "datatype"):
+                    cc = f"__typ_{n}__{w}"
+                    if cc in have and cc not in cols \
+                            and cc not in _carried:
+                        _carried.append(cc)
         requested = list(cols)
         sol = sol.select(*(cols + _carried))
     if distinct:

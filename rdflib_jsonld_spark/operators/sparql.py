@@ -199,6 +199,11 @@ def _tokenize(q: str) -> list[Tok]:
 @dataclass
 class Group:
     elements: list = field(default_factory=list)
+    #: EXISTS groups embedded in expressions (sweep 37): marker column
+    #: name → (Group, positive). The evaluator materializes each marker
+    #: as a boolean column (compatibility semi-join) right before the
+    #: first filter/bind whose SQL references it.
+    exists_defs: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -285,6 +290,8 @@ class _Parser:
         self.base = ""
         self.needs_types = False
         self._anon_n = 0   # fresh labels for [...] / (...) nodes
+        self._group_stack: list[Group] = []   # open groups (EXISTS defs)
+        self._exs_n = 0    # fresh EXISTS marker columns (sweep 37)
 
     # --- token helpers -----------------------------------------------------
     def peek(self, ahead: int = 0) -> Tok | None:
@@ -337,15 +344,16 @@ class _Parser:
         if t.kind == "BNODE":
             return "?__bn_" + t.text[2:]     # bnode label = scoped variable
         if t.kind == "STRING":
-            if t.lang or t.datatype:
-                # exact-term pattern constant ([spec] §5.2 / sweep 10:
-                # the tag/datatype was dropped, so "x"@en matched every
-                # lexical "x")
-                return encode_literal(
-                    t.text, lang=t.lang,
-                    datatype=self._expand_datatype(t.datatype)
-                    if t.datatype else None)
-            return t.text                     # lexical-form matching
+            # exact-term pattern constant ([spec] §5.2 / sweep 10: the
+            # tag/datatype was dropped, so "x"@en matched every lexical
+            # "x"; sweep 37: a PLAIN "x" still matched "x"@fr and
+            # "x"^^<dt> by lexical form — the text front-end encodes
+            # every literal so the BGP layer's exact-term filter runs.
+            # The kwargs surface keeps its lexical-form convention.)
+            return encode_literal(
+                t.text, lang=t.lang,
+                datatype=self._expand_datatype(t.datatype)
+                if t.datatype else None)
         if t.kind == "NUMBER":
             # numeric shorthand is a TYPED literal ([spec] SPARQL 1.1
             # §4.1.2) — sweep 11: templates emitted xsd:string and
@@ -608,6 +616,13 @@ class _Parser:
     def parse_group(self) -> Group:
         self.expect_op("{")
         g = Group()
+        self._group_stack.append(g)
+        try:
+            return self._parse_group_body(g)
+        finally:
+            self._group_stack.pop()
+
+    def _parse_group_body(self, g: Group) -> Group:
         if self.at_kw("SELECT"):
             # GroupGraphPattern ::= '{' ( SubSelect | ... ) '}' — a
             # sub-SELECT is the ENTIRE content of its enclosing braces.
@@ -811,7 +826,7 @@ class _Parser:
             if dt is None or dt == XSD + "string" or lang:
                 return f"(length({sql}) > 0)"
             return "CAST(NULL AS BOOLEAN)"
-        if tag == "iri":
+        if tag in ("iri", "irix"):
             return "CAST(NULL AS BOOLEAN)"
         v = _uncol(sql)
         if v is None:
@@ -845,13 +860,37 @@ class _Parser:
             ord_sql = self._term_ord_sql(node, rhs, op)
             if ord_sql is not None:
                 return ("bool", ord_sql)
-            lt, ls = node[0], node[1]
-            rt, rs = rhs[0], rhs[1]
-            if lt == "num" and rt != "num":
-                rs = f"try_cast({rs} AS DOUBLE)"
-            elif rt == "num" and lt != "num":
-                ls = f"try_cast({ls} AS DOUBLE)"
-            return ("bool", f"({ls} {op} {rs})")
+            # computed-vs-computed / constant fallback ([spec] §17.3,
+            # sweep 37): only same-class pairs inside the operator
+            # mapping compare — previously mixed SQL types (bool vs
+            # str, bool vs num) flowed raw and Spark raised
+            # DATATYPE_MISMATCH / CAST_INVALID_INPUT at analysis time.
+            a2, b2 = _ord_class(node), _ord_class(rhs)
+            if a2 is not None and b2 is not None and a2[0] == b2[0]:
+                return ("bool", f"({a2[1]} {op} {b2[1]})")
+            if op in ("=", "<>") and (
+                    node[0] in ("iri", "irix")
+                    or rhs[0] in ("iri", "irix")):
+                a_is_iri = node[0] in ("iri", "irix")
+                comp = b2 if a_is_iri else a2
+                isql = node[1] if a_is_iri else rhs[1]
+                if comp is None and node[0] in ("iri", "irix") \
+                        and rhs[0] in ("iri", "irix"):
+                    # IRI vs IRI: term equality by string form
+                    return ("bool", f"({node[1]} {op} {rhs[1]})")
+                if comp is not None and comp[0] == "str":
+                    # engine convention: STR()/DATATYPE() results are
+                    # 'str' nodes holding IRI strings — they compare
+                    # with IRIs by string form (pre-sweep-37 behavior)
+                    return ("bool", f"({isql} {op} {comp[1]})")
+                if comp is not None:
+                    # RDFterm-equal: an IRI never equals a boolean /
+                    # numeric literal value — false, NULL-propagating
+                    res = "false" if op == "=" else "true"
+                    return ("bool", f"(CASE WHEN ({comp[1]}) IS NULL "
+                            f"THEN CAST(NULL AS BOOLEAN) "
+                            f"ELSE {res} END)")
+            return ("bool", "CAST(NULL AS BOOLEAN)")
         if self.at_kw("IN"):
             self.take()
             return ("bool", self._in_sql(node))
@@ -900,7 +939,16 @@ class _Parser:
                           f"try_cast({node[1]} AS DOUBLE) = {m2[1]} "
                           f"ELSE CAST(NULL AS BOOLEAN) END)")
                 else:
-                    eq = f"({node[1]} = {m[1]})"
+                    # computed-vs-computed member: same-class value
+                    # compare, else type error (sweep 37 — the raw '='
+                    # crashed on mixed SQL types under ANSI)
+                    a2 = _ord_class(_numeric_const(node))
+                    b2 = _ord_class(m2)
+                    if a2 is not None and b2 is not None \
+                            and a2[0] == b2[0]:
+                        eq = f"({a2[1]} = {b2[1]})"
+                    else:
+                        eq = "CAST(NULL AS BOOLEAN)"
             parts.append(eq)
         return "(" + " OR ".join(parts) + ")"
 
@@ -966,6 +1014,40 @@ class _Parser:
                     f"AND ({draw} IS NULL OR {draw} IN ({nums})) "
                     f"THEN {ls} {op} {rs} "
                     f"ELSE CAST(NULL AS BOOLEAN) END)")
+        if other is not None and other[0] in ("str", "bool", "termx",
+                                              "iri"):
+            # variable vs computed string/boolean expression or a
+            # constructed term (sweep 37: these fell through to a raw
+            # SQL comparison — bool-vs-string crashed at analysis time,
+            # IRI/unknown operands compared lexically instead of
+            # erroring)
+            var = av or bv
+            k, lg, d = comp(var)
+            vs = _qcol(var)
+            oc = _ord_class(other)
+            if oc is None:
+                return "CAST(NULL AS BOOLEAN)"
+            cls, osql = oc
+            if cls == "num":
+                draw = self._typ(var, "datatype")
+                vn = f"try_cast({vs} AS DOUBLE)"
+                ls, rs = (vn, osql) if av else (osql, vn)
+                return (f"(CASE WHEN {k} = 'literal' AND {lg} IS NULL "
+                        f"AND ({draw} IS NULL OR {draw} IN ({nums})) "
+                        f"THEN {ls} {op} {rs} "
+                        f"ELSE CAST(NULL AS BOOLEAN) END)")
+            if cls == "str":
+                ls, rs = (vs, osql) if av else (osql, vs)
+                return (f"(CASE WHEN {k} = 'literal' AND {lg} IS NULL "
+                        f"AND {d} = {xs} THEN {ls} {op} {rs} "
+                        f"ELSE CAST(NULL AS BOOLEAN) END)")
+            if cls == "bool":
+                vb = f"({vs} IN ('true', '1'))"
+                ls, rs = (vb, osql) if av else (osql, vb)
+                return (f"(CASE WHEN {k} = 'literal' AND {d} = {xsb} "
+                        f"THEN {ls} {op} {rs} "
+                        f"ELSE CAST(NULL AS BOOLEAN) END)")
+            return "CAST(NULL AS BOOLEAN)"
         lit = other
         if lit is None or lit[0] != "lit":
             return None
@@ -1053,12 +1135,60 @@ class _Parser:
             return lit_guard(av, b)
         if bv and a[0] in ("lit", "termx"):
             return lit_guard(bv, a)
-        if av and b[0] == "iri":
+        if av and b[0] in ("iri", "irix"):
             return (f"({_qcol(av)} = {b[1]} AND "
                     f"{self._typ(av, 'kind')} = 'iri')")
-        if bv and a[0] == "iri":
+        if bv and a[0] in ("iri", "irix"):
             return (f"({_qcol(bv)} = {a[1]} AND "
                     f"{self._typ(bv, 'kind')} = 'iri')")
+        comp_node, var = None, None
+        if av and b[0] in ("num", "str", "bool"):
+            comp_node, var = b, av
+        elif bv and a[0] in ("num", "str", "bool"):
+            comp_node, var = a, bv
+        if comp_node is not None:
+            # variable vs a COMPUTED expression (sweep 37: these fell
+            # through to a raw SQL '=' — a string column against a
+            # boolean/double expression crashed or implicit-cast under
+            # ANSI). §17.4.1.7: a non-literal vs a literal value is
+            # false; incompatible literal typings are a type error.
+            nums = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
+            k = self._typ(var, "kind")
+            lg = self._typ(var, "lang")
+            d = self._typ(var, "datatype")
+            vs = _qcol(var)
+            if not value_eq:
+                # sameTerm: lexical + typing identity against the
+                # computed term's canonical lexical form
+                if comp_node[0] == "num":
+                    dtck = f"({lg} IS NULL AND {d} IN ({nums}))"
+                elif comp_node[0] == "bool":
+                    dtck = (f"({lg} IS NULL AND {d} = "
+                            f"{_sql_str(XSD + 'boolean')})")
+                else:
+                    dtck = (f"({lg} IS NULL AND coalesce({d}, "
+                            f"{xsd_str}) = {xsd_str})")
+                return (f"(CASE WHEN ({comp_node[1]}) IS NULL "
+                        f"THEN CAST(NULL AS BOOLEAN) "
+                        f"ELSE {k} = 'literal' AND {dtck} AND "
+                        f"{vs} = CAST({comp_node[1]} AS STRING) END)")
+            if comp_node[0] == "num":
+                return (f"(CASE WHEN {k} <> 'literal' THEN false "
+                        f"WHEN {lg} IS NULL AND ({d} IS NULL OR {d} IN "
+                        f"({nums})) THEN try_cast({vs} AS DOUBLE) = "
+                        f"({comp_node[1]}) "
+                        f"ELSE CAST(NULL AS BOOLEAN) END)")
+            if comp_node[0] == "str":
+                return (f"(CASE WHEN {k} <> 'literal' THEN false "
+                        f"WHEN {lg} IS NULL AND coalesce({d}, "
+                        f"{xsd_str}) = {xsd_str} THEN {vs} = "
+                        f"({comp_node[1]}) "
+                        f"ELSE CAST(NULL AS BOOLEAN) END)")
+            return (f"(CASE WHEN {k} <> 'literal' THEN false "
+                    f"WHEN {lg} IS NULL AND {d} = "
+                    f"{_sql_str(XSD + 'boolean')} THEN "
+                    f"({vs} IN ('true', '1')) = ({comp_node[1]}) "
+                    f"ELSE CAST(NULL AS BOOLEAN) END)")
         if av and bv:
             ka, kb = self._typ(av, "kind"), self._typ(bv, "kind")
             la, lb = self._typ(av, "lang"), self._typ(bv, "lang")
@@ -1167,10 +1297,43 @@ class _Parser:
 
     def _expr_add(self):
         node = self._expr_mul()
-        while self._is_op("+") or self._is_op("-"):
-            op = self.take().text
-            rhs = self._expr_mul()
-            node = ("num", f"({_as_num(node)} {op} {_as_num(rhs)})")
+        while True:
+            if self._is_op("+") or self._is_op("-"):
+                op = self.take().text
+                rhs = self._expr_mul()
+            else:
+                t = self.peek()
+                if (t is not None and t.kind == "NUMBER"
+                        and t.text[0] in "+-"):
+                    # [spec] grammar rule [116]: a SIGNED numeric
+                    # literal continues the additive expression
+                    # ("1+1", "?x-2" — the tokenizer lexes the sign
+                    # into the number; sweep 37), optionally with
+                    # '*'/'/' continuations on the literal itself
+                    self.take()
+                    op, mag = t.text[0], t.text[1:]
+                    if re.fullmatch(r"\d+", mag):
+                        rcls = 0
+                    elif "e" in mag.lower():
+                        rcls = 3
+                    else:
+                        rcls = 1
+                    rhs = ("num", mag, rcls)
+                    while self._is_op("*") or self._is_op("/"):
+                        op2 = self.take().text
+                        nxt = self._expr_unary()
+                        rcls = _cls_promote(
+                            _num_cls(rhs, self._typ),
+                            _num_cls(nxt, self._typ),
+                            div=(op2 == "/"))
+                        rhs = ("num", f"({rhs[1]} {op2} "
+                               f"{_as_num(nxt, self._typ)})", rcls)
+                else:
+                    break
+            cls = _cls_promote(_num_cls(node, self._typ),
+                               _num_cls(rhs, self._typ))
+            node = ("num", f"({_as_num(node, self._typ)} {op} "
+                    f"{_as_num(rhs, self._typ)})", cls)
         return node
 
     def _expr_mul(self):
@@ -1178,7 +1341,11 @@ class _Parser:
         while self._is_op("*") or self._is_op("/"):
             op = self.take().text
             rhs = self._expr_unary()
-            node = ("num", f"({_as_num(node)} {op} {_as_num(rhs)})")
+            cls = _cls_promote(_num_cls(node, self._typ),
+                               _num_cls(rhs, self._typ),
+                               div=(op == "/"))
+            node = ("num", f"({_as_num(node, self._typ)} {op} "
+                    f"{_as_num(rhs, self._typ)})", cls)
         return node
 
     def _expr_unary(self):
@@ -1187,7 +1354,9 @@ class _Parser:
             return ("bool", f"(NOT {self._ebv(self._expr_unary())})")
         if self._is_op("-"):
             self.take()
-            return ("num", f"(- {_as_num(self._expr_unary())})")
+            sub = self._expr_unary()
+            return ("num", f"(- {_as_num(sub, self._typ)})",
+                    _num_cls(sub, self._typ))
         if self._is_op("+"):
             self.take()
             return self._expr_unary()
@@ -1207,7 +1376,13 @@ class _Parser:
             return ("any", _qcol(t.text))
         if t.kind == "NUMBER":
             self.take()
-            return ("num", t.text)
+            if re.fullmatch(r"[+-]?\d+", t.text):
+                cls = 0
+            elif "e" in t.text.lower():
+                cls = 3
+            else:
+                cls = 1
+            return ("num", t.text, cls)
         if t.kind == "STRING":
             # quoted literal constant: keep lang/datatype so =/!=/
             # sameTerm can compare RDF TERMS, not lexical forms
@@ -1223,6 +1398,23 @@ class _Parser:
             if up in ("TRUE", "FALSE"):
                 self.take()
                 return ("bool", up)
+            if up in ("EXISTS", "NOT"):
+                # ExistsFunc / NotExistsFunc as expression primaries
+                # ([spec] grammar BuiltInCall; sweep 37 — previously
+                # only the bare FILTER (NOT) EXISTS {...} form parsed,
+                # so EXISTS inside any parenthesized/compound
+                # expression was rejected)
+                positive = up == "EXISTS"
+                if not positive:
+                    nxt = self.peek(1)
+                    if not (nxt is not None and nxt.kind == "NAME"
+                            and nxt.text.upper() == "EXISTS"):
+                        raise SparqlError(
+                            f"unexpected {t.text!r} in expression "
+                            f"at char {t.pos}")
+                    self.take()
+                self.take()
+                return self._exists_primary(positive)
             nxt = self.peek(1)
             if nxt is not None and nxt.kind == "OP" and nxt.text == "(":
                 return self._expr_call(self.take().text)
@@ -1236,6 +1428,23 @@ class _Parser:
             return ("iri", _sql_str(self.expand_pname(t.text, t.pos)))
         raise SparqlError(f"unexpected {t.text!r} in expression "
                           f"at char {t.pos}")
+
+    def _exists_primary(self, positive: bool):
+        """Compile an embedded EXISTS group to a boolean marker-column
+        reference; the group itself is registered on the innermost open
+        group, whose evaluation materializes the marker (compatibility
+        semi-join flag) right before the referencing filter/bind runs.
+        EXISTS never raises a type error, so the marker is non-NULL."""
+        sub = self.parse_group()
+        if not self._group_stack:
+            raise SparqlError(
+                "EXISTS in SELECT/HAVING expressions is unsupported "
+                "(v1) — BIND it to a variable inside the WHERE group")
+        marker = f"__exs_{self._exs_n}"
+        self._exs_n += 1
+        self._group_stack[-1].exists_defs[marker] = sub
+        sql = _qcol(marker)
+        return ("bool", f"(NOT {sql})" if not positive else sql)
 
     _CASTS = {"integer": "BIGINT", "int": "BIGINT", "long": "BIGINT",
               "decimal": "DOUBLE", "double": "DOUBLE", "float": "DOUBLE",
@@ -1334,12 +1543,31 @@ class _Parser:
             # a NULL value is a propagated type error → stays NULL
             return f"if(({lex}) IS NOT NULL, {expr}, NULL)"
 
-        if tag == "iri":
+        if tag in ("iri", "irix"):
             if up in ("ISIRI", "ISURI"):
                 return ("bool", g("true"))
             if up in ("ISLITERAL", "ISBLANK", "ISNUMERIC"):
                 return ("bool", g("false"))
             return (("str", "CAST(NULL AS STRING)"))   # LANG/DATATYPE
+        if tag == "num":
+            # computed numeric ([spec] §17.3 promotion — the class
+            # rides on the node; sweep 37: these raised
+            # "needs a variable or term argument")
+            if up == "DATATYPE":
+                return ("irix", g(_cls_dt_sql(_num_cls(node))))
+            if up in ("ISNUMERIC", "ISLITERAL"):
+                return ("bool", g("true"))
+            if up == "LANG":
+                return ("str", g("''"))
+            return ("bool", g("false"))    # ISIRI/ISURI/ISBLANK
+        if tag == "bool":
+            if up == "DATATYPE":
+                return ("irix", g(_sql_str(XSD + "boolean")))
+            if up == "ISLITERAL":
+                return ("bool", g("true"))
+            if up == "LANG":
+                return ("str", g("''"))
+            return ("bool", g("false"))    # ISNUMERIC/ISIRI/ISBLANK
         if tag not in ("lit", "termx", "str"):
             return None
         lang = node[2] if tag in ("lit", "termx") else None
@@ -1351,10 +1579,10 @@ class _Parser:
         if up == "DATATYPE":
             plain_dt = _sql_str(dt or XSD + "string")
             if isinstance(lang, SqlTag):
-                return ("str", g(f"if({lang.sql} IS NOT NULL, "
-                                 f"{_sql_str(langstr)}, {plain_dt})"))
-            return ("str", g(_sql_str(langstr) if lang else
-                             dt and _sql_str(dt) or plain_dt))
+                return ("irix", g(f"if({lang.sql} IS NOT NULL, "
+                                  f"{_sql_str(langstr)}, {plain_dt})"))
+            return ("irix", g(_sql_str(langstr) if lang else
+                              dt and _sql_str(dt) or plain_dt))
         if up == "ISLITERAL":
             return ("bool", g("true"))
         if up == "ISNUMERIC":
@@ -1395,7 +1623,7 @@ class _Parser:
                 lang = _qcol(f"{TYPED_PREFIX}{var}__lang")
                 langstr = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
                            "langString")
-                return ("str", f"coalesce({dt}, "
+                return ("irix", f"coalesce({dt}, "
                         f"if({lang} IS NOT NULL, '{langstr}', NULL), "
                         f"if({kind} = 'literal', '{XSD}string', NULL))")
             if up in ("ISIRI", "ISURI"):
@@ -1415,10 +1643,14 @@ class _Parser:
             return ("bool", f"({a(0)} IS NOT NULL)")
         if up == "STR":
             need(1)
+            if args[0][0] == "num":
+                # computed numeric: integer class renders "3", not
+                # the double representation's "3.0" (sweep 37)
+                return ("str", _num_str_sql(a(0), _num_cls(args[0])))
             return ("str", f"CAST({a(0)} AS STRING)")
         if up == "STRLEN":
             need(1)
-            return ("num", f"length({a(0)})")
+            return ("num", f"length({a(0)})", 0)
         if up == "UCASE":
             need(1)
             return self._str_result(f"upper({a(0)})", args[0])
@@ -1456,7 +1688,7 @@ class _Parser:
             return node
         if up == "SUBSTR":
             need(2, 3)
-            inner = ", ".join([a(0)] + [_as_num(x) for x in args[1:]])
+            inner = ", ".join([a(0)] + [_as_num(x, self._typ) for x in args[1:]])
             return self._str_result(f"substring({inner})", args[0])
         if up == "CONCAT":
             # [spec] §17.4.3.12: the tag survives only when ALL
@@ -1497,8 +1729,11 @@ class _Parser:
         if up in ("ABS", "CEIL", "FLOOR", "ROUND"):
             need(1) if up != "ROUND" else need(1, 2)
             fn = up.lower()
-            inner = ", ".join(_as_num(x) for x in args)
-            return ("num", f"{fn}({inner})")
+            inner = ", ".join(_as_num(x, self._typ) for x in args)
+            # [spec] fn:abs / fn:ceiling / fn:floor / fn:round return
+            # the argument's (promoted) type
+            return ("num", f"{fn}({inner})",
+                    _num_cls(args[0], self._typ))
         if up == "COALESCE":
             return ("any", f"coalesce({', '.join(x[1] for x in args)})")
         if up == "IF":
@@ -1531,7 +1766,21 @@ class _Parser:
             eq = self._term_eq_sql(args[0], args[1], value_eq=False)
             if eq is not None:
                 return ("bool", eq)
-            return ("bool", f"({a(0)} <=> {a(1)})")
+            # computed vs computed (sweep 37: the old '<=>' fallback
+            # implicit-cast mixed SQL types and crashed under ANSI, and
+            # treated two errors as the same term): statically distinct
+            # value classes are different terms; same class compares
+            # canonical lexical forms, errors propagate as NULL
+            c0, c1 = _ord_class(args[0]), _ord_class(args[1])
+            x, y = a(0), a(1)
+            if c0 is not None and c1 is not None and c0[0] != c1[0]:
+                return ("bool", f"(CASE WHEN ({x}) IS NULL OR ({y}) IS "
+                        f"NULL THEN CAST(NULL AS BOOLEAN) "
+                        f"ELSE false END)")
+            return ("bool", f"(CASE WHEN ({x}) IS NULL OR ({y}) IS NULL "
+                    f"THEN CAST(NULL AS BOOLEAN) "
+                    f"ELSE CAST({x} AS STRING) = CAST({y} AS STRING) "
+                    f"END)")
         if up == "ENCODE_FOR_URI":
             need(1)
             # [spec] §17.4.2.8 percent-encodes all but unreserved chars;
@@ -1543,14 +1792,19 @@ class _Parser:
             need(1)
             # terms are IRI strings in this engine; IRI() of a literal
             # is its lexical form (base resolution is a parse-time
-            # concern for constants)
-            return ("str", f"CAST({a(0)} AS STRING)")
+            # concern for constants). "irix": an IRI-VALUED runtime
+            # expression (sweep 37) — compares as a term with
+            # variables/IRI constants, EBV/arithmetic type-error
+            return ("irix", f"CAST({a(0)} AS STRING)")
         if up in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
             need(1)
             fn = {"YEAR": "year", "MONTH": "month", "DAY": "day",
                   "HOURS": "hour", "MINUTES": "minute",
                   "SECONDS": "second"}[up]
-            return ("num", f"{fn}(CAST({a(0)} AS TIMESTAMP))")
+            # [spec] §17.4.5: SECONDS returns xsd:decimal, the rest
+            # xsd:integer
+            return ("num", f"{fn}(CAST({a(0)} AS TIMESTAMP))",
+                    1 if up == "SECONDS" else 0)
         if up in ("STRDT", "STRLANG"):
             # [spec] §17.4.2.6-7: construct a typed / language-tagged
             # literal TERM. arg0 must be a simple (or xsd:string)
@@ -1688,8 +1942,12 @@ class _Parser:
                 fn = "count_distinct"
             elif fn == "group_concat":
                 fn = "group_concat_distinct"
-            else:
-                raise SparqlError(f"DISTINCT not supported for {name}")
+            elif fn == "sum":
+                fn = "sum_distinct"
+            elif fn == "avg":
+                fn = "avg_distinct"
+            # MIN / MAX / SAMPLE: DISTINCT is a semantic no-op
+            # ([spec] §18.5.1, sweep 37 — previously rejected)
         return ("agg", fn, arg, sep)
 
     # --- query forms --------------------------------------------------------
@@ -1951,6 +2209,36 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def _ord_class(node):
+    """Value class of a compiled node for the §17.3 operator-mapping
+    rows — ``(cls, sql)`` with cls ∈ num/str/bool/dt and sql coerced to
+    that class's comparable SQL representation, or None when the node
+    is outside every mapping row (IRIs, lang-tagged or unknown-datatype
+    literals) or is a variable (callers dispatch those on companions)."""
+    tag, sql = node[0], node[1]
+    if tag in ("num", "str", "bool"):
+        return (tag, sql)
+    if tag in ("lit", "termx"):
+        lang, dt = node[2], node[3]
+        if isinstance(lang, SqlTag):
+            # runtime tag: comparable as a string only where untagged
+            if dt is None or dt == XSD + "string":
+                return ("str",
+                        f"(CASE WHEN {lang.sql} IS NULL THEN {sql} END)")
+            return None
+        if lang:
+            return None
+        if dt in _NUMERIC_DATATYPES:
+            return ("num", f"try_cast({sql} AS DOUBLE)")
+        if dt is None or dt == XSD + "string":
+            return ("str", sql)
+        if dt == XSD + "boolean":
+            return ("bool", f"({sql} IN ('true', '1'))")
+        if dt == XSD + "dateTime":
+            return ("dt", f"try_cast({sql} AS TIMESTAMP)")
+    return None
+
+
 def _numeric_const(node):
     """A numeric-DATATYPED literal constant ("7"^^xsd:integer) takes
     part in comparisons by VALUE, not lexical form ([spec] §17.3
@@ -1961,9 +2249,126 @@ def _numeric_const(node):
     return node
 
 
-def _as_num(node) -> str:
+# XPath numeric promotion classes ([spec] §17.3 operator mapping /
+# XPath op:numeric-*): 0 integer (and its derived family), 1 decimal,
+# 2 float, 3 double. VALUES are computed in DOUBLE throughout (the
+# engine's documented representation); the CLASS rides along on "num"
+# nodes so DATATYPE()/STR() of computed numerics report the promoted
+# datatype and integer lexical forms (sweep 37).
+_CLS_DT = (XSD + "integer", XSD + "decimal", XSD + "float",
+           XSD + "double")
+_INT_FAMILY = tuple(d for d in _NUMERIC_DATATYPES
+                    if d not in _CLS_DT[1:])
+
+
+def _num_cls(node, typ=None):
+    """Promotion class of a node's numeric value — an int when known
+    statically, else a SQL INT expression over the variable's datatype
+    companion. The try_cast-leniency shapes (plain literals, unknown
+    computed values) land on 3/double, matching their double
+    representation."""
+    tag = node[0]
+    if tag == "num":
+        return node[2] if len(node) > 2 else 3
+    if tag in ("lit", "termx"):
+        lang, dt = node[2], node[3]
+        if isinstance(lang, SqlTag) or isinstance(dt, SqlTag):
+            return 3
+        if dt in _INT_FAMILY:
+            return 0
+        if dt == XSD + "decimal":
+            return 1
+        if dt == XSD + "float":
+            return 2
+        return 3
+    if tag == "any" and typ is not None:
+        v = _uncol(node[1])
+        if v is not None:
+            d = typ(v, "datatype")
+            ints = ", ".join(_sql_str(x) for x in _INT_FAMILY)
+            return (f"(CASE WHEN {d} IN ({ints}) THEN 0 "
+                    f"WHEN {d} = {_sql_str(XSD + 'decimal')} THEN 1 "
+                    f"WHEN {d} = {_sql_str(XSD + 'float')} THEN 2 "
+                    f"ELSE 3 END)")
+    return 3
+
+
+def _cls_promote(a, b, div: bool = False):
+    """Promoted class of a binary numeric op; ``div``: op:numeric-divide
+    returns decimal for two integer operands."""
+    if isinstance(a, int) and isinstance(b, int):
+        c = max(a, b)
+        return 1 if div and c == 0 else c
+    g = f"greatest({a}, {b})"
+    if div:
+        return f"(CASE WHEN {g} = 0 THEN 1 ELSE {g} END)"
+    return g
+
+
+def _cls_dt_sql(cls) -> str:
+    """SQL producing the datatype IRI of a promotion class."""
+    if isinstance(cls, int):
+        return _sql_str(_CLS_DT[cls])
+    arr = ", ".join(_sql_str(d) for d in _CLS_DT)
+    return f"element_at(array({arr}), {cls} + 1)"
+
+
+def _num_str_sql(sql: str, cls) -> str:
+    """STR() of a computed numeric: integer class renders without the
+    double's trailing '.0'; decimal class drops '.0' for whole values
+    (xsd:decimal lexicals don't require a point); float/double keep
+    the double lexical (the documented formatting deviation)."""
+    i = f"CAST(CAST({sql} AS BIGINT) AS STRING)"
+    d = f"CAST({sql} AS STRING)"
+    whole = f"(CASE WHEN ({sql}) = CAST(({sql}) AS BIGINT) " \
+            f"THEN {i} ELSE {d} END)"
+    if isinstance(cls, int):
+        return i if cls == 0 else (whole if cls == 1 else d)
+    return (f"(CASE WHEN {cls} = 0 THEN {i} "
+            f"WHEN {cls} = 1 THEN {whole} ELSE {d} END)")
+
+
+def _as_num(node, typ=None) -> str:
+    """Numeric coercion of a compiled node ([spec] §17.3 operand rules,
+    sweep 37): booleans, IRIs, and literals with a known non-numeric
+    typing are TYPE ERRORS (NULL) — previously a bool operand flowed
+    raw into ``+``/``-`` and Spark raised DATATYPE_MISMATCH at analysis
+    time, and lang-tagged literals silently try_cast. Variables
+    dispatch on their companions when ``typ`` (the parser's companion
+    accessor) is provided: literal, no lang tag, datatype numeric or
+    unknown/xsd:string (the documented try_cast leniency for simple
+    literals and computed columns). 'str' results keep the try_cast
+    leniency — their lexical either parses or NULLs."""
     tag, sql = node[0], node[1]
-    return sql if tag in ("num", "bool") else f"try_cast({sql} AS DOUBLE)"
+    if tag == "num":
+        return sql
+    if tag in ("bool", "iri", "irix"):
+        return "CAST(NULL AS DOUBLE)"
+    if tag in ("lit", "termx"):
+        lang, dt = node[2], node[3]
+        if isinstance(lang, SqlTag):
+            # runtime lang tag (string-fn propagation): numeric only
+            # for the untagged rows
+            return (f"(CASE WHEN {lang.sql} IS NULL "
+                    f"THEN try_cast({sql} AS DOUBLE) "
+                    f"ELSE CAST(NULL AS DOUBLE) END)")
+        if lang:
+            return "CAST(NULL AS DOUBLE)"
+        if dt is None or dt == XSD + "string" \
+                or dt in _NUMERIC_DATATYPES:
+            return f"try_cast({sql} AS DOUBLE)"
+        return "CAST(NULL AS DOUBLE)"
+    if tag == "any" and typ is not None:
+        v = _uncol(sql)
+        if v is not None:
+            k, lg, d = typ(v, "kind"), typ(v, "lang"), typ(v, "datatype")
+            nums = ", ".join(_sql_str(x) for x in _NUMERIC_DATATYPES)
+            xs = _sql_str(XSD + "string")
+            return (f"(CASE WHEN {k} = 'literal' AND {lg} IS NULL "
+                    f"AND ({d} IS NULL OR {d} = {xs} OR {d} IN ({nums})) "
+                    f"THEN try_cast({sql} AS DOUBLE) "
+                    f"ELSE CAST(NULL AS DOUBLE) END)")
+    return f"try_cast({sql} AS DOUBLE)"
 
 
 def _canon_number(text: str) -> str:
@@ -2076,6 +2481,70 @@ def _eval_bgp(quads: DataFrame, triples: list[tuple], graph: str | None,
     return acc
 
 
+def _has_null_rows(df: DataFrame, cols: list[str]) -> bool:
+    """Bounded probe: does any row hold NULL in one of ``cols``?
+    Schema-level nullability short-circuits the scan when Spark can
+    prove the columns non-nullable."""
+    fields = {f.name: f for f in df.schema.fields}
+    check = [c for c in cols if c not in fields or fields[c].nullable]
+    if not check:
+        return False
+    cond = None
+    for c in check:
+        n = F.col(c).isNull()
+        cond = n if cond is None else (cond | n)
+    return df.where(cond).limit(1).count() > 0
+
+
+def _compat_filter(acc: DataFrame, sub: DataFrame, shared: list[str],
+                   positive: bool, require_overlap: bool = False,
+                   ) -> DataFrame:
+    """Compatibility semi/anti join ([spec] §18.6 EXISTS substitution /
+    §8.3 MINUS): a NULL solution cell is an UNBOUND variable —
+    compatible with any binding. Sweep 37: the old pure equi-join
+    treated NULL ≠ everything, so EXISTS under OPTIONAL-produced NULLs
+    was false and MINUS kept rows a bound-overlap should remove.
+
+    Scale posture: the equi semi/anti fast path runs whenever neither
+    side actually holds NULLs in the shared columns (two bounded
+    limit-1 probes, schema-short-circuited); the condition-join slow
+    path only triggers for solution tables that really carry unbound
+    shared vars — mid-query tables, never the base quad scan.
+    ``require_overlap`` (MINUS): a pair must share at least one bound
+    variable to exclude."""
+    how = "left_semi" if positive else "left_anti"
+    if not shared:
+        return acc.join(sub.limit(1), on=F.lit(True), how=how)
+    sub_s = sub.select(*shared)
+    if not _has_null_rows(sub_s, shared) \
+            and not _has_null_rows(acc, shared):
+        return acc.join(sub_s, on=shared, how=how)
+    r = sub_s.dropDuplicates()
+    for c in shared:
+        r = r.withColumnRenamed(c, f"__cmp_{c}")
+    compat = F.lit(True)
+    overlap = F.lit(False)
+    for c in shared:
+        l, rr = F.col(c), F.col(f"__cmp_{c}")
+        compat = compat & (l.isNull() | rr.isNull() | (l == rr))
+        overlap = overlap | (l.isNotNull() & rr.isNotNull())
+    cond = (compat & overlap) if require_overlap else compat
+    return acc.join(r, on=cond, how=how)
+
+
+def _exists_flag(acc: DataFrame, sub: DataFrame, marker: str,
+                 ) -> DataFrame:
+    """Materialize an EXISTS marker column: True on rows with a
+    compatible solution in ``sub``, False elsewhere (row multiset
+    unchanged — semi + anti partition)."""
+    shared = sorted((set(acc.columns) & set(sub.columns))
+                    - set(_companion_cols(acc.columns)))
+    yes = _compat_filter(acc, sub, shared, positive=True)
+    no = _compat_filter(acc, sub, shared, positive=False)
+    return (yes.withColumn(marker, F.lit(True))
+            .unionByName(no.withColumn(marker, F.lit(False))))
+
+
 def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
                 with_types: bool = False, stats=None,
                 max_iter: int = 20) -> DataFrame:
@@ -2100,6 +2569,14 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
             return _merge(acc, df, how)
         return _compat_merge(acc, df, how, soft)
 
+    def attach_exists(df: DataFrame, sql: str) -> DataFrame:
+        """Materialize the EXISTS markers this SQL references
+        (sweep 37: embedded EXISTS compiles to a marker column)."""
+        for marker, sub_g in group.exists_defs.items():
+            if marker in sql and marker not in df.columns:
+                df = _exists_flag(df, ev(sub_g), marker)
+        return df
+
     for el in group.elements:
         kind = el[0]
         if kind == "bgp":
@@ -2119,19 +2596,18 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
                             & set(sub.columns))
             shared = [c for c in shared if not c.startswith(TYPED_PREFIX)]
             if acc is not None and shared:
-                acc = acc.join(sub.select(*shared), on=shared,
-                               how="left_anti")
+                acc = _compat_filter(acc, sub, shared, positive=False,
+                                     require_overlap=True)
             # domain-disjoint MINUS removes nothing (spec rule)
         elif kind == "bind":
             _, sql, var = el
             if acc is None:
-                acc = spark.range(1).select(
-                    F.expr(patch_companion_refs(sql, [])).alias(var))
-            else:
-                if var in acc.columns:
-                    raise SparqlError(f"BIND would rebind ?{var}")
-                acc = acc.withColumn(
-                    var, F.expr(patch_companion_refs(sql, acc.columns)))
+                acc = spark.range(1).select(F.lit(1).alias("__unit"))
+            acc = attach_exists(acc, sql)
+            if var in acc.columns:
+                raise SparqlError(f"BIND would rebind ?{var}")
+            acc = acc.withColumn(
+                var, F.expr(patch_companion_refs(sql, acc.columns)))
         elif kind == "values":
             _, names, rows = el
             undef_vars = {n for i, n in enumerate(names)
@@ -2167,6 +2643,7 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
         acc = spark.range(1).select(F.lit(1).alias("__unit"))
     for el in deferred:
         if el[0] == "filter":
+            acc = attach_exists(acc, el[1])
             acc = acc.where(F.expr(patch_companion_refs(el[1],
                                                         acc.columns)))
         else:
@@ -2175,17 +2652,11 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
             shared = sorted(
                 (set(acc.columns) & set(sub.columns))
                 - set(_companion_cols(acc.columns)))
-            if shared:
-                acc = acc.join(sub.select(*shared), on=shared,
-                               how="left_semi" if positive else "left_anti")
-            elif positive:
-                acc = acc.join(sub.limit(1), on=F.lit(True),
-                               how="left_semi")
-            else:
-                acc = acc.join(sub.limit(1), on=F.lit(True),
-                               how="left_anti")
-    if "__unit" in acc.columns:
-        acc = acc.drop("__unit")
+            acc = _compat_filter(acc, sub, shared, positive)
+    drop_cols = [c for c in ("__unit", *group.exists_defs)
+                 if c in acc.columns]
+    if drop_cols:
+        acc = acc.drop(*drop_cols)
     return acc
 
 

@@ -134,12 +134,13 @@ def test_bgp_typed_literal_exact(quads):
                       '{ ?s v:name "Bob"^^xsd:string }')) == [E + "a"]
 
 
-def test_bgp_plain_literal_stays_lexical(quads):
-    # documented narrowing: an untagged literal pattern matches by
-    # lexical form (kwargs-surface convention)
+def test_bgp_plain_literal_exact_term(quads):
+    # [spec] §5.2 (sweep 37): a plain literal constant is the TERM
+    # "Bob" (≡ "Bob"^^xsd:string, RDF 1.1) — it must NOT match the
+    # lang-tagged "Bob"@en / "Bob"@de. (The kwargs surface keeps its
+    # lexical-form convention; this is the text front-end.)
     assert ids(sparql(quads, PFX + 'SELECT ?s WHERE '
-                      '{ ?s v:name "Bob" }')) == sorted(
-        [E + "a", E + "b", E + "c"])
+                      '{ ?s v:name "Bob" }')) == [E + "a"]
 
 
 def test_construct_template_lang_literal(quads):

@@ -81,9 +81,11 @@ def test_parse_a_keyword_and_path():
 def test_parse_literals():
     q = parse_query(PFX + 'SELECT * { ?x v:p "s\\"x" ; v:q 5 ; v:r -2.5 }')
     bgp = q.where.elements[0][1]
-    # plain strings stay bare; numeric shorthand is a TYPED literal
-    # constant (sweep 11) in the encoded exact-term form
-    assert bgp[0][2] == 's"x'
+    # every literal constant is in the encoded exact-term form —
+    # including PLAIN strings (sweep 37: the bare lexical form matched
+    # "x"@fr and "x"^^<dt> too); numeric shorthand is a TYPED literal
+    # constant (sweep 11)
+    assert bgp[0][2] == '"s\\"x"'
     assert bgp[1][2] == f'"5"^^{XSD}integer'
     assert bgp[2][2] == f'"-2.5"^^{XSD}decimal'
 

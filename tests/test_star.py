@@ -119,12 +119,12 @@ def test_sparql_star_constant_inner_and_tagged(star_quads):
         PREFIX e: <{E}>
         SELECT ?s WHERE {{ << ?s e:p "w"@en >> e:certainty ?c }}""")
     assert [r.s for r in out.collect()] == [E + "b"]
-    # bare string constants keep the documented LEXICAL-matching
-    # convention (sweep 10), inside quoted patterns too
+    # bare string constants are exact terms ([spec] §5.2, sweep 37) —
+    # inside quoted patterns too: plain "w" does NOT match "w"@en
     out = sparql(star_quads, f"""
         PREFIX e: <{E}>
         SELECT ?s WHERE {{ << ?s e:p "w" >> e:certainty ?c }}""")
-    assert [r.s for r in out.collect()] == [E + "b"]
+    assert [r.s for r in out.collect()] == []
 
 
 def test_sparql_star_object_position_and_join(star_quads):

@@ -1,0 +1,612 @@
+"""Sweep 37 — random-query SPARQL differential (dual-engine method).
+
+Generates random SELECT queries (algebra-first, then rendered to SPARQL
+text) over random small quad stores, evaluates them through BOTH
+engines — the Spark text front-end (operators/sparql.py) and the
+spec-derived naive evaluator (tests/naive_sparql.py, a test-only
+oracle independent of the engine) — and compares solution multisets
+under value canonicalization.
+
+This is the query-surface analogue of the sweep-36 wild-document
+dual-engine fuzz (CLAUDE.md r05 lesson: the highest-yield probe
+distribution of the project).  Usage:
+
+    python tools/sparql_fuzz.py [n_examples] [start_seed]
+
+Prints one line per divergence (seed, query, stage) and a final
+summary.  Re-run a single seed with REPRO=<seed>.
+"""
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+from collections import Counter
+
+from naive_sparql import (XSD, Evaluator, UNDEFINED, is_lit)
+
+E = "http://e/"
+
+# --- pools -------------------------------------------------------------
+
+IRIS = [E + n for n in ("s1", "s2", "s3", "p", "q", "r", "x")]
+PREDS = [E + n for n in ("p", "q", "r")]
+GRAPHS = [None, None, None, ("iri", "urn:g1"), ("iri", "urn:g2")]
+BNODES = [("bnode", "b1"), ("bnode", "b2")]
+
+# value-distinct literal pool (no two same-value-different-lexical
+# entries of one datatype — the comparison canonicalizes by value)
+LITS = [
+    ("lit", "a", None, None),
+    ("lit", "b", None, None),
+    ("lit", "A", None, None),
+    ("lit", "", None, None),
+    ("lit", "a b", None, None),
+    ("lit", 'q"\\\n\té', None, None),
+    ("lit", "a", None, "en"),
+    ("lit", "a", None, "en-GB"),
+    ("lit", "b", None, "fr"),
+    ("lit", "a", XSD + "string", None),
+    ("lit", "5", XSD + "integer", None),
+    ("lit", "-3", XSD + "integer", None),
+    ("lit", "0", XSD + "integer", None),
+    ("lit", "2.5", XSD + "decimal", None),
+    ("lit", "1e0", XSD + "double", None),
+    ("lit", "x", XSD + "integer", None),       # ill-formed numeric
+    ("lit", "", XSD + "double", None),         # ill-formed numeric
+    ("lit", "true", XSD + "boolean", None),
+    ("lit", "false", XSD + "boolean", None),
+    ("lit", "v", E + "dt", None),              # unknown datatype
+]
+STR_CONSTS = [t for t in LITS if t[2] in (None, XSD + "string")
+              and t[3] is None]
+NUM_CONSTS = [("lit", "1", XSD + "integer", None),
+              ("lit", "2", XSD + "integer", None),
+              ("lit", "-1", XSD + "integer", None),
+              ("lit", "0.5", XSD + "decimal", None),
+              ("lit", "2e0", XSD + "double", None),
+              ("lit", "0", XSD + "integer", None)]
+LANG_RANGES = ["*", "en", "en-gb", "fr", "de"]
+REGEX_PATS = ["a", "^a", "b$", "[0-9]+", "", "a.b", "A|b"]
+REGEX_FLAGS = ["", "i", "s", "im", "q"]        # 'q' is invalid → error
+VARS = ["a", "b", "c", "d", "e", "f"]
+
+FNS1 = ["STR", "LANG", "DATATYPE", "ISIRI", "ISBLANK", "ISLITERAL",
+        "ISNUMERIC", "STRLEN", "UCASE", "LCASE", "ENCODE_FOR_URI",
+        "ABS", "CEIL", "FLOOR", "ROUND", "MD5", "SHA1", "SHA256"]
+FNS2 = ["CONTAINS", "STRSTARTS", "STRENDS", "STRBEFORE", "STRAFTER",
+        "SAMETERM", "LANGMATCHES", "STRDT", "STRLANG"]
+
+
+def gen_term(rng, kinds="isbl"):
+    """i=IRI s=subject-ish b=bnode l=literal."""
+    c = rng.choice(kinds)
+    if c == "i":
+        return ("iri", rng.choice(IRIS))
+    if c == "b":
+        return rng.choice(BNODES)
+    return rng.choice(LITS)
+
+
+def gen_quads(rng):
+    n = rng.randint(3, 14)
+    quads = []
+    for _ in range(n):
+        g = rng.choice(GRAPHS)
+        s = gen_term(rng, "iib")
+        p = ("iri", rng.choice(PREDS))
+        o = gen_term(rng, "iblll")
+        quads.append((g, s, p, o))
+    # distinct rows: the engine's quad table and the oracle list must
+    # hold the same multiset, and duplicate quads in one graph are not
+    # a state a dedup'd store exhibits
+    seen, out = set(), []
+    for q in quads:
+        k = repr(q)
+        if k not in seen:
+            seen.add(k)
+            out.append(q)
+    return out
+
+
+# --- expression generator ----------------------------------------------
+
+def gen_expr(rng, scope, depth=0, want="any"):
+    """want: 'any' | 'str' | 'num' — a light bias so function arguments
+    are plausibly typed often enough to exercise success paths too."""
+    if depth > 2 or rng.random() < 0.35:
+        r = rng.random()
+        if scope and r < 0.55:
+            return ("var", rng.choice(sorted(scope)))
+        if want == "num" or (want == "any" and r < 0.75):
+            return ("lit", rng.choice(NUM_CONSTS))
+        if want == "str":
+            return ("lit", rng.choice(STR_CONSTS))
+        return ("lit", rng.choice(LITS + [("iri", rng.choice(IRIS))]))
+    r = rng.random()
+    if r < 0.25:
+        op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
+        return ("op", op, gen_expr(rng, scope, depth + 1),
+                gen_expr(rng, scope, depth + 1))
+    if r < 0.38:
+        op = rng.choice(["&&", "||"])
+        return ("op", op, gen_expr(rng, scope, depth + 1),
+                gen_expr(rng, scope, depth + 1))
+    if r < 0.44:
+        return ("op", "!", gen_expr(rng, scope, depth + 1))
+    if r < 0.56:
+        op = rng.choice(["+", "-", "*", "/"])
+        return ("op", op, gen_expr(rng, scope, depth + 1, "num"),
+                gen_expr(rng, scope, depth + 1, "num"))
+    if r < 0.60 and scope:
+        return ("fn", "BOUND", ("var", rng.choice(sorted(scope))))
+    if r < 0.66:
+        return ("fn", "IF", gen_expr(rng, scope, depth + 1),
+                gen_expr(rng, scope, depth + 1),
+                gen_expr(rng, scope, depth + 1))
+    if r < 0.70:
+        n = rng.randint(2, 3)
+        return ("fn", "COALESCE",
+                *[gen_expr(rng, scope, depth + 1) for _ in range(n)])
+    if r < 0.78:
+        fn = rng.choice(FNS2)
+        if fn == "LANGMATCHES":
+            return ("fn", fn,
+                    ("fn", "LANG", gen_expr(rng, scope, depth + 1)),
+                    ("lit", ("lit", rng.choice(LANG_RANGES),
+                             None, None)))
+        if fn == "STRDT":
+            return ("fn", fn, gen_expr(rng, scope, depth + 1, "str"),
+                    ("lit", ("iri", rng.choice(IRIS))))
+        return ("fn", fn, gen_expr(rng, scope, depth + 1, "str"),
+                gen_expr(rng, scope, depth + 1, "str"))
+    if r < 0.82:
+        pat = ("lit", ("lit", rng.choice(REGEX_PATS), None, None))
+        args = [gen_expr(rng, scope, depth + 1, "str"), pat]
+        if rng.random() < 0.5:
+            args.append(("lit", ("lit", rng.choice(REGEX_FLAGS),
+                                 None, None)))
+        return ("fn", "REGEX", *args)
+    if r < 0.86:
+        args = [gen_expr(rng, scope, depth + 1, "str"),
+                ("lit", rng.choice(NUM_CONSTS))]
+        if rng.random() < 0.5:
+            args.append(("lit", rng.choice(NUM_CONSTS)))
+        return ("fn", "SUBSTR", *args)
+    if r < 0.90:
+        n = rng.randint(2, 3)
+        return ("fn", "CONCAT",
+                *[gen_expr(rng, scope, depth + 1, "str")
+                  for _ in range(n)])
+    fn = rng.choice(FNS1)
+    return ("fn", fn, gen_expr(rng, scope, depth + 1,
+                               "num" if fn in ("ABS", "CEIL", "FLOOR",
+                                               "ROUND") else "any"))
+
+
+# --- algebra generator ---------------------------------------------------
+
+def gen_bgp(rng, scope):
+    n = rng.randint(1, 3)
+    triples = []
+    for _ in range(n):
+        def pos(kinds, var_p):
+            if rng.random() < var_p:
+                v = rng.choice(VARS)
+                scope.add(v)
+                return ("var", v)
+            return gen_term(rng, kinds)
+        s = pos("ii", 0.7)
+        p = pos("i", 0.35)
+        if p[0] != "var":
+            p = ("iri", rng.choice(PREDS))
+        o = pos("illl", 0.6)
+        triples.append((s, p, o))
+    return ("bgp", triples)
+
+
+def gen_algebra(rng, depth=0):
+    """Returns (node, scope) — scope = vars the node may bind."""
+    if depth >= 2 or rng.random() < 0.42:
+        scope = set()
+        node = gen_bgp(rng, scope)
+        return node, scope
+    r = rng.random()
+    a, sa = gen_algebra(rng, depth + 1)
+    if r < 0.14:
+        b, sb = gen_algebra(rng, depth + 1)
+        return ("join", a, b), sa | sb
+    if r < 0.32:
+        b, sb = gen_algebra(rng, depth + 1)
+        if rng.random() < 0.4:
+            cond = gen_expr(rng, sa | sb)
+            return ("optional", a, b, cond), sa | sb
+        return ("optional", a, b), sa | sb
+    if r < 0.46:
+        b, sb = gen_algebra(rng, depth + 1)
+        return ("union", a, b), sa | sb
+    if r < 0.58:
+        b, _sb = gen_algebra(rng, depth + 1)
+        return ("minus", a, b), sa
+    if r < 0.74:
+        if rng.random() < 0.2:
+            scope2 = set(sa)
+            body = gen_bgp(rng, scope2)
+            cond = ("exists", rng.random() < 0.5, body)
+        else:
+            cond = gen_expr(rng, sa)
+        return ("filter", cond, a), sa
+    if r < 0.86:
+        fresh = [v for v in VARS if v not in sa]
+        if not fresh:
+            return a, sa
+        v = rng.choice(fresh)
+        return ("bind", gen_expr(rng, sa), v, a), sa | {v}
+    if r < 0.94:
+        names = rng.sample(VARS, rng.randint(1, 2))
+        rows = []
+        for _ in range(rng.randint(1, 3)):
+            rows.append(tuple(
+                None if rng.random() < 0.25
+                else gen_term(rng, "ill") for _ in names))
+        return ("values", names, rows, a), sa | set(names)
+    tgt = ("var", rng.choice(VARS)) if rng.random() < 0.4 \
+        else rng.choice([g for g in GRAPHS if g])
+    sc = sa | ({tgt[1]} if tgt[0] == "var" else set())
+    return ("graph", tgt, a), sc
+
+
+AGG_FNS = ["COUNT", "SUM", "AVG", "MIN", "MAX"]
+
+
+def gen_query(rng):
+    """Returns (query_dict, text)."""
+    where, scope = gen_algebra(rng)
+    scope = sorted(scope)
+    use_agg = scope and rng.random() < 0.25
+    if use_agg:
+        keys = rng.sample(scope, rng.randint(0, min(2, len(scope))))
+        aggs = {}
+        n_aggs = rng.randint(1, 2)
+        for i in range(n_aggs):
+            fn = rng.choice(AGG_FNS)
+            alias = f"agg{i}"
+            distinct = rng.random() < 0.3
+            if fn == "COUNT" and rng.random() < 0.3:
+                expr = None
+            elif rng.random() < 0.8 or not scope:
+                expr = ("var", rng.choice(scope))
+            else:
+                expr = ("op", rng.choice("+-*"),
+                        ("var", rng.choice(scope)),
+                        ("lit", rng.choice(NUM_CONSTS)))
+            aggs[alias] = (fn, distinct, expr)
+        project = [("var", k) for k in keys] + \
+            [("agg", a) for a in aggs]
+        return {"where": where, "project": project,
+                "group": (keys, aggs), "distinct": False}
+    n_proj = rng.randint(1, max(1, len(scope)))
+    pvars = rng.sample(scope, min(n_proj, len(scope))) if scope else []
+    project = [("var", v) for v in pvars]
+    if rng.random() < 0.3:
+        alias = "z0"
+        project.append((gen_expr(rng, set(scope)), alias))
+    if not project:
+        project = [("var", "a")]
+    return {"where": where, "project": project, "group": None,
+            "distinct": rng.random() < 0.3}
+
+
+# --- rendering -----------------------------------------------------------
+
+def r_term(t):
+    if t[0] == "var":
+        return "?" + t[1]
+    if t[0] == "iri":
+        return f"<{t[1]}>"
+    if t[0] == "bnode":
+        raise AssertionError("bnode constants are not query syntax")
+    _, lex, dt, lang = t
+    s = (lex.replace("\\", "\\\\").replace('"', '\\"')
+         .replace("\n", "\\n").replace("\r", "\\r"))
+    if lang:
+        return f'"{s}"@{lang}'
+    if dt:
+        return f'"{s}"^^<{dt}>'
+    return f'"{s}"'
+
+
+def r_expr(e):
+    k = e[0]
+    if k == "var":
+        return "?" + e[1]
+    if k == "lit":
+        return r_term(e[1])
+    if k == "exists":
+        kw = "EXISTS" if e[1] else "NOT EXISTS"
+        return f"{kw} {{ {r_group(e[2])} }}"
+    if k == "op":
+        op = e[1]
+        if op == "!":
+            return f"(! {r_expr(e[2])})"
+        if op == "u-":
+            return f"(- {r_expr(e[2])})"
+        return f"({r_expr(e[2])} {op} {r_expr(e[3])})"
+    name = e[1]
+    args = ", ".join(r_expr(a) for a in e[2:])
+    return f"{name}({args})"
+
+
+def r_inline(node):
+    if node[0] == "bgp":
+        return r_group(node)
+    return "{ " + r_group(node) + " }"
+
+
+def r_group(node):
+    k = node[0]
+    if k == "bgp":
+        return " . ".join(
+            f"{r_term(s)} {r_term(p)} {r_term(o)}"
+            for s, p, o in node[1]) + " ."
+    if k == "join":
+        return r_inline(node[1]) + " " + r_inline(node[2])
+    if k == "optional":
+        inner = r_group(node[2])
+        if len(node) > 3:
+            inner += f" FILTER({r_expr(node[3])})"
+        return r_inline(node[1]) + " OPTIONAL { " + inner + " }"
+    if k == "union":
+        return ("{ " + r_group(node[1]) + " } UNION { "
+                + r_group(node[2]) + " }")
+    if k == "minus":
+        return r_inline(node[1]) + " MINUS { " + r_group(node[2]) + " }"
+    if k == "filter":
+        return r_inline(node[2]) + f" FILTER({r_expr(node[1])})"
+    if k == "bind":
+        return (r_inline(node[3])
+                + f" BIND({r_expr(node[1])} AS ?{node[2]})")
+    if k == "values":
+        _, names, rows, sub = node
+        hdr = " ".join("?" + n for n in names)
+        body = " ".join(
+            "(" + " ".join("UNDEF" if t is None else r_term(t)
+                           for t in row) + ")"
+            for row in rows)
+        return r_inline(sub) + f" VALUES ({hdr}) {{ {body} }}"
+    if k == "graph":
+        tgt = r_term(node[1])
+        return f"GRAPH {tgt} {{ {r_group(node[2])} }}"
+    raise AssertionError(node)
+
+
+_AGG_TXT = {"COUNT": "COUNT", "SUM": "SUM", "AVG": "AVG",
+            "MIN": "MIN", "MAX": "MAX"}
+
+
+def r_query(q):
+    parts = []
+    for item in q["project"]:
+        if item[0] == "var":
+            parts.append("?" + item[1])
+        elif item[0] == "agg":
+            alias = item[1]
+            fn, distinct, expr = q["group"][1][alias]
+            arg = "*" if expr is None else r_expr(expr)
+            d = "DISTINCT " if distinct else ""
+            parts.append(f"({_AGG_TXT[fn]}({d}{arg}) AS ?{alias})")
+        else:
+            expr, alias = item
+            parts.append(f"({r_expr(expr)} AS ?{alias})")
+    sel = "SELECT " + ("DISTINCT " if q["distinct"] else "") \
+        + " ".join(parts)
+    text = sel + " WHERE { " + r_group(q["where"]) + " }"
+    if q["group"] is not None and q["group"][0]:
+        text += " GROUP BY " + " ".join("?" + k for k in q["group"][0])
+    return text
+
+
+# --- comparison ----------------------------------------------------------
+
+def canon(t):
+    """Value canonicalization for the multiset comparison: numeric /
+    boolean literals by VALUE (the engine's computed columns carry
+    Spark dtypes — double sums, bigint counts — where the spec's
+    promoted datatypes differ only in name), everything else exact
+    (lang lowercased, xsd:string ≡ simple)."""
+    if t is None:
+        return None
+    if t is UNDEFINED or t == UNDEFINED:
+        return UNDEFINED
+    if t[0] in ("iri", "bnode"):
+        return t
+    _, lex, dt, lang = t
+    if lang is not None:
+        return ("lit", lex, None, lang.lower())
+    from naive_sparql import NUMERIC_DTS, numeric_value
+    if dt in NUMERIC_DTS:
+        try:
+            _, v = numeric_value(t)
+            f = float(v)
+            if f != f:
+                return ("num", "NaN")
+            return ("num", f"{f:.10g}")
+        except Exception:
+            return ("lit", lex, dt, None)
+    if dt == XSD + "boolean":
+        if lex in ("true", "1"):
+            return ("bool", True)
+        if lex in ("false", "0"):
+            return ("bool", False)
+        return ("lit", lex, dt, None)
+    if dt == XSD + "string":
+        return ("lit", lex, None, None)
+    return ("lit", lex, dt, lang)
+
+
+def decode_engine(df):
+    """Engine solutions → list of dicts var→term, via the results
+    module's exact term reconstruction."""
+    from rdflib_jsonld_spark.operators import results as R
+    names = [c for c in df.columns if not c.startswith("__typ_")]
+    rows = df.select(*[R._term_struct(df, n) for n in names]).collect()
+    out = []
+    for row in rows:
+        sol = {}
+        for n in names:
+            st = row[n]
+            if st is None or st["kind"] is None:
+                sol[n] = None
+                continue
+            kind, v = st["kind"], st["value"]
+            if kind == "uri":
+                sol[n] = ("iri", v)
+            elif kind == "bnode":
+                sol[n] = ("bnode", v[2:] if v.startswith("_:") else v)
+            else:
+                dt = st["datatype"]
+                lang = st["lang"]
+                sol[n] = ("lit", v, dt, lang)
+        out.append(sol)
+    return out
+
+
+def row_key(sol):
+    return tuple(sorted((k, repr(canon(v))) for k, v in sol.items()))
+
+
+def run_one(spark, seed, stats):
+    rng = random.Random(seed)
+    quads = gen_quads(rng)
+    q = gen_query(rng)
+    text = r_query(q)
+
+    # --- oracle
+    ev = Evaluator(quads)
+    try:
+        if q["group"] is not None:
+            keys, aggs = q["group"]
+            oracle = ev.select(q["where"],
+                               [("var", k) for k in keys]
+                               + [("agg", a) for a in aggs],
+                               group_by=([("var", k) for k in keys],
+                                         aggs))
+            # ev.select handles ('agg', alias) via _group's output row
+            oracle = [
+                {k: v for k, v in r.items()} for r in oracle]
+        else:
+            oracle = ev.select(q["where"], q["project"],
+                               distinct=q["distinct"])
+    except RecursionError:
+        stats["skip"] += 1
+        return None
+
+    if any(v is UNDEFINED or v == UNDEFINED
+           for r in oracle for v in r.values()):
+        stats["undef"] += 1
+        return None
+
+    # --- engine
+    from rdflib_jsonld_spark.operators.sparql import SparqlError, sparql
+    df = quads_df(spark, quads)
+    try:
+        out = sparql(df, text, keep_types=True)
+        engine = decode_engine(out)
+    except SparqlError as e:
+        return ("parse/eval SparqlError", text, quads, str(e), oracle)
+    except Exception as e:
+        return ("engine exception", text, quads,
+                f"{type(e).__name__}: {str(e)[:300]}", oracle)
+
+    co, ce = Counter(map(row_key, oracle)), Counter(map(row_key, engine))
+    if co != ce:
+        return ("result mismatch", text, quads,
+                {"oracle_only": list((co - ce).items())[:6],
+                 "engine_only": list((ce - co).items())[:6],
+                 "n_oracle": sum(co.values()),
+                 "n_engine": sum(ce.values())}, oracle)
+    stats["ok"] += 1
+    return None
+
+
+_DF_CACHE = {}
+
+
+def quads_df(spark, quads):
+    key = repr(quads)
+    if key in _DF_CACHE:
+        return _DF_CACHE[key]
+    rows = []
+    for g, s, p, o in quads:
+        p = p[1]
+        gs = None if g is None else (
+            g[1] if g[0] == "iri" else "_:" + g[1])
+        sv = s[1] if s[0] == "iri" else "_:" + s[1]
+        if o[0] == "iri":
+            ok, ov, od, ol = "iri", o[1], None, None
+        elif o[0] == "bnode":
+            ok, ov, od, ol = "bnode", "_:" + o[1], None, None
+        else:
+            ok, ov, od, ol = "literal", o[1], o[2], o[3]
+        rows.append((gs, sv, s[0] == "bnode", p, ok, ov, od, ol))
+    schema = ("g string, s string, s_is_bnode boolean, p string, "
+              "o_kind string, o_value string, o_datatype string, "
+              "o_lang string")
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    if len(_DF_CACHE) > 256:
+        _DF_CACHE.clear()
+    _DF_CACHE[key] = df
+    return df
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    repro = os.environ.get("REPRO")
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.sql.shuffle.partitions", "1")
+        # dozen-row inputs: 1-partition scans keep the compat-join
+        # unions from fanning out to hundreds of no-op tasks
+        .config("spark.default.parallelism", "1")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .appName("sparql-fuzz").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stats = Counter()
+    seeds = [int(repro)] if repro else range(start, start + n)
+    fails = 0
+    for seed in seeds:
+        try:
+            div = run_one(spark, seed, stats)
+        except Exception as e:
+            div = ("harness error", "?", "?",
+                   f"{type(e).__name__}: {str(e)[:300]}", None)
+        if div is not None:
+            fails += 1
+            kind, text, quads, detail, oracle = div
+            print(f"=== seed {seed}: {kind}")
+            print(f"    query: {text}")
+            print(f"    quads: {quads}")
+            print(f"    detail: {detail}")
+            if repro:
+                print(f"    oracle: {oracle}")
+        if (seed - start + 1) % 100 == 0 and not repro:
+            print(f"[{seed - start + 1}/{n}] ok={stats['ok']} "
+                  f"undef={stats['undef']} skip={stats['skip']} "
+                  f"div={fails}", flush=True)
+    print(f"DONE n={len(list(seeds))} ok={stats['ok']} "
+          f"undef={stats['undef']} skip={stats['skip']} "
+          f"divergences={fails}")
+
+
+if __name__ == "__main__":
+    main()
