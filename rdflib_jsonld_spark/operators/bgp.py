@@ -87,6 +87,40 @@ def _order_patterns(patterns: list[tuple[str, str, str]],
 
 
 TYPED_PREFIX = "__typ_"  # reserved: user variables must not start with it
+TK_PREFIX = "__tk_"      # reserved: normalized term-key companions
+
+
+def term_key_col(kind, dt, lang):
+    """Normalized TERM-DISCRIMINATOR column ([spec] SPARQL 1.1 §18.3:
+    solution compatibility equates RDF TERMS, not lexical forms —
+    sweep 37: value-only joins matched "a" with "a"@en). 'iri' /
+    'bnode' / 'triple' by kind; literals 'L@<lang>' (lowercased — the
+    rdf:langString-dt and bare-lang storage spellings normalize
+    identically) or 'L<datatype>' with plain ≡ xsd:string. Joining on
+    (value, term_key) is exact term equality."""
+    return (F.when(kind == "literal",
+                   F.concat(F.lit("L"),
+                            F.when(lang.isNotNull(),
+                                   F.concat(F.lit("@"), F.lower(lang)))
+                            .otherwise(F.coalesce(
+                                dt, F.lit(_XSD_STRING)))))
+            .otherwise(kind))
+
+
+def term_key_of(kind: str, dt: str | None, lang: str | None) -> str:
+    """Python-side twin of :func:`term_key_col` for constant cells."""
+    if kind != "literal":
+        return kind
+    if lang:
+        return "L@" + lang.lower()
+    return "L" + (dt or _XSD_STRING)
+
+
+def _shape_key_col(value):
+    """Term key derived from value shape alone — s/p/g positions bind
+    IRIs or ('_:'-prefixed) bnodes, never literals."""
+    return (F.when(value.startswith("_:"), F.lit("bnode"))
+            .otherwise(F.lit("iri")))
 
 _ENC_LIT_RE = re.compile(
     r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^(\S+))?$', re.S)
@@ -142,7 +176,8 @@ def _encoded_literal_filter(df: DataFrame, lit: tuple) -> DataFrame:
 def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
                 typed: set[str] | None = None,
                 capture_types: bool = False,
-                graph_var: str | None = None) -> tuple:
+                graph_var: str | None = None,
+                emit_term_keys: bool = False) -> tuple:
     """One pattern → filtered projection. With ``capture_types``, a
     variable bound in OBJECT position also projects its
     o_kind/o_datatype/o_lang as hidden ``__typ_<var>__*`` companion
@@ -154,10 +189,38 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
     df = quads
     cols = {}
 
+    def lit_cols(src: str):
+        """(kind, datatype, lang) column names when ``src`` can hold a
+        LITERAL binding (object positions), else None."""
+        if src == "o_value":
+            return ("o_kind", "o_datatype", "o_lang")
+        if src.startswith("__qt") and src.endswith("_ovalue"):
+            base = src[:-len("ovalue")]
+            return (base + "okind", base + "odt", base + "olang")
+        return None
+
+    def src_tk(src: str):
+        lc = lit_cols(src)
+        if lc is not None:
+            return term_key_col(*(F.col(c) for c in lc))
+        return _shape_key_col(F.col(src))
+
     def bind(var: str, src: str):
         nonlocal df
         if var in cols:
-            df = df.where(F.col(cols[var]) == F.col(src))
+            prev = cols[var]
+            df = df.where(F.col(prev) == F.col(src))
+            # same-pattern repeat across positions equates TERMS, not
+            # lexical forms (sweep 37): a literal in object position
+            # never equals the IRI/bnode a subject/predicate slot binds
+            a, b = lit_cols(prev), lit_cols(src)
+            if a and b:
+                df = df.where(term_key_col(*(F.col(c) for c in a))
+                              == term_key_col(*(F.col(c) for c in b)))
+            elif a:
+                df = df.where(F.col(a[0]) != F.lit("literal"))
+            elif b:
+                df = df.where(F.col(b[0]) != F.lit("literal"))
         else:
             cols[var] = src
 
@@ -233,9 +296,12 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
         qt_constrain(o, "o_value", "o")
         o = "?__qt_consumed"  # sentinel: fall through neither branch
         proj = [F.col(src).alias(var) for var, src in cols.items()]
+        tk_proj = [src_tk(src).alias(TK_PREFIX + var)
+                   for var, src in cols.items()] if emit_term_keys \
+            else []
         if not proj:
             proj = [F.lit(1).alias(f"_exists_{i}")]
-        return df.select(*proj, *type_proj), set(cols)
+        return df.select(*proj, *type_proj, *tk_proj), set(cols)
     if _is_var(o):
         var = o[1:]
         bind(var, "o_value")
@@ -252,9 +318,11 @@ def _pattern_df(quads: DataFrame, i: int, s: str, p: str, o: str,
         else:
             df = df.where(F.col("o_value") == o)
     proj = [F.col(src).alias(var) for var, src in cols.items()]
+    tk_proj = [src_tk(src).alias(TK_PREFIX + var)
+               for var, src in cols.items()] if emit_term_keys else []
     if not proj:  # all-constant pattern: existence check → empty-schema row
         proj = [F.lit(1).alias(f"_exists_{i}")]
-    return df.select(*proj, *type_proj), set(cols)
+    return df.select(*proj, *type_proj, *tk_proj), set(cols)
 
 
 def _companion_cols(columns) -> list[str]:
@@ -349,7 +417,8 @@ def match_bgp(quads: DataFrame, patterns: list[tuple[str, str, str]],
               distinct: bool = True, optimize: bool = True,
               stats: dict[str, int] | None = None,
               with_types: bool = False,
-              graph: str | None = None) -> DataFrame:
+              graph: str | None = None,
+              keep_term_keys: bool = False) -> DataFrame:
     """Join all patterns on shared variables; returns one column per
     variable (SPARQL SELECT * semantics over a BGP, set results).
 
@@ -381,19 +450,32 @@ def match_bgp(quads: DataFrame, patterns: list[tuple[str, str, str]],
         capture = with_types and _is_var(o) and first_obj.get(o[1:]) == i
         df, vars_i = _pattern_df(quads, i, s, p, o, typed,
                                  capture_types=capture,
-                                 graph_var=graph_var)
+                                 graph_var=graph_var,
+                                 emit_term_keys=keep_term_keys)
         if acc is None:
             acc, bound = df, vars_i
             continue
         shared = sorted(bound & vars_i)
         if shared:
-            acc = acc.join(df, on=shared, how="inner")
+            # join on (value, term_key) — exact TERM equality per
+            # [spec] §18.3 (sweep 37: value-only joins matched "a"
+            # with "a"@en and literals with same-lexical IRIs)
+            keys = shared + [TK_PREFIX + v for v in shared
+                             if TK_PREFIX + v in acc.columns
+                             and TK_PREFIX + v in df.columns]
+            acc = acc.join(df, on=keys, how="inner")
         else:
             acc = acc.crossJoin(df)  # disconnected pattern groups
         bound |= vars_i
     extra = _companion_cols(acc.columns) if with_types else []
-    acc = acc.select(*sorted(bound), *sorted(extra)) if bound else acc
-    return acc.distinct() if distinct else acc
+    tks = sorted(c for c in acc.columns if c.startswith(TK_PREFIX))
+    acc = acc.select(*sorted(bound), *sorted(extra), *tks) if bound \
+        else acc
+    if distinct:
+        acc = acc.distinct()   # term-level: term keys are in scope
+    if not keep_term_keys and tks:
+        acc = acc.drop(*tks)
+    return acc
 
 
 def match_bgp_extended(quads: DataFrame,

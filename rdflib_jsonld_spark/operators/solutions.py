@@ -35,7 +35,48 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_DTS = tuple(
+    _XSD + t for t in (
+        "integer", "decimal", "float", "double", "long", "int", "short",
+        "byte", "nonNegativeInteger", "nonPositiveInteger",
+        "negativeInteger", "positiveInteger", "unsignedLong",
+        "unsignedInt", "unsignedShort", "unsignedByte"))
+
 __all__ = ["select_solutions", "sparql_select"]
+
+def _sql_var_refs(sql: str) -> list[str]:
+    """Solution-variable column references in a compiled SQL fragment —
+    quote-aware (single-quoted constants are skipped), companions /
+    term keys / EXISTS markers excluded."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    j += 1
+                    break
+                j += 1
+            i = j
+            continue
+        if ch == "`":
+            j = sql.find("`", i + 1)
+            if j < 0:
+                break
+            name = sql[i + 1:j]
+            if not name.startswith(("__typ_", "__tk_", "__exs_")) \
+                    and re.fullmatch(r"\w+", name):
+                out.append(name)
+            i = j + 1
+            continue
+        i += 1
+    return list(dict.fromkeys(out))
+
 
 _AGG_FNS = frozenset({
     "count", "count_distinct", "sum", "sum_distinct", "avg",
@@ -100,13 +141,28 @@ def _agg_col(fn: str, arg: str, alias: str, sep: str,
         # groups need coalesce(sum(x), 0).
         col_sql = f"`{var}`" if var else f"({arg})"
         num = F.expr(f"try_cast({col_sql} AS DOUBLE)")
+        # error detection per element: a plain-var element errors when
+        # BOUND but non-numeric; an EXPRESSION element errors when its
+        # referenced vars are all bound yet the value is NULL (sweep
+        # 37: (?d * 0) with ?d an IRI evaluated to NULL and was
+        # silently SKIPPED like an unbound element, where the spec's
+        # type error poisons the aggregate)
+        if var:
+            errish = col.isNotNull() & num.isNull()
+        else:
+            refs = _sql_var_refs(arg)
+            bound = F.lit(True)
+            for v_ in refs:
+                bound = bound & F.col(v_).isNotNull()
+            errish = (bound & col.isNull()) | \
+                (col.isNotNull() & num.isNull())
         # coalesce: max() over the ZERO-ROW global group is NULL, which
         # made `bad == 0` fall through to unbound — but §18.3 evaluates
         # aggregates over one empty group when the pattern has no
         # solutions, so Sum/Avg must still be 0 there (sweep 32)
         bad = F.coalesce(
-            F.max(F.when(col.isNotNull() & num.isNull(),
-                         F.lit(1)).otherwise(F.lit(0))), F.lit(0))
+            F.max(F.when(errish, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0))
         if fn.endswith("_distinct"):
             # SUM/AVG(DISTINCT ?x): dedup at numeric-VALUE level —
             # consistent with the module's try_cast value convention
@@ -198,8 +254,68 @@ def select_solutions(sol: DataFrame, *,
                          patch_companion_refs(arg, sol.columns),
                          alias, group_concat_sep, dtypes)
                 for fn, arg, alias in aggregates]
-        sol = (sol.groupBy(*[_v(g) for g in group_by]).agg(*aggs)
-               if group_by else sol.agg(*aggs))
+        # MIN/MAX over a plain variable with captured companions is
+        # TERM-aware ([spec] §18.5.1.5-6 via the §15.1/§17.3 ordering,
+        # sweep 37): aggregate a (numeric-value, lexical, companions)
+        # struct so numeric groups order by VALUE ("9" < "10") and the
+        # winning TERM — typing included — survives the aggregation.
+        # Cross-kind groups order implementation-defined (spec leaves
+        # them undefined).
+        mm_unpack = []
+        _vre = re.compile(r"`(\w+)`|\?(\w+)|(\w+)")
+        for i, (fn, arg, alias) in enumerate(aggregates):
+            if fn not in ("min", "max"):
+                continue
+            m = _vre.fullmatch(str(arg))
+            var = (m.group(1) or m.group(2) or m.group(3)) if m else None
+            if not var or var not in sol.columns \
+                    or f"__typ_{var}__kind" not in sol.columns \
+                    or dict(sol.dtypes).get(var) != "string":
+                continue
+            k = F.col(f"__typ_{var}__kind")
+            lg = F.col(f"__typ_{var}__lang")
+            d = F.col(f"__typ_{var}__datatype")
+            num_ord = F.when(
+                (k == "literal") & lg.isNull()
+                & d.isin(*_NUMERIC_DTS),
+                F.expr(f"try_cast(`{var}` AS DOUBLE)"))
+            st = F.when(F.col(var).isNotNull(), F.struct(
+                num_ord.alias("o1"), F.col(var).alias("v"),
+                k.alias("k"), lg.alias("lg"), d.alias("d")))
+            agg = F.min(st) if fn == "min" else F.max(st)
+            aggs[i] = agg.alias(f"__mm_{alias}")
+            mm_unpack.append(alias)
+        if group_by:
+            # group keys are TERMS ([spec] §18.5.1, sweep 37): "a" and
+            # "a"@en form separate groups — the __tk_ term keys join
+            # the grouping; group-key companions survive via any_value
+            # (term-functional up to storage spelling) so projection
+            # keeps exact typing
+            gvars = [_v(g) for g in group_by]
+            have = set(sol.columns)
+            gkeys = list(gvars) + [f"__tk_{v}" for v in gvars
+                                   if f"__tk_{v}" in have]
+            for v in gvars:
+                for w in ("kind", "lang", "datatype"):
+                    cc = f"__typ_{v}__{w}"
+                    if cc in have:
+                        aggs.append(F.any_value(F.col(cc)).alias(cc))
+            sol = sol.groupBy(*gkeys).agg(*aggs)
+        else:
+            sol = sol.agg(*aggs)
+        from .bgp import term_key_col
+        for alias in mm_unpack:
+            s = F.col(f"__mm_{alias}")
+            sol = (sol
+                   .withColumn(alias, s["v"])
+                   .withColumn(f"__typ_{alias}__kind", s["k"])
+                   .withColumn(f"__typ_{alias}__lang", s["lg"])
+                   .withColumn(f"__typ_{alias}__datatype", s["d"])
+                   .withColumn(f"__tk_{alias}",
+                               F.when(s["v"].isNotNull(),
+                                      term_key_col(s["k"], s["d"],
+                                                   s["lg"])))
+                   .drop(f"__mm_{alias}"))
     elif group_by:
         raise ValueError("group_by requires at least one aggregate")
     for expr in having or []:
@@ -224,6 +340,7 @@ def select_solutions(sol: DataFrame, *,
                 if not m.group(1).startswith("__typ_"):
                     _expr_order_vars.append(m.group(1))
     _carried: list[str] = []
+    _tk_keys: list[str] = []
     if project:
         cols = [_v(c) for c in project]
         if keep_companions:
@@ -259,11 +376,22 @@ def select_solutions(sol: DataFrame, *,
                             and cc not in _carried:
                         _carried.append(cc)
         requested = list(cols)
+        # carry the requested vars' TERM KEYS through projection so
+        # DISTINCT dedups at TERM level ([spec] §18.2.2.2 solutions of
+        # terms — sweep 37: "a" and "a"@en collapsed into one row)
+        if distinct:
+            for n in requested:
+                tk = f"__tk_{n}"
+                if tk in have and tk not in cols and tk not in _carried:
+                    _carried.append(tk)
+                if tk in have:
+                    _tk_keys.append(tk)
         sol = sol.select(*(cols + _carried))
     if distinct:
-        # distinctness stays over the REQUESTED columns — a carried
-        # sort companion must not split duplicate groups
-        sol = sol.dropDuplicates(requested) if _carried else sol.distinct()
+        # distinctness runs over requested columns + their term keys —
+        # other carried sort companions must not split duplicate groups
+        sol = sol.dropDuplicates(requested + _tk_keys) if _carried \
+            else sol.distinct()
     if order_by:
         keys = []
         dtypes = dict(sol.dtypes)

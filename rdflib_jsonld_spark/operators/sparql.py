@@ -89,8 +89,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-from .bgp import (TYPED_PREFIX, _companion_cols, _is_var, encode_literal,
-                  instantiate_template, match_bgp, patch_companion_refs)
+from .bgp import (TK_PREFIX, TYPED_PREFIX, _companion_cols, _is_var,
+                  decode_literal, encode_literal, instantiate_template,
+                  match_bgp, patch_companion_refs, term_key_of)
 from .paths import match_path
 from .solutions import select_solutions
 
@@ -655,6 +656,10 @@ class _Parser:
                 g.elements.append(("bind", sql, v.text))
                 for col, csql in self._term_companions(node, v.text):
                     g.elements.append(("bind", csql, col))
+                tk = self._term_key_sql(node, v.text)
+                if tk is not None:
+                    g.elements.append(("bind", tk,
+                                       TK_PREFIX + v.text))
             elif self.at_kw("VALUES"):
                 self.take()
                 g.elements.append(self._parse_values())
@@ -755,23 +760,34 @@ class _Parser:
         return ("values", names, rows)
 
     def _values_term(self):
+        """One DataBlockValue → engine term spelling (encoded literal /
+        IRI) or None for UNDEF. Cells carry their full term typing
+        (sweep 37: the old lexical narrowing made ("b"@fr) bind a plain
+        "b" and lose the tag)."""
         if self.at_kw("UNDEF"):
             self.take()
             return None
         t = self.peek()
         if t is not None and t.kind == "STRING":
-            # VALUES cells compare against solution VALUE columns —
-            # lexical form (documented narrowing: lang/datatype on a
-            # VALUES literal is not distinguished)
             self.take()
-            return t.text
+            return encode_literal(
+                t.text, lang=t.lang,
+                datatype=self._expand_datatype(t.datatype)
+                if t.datatype else None)
         if t is not None and t.kind == "NUMBER":
             self.take()
-            return _canon_number(t.text)
+            lex = _canon_number(t.text)
+            if re.fullmatch(r"[+-]?\d+", t.text):
+                dt = XSD + "integer"
+            elif "e" in t.text.lower():
+                dt = XSD + "double"
+            else:
+                dt = XSD + "decimal"
+            return encode_literal(lex, datatype=dt)
         if t is not None and t.kind == "NAME" and t.text in ("true",
                                                              "false"):
             self.take()
-            return t.text
+            return encode_literal(t.text, datatype=XSD + "boolean")
         return self.term(self.take())
 
     # --- expressions → Spark SQL -------------------------------------------
@@ -828,13 +844,20 @@ class _Parser:
             return "CAST(NULL AS BOOLEAN)"
         if tag in ("iri", "irix"):
             return "CAST(NULL AS BOOLEAN)"
-        v = _uncol(sql)
-        if v is None:
+        comps = self._comps_of(node)
+        if comps is None:
             return f"(length({sql}) > 0)"
-        kind, dt = self._typ(v, "kind"), self._typ(v, "datatype")
-        lang = self._typ(v, "lang")
+        val, kind, lang, dt = comps
+        sql = val
+        num_ebv = (f"coalesce(try_cast({sql} AS DOUBLE) <> 0 AND NOT "
+                   f"isnan(try_cast({sql} AS DOUBLE)), false)")
         dts = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
-        return (f"(CASE WHEN {sql} IS NULL OR {kind} <> 'literal' "
+        # kind gates POSITIVELY: a NULL kind (typing unknown — e.g. a
+        # row matched through a VALUES UNDEF cell) must error, not fall
+        # into the plain-literal branch through dt-NULL ≡ xsd:string
+        # (sweep 37: EBV of a bound IRI came back true that way)
+        return (f"(CASE WHEN {sql} IS NULL "
+                f"OR NOT ({kind} <=> 'literal') "
                 f"THEN CAST(NULL AS BOOLEAN) "
                 f"WHEN {dt} = {xsb} THEN {sql} IN ('true', '1') "
                 f"WHEN {dt} IN ({dts}) THEN {num_ebv} "
@@ -924,19 +947,16 @@ class _Parser:
             eq = self._term_eq_sql(node, m)
             if eq is None:
                 m2 = _numeric_const(m)
-                if m2[0] == "num" and node[0] == "any" \
-                        and _uncol(node[1]):
-                    # variable = numeric member: by value for numeric
+                cn = self._comps_of(node)
+                if m2[0] == "num" and cn is not None:
+                    # var-like = numeric member: by value for numeric
                     # (or unknown/computed) literals, false for
                     # non-literals, type error otherwise
-                    var = _uncol(node[1])
-                    k = self._typ(var, "kind")
-                    lg = self._typ(var, "lang")
-                    d = self._typ(var, "datatype")
+                    vs, k, lg, d = cn
                     eq = (f"(CASE WHEN {k} <> 'literal' THEN false "
                           f"WHEN {lg} IS NULL AND ({d} IS NULL OR "
                           f"{d} IN ({nums})) THEN "
-                          f"try_cast({node[1]} AS DOUBLE) = {m2[1]} "
+                          f"try_cast({vs} AS DOUBLE) = {m2[1]} "
                           f"ELSE CAST(NULL AS BOOLEAN) END)")
                 else:
                     # computed-vs-computed member: same-class value
@@ -963,25 +983,17 @@ class _Parser:
         if op in ("=", "<>"):
             return None
 
-        def var_of(n):
-            return _uncol(n[1]) if n[0] == "any" else None
-
         xs = _sql_str(XSD + "string")
         nums = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
         dtt = _sql_str(XSD + "dateTime")
         xsb = _sql_str(XSD + "boolean")
-        av, bv = var_of(a), var_of(b)
+        ca, cb = self._comps_of(a), self._comps_of(b)
 
-        def comp(var: str):
-            k = self._typ(var, "kind")
-            lg = self._typ(var, "lang")
-            d = f"coalesce({self._typ(var, 'datatype')}, {xs})"
-            return k, lg, d
-
-        if av and bv:
-            ka, la, da = comp(av)
-            kb, lb, db = comp(bv)
-            x, y = _qcol(av), _qcol(bv)
+        if ca and cb:
+            x, ka, la, da0 = ca
+            y, kb, lb, db0 = cb
+            da = f"coalesce({da0}, {xs})"
+            db = f"coalesce({db0}, {xs})"
             return (
                 f"(CASE WHEN {ka} <> 'literal' OR {kb} <> 'literal' "
                 f"OR {la} IS NOT NULL OR {lb} IS NOT NULL "
@@ -997,64 +1009,60 @@ class _Parser:
                 f"WHEN {da} = {xs} AND {db} = {xs} THEN {x} {op} {y} "
                 f"ELSE CAST(NULL AS BOOLEAN) END)")
 
-        other = b if av else (a if bv else None)
-        if other is not None and other[0] == "num":
-            # variable vs numeric expression: an IRI/bnode or a
+        other = b if ca else (a if cb else None)
+        cc = ca or cb
+        if cc is not None and other is not None and other[0] == "num":
+            # var-like vs numeric expression: an IRI/bnode or a
             # lang-tagged/non-numeric-typed literal is a type error.
             # An UNKNOWN datatype (computed BIND columns, simple
             # literals) keeps the pre-sweep-25 try_cast behavior —
             # documented pragmatic narrowing, an uncastable lexical
             # still errors via try_cast NULL.
-            var = av or bv
-            k, lg, _ = comp(var)
-            draw = self._typ(var, "datatype")
-            vn = f"try_cast({_qcol(var)} AS DOUBLE)"
-            ls, rs = (vn, other[1]) if av else (other[1], vn)
+            vs, k, lg, draw = cc
+            vn = f"try_cast({vs} AS DOUBLE)"
+            ls, rs = (vn, other[1]) if ca else (other[1], vn)
             return (f"(CASE WHEN {k} = 'literal' AND {lg} IS NULL "
                     f"AND ({draw} IS NULL OR {draw} IN ({nums})) "
                     f"THEN {ls} {op} {rs} "
                     f"ELSE CAST(NULL AS BOOLEAN) END)")
-        if other is not None and other[0] in ("str", "bool", "termx",
-                                              "iri"):
-            # variable vs computed string/boolean expression or a
+        if cc is not None and other is not None \
+                and other[0] in ("str", "bool", "termx", "iri"):
+            # var-like vs computed string/boolean expression or a
             # constructed term (sweep 37: these fell through to a raw
             # SQL comparison — bool-vs-string crashed at analysis time,
             # IRI/unknown operands compared lexically instead of
             # erroring)
-            var = av or bv
-            k, lg, d = comp(var)
-            vs = _qcol(var)
+            vs, k, lg, d0 = cc
+            d = f"coalesce({d0}, {xs})"
             oc = _ord_class(other)
             if oc is None:
                 return "CAST(NULL AS BOOLEAN)"
             cls, osql = oc
             if cls == "num":
-                draw = self._typ(var, "datatype")
                 vn = f"try_cast({vs} AS DOUBLE)"
-                ls, rs = (vn, osql) if av else (osql, vn)
+                ls, rs = (vn, osql) if ca else (osql, vn)
                 return (f"(CASE WHEN {k} = 'literal' AND {lg} IS NULL "
-                        f"AND ({draw} IS NULL OR {draw} IN ({nums})) "
+                        f"AND ({d0} IS NULL OR {d0} IN ({nums})) "
                         f"THEN {ls} {op} {rs} "
                         f"ELSE CAST(NULL AS BOOLEAN) END)")
             if cls == "str":
-                ls, rs = (vs, osql) if av else (osql, vs)
+                ls, rs = (vs, osql) if ca else (osql, vs)
                 return (f"(CASE WHEN {k} = 'literal' AND {lg} IS NULL "
                         f"AND {d} = {xs} THEN {ls} {op} {rs} "
                         f"ELSE CAST(NULL AS BOOLEAN) END)")
             if cls == "bool":
                 vb = f"({vs} IN ('true', '1'))"
-                ls, rs = (vb, osql) if av else (osql, vb)
+                ls, rs = (vb, osql) if ca else (osql, vb)
                 return (f"(CASE WHEN {k} = 'literal' AND {d} = {xsb} "
                         f"THEN {ls} {op} {rs} "
                         f"ELSE CAST(NULL AS BOOLEAN) END)")
             return "CAST(NULL AS BOOLEAN)"
         lit = other
-        if lit is None or lit[0] != "lit":
+        if cc is None or lit is None or lit[0] != "lit":
             return None
-        var = av or bv
-        vs = _qcol(var)
-        ls, rs = (vs, lit[1]) if av else (lit[1], vs)
-        k, lg, d = comp(var)
+        vs, k, lg, d0 = cc
+        d = f"coalesce({d0}, {xs})"
+        ls, rs = (vs, lit[1]) if ca else (lit[1], vs)
         _, lex, lang, dt = lit
         if lang:
             # ordering is not defined on language-tagged strings
@@ -1082,6 +1090,69 @@ class _Parser:
         self.needs_types = True
         return _qcol(f"{TYPED_PREFIX}{var}__{which}")
 
+    def _comps_of(self, node):
+        """``(value, kind, lang, datatype)`` SQL of a VAR-LIKE node —
+        a plain variable (companion columns) or a runtime term
+        ("termr", sweep 37: IF/COALESCE over heterogeneous branches).
+        None for every other node shape."""
+        if node[0] == "any":
+            v = _uncol(node[1])
+            if v is None:
+                return None
+            return (_qcol(v), self._typ(v, "kind"),
+                    self._typ(v, "lang"), self._typ(v, "datatype"))
+        if node[0] == "termr":
+            return node[1], node[2], node[3], node[4]
+        return None
+
+    def _node_term(self, node):
+        """Convert ANY compiled node to runtime-term component SQL
+        ``(value, kind, lang, datatype)`` — the value rendered as its
+        LEXICAL form ([spec] term domain; sweep 37: IF/COALESCE
+        branches of different static types crashed at analysis time or
+        compared wrongly). None when the node is unknowable (opaque
+        computed "any")."""
+        c = self._comps_of(node)
+        if c is not None:
+            return c
+        tag, sql = node[0], node[1]
+        null = "CAST(NULL AS STRING)"
+
+        def g(x: str) -> str:
+            return f"if(({sql}) IS NOT NULL, {x}, NULL)"
+
+        if tag in ("iri", "irix"):
+            return (sql, g("'iri'"), null, null)
+        if tag in ("lit", "termx"):
+            lang, dt = node[2], node[3]
+            if isinstance(lang, SqlTag):
+                lg = lang.sql
+            elif lang:
+                lg = _sql_str(lang)
+            else:
+                lg = null
+            if isinstance(dt, SqlTag):
+                d = dt.sql
+            elif dt and dt != XSD + "string":
+                d = _sql_str(dt)
+            else:
+                d = null
+            return (sql, g("'literal'"), g(lg) if lg != null else null,
+                    g(d) if d != null else null)
+        if tag == "num":
+            cls = _num_cls(node)
+            lex = _num_str_sql(sql, cls)
+            d = _sql_str(_CLS_DT[cls]) if isinstance(cls, int) \
+                else _cls_dt_sql(cls)
+            return (lex, f"if(({sql}) IS NOT NULL, 'literal', NULL)",
+                    null, f"if(({sql}) IS NOT NULL, {d}, NULL)")
+        if tag == "bool":
+            return (f"if({sql}, 'true', 'false')", g("'literal'"),
+                    null, g(_sql_str(XSD + "boolean")))
+        if tag == "str":
+            return (sql, g("'literal'"), null, null)
+        return None
+
     def _term_eq_sql(self, a, b, value_eq: bool = True) -> str | None:
         """RDF-term-aware ``=``/``!=`` ([spec] SPARQL 1.1 §17.4.1.7
         RDFterm-equal, with the RDF 1.1 identification of simple
@@ -1093,10 +1164,8 @@ class _Parser:
         let literals compare equal to same-lexical IRIs."""
         xsd_str = _sql_str(XSD + "string")
 
-        def var_of(n):
-            return _uncol(n[1]) if n[0] == "any" else None
-
-        def lit_guard(var: str, n) -> str:
+        def lit_guard(c, n) -> str:
+            cvs, ck, clg, cd = c
             _, vsql, lang, dt = n
             if value_eq and not lang and dt in _NUMERIC_DATATYPES:
                 # [spec] §17.3/§17.4.1.7 (sweep 25): numeric literals
@@ -1104,48 +1173,46 @@ class _Parser:
                 # vs a NON-numeric literal is a type error (NULL), vs
                 # a non-literal false
                 nums = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
-                return (f"(CASE WHEN {self._typ(var, 'kind')} <> "
+                return (f"(CASE WHEN {ck} <> "
                         f"'literal' THEN false "
-                        f"WHEN {self._typ(var, 'datatype')} IN ({nums}) "
-                        f"THEN try_cast({_qcol(var)} AS DOUBLE) = "
+                        f"WHEN {cd} IN ({nums}) "
+                        f"THEN try_cast({cvs} AS DOUBLE) = "
                         f"try_cast({vsql} AS DOUBLE) "
                         f"ELSE CAST(NULL AS BOOLEAN) END)")
-            parts = [f"({_qcol(var)} = {vsql})",
-                     f"({self._typ(var, 'kind')} = 'literal')"]
+            parts = [f"({cvs} = {vsql})",
+                     f"({ck} = 'literal')"]
             if isinstance(lang, SqlTag):
                 # runtime tag (string-fn propagation): langs must agree
                 # null-safely, and an untagged result only equals a
                 # plain/xsd:string literal
-                parts.append(f"({self._typ(var, 'lang')} <=> {lang.sql})")
+                parts.append(f"({clg} <=> {lang.sql})")
                 parts.append(
                     f"({lang.sql} IS NOT NULL OR "
-                    f"coalesce({self._typ(var, 'datatype')}, {xsd_str})"
+                    f"coalesce({cd}, {xsd_str})"
                     f" = {_sql_str(dt) if dt else xsd_str})")
             elif lang:
-                parts.append(f"({self._typ(var, 'lang')} = '{lang}')")
+                parts.append(f"({clg} = '{lang}')")
             else:
-                parts.append(f"({self._typ(var, 'lang')} IS NULL)")
+                parts.append(f"({clg} IS NULL)")
                 parts.append(
-                    f"(coalesce({self._typ(var, 'datatype')}, {xsd_str})"
+                    f"(coalesce({cd}, {xsd_str})"
                     f" = {_sql_str(dt) if dt else xsd_str})")
             return "(" + " AND ".join(parts) + ")"
 
-        av, bv = var_of(a), var_of(b)
-        if av and b[0] in ("lit", "termx"):
-            return lit_guard(av, b)
-        if bv and a[0] in ("lit", "termx"):
-            return lit_guard(bv, a)
-        if av and b[0] in ("iri", "irix"):
-            return (f"({_qcol(av)} = {b[1]} AND "
-                    f"{self._typ(av, 'kind')} = 'iri')")
-        if bv and a[0] in ("iri", "irix"):
-            return (f"({_qcol(bv)} = {a[1]} AND "
-                    f"{self._typ(bv, 'kind')} = 'iri')")
-        comp_node, var = None, None
-        if av and b[0] in ("num", "str", "bool"):
-            comp_node, var = b, av
-        elif bv and a[0] in ("num", "str", "bool"):
-            comp_node, var = a, bv
+        ca, cb = self._comps_of(a), self._comps_of(b)
+        if ca and b[0] in ("lit", "termx"):
+            return lit_guard(ca, b)
+        if cb and a[0] in ("lit", "termx"):
+            return lit_guard(cb, a)
+        if ca and b[0] in ("iri", "irix"):
+            return f"({ca[0]} = {b[1]} AND {ca[1]} = 'iri')"
+        if cb and a[0] in ("iri", "irix"):
+            return f"({cb[0]} = {a[1]} AND {cb[1]} = 'iri')"
+        comp_node, cvar = None, None
+        if ca and b[0] in ("num", "str", "bool"):
+            comp_node, cvar = b, ca
+        elif cb and a[0] in ("num", "str", "bool"):
+            comp_node, cvar = a, cb
         if comp_node is not None:
             # variable vs a COMPUTED expression (sweep 37: these fell
             # through to a raw SQL '=' — a string column against a
@@ -1153,10 +1220,7 @@ class _Parser:
             # ANSI). §17.4.1.7: a non-literal vs a literal value is
             # false; incompatible literal typings are a type error.
             nums = ", ".join(_sql_str(d) for d in _NUMERIC_DATATYPES)
-            k = self._typ(var, "kind")
-            lg = self._typ(var, "lang")
-            d = self._typ(var, "datatype")
-            vs = _qcol(var)
+            vs, k, lg, d = cvar
             if not value_eq:
                 # sameTerm: lexical + typing identity against the
                 # computed term's canonical lexical form
@@ -1172,28 +1236,32 @@ class _Parser:
                         f"THEN CAST(NULL AS BOOLEAN) "
                         f"ELSE {k} = 'literal' AND {dtck} AND "
                         f"{vs} = CAST({comp_node[1]} AS STRING) END)")
+            # a NULL computed operand is a propagated TYPE ERROR — it
+            # must error the comparison, never reach the 'non-literal →
+            # false' row (sweep 37)
+            err = (f"CASE WHEN ({comp_node[1]}) IS NULL "
+                   f"THEN CAST(NULL AS BOOLEAN) ")
             if comp_node[0] == "num":
-                return (f"(CASE WHEN {k} <> 'literal' THEN false "
+                return (f"({err}WHEN {k} <> 'literal' THEN false "
                         f"WHEN {lg} IS NULL AND ({d} IS NULL OR {d} IN "
                         f"({nums})) THEN try_cast({vs} AS DOUBLE) = "
                         f"({comp_node[1]}) "
                         f"ELSE CAST(NULL AS BOOLEAN) END)")
             if comp_node[0] == "str":
-                return (f"(CASE WHEN {k} <> 'literal' THEN false "
+                return (f"({err}WHEN {k} <> 'literal' THEN false "
                         f"WHEN {lg} IS NULL AND coalesce({d}, "
                         f"{xsd_str}) = {xsd_str} THEN {vs} = "
                         f"({comp_node[1]}) "
                         f"ELSE CAST(NULL AS BOOLEAN) END)")
-            return (f"(CASE WHEN {k} <> 'literal' THEN false "
+            return (f"({err}WHEN {k} <> 'literal' THEN false "
                     f"WHEN {lg} IS NULL AND {d} = "
                     f"{_sql_str(XSD + 'boolean')} THEN "
                     f"({vs} IN ('true', '1')) = ({comp_node[1]}) "
                     f"ELSE CAST(NULL AS BOOLEAN) END)")
-        if av and bv:
-            ka, kb = self._typ(av, "kind"), self._typ(bv, "kind")
-            la, lb = self._typ(av, "lang"), self._typ(bv, "lang")
-            da, db = self._typ(av, "datatype"), self._typ(bv, "datatype")
-            term_eq = (f"({_qcol(av)} = {_qcol(bv)} AND {ka} <=> {kb} AND "
+        if ca and cb:
+            x, ka, la, da = ca
+            y, kb, lb, db = cb
+            term_eq = (f"({x} = {y} AND {ka} <=> {kb} AND "
                        f"{la} <=> {lb} AND coalesce({da}, {xsd_str}) <=> "
                        f"coalesce({db}, {xsd_str}))")
             if not value_eq:          # sameTerm: strict term identity
@@ -1205,8 +1273,8 @@ class _Parser:
             both_lit = f"{ka} = 'literal' AND {kb} = 'literal'"
             na, nb = f"{da} IN ({nums})", f"{db} IN ({nums})"
             return (f"(CASE WHEN {both_lit} AND {na} AND {nb} "
-                    f"THEN try_cast({_qcol(av)} AS DOUBLE) = "
-                    f"try_cast({_qcol(bv)} AS DOUBLE) "
+                    f"THEN try_cast({x} AS DOUBLE) = "
+                    f"try_cast({y} AS DOUBLE) "
                     f"WHEN {both_lit} AND (coalesce({na}, false) <> "
                     f"coalesce({nb}, false)) THEN CAST(NULL AS BOOLEAN) "
                     f"ELSE {term_eq} END)")
@@ -1272,18 +1340,21 @@ class _Parser:
                 return []
             return [(pre + w, _qcol(f"{TYPED_PREFIX}{src}__{w}"))
                     for w in ("kind", "lang", "datatype")]
+        if node[0] == "termr":
+            # runtime term (sweep 37): its own component SQL
+            return [(pre + "kind", node[2]), (pre + "lang", node[3]),
+                    (pre + "datatype", node[4])]
         if node[0] in ("str", "num", "bool"):
             # computed expressions ARE literals (sweep 25: the alias's
             # shape-derived kind was 'iri', so term-aware = and the
             # typed comparisons silently dropped every row). "num"
-            # derives the xsd type from the SQL runtime type.
+            # carries its promoted class (sweep 37) — fall back to the
+            # SQL runtime type for classless legacy nodes.
             g = f"if({_qcol(var)} IS NOT NULL, {{}}, NULL)"
             null = "CAST(NULL AS STRING)"
             if node[0] == "num":
-                dt = (f"if(typeof({_qcol(var)}) IN ('tinyint', "
-                      f"'smallint', 'int', 'bigint'), "
-                      f"{_sql_str(XSD + 'integer')}, "
-                      f"{_sql_str(XSD + 'double')})")
+                cls = _num_cls(node)
+                dt = _cls_dt_sql(cls)
             elif node[0] == "bool":
                 dt = _sql_str(XSD + "boolean")
             else:
@@ -1294,6 +1365,53 @@ class _Parser:
                 (pre + "datatype", g.format(dt) if dt else null),
             ]
         return []
+
+    def _term_key_sql(self, node, var: str) -> str | None:
+        """Term-key (``__tk_``) SQL for a BIND/projection alias — the
+        join-time twin of :func:`bgp.term_key_col` (sweep 37). Returns
+        None when the node's term typing is unknowable (the alias then
+        joins by value, never worse than before)."""
+        v = _qcol(var)
+
+        def g(x: str) -> str:
+            return f"if({v} IS NOT NULL, {x}, NULL)"
+
+        tag = node[0]
+        xs = _sql_str(XSD + "string")
+        if tag in ("iri", "irix"):
+            return g("'iri'")
+        if tag in ("lit", "termx"):
+            lang, dt = node[2], node[3]
+            if isinstance(lang, SqlTag):
+                base = _sql_str(dt) if dt and dt != XSD + "string" \
+                    else xs
+                return g(f"concat('L', if({lang.sql} IS NOT NULL, "
+                         f"concat('@', lower({lang.sql})), {base}))")
+            if lang:
+                return g(_sql_str("L@" + lang.lower()))
+            if isinstance(dt, SqlTag):
+                return g(f"concat('L', coalesce({dt.sql}, {xs}))")
+            return g(_sql_str(term_key_of("literal", dt, None)))
+        if tag == "num":
+            cls = _num_cls(node)
+            if isinstance(cls, int):
+                return g(_sql_str("L" + _CLS_DT[cls]))
+            return g(f"concat('L', {_cls_dt_sql(cls)})")
+        if tag == "bool":
+            return g(_sql_str("L" + XSD + "boolean"))
+        if tag == "str":
+            return g(_sql_str("L" + XSD + "string"))
+        if tag in ("any", "termr"):
+            c = self._comps_of(node)
+            if c is not None:
+                _, k, lg, d = c
+                return (f"(CASE WHEN {v} IS NULL THEN NULL "
+                        f"WHEN {k} = 'literal' THEN concat('L', "
+                        f"CASE WHEN {lg} IS NOT NULL THEN "
+                        f"concat('@', lower({lg})) "
+                        f"ELSE coalesce({d}, {xs}) END) "
+                        f"ELSE {k} END)")
+        return None
 
     def _expr_add(self):
         node = self._expr_mul()
@@ -1478,26 +1596,77 @@ class _Parser:
         self.expect_op(")")
         return self._compile_call(up, args)
 
-    def _regex_flags(self, flags: tuple) -> str:
-        """Validate a REGEX/REPLACE flags argument ([spec] §17.4.3.14):
-        a string literal over the Spark-supported flag chars."""
+    def _regex_flags(self, flags: tuple) -> str | None:
+        """Validate a REGEX/REPLACE flags argument ([spec] §17.4.3.14 /
+        F&O err:FORX0001): a string literal over the supported flag
+        chars. An invalid or unsupported flags value is a RUNTIME type
+        error — returns None and the caller compiles to NULL (sweep 37:
+        this raised a query-level SparqlError, but the spec errors the
+        EXPRESSION, leaving the row's binding unbound)."""
         if flags[0] not in ("str", "lit") or not flags[1].startswith("'"):
             raise SparqlError("regex flags must be a string literal")
         fl = flags[1].strip("'")
         if set(fl) - set("ismx"):
-            raise SparqlError(f"unsupported regex flags {fl!r}")
+            return None
         return fl
+
+    def _string_lit_guard(self, node, allow_lang: bool = True):
+        """[spec] 'string literal' check (simple / xsd:string /
+        lang-tagged — pass ``allow_lang=False`` for the functions that
+        demand a PLAIN string, e.g. the hashes): None when statically
+        satisfied (or unknowable computed string), "false" when
+        statically violated, else a SQL boolean guard for var-like
+        operands."""
+        tag = node[0]
+        if tag == "str":
+            return None
+        if tag in ("lit", "termx"):
+            lang, dt = node[2], node[3]
+            if not allow_lang and isinstance(lang, SqlTag):
+                return f"({lang.sql} IS NULL)"
+            if not allow_lang and lang:
+                return "false"
+            if isinstance(dt, SqlTag):
+                xs = _sql_str(XSD + "string")
+                return f"(coalesce({dt.sql}, {xs}) = {xs})"
+            if dt and dt != XSD + "string":
+                return "false"
+            return None
+        if tag in ("num", "bool", "iri", "irix"):
+            return "false"
+        c = self._comps_of(node)
+        if c is None:
+            return None
+        _, k, lg, d = c
+        xs = _sql_str(XSD + "string")
+        if not allow_lang:
+            return (f"({k} = 'literal' AND {lg} IS NULL AND "
+                    f"coalesce({d}, {xs}) = {xs})")
+        return (f"({k} = 'literal' AND ({lg} IS NOT NULL OR "
+                f"coalesce({d}, {xs}) = {xs}))")
+
+    @staticmethod
+    def _and_guards(*gs):
+        gs = [g for g in gs if g is not None]
+        if "false" in gs:
+            return "false"
+        if not gs:
+            return None
+        return gs[0] if len(gs) == 1 else "(" + " AND ".join(gs) + ")"
 
     def _arg_lang(self, node):
         """Language tag of a string-function argument: a constant str,
         None (simple / xsd:string / non-literal), or SqlTag (runtime
-        expression — variables and propagated string-fn results)."""
+        expression — variables, runtime terms, and propagated
+        string-fn results)."""
         if node[0] in ("lit", "termx"):
             return node[2] or None
         if node[0] == "any":
             v = _uncol(node[1])
             if v is not None:
                 return SqlTag(self._typ(v, "lang"))
+        if node[0] == "termr":
+            return SqlTag(node[3])
         return None
 
     def _compat_guard(self, n1, n2) -> str | None:
@@ -1560,6 +1729,36 @@ class _Parser:
             if up == "LANG":
                 return ("str", g("''"))
             return ("bool", g("false"))    # ISIRI/ISURI/ISBLANK
+        if tag == "termr":
+            # runtime term (IF/COALESCE over heterogeneous branches,
+            # sweep 37): dispatch on the node's own component SQL
+            val, kind, lang2, dt2 = node[1], node[2], node[3], node[4]
+            nums = ", ".join(_sql_str(x) for x in _NUMERIC_DATATYPES)
+
+            def gg(expr: str) -> str:
+                return f"if(({val}) IS NOT NULL, {expr}, NULL)"
+
+            if up == "LANG":
+                return ("str", gg(f"if({kind} = 'literal', "
+                                  f"coalesce({lang2}, ''), NULL)"))
+            if up == "DATATYPE":
+                return ("irix", gg(
+                    f"coalesce({dt2}, "
+                    f"if({lang2} IS NOT NULL, {_sql_str(langstr)}, "
+                    f"NULL), "
+                    f"if({kind} = 'literal', "
+                    f"{_sql_str(XSD + 'string')}, NULL))"))
+            if up in ("ISIRI", "ISURI"):
+                return ("bool", gg(f"({kind} = 'iri')"))
+            if up == "ISBLANK":
+                return ("bool", gg(f"({kind} = 'bnode')"))
+            if up == "ISNUMERIC":
+                # coalesce: dt NULL (plain literal) means false, not
+                # SQL's three-valued NULL
+                return ("bool", gg(f"({kind} = 'literal' AND "
+                                   f"coalesce({dt2} IN ({nums}), "
+                                   f"false))"))
+            return ("bool", gg(f"({kind} = 'literal')"))  # ISLITERAL
         if tag == "bool":
             if up == "DATATYPE":
                 return ("irix", g(_sql_str(XSD + "boolean")))
@@ -1647,22 +1846,39 @@ class _Parser:
                 # computed numeric: integer class renders "3", not
                 # the double representation's "3.0" (sweep 37)
                 return ("str", _num_str_sql(a(0), _num_cls(args[0])))
+            if args[0][0] == "termr":
+                # runtime term: the value IS the lexical form; STR of
+                # a bnode is a type error ([spec] §17.4.2.5)
+                return ("str", f"if({args[0][2]} = 'bnode', NULL, "
+                        f"{a(0)})")
             return ("str", f"CAST({a(0)} AS STRING)")
         if up == "STRLEN":
             need(1)
-            return ("num", f"length({a(0)})", 0)
+            # [spec] §17.4.3.2: argument must be a STRING LITERAL
+            # (sweep 37: STRLEN over an IRI/typed binding measured it)
+            g = self._string_lit_guard(args[0])
+            if g == "false":
+                return ("num", "CAST(NULL AS DOUBLE)", 0)
+            sql = f"length({a(0)})"
+            if g:
+                sql = f"(CASE WHEN {g} THEN {sql} END)"
+            return ("num", sql, 0)
         if up == "UCASE":
             need(1)
-            return self._str_result(f"upper({a(0)})", args[0])
+            return self._str_result(f"upper({a(0)})", args[0],
+                                    self._string_lit_guard(args[0]))
         if up == "LCASE":
             need(1)
-            return self._str_result(f"lower({a(0)})", args[0])
+            return self._str_result(f"lower({a(0)})", args[0],
+                                    self._string_lit_guard(args[0]))
         if up in ("CONTAINS", "STRSTARTS", "STRENDS"):
             need(2)
             fn = {"CONTAINS": "contains", "STRSTARTS": "startswith",
                   "STRENDS": "endswith"}[up]
             res = f"{fn}({a(0)}, {a(1)})"
-            g = self._compat_guard(args[0], args[1])
+            g = self._and_guards(self._compat_guard(args[0], args[1]),
+                                 self._string_lit_guard(args[0]),
+                                 self._string_lit_guard(args[1]))
             if g == "false":
                 return ("bool", "CAST(NULL AS BOOLEAN)")
             if g:
@@ -1679,8 +1895,11 @@ class _Parser:
                        f"+ length({a(1)})))")
             # [spec] §17.4.3.12-13: the tag carries over only when a
             # match exists (no-match → empty SIMPLE literal)
-            node = self._str_result(sql, args[0],
-                                    self._compat_guard(args[0], args[1]))
+            node = self._str_result(
+                sql, args[0],
+                self._and_guards(self._compat_guard(args[0], args[1]),
+                                 self._string_lit_guard(args[0]),
+                                 self._string_lit_guard(args[1])))
             if node[0] == "termx" and node[2]:
                 node = ("termx", node[1],
                         SqlTag(f"if(instr({a(0)}, {a(1)}) > 0, "
@@ -1688,14 +1907,23 @@ class _Parser:
             return node
         if up == "SUBSTR":
             need(2, 3)
-            inner = ", ".join([a(0)] + [_as_num(x, self._typ) for x in args[1:]])
-            return self._str_result(f"substring({inner})", args[0])
+            inner = ", ".join([a(0)] + [_as_num(x, self._typ)
+                                        for x in args[1:]])
+            return self._str_result(f"substring({inner})", args[0],
+                                    self._string_lit_guard(args[0]))
         if up == "CONCAT":
-            # [spec] §17.4.3.12: the tag survives only when ALL
+            # [spec] §17.4.3.12: every argument must be a string
+            # literal (sweep 37); the tag survives only when ALL
             # arguments carry the SAME tag
             if not args:
                 return ("str", "''")
+            gall = self._and_guards(
+                *(self._string_lit_guard(x) for x in args))
+            if gall == "false":
+                return ("str", "CAST(NULL AS STRING)")
             sql = f"concat({', '.join(a(i) for i in range(len(args)))})"
+            if gall:
+                sql = f"(CASE WHEN {gall} THEN {sql} END)"
             langs = [self._arg_lang(x) for x in args]
             if all(isinstance(lg, str) for lg in langs) \
                     and len(set(langs)) == 1:
@@ -1714,18 +1942,36 @@ class _Parser:
             pat = a(1)
             if len(args) == 4:   # [spec] §17.4.3.15 flags arg (sweep 13)
                 fl = self._regex_flags(args[3])
+                if fl is None:
+                    return ("str", "CAST(NULL AS STRING)")
                 if fl:
                     pat = f"concat('(?{fl})', {pat})"
             return self._str_result(
-                f"regexp_replace({a(0)}, {pat}, {a(2)})", args[0])
+                f"regexp_replace({a(0)}, {pat}, {a(2)})", args[0],
+                self._and_guards(self._string_lit_guard(args[0]),
+                                 self._string_lit_guard(args[1]),
+                                 self._string_lit_guard(args[2])))
         if up == "REGEX":
             need(2, 3)
             pat = a(1)
             if len(args) == 3:
                 fl = self._regex_flags(args[2])
+                if fl is None:
+                    return ("bool", "CAST(NULL AS BOOLEAN)")
                 if fl:
                     pat = f"concat('(?{fl})', {pat})"
-            return ("bool", f"({a(0)} RLIKE {pat})")
+            res = f"({a(0)} RLIKE {pat})"
+            # [spec] §17.4.3.14: the text argument must be a STRING
+            # LITERAL (simple / xsd:string / lang-tagged) — an IRI or
+            # bnode binding is a type error (sweep 37: "_:b2" matched
+            # '[0-9]+' through its label); the pattern must be one too
+            g = self._and_guards(self._string_lit_guard(args[0]),
+                                 self._string_lit_guard(args[1]))
+            if g == "false":
+                return ("bool", "CAST(NULL AS BOOLEAN)")
+            if g:
+                res = f"(CASE WHEN {g} THEN {res} END)"
+            return ("bool", res)
         if up in ("ABS", "CEIL", "FLOOR", "ROUND"):
             need(1) if up != "ROUND" else need(1, 2)
             fn = up.lower()
@@ -1735,14 +1981,64 @@ class _Parser:
             return ("num", f"{fn}({inner})",
                     _num_cls(args[0], self._typ))
         if up == "COALESCE":
-            return ("any", f"coalesce({', '.join(x[1] for x in args)})")
+            # [spec] §17.4.1.3: the value of the first argument that
+            # evaluates without error. Homogeneous same-tag branches
+            # stay in their class; otherwise a RUNTIME TERM carries
+            # the winning branch's components (sweep 37: a raw SQL
+            # coalesce over mixed types crashed at analysis time or
+            # mis-kinded the result).
+            tags = {x[0] for x in args}
+            val = f"coalesce({', '.join(x[1] for x in args)})"
+            if tags == {"num"}:
+                cls = _num_cls(args[0])
+                for x in args[1:]:
+                    c2 = _num_cls(x)
+                    if c2 != cls:
+                        chain = " ".join(
+                            f"WHEN ({x[1]}) IS NOT NULL THEN "
+                            f"{_num_cls(x)}" for x in args)
+                        cls = f"(CASE {chain} END)"
+                        break
+                return ("num", val, cls)
+            if tags <= {"bool"}:
+                return ("bool", val)
+            if tags <= {"str"}:
+                return ("str", val)
+            terms = [self._node_term(x) for x in args]
+            if all(t is not None for t in terms):
+                def pick(i: int) -> str:
+                    chain = " ".join(
+                        f"WHEN ({t[0]}) IS NOT NULL THEN {t[i]}"
+                        for t in terms)
+                    return f"(CASE {chain} END)"
+                return ("termr", pick(0), pick(1), pick(2), pick(3))
+            return ("any", val)
         if up == "IF":
             need(3)
             # [spec] §17.4.1.2: the condition is interpreted through
             # EBV; an EBV type error errors the whole IF (NULL).
+            # Same-tag branches keep their class; mixed branches build
+            # a RUNTIME TERM (sweep 37: a raw SQL if() over a double
+            # and a boolean raised DATATYPE_MISMATCH).
             cond = self._ebv(args[0])
-            return ("any", f"if({cond} IS NULL, NULL, "
-                    f"if({cond}, {a(1)}, {a(2)}))")
+
+            def sel(x1: str, x2: str) -> str:
+                return (f"if({cond} IS NULL, NULL, "
+                        f"if({cond}, {x1}, {x2}))")
+
+            t1, t2 = args[1], args[2]
+            if t1[0] == t2[0] == "num":
+                c1, c2 = _num_cls(t1), _num_cls(t2)
+                cls = c1 if c1 == c2 else \
+                    f"(CASE WHEN {cond} THEN {c1} ELSE {c2} END)"
+                return ("num", sel(a(1), a(2)), cls)
+            if t1[0] == t2[0] and t1[0] in ("bool", "str"):
+                return (t1[0], sel(a(1), a(2)))
+            n1, n2 = self._node_term(t1), self._node_term(t2)
+            if n1 is not None and n2 is not None:
+                return ("termr", sel(n1[0], n2[0]), sel(n1[1], n2[1]),
+                        sel(n1[2], n2[2]), sel(n1[3], n2[3]))
+            return ("any", sel(a(1), a(2)))
         if up == "LANGMATCHES":
             need(2)
             rng = a(1)
@@ -1752,11 +2048,21 @@ class _Parser:
                     f"startswith(lower({a(0)}), concat(lower({rng}), '-'))))")
         if up in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
             need(1)
+            # [spec] §17.4.4.5-9: argument must be a simple/xsd:string
+            # literal — lang-tagged, typed, IRI, or computed non-string
+            # operands are a type error (sweep 37)
+            g = self._string_lit_guard(args[0], allow_lang=False)
+            if g == "false":
+                return ("str", "CAST(NULL AS STRING)")
             if up == "MD5":
-                return ("str", f"md5({a(0)})")
-            if up == "SHA1":
-                return ("str", f"sha1({a(0)})")
-            return ("str", f"sha2({a(0)}, {up[3:]})")
+                sql = f"md5({a(0)})"
+            elif up == "SHA1":
+                sql = f"sha1({a(0)})"
+            else:
+                sql = f"sha2({a(0)}, {up[3:]})"
+            if g:
+                sql = f"(CASE WHEN {g} THEN {sql} END)"
+            return ("str", sql)
         if up == "SAMETERM":
             need(2)
             # exact term identity — kind/lang/datatype aware when the
@@ -1785,9 +2091,16 @@ class _Parser:
             need(1)
             # [spec] §17.4.2.8 percent-encodes all but unreserved chars;
             # Spark's url_encode is form-encoding — normalize its two
-            # divergences (space → '+', '~' → %7E)
-            return ("str", f"replace(replace(url_encode({a(0)}), "
-                    f"'+', '%20'), '%7E', '~')")
+            # divergences (space → '+', '~' → %7E). The argument must
+            # be a string literal (sweep 37).
+            g = self._string_lit_guard(args[0])
+            if g == "false":
+                return ("str", "CAST(NULL AS STRING)")
+            sql = (f"replace(replace(url_encode({a(0)}), "
+                   f"'+', '%20'), '%7E', '~')")
+            if g:
+                sql = f"(CASE WHEN {g} THEN {sql} END)"
+            return ("str", sql)
         if up in ("IRI", "URI"):
             need(1)
             # terms are IRI strings in this engine; IRI() of a literal
@@ -1831,19 +2144,50 @@ class _Parser:
             elif lex[0] in ("lit", "termx") and (
                     lex[2] or (lex[3] and lex[3] != XSD + "string")):
                 lex_sql = "CAST(NULL AS STRING)"
-            elif lex[0] == "iri":
+            elif lex[0] in ("iri", "irix", "num", "bool"):
+                # typed-literal / IRI operand: type error ([spec]
+                # §17.4.2.6 — sweep 37: a boolean flowed through raw)
                 lex_sql = "CAST(NULL AS STRING)"
+            elif lex[0] == "termr":
+                guard = (f"({lex[2]} = 'literal' AND {lex[3]} IS NULL "
+                         f"AND coalesce({lex[4]}, {xs}) = {xs})")
+                lex_sql = f"if({guard}, {lex[1]}, NULL)"
             else:
                 lex_sql = lex[1]
             if up == "STRLANG":
-                if tag[0] not in ("str", "lit") \
-                        or not tag[1].startswith("'"):
-                    raise SparqlError(
-                        "STRLANG needs a constant language tag")
-                lt = tag[1].strip("'").lower()   # engine stores lowered
-                if not lt:
-                    raise SparqlError("STRLANG needs a non-empty tag")
-                return ("termx", lex_sql, lt, None)
+                if tag[0] in ("str", "lit") and tag[1].startswith("'"):
+                    lt = tag[1].strip("'").lower()  # engine stores lowered
+                    if not lt:
+                        # [spec] an empty tag is a per-row TYPE ERROR,
+                        # not a query rejection (sweep 37)
+                        return ("termx", "CAST(NULL AS STRING)",
+                                SqlTag("CAST(NULL AS STRING)"), None)
+                    return ("termx", lex_sql, lt, None)
+                # runtime tag expression (sweep 37: non-constant tags
+                # were a parse error; [spec] §17.4.2.7 takes any simple/
+                # xsd:string expression — a non-string or empty tag is
+                # a per-row type error)
+                tg = self._string_lit_guard(tag)
+                tc = self._comps_of(tag)
+                tval = tc[0] if tc is not None else tag[1]
+                if tag[0] in ("num", "bool", "iri", "irix") or tg == "false":
+                    return ("termx", "CAST(NULL AS STRING)",
+                            SqlTag("CAST(NULL AS STRING)"), None)
+                lang_sql = f"lower({tval})"
+                if tc is not None:
+                    # must be a PLAIN string literal (no lang tag)
+                    _, k2, lg2, d2 = tc
+                    xs2 = _sql_str(XSD + "string")
+                    lang_sql = (f"(CASE WHEN {k2} = 'literal' AND "
+                                f"{lg2} IS NULL AND coalesce({d2}, "
+                                f"{xs2}) = {xs2} THEN lower({tval}) "
+                                f"END)")
+                elif tg:
+                    lang_sql = f"(CASE WHEN {tg} THEN lower({tval}) END)"
+                lang_sql = f"nullif({lang_sql}, '')"
+                lex_sql = (f"if(({lang_sql}) IS NOT NULL, {lex_sql}, "
+                           f"NULL)")
+                return ("termx", lex_sql, SqlTag(lang_sql), None)
             if tag[0] != "iri":
                 raise SparqlError("STRDT needs a constant datatype IRI")
             dt = tag[1].strip("'")
@@ -1894,8 +2238,11 @@ class _Parser:
             self.expect_op(")")
             if item[0] == "agg":
                 return ("agg", item[1], (item[2], item[3]), v.text)
-            return ("expr", item[1], v.text,
-                    self._term_companions(item[2], v.text))
+            comps = self._term_companions(item[2], v.text)
+            tk = self._term_key_sql(item[2], v.text)
+            if tk is not None:
+                comps = comps + [(TK_PREFIX + v.text, tk)]
+            return ("expr", item[1], v.text, comps)
         raise SparqlError(f"unexpected {t.text!r} in SELECT clause")
 
     def _parse_agg_or_expr(self):
@@ -2281,15 +2628,19 @@ def _num_cls(node, typ=None):
         if dt == XSD + "float":
             return 2
         return 3
-    if tag == "any" and typ is not None:
+    d = None
+    if tag == "termr":
+        d = node[4]
+    elif tag == "any" and typ is not None:
         v = _uncol(node[1])
         if v is not None:
             d = typ(v, "datatype")
-            ints = ", ".join(_sql_str(x) for x in _INT_FAMILY)
-            return (f"(CASE WHEN {d} IN ({ints}) THEN 0 "
-                    f"WHEN {d} = {_sql_str(XSD + 'decimal')} THEN 1 "
-                    f"WHEN {d} = {_sql_str(XSD + 'float')} THEN 2 "
-                    f"ELSE 3 END)")
+    if d is not None:
+        ints = ", ".join(_sql_str(x) for x in _INT_FAMILY)
+        return (f"(CASE WHEN {d} IN ({ints}) THEN 0 "
+                f"WHEN {d} = {_sql_str(XSD + 'decimal')} THEN 1 "
+                f"WHEN {d} = {_sql_str(XSD + 'float')} THEN 2 "
+                f"ELSE 3 END)")
     return 3
 
 
@@ -2358,16 +2709,22 @@ def _as_num(node, typ=None) -> str:
                 or dt in _NUMERIC_DATATYPES:
             return f"try_cast({sql} AS DOUBLE)"
         return "CAST(NULL AS DOUBLE)"
-    if tag == "any" and typ is not None:
+    comps = None
+    if tag == "termr":
+        comps = (node[1], node[2], node[3], node[4])
+    elif tag == "any" and typ is not None:
         v = _uncol(sql)
         if v is not None:
-            k, lg, d = typ(v, "kind"), typ(v, "lang"), typ(v, "datatype")
-            nums = ", ".join(_sql_str(x) for x in _NUMERIC_DATATYPES)
-            xs = _sql_str(XSD + "string")
-            return (f"(CASE WHEN {k} = 'literal' AND {lg} IS NULL "
-                    f"AND ({d} IS NULL OR {d} = {xs} OR {d} IN ({nums})) "
-                    f"THEN try_cast({sql} AS DOUBLE) "
-                    f"ELSE CAST(NULL AS DOUBLE) END)")
+            comps = (_qcol(v), typ(v, "kind"), typ(v, "lang"),
+                     typ(v, "datatype"))
+    if comps is not None:
+        val, k, lg, d = comps
+        nums = ", ".join(_sql_str(x) for x in _NUMERIC_DATATYPES)
+        xs = _sql_str(XSD + "string")
+        return (f"(CASE WHEN {k} = 'literal' AND {lg} IS NULL "
+                f"AND ({d} IS NULL OR {d} = {xs} OR {d} IN ({nums})) "
+                f"THEN try_cast({val} AS DOUBLE) "
+                f"ELSE CAST(NULL AS DOUBLE) END)")
     return f"try_cast({sql} AS DOUBLE)"
 
 
@@ -2389,11 +2746,23 @@ def parse_query(query: str) -> Query:
 # ---------------------------------------------------------------------------
 
 
+def _split_tk(shared):
+    """Partition a shared-column list into (value vars, term keys)."""
+    vals = [c for c in shared if not c.startswith(TK_PREFIX)]
+    tks = [c for c in shared if c.startswith(TK_PREFIX)]
+    return vals, tks
+
+
 def _merge(acc: DataFrame | None, df: DataFrame, how: str = "inner",
            ) -> DataFrame:
     """Join two solution tables on their shared variable columns.
     Companion (``__typ_*``) columns never join; duplicated companions
-    keep the left side (first-binder-wins typing)."""
+    keep the left side (first-binder-wins typing). Shared TERM-KEY
+    (``__tk_*``) columns join null-compatibly — exact term equality
+    where both sides know the term's kind/typing, value equality where
+    one side lacks it (paths, unions with differing shapes) — so a
+    missing key can never DROP a row that value semantics kept
+    (sweep 37)."""
     if acc is None:
         return df
     dup = [c for c in _companion_cols(df.columns) if c in acc.columns]
@@ -2401,8 +2770,40 @@ def _merge(acc: DataFrame | None, df: DataFrame, how: str = "inner",
         df = df.drop(*dup)
     shared = sorted((set(acc.columns) & set(df.columns))
                     - set(_companion_cols(acc.columns)))
-    if shared:
-        return acc.join(df, on=shared, how=how)
+    vals, tks_all = _split_tk(shared)
+    tks = [t for t in tks_all if t[len(TK_PREFIX):] in vals]
+    orphans = [t for t in tks_all if t not in tks]
+    if orphans:
+        df = df.drop(*orphans)
+    lt, rt = dict(acc.dtypes), dict(df.dtypes)
+    mism = {c for c in vals if lt.get(c) != rt.get(c)}
+    if vals:
+        if not tks and not mism:
+            return acc.join(df, on=vals, how=how)
+        ren = df
+        for c in vals + tks:
+            ren = ren.withColumnRenamed(c, f"__r_{c}")
+        cond = F.lit(True)
+        for c in vals:
+            l, r = F.col(c), F.col(f"__r_{c}")
+            if c in mism:
+                # typed BIND column vs string solution column
+                # (sweep 37: the raw '=' implicit-cast crashed under
+                # ANSI) — compare lexical string forms
+                l, r = l.cast("string"), r.cast("string")
+            cond = cond & (l == r)
+        for c in tks:
+            l, r = F.col(c), F.col(f"__r_{c}")
+            cond = cond & (l.isNull() | r.isNull() | (l == r))
+        out = acc.join(ren, on=cond, how=how)
+        for c in vals + tks:
+            if c in mism:   # keep the left (typed) column
+                out = out.drop(f"__r_{c}")
+            else:
+                out = (out.withColumn(c, F.coalesce(F.col(c),
+                                                    F.col(f"__r_{c}")))
+                          .drop(f"__r_{c}"))
+        return out
     if how == "left":     # OPTIONAL with no shared vars: keep all left rows
         return acc.join(df, on=F.lit(True), how="left")
     return acc.crossJoin(df)
@@ -2419,17 +2820,30 @@ def _compat_merge(acc: DataFrame, df: DataFrame, how: str,
         df = df.drop(*dup)
     shared = sorted((set(acc.columns) & set(df.columns))
                     - set(_companion_cols(acc.columns)))
+    lt, rt = dict(acc.dtypes), dict(df.dtypes)
+    mism = {c for c in shared if lt.get(c) != rt.get(c)}
     ren = df
     for c in shared:
         ren = ren.withColumnRenamed(c, f"__r_{c}")
     cond = F.lit(True)
     for c in shared:
-        eq = F.col(f"__r_{c}") == F.col(c)
-        cond = cond & ((F.col(c).isNull() | eq) if c in soft else eq)
+        l, r = F.col(c), F.col(f"__r_{c}")
+        if c in mism:
+            l, r = l.cast("string"), r.cast("string")
+        eq = r == l
+        if c.startswith(TK_PREFIX):
+            # term keys: null-compatible (see _merge)
+            cond = cond & (l.isNull() | r.isNull() | eq)
+        else:
+            cond = cond & ((l.isNull() | eq) if c in soft else eq)
     out = acc.join(ren, on=cond, how=how)
     for c in shared:
-        out = (out.withColumn(c, F.coalesce(F.col(c), F.col(f"__r_{c}")))
-                  .drop(f"__r_{c}"))
+        if c in mism:
+            out = out.drop(f"__r_{c}")
+        else:
+            out = (out.withColumn(c, F.coalesce(F.col(c),
+                                                F.col(f"__r_{c}")))
+                      .drop(f"__r_{c}"))
     return out
 
 
@@ -2438,28 +2852,96 @@ def _merge_values(acc: DataFrame | None, names: list[str],
     """Join a solution table with an inline VALUES table ([spec] §10.2).
     ``None`` cells (UNDEF) are wildcards: compatible with ANY binding of
     that variable in that row (sweep 10: UNDEF rows silently matched
-    nothing because the equi-join compared against NULL)."""
-    schema = ", ".join(f"`{n}` string" for n in names)
-    vdf = spark.createDataFrame([tuple(r) for r in rows] or [], schema)
+    nothing because the equi-join compared against NULL). Cells arrive
+    as engine term spellings (encoded literals / IRIs, sweep 37) and
+    unfold into value + companion + term-key columns, so VALUES terms
+    join and project with full typing."""
+    cols: list[str] = []
+    for n in names:
+        cols += [n, f"{TYPED_PREFIX}{n}__kind", f"{TYPED_PREFIX}{n}__lang",
+                 f"{TYPED_PREFIX}{n}__datatype", f"{TK_PREFIX}{n}"]
+    data = []
+    for r in rows:
+        row: list = []
+        for cell in r:
+            if cell is None:
+                row += [None, None, None, None, None]
+            else:
+                lit = decode_literal(cell)
+                if lit is not None:
+                    v, lang, dt = lit
+                    row += [v, "literal", lang,
+                            dt if dt and dt != XSD + "string" else None,
+                            term_key_of("literal", dt, lang)]
+                elif cell.startswith("_:"):
+                    row += [cell, "bnode", None, None, "bnode"]
+                else:
+                    row += [cell, "iri", None, None, "iri"]
+        data.append(tuple(row))
+    schema = ", ".join(f"`{c}` string" for c in cols)
+    vdf = spark.createDataFrame(data or [], schema)
     if acc is None:
         return vdf
     shared = [n for n in names if n in acc.columns]
     if not shared:
         return acc.crossJoin(vdf)
-    if not any(r[i] is None for r in rows
-               for i, n in enumerate(names) if n in shared):
-        return acc.join(vdf, on=shared, how="inner")
+    dupc = [c for c in _companion_cols(vdf.columns) if c in acc.columns]
+    if dupc:
+        vdf = vdf.drop(*dupc)
+    lt = dict(acc.dtypes)
     vren = vdf
     cond = F.lit(True)
+    join_tks = []
+    mism = set()
     for n in shared:
         vren = vren.withColumnRenamed(n, f"__val_{n}")
+        l = F.col(n)
+        if lt.get(n) != "string":
+            l = l.cast("string")
+            mism.add(n)
         cond = cond & (F.col(f"__val_{n}").isNull()
-                       | F.col(n).isNull()
-                       | (F.col(f"__val_{n}") == F.col(n)))
+                       | l.isNull()
+                       | (F.col(f"__val_{n}") == l))
+        tk = f"{TK_PREFIX}{n}"
+        if tk in acc.columns:
+            join_tks.append(tk)
+            vren = vren.withColumnRenamed(tk, f"__val_{tk}")
+            cond = cond & (F.col(f"__val_{tk}").isNull()
+                           | F.col(tk).isNull()
+                           | (F.col(f"__val_{tk}") == F.col(tk)))
     out = acc.join(vren, on=cond, how="inner")
     for n in shared:
-        out = (out.withColumn(n, F.coalesce(F.col(n), F.col(f"__val_{n}")))
-                  .drop(f"__val_{n}"))
+        if n in mism:   # typed BIND column: keep the left side
+            out = out.drop(f"__val_{n}")
+        else:
+            out = (out.withColumn(n, F.coalesce(F.col(n),
+                                                F.col(f"__val_{n}")))
+                      .drop(f"__val_{n}"))
+    for tk in join_tks:
+        out = (out.withColumn(tk, F.coalesce(F.col(tk),
+                                             F.col(f"__val_{tk}")))
+                  .drop(f"__val_{tk}"))
+    for n in shared:
+        # rows matched through an UNDEF cell keep the acc binding with
+        # the VALUES table's NULL companions — shape-fallback the kind
+        # (the acc binding can only be positional IRI/bnode here: an
+        # object-position binder would have brought its own companions
+        # and the VALUES copies were dropped above) (sweep 37: EBV of
+        # such rows misread NULL-kind as a plain literal)
+        kc = f"{TYPED_PREFIX}{n}__kind"
+        if kc in out.columns and kc not in acc.columns:
+            shape = (F.when(F.col(n).startswith("_:"), F.lit("bnode"))
+                     .otherwise(F.lit("iri")))
+            out = out.withColumn(
+                kc, F.coalesce(F.col(kc),
+                               F.when(F.col(n).isNotNull(), shape)))
+        tk = f"{TK_PREFIX}{n}"
+        if tk in out.columns and tk not in acc.columns:
+            shape = (F.when(F.col(n).startswith("_:"), F.lit("bnode"))
+                     .otherwise(F.lit("iri")))
+            out = out.withColumn(
+                tk, F.coalesce(F.col(tk),
+                               F.when(F.col(n).isNotNull(), shape)))
     return out
 
 
@@ -2473,7 +2955,8 @@ def _eval_bgp(quads: DataFrame, triples: list[tuple], graph: str | None,
     acc: DataFrame | None = None
     if plain:
         acc = match_bgp(quads, plain, distinct=False, stats=stats,
-                        with_types=with_types, graph=graph)
+                        with_types=with_types, graph=graph,
+                        keep_term_keys=True)
     for s, p, o in paths:
         pg = "*" if graph == "*" else graph
         acc = _merge(acc, match_path(quads, s, p, o, graph=pg,
@@ -2513,12 +2996,19 @@ def _compat_filter(acc: DataFrame, sub: DataFrame, shared: list[str],
     ``require_overlap`` (MINUS): a pair must share at least one bound
     variable to exclude."""
     how = "left_semi" if positive else "left_anti"
-    if not shared:
+    vals, tks_all = _split_tk(shared)
+    tks = [t for t in tks_all
+           if t[len(TK_PREFIX):] in vals
+           and t in acc.columns and t in sub.columns]
+    shared = vals + tks
+    if not vals:
         return acc.join(sub.limit(1), on=F.lit(True), how=how)
     sub_s = sub.select(*shared)
-    if not _has_null_rows(sub_s, shared) \
-            and not _has_null_rows(acc, shared):
-        return acc.join(sub_s, on=shared, how=how)
+    lt, rt = dict(acc.dtypes), dict(sub_s.dtypes)
+    mism = {c for c in vals if lt.get(c) != rt.get(c)}
+    if not tks and not mism and not _has_null_rows(sub_s, vals) \
+            and not _has_null_rows(acc, vals):
+        return acc.join(sub_s, on=vals, how=how)
     r = sub_s.dropDuplicates()
     for c in shared:
         r = r.withColumnRenamed(c, f"__cmp_{c}")
@@ -2526,8 +3016,12 @@ def _compat_filter(acc: DataFrame, sub: DataFrame, shared: list[str],
     overlap = F.lit(False)
     for c in shared:
         l, rr = F.col(c), F.col(f"__cmp_{c}")
+        if c in mism:
+            l, rr = l.cast("string"), rr.cast("string")
         compat = compat & (l.isNull() | rr.isNull() | (l == rr))
-        overlap = overlap | (l.isNotNull() & rr.isNotNull())
+        if not c.startswith(TK_PREFIX):
+            # MINUS's dom-overlap test counts VARIABLES, not term keys
+            overlap = overlap | (l.isNotNull() & rr.isNotNull())
     cond = (compat & overlap) if require_overlap else compat
     return acc.join(r, on=cond, how=how)
 
@@ -2772,7 +3266,8 @@ def _eval_select(sols: DataFrame, q: Query) -> DataFrame:
     seps = set()
     if q.select_star:
         project = [c for c in sols.columns
-                   if not c.startswith(TYPED_PREFIX)]
+                   if not c.startswith(TYPED_PREFIX)
+                   and not c.startswith(TK_PREFIX)]
     else:
         for item in q.project:
             if item[0] == "var":

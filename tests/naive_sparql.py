@@ -481,14 +481,18 @@ class Evaluator:
             raise ExprError("IRI() argument")
         if name == "STRDT":
             a, dt = v
-            if not (is_lit(a) and a[2] is None and a[3] is None):
+            if not (is_lit(a) and a[2] in (None, XSD + "string")
+                    and a[3] is None):
+                # RDF 1.1: "x"^^xsd:string IS the simple literal "x"
                 raise ExprError("STRDT needs a simple literal")
             if dt[0] != "iri":
                 raise ExprError("STRDT datatype")
             return ("lit", a[1], dt[1], None)
         if name == "STRLANG":
             a, lg = v
-            if not (is_lit(a) and a[2] is None and a[3] is None):
+            if not (is_lit(a) and a[2] in (None, XSD + "string")
+                    and a[3] is None):
+                # RDF 1.1: "x"^^xsd:string IS the simple literal "x"
                 raise ExprError("STRLANG needs a simple literal")
             if not (is_lit(lg) and lg[2] in (None, XSD + "string")
                     and lg[3] is None):
@@ -690,7 +694,10 @@ class Evaluator:
                         if m is not None:
                             out.append(m)
                 return out
-            return self.eval(node[2], target[1])
+            # pass the TERM tuple — _bgp compares with same_term
+            # against the quad's graph tuple (a raw string never
+            # matched, so every constant-GRAPH group came back empty)
+            return self.eval(node[2], target)
         raise AssertionError(node)
 
     def _eval_compat(self, group, sol):

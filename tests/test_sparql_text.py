@@ -422,9 +422,12 @@ def test_replace_flags_argument(quads):
                  'SELECT (REPLACE(?n, "alice", "X", "i") AS ?r) '
                  "{ e:a v:name ?n }")
     assert [r.r for r in out.collect()] == ["X"]
-    with pytest.raises(SparqlError, match="flags"):
-        sparql(quads, PFX + 'SELECT (REPLACE(?n, "a", "X", "q") AS ?r) '
-               "{ e:a v:name ?n }")
+    # invalid flags are a RUNTIME expression error (F&O err:FORX0001,
+    # sweep 37) — the binding is unbound, the query still runs
+    out2 = sparql(quads, PFX +
+                  'SELECT (REPLACE(?n, "a", "X", "q") AS ?r) '
+                  "{ e:a v:name ?n }")
+    assert [r.r for r in out2.collect()] == [None]
 
 
 def test_order_by_expression(quads):

@@ -165,12 +165,13 @@ def test_bind_computed_alias_is_literal(cmp_quads):
         SELECT ?x WHERE { ?x v:age ?a BIND(?a + 1 AS ?m)
                           FILTER(?m > 10 && ISLITERAL(?m)) }""")
     assert subs(out2) == ["a"]
-    # arithmetic over lexical columns runs in DOUBLE (documented
-    # narrowing: the engine does not track exact numeric subtypes
-    # through expressions), but the alias IS a numeric literal
+    # arithmetic VALUES run in DOUBLE, but the promoted DATATYPE rides
+    # on the node ([spec] §17.3 XPath promotion, sweep 37): integer*2
+    # is xsd:integer, decimal*2 is xsd:decimal
     out3 = sparql(cmp_quads, PFX + """
         SELECT ?x ?d WHERE { ?x v:age ?a BIND(?a * 2 AS ?m)
                              BIND(DATATYPE(?m) AS ?d)
                              FILTER(ISNUMERIC(?m)) }""")
-    assert {r.d for r in out3.collect()} == {XSD + "double"}
-    assert out3.count() == 3
+    assert {(r.x.rsplit("/", 1)[-1], r.d) for r in out3.collect()} == {
+        ("a", XSD + "integer"), ("b", XSD + "integer"),
+        ("c", XSD + "decimal")}

@@ -254,10 +254,23 @@ def gen_algebra(rng, depth=0):
                 None if rng.random() < 0.25
                 else gen_term(rng, "ill") for _ in names))
         return ("values", names, rows, a), sa | set(names)
-    tgt = ("var", rng.choice(VARS)) if rng.random() < 0.4 \
-        else rng.choice([g for g in GRAPHS if g])
-    sc = sa | ({tgt[1]} if tgt[0] == "var" else set())
-    return ("graph", tgt, a), sc
+    if rng.random() < 0.4:
+        # a GRAPH var that is also a BIND target inside the group is
+        # spec-murky (Extend over a var the graph clause already
+        # binds) — the engine rejects it loudly; don't generate it
+        def bind_targets(n):
+            if not isinstance(n, tuple):
+                return set()
+            out = {n[2]} if n[0] == "bind" else set()
+            for x in n[1:]:
+                out |= bind_targets(x)
+            return out
+        pool = [v for v in VARS if v not in bind_targets(a)]
+        if pool:
+            v = rng.choice(pool)
+            return ("graph", ("var", v), a), sa | {v}
+    tgt = rng.choice([g for g in GRAPHS if g])
+    return ("graph", tgt, a), sa
 
 
 AGG_FNS = ["COUNT", "SUM", "AVG", "MIN", "MAX"]
