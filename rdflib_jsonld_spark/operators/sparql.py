@@ -874,46 +874,7 @@ class _Parser:
         if t is not None and t.kind == "OP" and t.text in self._REL_OPS:
             op = self._REL_OPS[self.take().text]
             rhs = self._expr_add()
-            if op in ("=", "<>"):
-                eq = self._term_eq_sql(node, rhs)
-                if eq is not None:
-                    return ("bool",
-                            f"(NOT {eq})" if op == "<>" else eq)
-            node, rhs = _numeric_const(node), _numeric_const(rhs)
-            ord_sql = self._term_ord_sql(node, rhs, op)
-            if ord_sql is not None:
-                return ("bool", ord_sql)
-            # computed-vs-computed / constant fallback ([spec] §17.3,
-            # sweep 37): only same-class pairs inside the operator
-            # mapping compare — previously mixed SQL types (bool vs
-            # str, bool vs num) flowed raw and Spark raised
-            # DATATYPE_MISMATCH / CAST_INVALID_INPUT at analysis time.
-            a2, b2 = _ord_class(node), _ord_class(rhs)
-            if a2 is not None and b2 is not None and a2[0] == b2[0]:
-                return ("bool", f"({a2[1]} {op} {b2[1]})")
-            if op in ("=", "<>") and (
-                    node[0] in ("iri", "irix")
-                    or rhs[0] in ("iri", "irix")):
-                a_is_iri = node[0] in ("iri", "irix")
-                comp = b2 if a_is_iri else a2
-                isql = node[1] if a_is_iri else rhs[1]
-                if comp is None and node[0] in ("iri", "irix") \
-                        and rhs[0] in ("iri", "irix"):
-                    # IRI vs IRI: term equality by string form
-                    return ("bool", f"({node[1]} {op} {rhs[1]})")
-                if comp is not None and comp[0] == "str":
-                    # engine convention: STR()/DATATYPE() results are
-                    # 'str' nodes holding IRI strings — they compare
-                    # with IRIs by string form (pre-sweep-37 behavior)
-                    return ("bool", f"({isql} {op} {comp[1]})")
-                if comp is not None:
-                    # RDFterm-equal: an IRI never equals a boolean /
-                    # numeric literal value — false, NULL-propagating
-                    res = "false" if op == "=" else "true"
-                    return ("bool", f"(CASE WHEN ({comp[1]}) IS NULL "
-                            f"THEN CAST(NULL AS BOOLEAN) "
-                            f"ELSE {res} END)")
-            return ("bool", "CAST(NULL AS BOOLEAN)")
+            return self._rel_cmp(node, rhs, op)
         if self.at_kw("IN"):
             self.take()
             return ("bool", self._in_sql(node))
@@ -924,6 +885,53 @@ class _Parser:
             self.take()
             return ("bool", f"(NOT {self._in_sql(node)})")
         return node
+
+    def _rel_cmp(self, node, rhs, op: str):
+        """Compile ``node op rhs`` per the [spec] §17.3 operator
+        mapping (shared by relational expressions and HAVING
+        aggregate comparisons — sweep 38: the HAVING path emitted raw
+        SQL, so ``COUNT(?x) <= "2e0"^^xsd:double`` crashed at ANSI
+        constant folding instead of comparing by value)."""
+        if op in ("=", "<>"):
+            eq = self._term_eq_sql(node, rhs)
+            if eq is not None:
+                return ("bool",
+                        f"(NOT {eq})" if op == "<>" else eq)
+        node, rhs = _numeric_const(node), _numeric_const(rhs)
+        ord_sql = self._term_ord_sql(node, rhs, op)
+        if ord_sql is not None:
+            return ("bool", ord_sql)
+        # computed-vs-computed / constant fallback ([spec] §17.3,
+        # sweep 37): only same-class pairs inside the operator
+        # mapping compare — previously mixed SQL types (bool vs
+        # str, bool vs num) flowed raw and Spark raised
+        # DATATYPE_MISMATCH / CAST_INVALID_INPUT at analysis time.
+        a2, b2 = _ord_class(node), _ord_class(rhs)
+        if a2 is not None and b2 is not None and a2[0] == b2[0]:
+            return ("bool", f"({a2[1]} {op} {b2[1]})")
+        if op in ("=", "<>") and (
+                node[0] in ("iri", "irix")
+                or rhs[0] in ("iri", "irix")):
+            a_is_iri = node[0] in ("iri", "irix")
+            comp = b2 if a_is_iri else a2
+            isql = node[1] if a_is_iri else rhs[1]
+            if comp is None and node[0] in ("iri", "irix") \
+                    and rhs[0] in ("iri", "irix"):
+                # IRI vs IRI: term equality by string form
+                return ("bool", f"({node[1]} {op} {rhs[1]})")
+            if comp is not None and comp[0] == "str":
+                # engine convention: STR()/DATATYPE() results are
+                # 'str' nodes holding IRI strings — they compare
+                # with IRIs by string form (pre-sweep-37 behavior)
+                return ("bool", f"({isql} {op} {comp[1]})")
+            if comp is not None:
+                # RDFterm-equal: an IRI never equals a boolean /
+                # numeric literal value — false, NULL-propagating
+                res = "false" if op == "=" else "true"
+                return ("bool", f"(CASE WHEN ({comp[1]}) IS NULL "
+                        f"THEN CAST(NULL AS BOOLEAN) "
+                        f"ELSE {res} END)")
+        return ("bool", "CAST(NULL AS BOOLEAN)")
 
     def _in_sql(self, node) -> str:
         """[spec] §17.4.1.9-10: ``e IN (m1, m2)`` ≡ ``e = m1 || e =
@@ -2539,12 +2547,37 @@ class _Parser:
             if op_t.kind != "OP" or op_t.text not in self._REL_OPS:
                 raise SparqlError("HAVING aggregate needs a comparison")
             rhs = self._parse_expr()
-            return ("agg_cmp", agg, self._REL_OPS[op_t.text], rhs[1])
-        return ("expr", self._compile_expr(self._parse_expr()))
+            # compile via the §17.3 operator mapping with a typed
+            # placeholder node for the (not-yet-named) aggregate
+            # column: COUNT/SUM/AVG are numeric, GROUP_CONCAT is a
+            # string, MIN/MAX ride their post-aggregation term
+            # companions ("any"); _eval_select substitutes the real
+            # column name (sweep 38: the raw `col op rhs` SQL crashed
+            # on typed-literal rhs and compared MIN lexically)
+            base = agg[1].replace("_distinct", "")
+            if base in ("count", "sum", "avg"):
+                lhs = ("num", _qcol(_HAVING_PLACEHOLDER))
+            elif base == "group_concat":
+                lhs = ("str", _qcol(_HAVING_PLACEHOLDER))
+            else:
+                lhs = ("any", _qcol(_HAVING_PLACEHOLDER))
+            cmp_sql = self._rel_cmp(lhs, rhs,
+                                    self._REL_OPS[op_t.text])[1]
+            return ("agg_cmp", agg, cmp_sql)
+        # [spec] §18.2.4.4: HAVING is a Filter over the aggregated
+        # solutions — the constraint is its EBV, same as FILTER
+        # (sweep 38: `HAVING (?key)` over a string group key raised
+        # FILTER_NOT_BOOLEAN instead of testing non-emptiness)
+        return ("expr", self._ebv(self._parse_expr()))
 
 
 def _qcol(name: str) -> str:
     return f"`{name}`"
+
+
+# stand-in column name for a HAVING aggregate compiled before its
+# (possibly hidden) output alias is chosen; _eval_select substitutes
+_HAVING_PLACEHOLDER = "__hvagg__"
 
 
 def _uncol(sql: str) -> str | None:
@@ -2812,10 +2845,22 @@ def _merge(acc: DataFrame | None, df: DataFrame, how: str = "inner",
 def _compat_merge(acc: DataFrame, df: DataFrame, how: str,
                   soft: list[str]) -> DataFrame:
     """Solution-compatibility join ([spec] §18.3): shared variables in
-    ``soft`` may be UNBOUND (null) on the left — an unbound var is
-    compatible with any right-side binding and takes it in the merged
-    row. Used when VALUES UNDEF wildcards flow into later joins."""
-    dup = [c for c in _companion_cols(df.columns) if c in acc.columns]
+    ``soft`` may be UNBOUND (null) on EITHER side — an unbound var is
+    compatible with any binding of the other side and takes it in the
+    merged row (coalesce below). Used when VALUES UNDEF wildcards,
+    union-branch-missing vars, OPTIONAL-added vars, or error-able BIND
+    targets flow into later joins (sweep 38)."""
+    # companions of SOFT vars follow the side that supplies the value
+    # (a right-bound value with left-dropped companions would lose its
+    # term typing — sweep 38); other duplicated companions keep the
+    # left side as in _merge
+    soft_comps = {c for v in soft for c in df.columns
+                  if c in (f"{TYPED_PREFIX}{v}__kind",
+                           f"{TYPED_PREFIX}{v}__lang",
+                           f"{TYPED_PREFIX}{v}__datatype")
+                  and c in acc.columns}
+    dup = [c for c in _companion_cols(df.columns)
+           if c in acc.columns and c not in soft_comps]
     if dup:
         df = df.drop(*dup)
     shared = sorted((set(acc.columns) & set(df.columns))
@@ -2825,18 +2870,29 @@ def _compat_merge(acc: DataFrame, df: DataFrame, how: str,
     ren = df
     for c in shared:
         ren = ren.withColumnRenamed(c, f"__r_{c}")
+    for c in soft_comps:
+        ren = ren.withColumnRenamed(c, f"__r_{c}")
     cond = F.lit(True)
     for c in shared:
         l, r = F.col(c), F.col(f"__r_{c}")
         if c in mism:
             l, r = l.cast("string"), r.cast("string")
         eq = r == l
-        if c.startswith(TK_PREFIX):
-            # term keys: null-compatible (see _merge)
+        if c.startswith(TK_PREFIX) or c in soft:
+            # term keys and maybe-unbound vars: null-compatible
             cond = cond & (l.isNull() | r.isNull() | eq)
         else:
-            cond = cond & ((l.isNull() | eq) if c in soft else eq)
+            cond = cond & eq
     out = acc.join(ren, on=cond, how=how)
+    for v in soft:
+        take_right = F.col(v).isNull() & F.col(f"__r_{v}").isNotNull()
+        for w in ("kind", "lang", "datatype"):
+            cc = f"{TYPED_PREFIX}{v}__{w}"
+            if cc in soft_comps:
+                out = (out.withColumn(
+                    cc, F.when(take_right, F.col(f"__r_{cc}"))
+                         .otherwise(F.col(cc)))
+                    .drop(f"__r_{cc}"))
     for c in shared:
         if c in mism:
             out = out.drop(f"__r_{c}")
@@ -3039,6 +3095,85 @@ def _exists_flag(acc: DataFrame, sub: DataFrame, marker: str,
             .unionByName(no.withColumn(marker, F.lit(False))))
 
 
+def _bgp_pattern_vars(triples: list[tuple]) -> set[str]:
+    """Variables a BGP binds — every row binds every pattern var.
+    Quoted-triple spellings are scanned textually (vars inside
+    ``<<...>>`` bind like any other position); a ``?name`` inside a
+    constant literal can only over-report, which is harmless (callers
+    intersect with actual solution columns)."""
+    out: set[str] = set()
+    for t in triples:
+        for pos in t:
+            if isinstance(pos, str):
+                if pos.startswith("?"):
+                    out.add(pos[1:])
+                elif pos.startswith("<<"):
+                    out |= set(re.findall(r"\?(\w+)", pos))
+    return out
+
+
+def _group_var_sets(group: Group) -> tuple[set[str], set[str]]:
+    """Static binding analysis of a group pattern: ``(certain,
+    maybe)`` — vars bound in EVERY solution vs vars that may be
+    UNBOUND in some solutions (OPTIONAL-added, union-branch-missing,
+    error-able BIND targets, VALUES UNDEF cells, subquery
+    projections). Joins must treat ``maybe`` vars null-compatibly
+    ([spec] §18.3 solution compatibility — sweep 38: a var bound in
+    only one UNION branch joined as a NULL key and dropped every
+    cross-branch row)."""
+    certain: set[str] = set()
+    maybe: set[str] = set()
+    for el in group.elements:
+        k = el[0]
+        if k == "bgp":
+            certain |= _bgp_pattern_vars(el[1])
+        elif k == "optional":
+            c2, m2 = _group_var_sets(el[1])
+            maybe |= (c2 | m2) - certain
+        elif k == "union":
+            pairs = [_group_var_sets(b) for b in el[1]]
+            c_all = set.intersection(*[c for c, _ in pairs]) \
+                if pairs else set()
+            m_all = set().union(*[(c | m) for c, m in pairs]) - c_all
+            certain |= c_all
+            maybe |= m_all - certain
+        elif k == "bind":
+            v = el[2]
+            if not v.startswith((TYPED_PREFIX, TK_PREFIX)):
+                maybe.add(v)        # expression error → var unbound
+        elif k == "values":
+            _, names, rows = el
+            undef = {n for i, n in enumerate(names)
+                     if any(r[i] is None for r in rows)}
+            certain |= set(names) - undef
+            maybe |= undef - certain
+        elif k == "graph":
+            c2, m2 = _group_var_sets(el[2])
+            certain |= c2
+            if _is_var(el[1]):
+                certain.add(el[1][1:])
+            maybe |= m2 - certain
+        elif k == "subselect":
+            qq = el[1]
+            c2, m2 = _group_var_sets(qq.where)
+            if qq.select_star:
+                certain |= c2
+                maybe |= m2 - certain
+            else:
+                for item in qq.project or []:
+                    if item[0] == "var":
+                        if item[1] in c2:
+                            certain.add(item[1])
+                        else:
+                            maybe.add(item[1])
+                    elif item[0] == "expr":
+                        maybe.add(item[2])
+                    elif item[0] == "agg":
+                        maybe.add(item[3])
+        # minus / filter / exists bind nothing
+    return certain, maybe - certain
+
+
 def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
                 with_types: bool = False, stats=None,
                 max_iter: int = 20) -> DataFrame:
@@ -3048,20 +3183,34 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
     spark = quads.sparkSession
     acc: DataFrame | None = None
     deferred: list = []   # ("filter", sql) | ("exists", Group, positive)
-    wildcards: set[str] = set()   # vars VALUES UNDEF may leave unbound
+    certain: set[str] = set()   # vars bound in EVERY acc solution
+    maybe: set[str] = set()     # vars that may be NULL in acc rows
 
     def ev(g: Group) -> DataFrame:
         return _eval_group(quads, g, graph=graph, with_types=with_types,
                            stats=stats, max_iter=max_iter)
 
-    def merge(df: DataFrame, how: str = "inner") -> DataFrame:
-        if acc is None or not wildcards:
-            return _merge(acc, df, how)
-        soft = [c for c in wildcards
-                if c in acc.columns and c in df.columns]
-        if not soft:
-            return _merge(acc, df, how)
-        return _compat_merge(acc, df, how, soft)
+    def merge(df: DataFrame, how: str = "inner",
+              el_c: set | frozenset = frozenset(),
+              el_m: set | frozenset = frozenset()) -> DataFrame:
+        """Join ``df`` into ``acc``, null-compatibly on any shared var
+        that MAY be unbound on either side ([spec] §18.3 — sweep 38);
+        ``el_c`` / ``el_m`` are the element's certainly- /
+        maybe-bound vars, folded into the group's running sets."""
+        nonlocal certain, maybe
+        if acc is None:
+            res = df
+        else:
+            soft = sorted((maybe | set(el_m))
+                          & set(acc.columns) & set(df.columns))
+            res = _compat_merge(acc, df, how, soft) if soft \
+                else _merge(acc, df, how)
+        if how == "left":
+            maybe |= (set(el_c) | set(el_m)) - certain
+        else:
+            certain |= set(el_c)
+            maybe = (maybe | set(el_m)) - certain
+        return res
 
     def attach_exists(df: DataFrame, sql: str) -> DataFrame:
         """Materialize the EXISTS markers this SQL references
@@ -3075,15 +3224,34 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
         kind = el[0]
         if kind == "bgp":
             acc = merge(_eval_bgp(quads, el[1], graph, with_types,
-                                  stats, max_iter))
+                                  stats, max_iter),
+                        el_c=_bgp_pattern_vars(el[1]))
         elif kind == "optional":
-            acc = merge(ev(el[1]), how="left")
+            oc, om = _group_var_sets(el[1])
+            acc = merge(ev(el[1]), how="left", el_c=oc, el_m=om)
         elif kind == "union":
             branches = [ev(b) for b in el[1]]
+            # a typed BIND column (boolean/numeric) unioning with a
+            # lexical string column must align by LEXICAL form —
+            # unionByName would insert an ANSI string→typed cast that
+            # crashes on real term spellings (sweep 38: IRI 'http://…'
+            # cast to BOOLEAN); same convention as _merge's mism casts
+            col_types: dict[str, set] = {}
+            for b in branches:
+                for c, t in b.dtypes:
+                    col_types.setdefault(c, set()).add(t)
+            for i, b in enumerate(branches):
+                for c, t in b.dtypes:
+                    if len(col_types[c]) > 1 and t != "string":
+                        branches[i] = branches[i].withColumn(
+                            c, F.col(c).cast("string"))
             u = branches[0]
             for b in branches[1:]:
                 u = u.unionByName(b, allowMissingColumns=True)
-            acc = merge(u)
+            pairs = [_group_var_sets(b) for b in el[1]]
+            uc = set.intersection(*[c for c, _ in pairs])
+            um = set().union(*[(c | m) for c, m in pairs]) - uc
+            acc = merge(u, el_c=uc, el_m=um)
         elif kind == "minus":
             sub = ev(el[1])
             shared = sorted(set(acc.columns if acc is not None else [])
@@ -3102,6 +3270,10 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
                 raise SparqlError(f"BIND would rebind ?{var}")
             acc = acc.withColumn(
                 var, F.expr(patch_companion_refs(sql, acc.columns)))
+            if not var.startswith((TYPED_PREFIX, TK_PREFIX)):
+                # expression error → NULL → var unbound for that row;
+                # later joins on it must stay null-compatible
+                maybe.add(var)
         elif kind == "values":
             _, names, rows = el
             undef_vars = {n for i, n in enumerate(names)
@@ -3110,12 +3282,17 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
             # UNDEF cells survive as nulls only for vars the solutions
             # didn't already bind — later joins must treat those as
             # compatibility wildcards
-            wildcards |= {n for n in undef_vars if n in acc.columns}
+            maybe |= {n for n in undef_vars if n in acc.columns}
+            certain |= set(names) - undef_vars
+            maybe -= certain
         elif kind == "graph":
             _, term, sub = el
+            gc, gm = _group_var_sets(sub)
+            if _is_var(term):
+                gc = gc | {term[1:]}
             acc = merge(_eval_group(
                 quads, sub, graph=term, with_types=with_types,
-                stats=stats, max_iter=max_iter))
+                stats=stats, max_iter=max_iter), el_c=gc, el_m=gm)
         elif kind == "subselect":
             # Bottom-up per spec: the subquery evaluates against the
             # dataset (inheriting any active GRAPH scope), its solution
@@ -3124,10 +3301,13 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
             # boundary (outer LANG/DATATYPE on a subquery-projected var
             # sees the plain lexical form — documented v1 narrowing).
             subq = el[1]
+            sub_g = Group()
+            sub_g.elements = [el]
+            sc, sm = _group_var_sets(sub_g)
             ssols = _eval_group(quads, subq.where, graph=graph,
                                 with_types=with_types, stats=stats,
                                 max_iter=max_iter)
-            acc = merge(_eval_select(ssols, subq))
+            acc = merge(_eval_select(ssols, subq), el_c=sc, el_m=sm)
         elif kind in ("filter", "exists"):
             deferred.append(el)
         else:  # pragma: no cover
@@ -3291,7 +3471,7 @@ def _eval_select(sols: DataFrame, q: Query) -> DataFrame:
         if h[0] == "expr":
             having_sql.append(h[1])
         else:
-            _, agg, op, rhs = h
+            _, agg, cmp_sql = h
             fn, arg, sep = agg[1], agg[2], agg[3]
             match = next((al for f2, a2, al in aggregates
                           if (f2, a2) == (fn, arg)), None)
@@ -3299,7 +3479,8 @@ def _eval_select(sols: DataFrame, q: Query) -> DataFrame:
                 match = f"__having_{hidden}"
                 hidden += 1
                 aggregates.append((fn, arg, match))
-            having_sql.append(f"`{match}` {op} {rhs}")
+            having_sql.append(
+                cmp_sql.replace(_HAVING_PLACEHOLDER, match))
     if len(seps) > 1:
         raise SparqlError("one GROUP_CONCAT separator per query (v1)")
     if aggregates and not q.group_by and any(

@@ -301,6 +301,11 @@ class _Unbound(Exception):
 UNDEFINED = ("__undefined__",)
 
 
+class ImplDefined(Exception):
+    """The seed's outcome is implementation-defined (e.g. an UNDEFINED
+    aggregate cell feeding a join) — the differential skips it."""
+
+
 def _free_vars(e):
     """Variables mentioned by an expression AST node."""
     if not isinstance(e, tuple):
@@ -698,6 +703,28 @@ class Evaluator:
             # against the quad's graph tuple (a raw string never
             # matched, so every constant-GRAPH group came back empty)
             return self.eval(node[2], target)
+        if kind == "subselect":
+            # [spec] §18.2.2.9 ToMultiSet(SubSelect): the subquery
+            # evaluates bottom-up against the dataset (inheriting the
+            # active GRAPH scope), its solution modifiers apply, and
+            # only its projected variables join the enclosing group.
+            sub = node[1]
+            gb = sub.get("group")
+            if gb is not None:
+                gb = ([("var", k) for k in gb[0]], gb[1])
+            rows = self.select(sub["where"], sub["project"],
+                               distinct=sub.get("distinct", False),
+                               group_by=gb,
+                               having=sub.get("having"),
+                               graph=graph)
+            out = []
+            for r in rows:
+                if any(v is UNDEFINED or v == UNDEFINED
+                       for v in r.values()):
+                    raise ImplDefined("subselect UNDEFINED cell")
+                out.append({k: v for k, v in r.items()
+                            if v is not None})
+            return out
         raise AssertionError(node)
 
     def _eval_compat(self, group, sol):
@@ -738,15 +765,18 @@ class Evaluator:
     # --- SELECT ------------------------------------------------------
 
     def select(self, where, project, distinct=False, group_by=None,
-               having=None):
+               having=None, graph=None):
         """project: list of ('var', name) or (expr, alias).
         group_by: None, or (keys, aggs) with keys = list of ('var',
         name) / (expr, alias) and project referring to keys by alias
         and to aggregates via ('agg', alias); aggs = dict alias →
-        (fname, distinct, expr_or_None)."""
-        sols = self.eval(where)
+        (fname, distinct, expr_or_None[, sep]).
+        having: list of ('agg_cmp', (fname, distinct, expr), op,
+        const_expr) or ('expr', expr) constraints applied to the
+        grouped rows ([spec] §18.2.4.4, before projection)."""
+        sols = self.eval(where, graph)
         if group_by is not None:
-            sols = self._group(sols, *group_by)
+            sols = self._group(sols, *group_by, having=having)
         rows = []
         for s in sols:
             row = {}
@@ -772,7 +802,32 @@ class Evaluator:
             rows = uniq
         return rows
 
-    def _group(self, sols, keys, aggs):
+    def _having_pass(self, constraint, row, members):
+        """One HAVING constraint over a grouped row.  agg_cmp computes
+        a fresh aggregate over the group's members and compares it;
+        expr runs EBV over the row (group keys + agg aliases).  Errors
+        and unbound aggregates drop the group ([spec] §18.2.4.4 —
+        HAVING is a Filter over the aggregated solutions)."""
+        if constraint[0] == "agg_cmp":
+            _, (fname, dis, expr), op, rhs = constraint
+            val = self._agg(fname, dis, expr, members)
+            if val is None:
+                return False
+            if val is UNDEFINED or val == UNDEFINED:
+                raise ImplDefined("HAVING over impl-defined aggregate")
+            try:
+                rv = self._ev(rhs, row)
+                if op in ("=", "!="):
+                    hit = eq_terms(val, rv)
+                    return hit if op == "=" else not hit
+                rel = cmp_terms(val, rv)
+                return {"<": rel < 0, "<=": rel <= 0,
+                        ">": rel > 0, ">=": rel >= 0}[op]
+            except ExprError:
+                return False
+        return self._filter_pass(constraint[1], row)
+
+    def _group(self, sols, keys, aggs, having=None):
         groups = {}
         for s in sols:
             kvals = []
@@ -801,12 +856,18 @@ class Evaluator:
         result = []
         for row in out:
             members = row.pop("__members__")
-            for alias, (fname, dis, expr) in aggs.items():
-                row[alias] = self._agg(fname, dis, expr, members)
+            for alias, spec in aggs.items():
+                fname, dis, expr = spec[:3]
+                sep = spec[3] if len(spec) > 3 else " "
+                row[alias] = self._agg(fname, dis, expr, members,
+                                       sep=sep)
+            if having and not all(self._having_pass(h, row, members)
+                                  for h in having):
+                continue
             result.append(row)
         return result
 
-    def _agg(self, fname, distinct, expr, members):
+    def _agg(self, fname, distinct, expr, members, sep=" "):
         """Aggregate semantics per [spec] §18.5 with the engine's two
         DOCUMENTED deviations mirrored (solutions.py module docstring /
         sweep 20): unbound elements are SKIPPED (not a poisoning type
@@ -842,6 +903,18 @@ class Evaluator:
             # errors produce no value → not counted (SQL NULL parity;
             # [spec] counts the multiset cardinality)
             return ("lit", str(len(vals)), XSD + "integer", None)
+        if fname == "GROUP_CONCAT":
+            # [spec] §18.5.1.7 leaves element order implementation-
+            # defined; the engine (solutions.py _agg_col) SORTS the
+            # cast strings before joining, so the oracle mirrors that
+            # documented deterministic choice.  DISTINCT dedups on the
+            # cast string (collect_set of strings), not on terms.
+            parts = [_term_str(v) for v in vals]
+            if distinct:
+                parts = sorted(set(parts))
+            else:
+                parts = sorted(parts)
+            return ("lit", sep.join(parts), None, None)
         if errored and fname in ("SUM", "AVG"):
             return None     # error-poisoned aggregate → unbound
         if fname in ("SUM", "AVG"):
@@ -886,6 +959,49 @@ class Evaluator:
 
 def _bool(v):
     return ("lit", "true" if v else "false", XSD + "boolean", None)
+
+
+def _term_str(t):
+    """The engine's cast-to-string of a solution column cell: lexical
+    form for literals, the IRI string, '_:label' for bnodes."""
+    if t[0] == "iri":
+        return t[1]
+    if t[0] == "bnode":
+        return "_:" + t[1]
+    return t[1]
+
+
+_KIND_RANK = {"bnode": 1, "iri": 2, "lit": 3}
+
+
+def ord_cmp(a, b):
+    """Three-way ORDER BY comparison per [spec] SPARQL 1.1 §15.1, or
+    None where the relative order is implementation-defined.  Kind
+    order: unbound < blank node < IRI < literal; IRIs compare as
+    simple literals (codepoint); literals compare by the §17.3
+    operator mapping where a row applies.  Blank-vs-blank order and
+    value-incomparable literal pairs (different lang tags, unknown
+    datatypes, ill-formed numerics) are implementation-defined —
+    the differential treats those pairs as unconstrained."""
+    if a is None and b is None:
+        return 0
+    if a is None:
+        return -1
+    if b is None:
+        return 1
+    ra, rb = _KIND_RANK[a[0]], _KIND_RANK[b[0]]
+    if ra != rb:
+        return -1 if ra < rb else 1
+    if a[0] == "iri":
+        return 0 if a[1] == b[1] else (-1 if a[1] < b[1] else 1)
+    if a[0] == "bnode":
+        return 0 if a[1] == b[1] else None
+    if same_term(a, b):
+        return 0
+    try:
+        return cmp_terms(a, b)
+    except ExprError:
+        return None
 
 
 def _merge(a, b):

@@ -1,0 +1,103 @@
+"""Sweep-38 regressions (operators/sparql.py) — found by extending the
+random-query differential (tools/sparql_fuzz.py) to solution modifiers
+and nesting: HAVING, GROUP_CONCAT, ORDER BY/LIMIT/OFFSET, sub-SELECTs.
+
+Four classes pinned here:
+  1. HAVING plain expressions take their EBV ([spec] SPARQL 1.1
+     §18.2.4.4 — HAVING is a Filter over aggregated solutions), same
+     as FILTER; a bare string group key previously raised
+     FILTER_NOT_BOOLEAN.
+  2. HAVING aggregate comparisons compile through the §17.3 operator
+     mapping: ``COUNT(?x) <= "2e0"^^xsd:double`` crashed at ANSI
+     constant folding; ``MIN(?v) < const`` compared lexically.
+  3. Joins on a var bound in only SOME rows (one UNION branch, an
+     OPTIONAL side, an error-able BIND target) are null-compatible
+     ([spec] §18.3 solution compatibility): a branch-missing var
+     joined as a NULL key and dropped every cross-branch row.
+  4. UNION branches whose same-named columns differ in Spark dtype
+     (typed BIND boolean/numeric vs lexical string) align by lexical
+     form — unionByName's implicit ANSI cast crashed on IRI values.
+"""
+
+import pytest
+
+from rdflib_jsonld_spark.operators.sparql import sparql
+
+SCHEMA = ("g string, s string, s_is_bnode boolean, p string, o_kind string, "
+          "o_value string, o_datatype string, o_lang string")
+XSD = "http://www.w3.org/2001/XMLSchema#"
+E = "http://ex.org/e/"
+P = "http://ex.org/p/"
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        (None, E + "a", False, P + "p", "literal", "x", None, None),
+        (None, E + "a", False, P + "p", "literal", "y", None, None),
+        (None, E + "b", False, P + "p", "literal", "", None, None),
+        (None, E + "a", False, P + "n", "literal", "9",
+         XSD + "integer", None),
+        (None, E + "b", False, P + "n", "literal", "10",
+         XSD + "integer", None),
+        # join-on-partial-var fixture: <l1> links <m>, <m> tags "t"
+        (None, E + "l1", False, P + "link", "iri", E + "m", None, None),
+        (None, E + "m", False, P + "tag", "literal", "t", None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_having_plain_expression_is_ebv(quads):
+    # EBV of the string group key: non-empty keys pass, "" fails —
+    # previously raised DATATYPE_MISMATCH.FILTER_NOT_BOOLEAN
+    out = sparql(quads, f"SELECT ?v (COUNT(?s) AS ?n) WHERE {{ "
+                 f"?s <{P}p> ?v }} GROUP BY ?v HAVING (?v)")
+    assert sorted(r["v"] for r in out.collect()) == ["x", "y"]
+
+
+def test_having_count_vs_typed_double_literal(quads):
+    # ANSI crashed on `bigint <= '2e0'`; the §17.3 mapping compares
+    # the COUNT value against the double's VALUE
+    out = sparql(
+        quads,
+        f'SELECT ?s (COUNT(?v) AS ?n) WHERE {{ ?s <{P}p> ?v }} '
+        f'GROUP BY ?s HAVING (COUNT(?v) >= '
+        f'"2e0"^^<{XSD}double>)')
+    assert [r["s"] for r in out.collect()] == [E + "a"]
+
+
+def test_having_min_compares_by_numeric_value(quads):
+    # MIN over {"9","10"} is 9 by VALUE; keep groups with MIN < 10 —
+    # a lexical compare ("10" < "9") would keep/drop the wrong groups
+    out = sparql(
+        quads,
+        f'SELECT ?s (MIN(?v) AS ?m) WHERE {{ ?s <{P}n> ?v }} '
+        f'GROUP BY ?s HAVING (MIN(?v) < "10"^^<{XSD}integer>)')
+    assert [r["s"] for r in out.collect()] == [E + "a"]
+
+
+def test_join_on_union_branch_missing_var(quads):
+    # ?m is bound only in the first UNION branch; the join with the
+    # outer pattern on ?m must treat second-branch NULLs as unbound-
+    # compatible ([spec] §18.3) — previously every cross-branch row
+    # was dropped through the NULL join key
+    q = (f"SELECT ?m ?t WHERE {{ "
+         f"{{ {{ ?l <{P}link> ?m . }} UNION {{ ?z <{P}tag> 't' . }} }} "
+         f"?m <{P}tag> ?t . }}")
+    rows = sorted((r["m"], r["t"]) for r in sparql(quads, q).collect())
+    # branch 1: m=<m> joins tag t; branch 2: m unbound, takes <m>
+    assert rows == [(E + "m", "t"), (E + "m", "t")]
+
+
+def test_union_aligns_typed_bind_column_with_lexical(quads):
+    # branch 1 binds ?b to a BOOLEAN-typed computed column, branch 2
+    # to IRI subjects — unionByName's implicit cast crashed with
+    # CAST_INVALID_INPUT on 'http://…'
+    q = (f"SELECT ?b WHERE {{ "
+         f"{{ ?s <{P}n> ?v . BIND((?v > 5) AS ?b) }} "
+         f"UNION {{ ?b <{P}tag> ?t . }} }}")
+    vals = sorted(r["b"] for r in sparql(quads, q).collect())
+    assert vals == [E + "m", "true", "true"]

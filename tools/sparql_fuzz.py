@@ -1,4 +1,4 @@
-"""Sweep 37 — random-query SPARQL differential (dual-engine method).
+"""Sweeps 37-38 — random-query SPARQL differential (dual-engine method).
 
 Generates random SELECT queries (algebra-first, then rendered to SPARQL
 text) over random small quad stores, evaluates them through BOTH
@@ -6,6 +6,16 @@ engines — the Spark text front-end (operators/sparql.py) and the
 spec-derived naive evaluator (tests/naive_sparql.py, a test-only
 oracle independent of the engine) — and compares solution multisets
 under value canonicalization.
+
+Sweep 38 extends the surface to solution modifiers and nesting:
+sub-SELECTs (plain / DISTINCT / aggregating), HAVING (aggregate
+comparisons and key expressions), GROUP_CONCAT (engine-documented
+sorted concatenation), and ORDER BY / LIMIT / OFFSET — ordered results
+are checked per [spec] §15.1: multiset (or exact window, when the key
+order is total and no tie straddles a cut) plus sortedness of the
+engine's output sequence; implementation-defined pair orders (blank
+nodes, value-incomparable literals) are treated as unconstrained,
+and such windows degrade to size + subset + sortedness ("okweak").
 
 This is the query-surface analogue of the sweep-36 wild-document
 dual-engine fuzz (CLAUDE.md r05 lesson: the highest-yield probe
@@ -27,7 +37,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 from collections import Counter
 
-from naive_sparql import (XSD, Evaluator, UNDEFINED, is_lit)
+from naive_sparql import (XSD, Evaluator, ImplDefined, UNDEFINED,
+                          is_lit, ord_cmp)
 
 E = "http://e/"
 
@@ -246,7 +257,7 @@ def gen_algebra(rng, depth=0):
             return a, sa
         v = rng.choice(fresh)
         return ("bind", gen_expr(rng, sa), v, a), sa | {v}
-    if r < 0.94:
+    if r < 0.90:
         names = rng.sample(VARS, rng.randint(1, 2))
         rows = []
         for _ in range(rng.randint(1, 3)):
@@ -254,6 +265,32 @@ def gen_algebra(rng, depth=0):
                 None if rng.random() < 0.25
                 else gen_term(rng, "ill") for _ in names))
         return ("values", names, rows, a), sa | set(names)
+    if r < 0.97:
+        # sub-SELECT: project a subset of the inner scope, sometimes
+        # DISTINCT, sometimes an aggregate — only the projected vars
+        # join the enclosing group ([spec] §18.2.2.9)
+        inner, iscope = gen_algebra(rng, depth + 1)
+        iscope = sorted(iscope)
+        if not iscope:
+            return inner, set()
+        if rng.random() < 0.3:
+            keys = rng.sample(iscope, rng.randint(0, min(1, len(iscope))))
+            alias = rng.choice([v for v in VARS if v not in keys])
+            fn = rng.choice(AGG_FNS)
+            expr = None if fn == "COUNT" and rng.random() < 0.4 \
+                else ("var", rng.choice(iscope))
+            spec = (fn, rng.random() < 0.3, expr)
+            if fn == "GROUP_CONCAT":
+                spec = spec + ("#",)
+            sub = {"where": inner,
+                   "project": [("var", k) for k in keys]
+                   + [("agg", alias)],
+                   "group": (keys, {alias: spec}), "distinct": False}
+            return ("subselect", sub), set(keys) | {alias}
+        pvars = rng.sample(iscope, rng.randint(1, len(iscope)))
+        sub = {"where": inner, "project": [("var", v) for v in pvars],
+               "group": None, "distinct": rng.random() < 0.4}
+        return ("subselect", sub), set(pvars)
     if rng.random() < 0.4:
         # a GRAPH var that is also a BIND target inside the group is
         # spec-murky (Extend over a var the graph clause already
@@ -273,45 +310,91 @@ def gen_algebra(rng, depth=0):
     return ("graph", tgt, a), sa
 
 
-AGG_FNS = ["COUNT", "SUM", "AVG", "MIN", "MAX"]
+AGG_FNS = ["COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT"]
+REL_OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+def _gen_modifiers(rng, q, proj_names):
+    """ORDER BY / LIMIT / OFFSET over PROJECTED names only (the
+    differential recomputes sort keys from the engine's output rows;
+    unprojected order vars are pinned by the golden corpus)."""
+    order = None
+    if proj_names and rng.random() < 0.45:
+        order = []
+        for _ in range(rng.randint(1, 2)):
+            d = rng.choice(["asc", "desc"])
+            if rng.random() < 0.18:
+                order.append((("expr",
+                               gen_expr(rng, set(proj_names))), d))
+            else:
+                order.append((("var", rng.choice(proj_names)), d))
+    q["order"] = order
+    q["limit"] = rng.randint(0, 5) if rng.random() < 0.35 else None
+    q["offset"] = rng.randint(1, 3) if rng.random() < 0.2 else None
+
+
+def _gen_agg_spec(rng, i, scope):
+    fn = rng.choice(AGG_FNS)
+    distinct = rng.random() < 0.3
+    if fn == "GROUP_CONCAT":
+        # plain-var argument only: the engine concatenates the CAST
+        # string of the solution column; a computed argument's string
+        # form is Spark-dtype-dependent (double "6.0" vs integer "6")
+        return (fn, distinct, ("var", rng.choice(scope)), "#")
+    if fn == "COUNT" and rng.random() < 0.3:
+        expr = None
+    elif rng.random() < 0.8 or not scope:
+        expr = ("var", rng.choice(scope))
+    else:
+        expr = ("op", rng.choice("+-*"),
+                ("var", rng.choice(scope)),
+                ("lit", rng.choice(NUM_CONSTS)))
+    return (fn, distinct, expr)
 
 
 def gen_query(rng):
-    """Returns (query_dict, text)."""
+    """Returns a query dict (see r_query for the rendered shape)."""
     where, scope = gen_algebra(rng)
     scope = sorted(scope)
     use_agg = scope and rng.random() < 0.25
     if use_agg:
         keys = rng.sample(scope, rng.randint(0, min(2, len(scope))))
         aggs = {}
-        n_aggs = rng.randint(1, 2)
-        for i in range(n_aggs):
-            fn = rng.choice(AGG_FNS)
-            alias = f"agg{i}"
-            distinct = rng.random() < 0.3
-            if fn == "COUNT" and rng.random() < 0.3:
-                expr = None
-            elif rng.random() < 0.8 or not scope:
+        for i in range(rng.randint(1, 2)):
+            aggs[f"agg{i}"] = _gen_agg_spec(rng, i, scope)
+        having = None
+        if rng.random() < 0.4:
+            having = []
+            if rng.random() < 0.7:
+                fn = rng.choice(["COUNT", "SUM", "MIN", "MAX"])
                 expr = ("var", rng.choice(scope))
+                having.append(("agg_cmp", (fn, False, expr),
+                               rng.choice(REL_OPS),
+                               ("lit", rng.choice(NUM_CONSTS))))
             else:
-                expr = ("op", rng.choice("+-*"),
-                        ("var", rng.choice(scope)),
-                        ("lit", rng.choice(NUM_CONSTS)))
-            aggs[alias] = (fn, distinct, expr)
+                having.append(("expr", gen_expr(rng, set(keys))))
         project = [("var", k) for k in keys] + \
             [("agg", a) for a in aggs]
-        return {"where": where, "project": project,
-                "group": (keys, aggs), "distinct": False}
+        q = {"where": where, "project": project,
+             "group": (keys, aggs), "having": having,
+             "distinct": False}
+        _gen_modifiers(rng, q, keys + sorted(aggs))
+        return q
     n_proj = rng.randint(1, max(1, len(scope)))
     pvars = rng.sample(scope, min(n_proj, len(scope))) if scope else []
     project = [("var", v) for v in pvars]
+    proj_names = list(pvars)
     if rng.random() < 0.3:
         alias = "z0"
         project.append((gen_expr(rng, set(scope)), alias))
+        proj_names.append(alias)
     if not project:
         project = [("var", "a")]
-    return {"where": where, "project": project, "group": None,
-            "distinct": rng.random() < 0.3}
+        proj_names = []
+    q = {"where": where, "project": project, "group": None,
+         "having": None, "distinct": rng.random() < 0.3}
+    _gen_modifiers(rng, q, proj_names)
+    return q
 
 
 # --- rendering -----------------------------------------------------------
@@ -369,9 +452,12 @@ def r_group(node):
     if k == "join":
         return r_inline(node[1]) + " " + r_inline(node[2])
     if k == "optional":
-        inner = r_group(node[2])
         if len(node) > 3:
-            inner += f" FILTER({r_expr(node[3])})"
+            # a sub-SELECT must be the ENTIRE content of its braces —
+            # re-wrap before appending the LeftJoin condition FILTER
+            inner = r_inline(node[2]) + f" FILTER({r_expr(node[3])})"
+        else:
+            inner = r_group(node[2])
         return r_inline(node[1]) + " OPTIONAL { " + inner + " }"
     if k == "union":
         return ("{ " + r_group(node[1]) + " } UNION { "
@@ -394,11 +480,16 @@ def r_group(node):
     if k == "graph":
         tgt = r_term(node[1])
         return f"GRAPH {tgt} {{ {r_group(node[2])} }}"
+    if k == "subselect":
+        return r_query(node[1])
     raise AssertionError(node)
 
 
-_AGG_TXT = {"COUNT": "COUNT", "SUM": "SUM", "AVG": "AVG",
-            "MIN": "MIN", "MAX": "MAX"}
+def r_agg(fn, distinct, expr, sep=None):
+    arg = "*" if expr is None else r_expr(expr)
+    d = "DISTINCT " if distinct else ""
+    s = f'; SEPARATOR="{sep}"' if fn == "GROUP_CONCAT" else ""
+    return f"{fn}({d}{arg}{s})"
 
 
 def r_query(q):
@@ -408,10 +499,8 @@ def r_query(q):
             parts.append("?" + item[1])
         elif item[0] == "agg":
             alias = item[1]
-            fn, distinct, expr = q["group"][1][alias]
-            arg = "*" if expr is None else r_expr(expr)
-            d = "DISTINCT " if distinct else ""
-            parts.append(f"({_AGG_TXT[fn]}({d}{arg}) AS ?{alias})")
+            spec = q["group"][1][alias]
+            parts.append(f"({r_agg(*spec)} AS ?{alias})")
         else:
             expr, alias = item
             parts.append(f"({r_expr(expr)} AS ?{alias})")
@@ -420,6 +509,30 @@ def r_query(q):
     text = sel + " WHERE { " + r_group(q["where"]) + " }"
     if q["group"] is not None and q["group"][0]:
         text += " GROUP BY " + " ".join("?" + k for k in q["group"][0])
+    if q.get("having"):
+        cs = []
+        for h in q["having"]:
+            if h[0] == "agg_cmp":
+                _, (fn, dis, expr), op, rhs = h
+                cs.append(f"({r_agg(fn, dis, expr)} {op} {r_expr(rhs)})")
+            else:
+                cs.append(f"({r_expr(h[1])})")
+        text += " HAVING " + " ".join(cs)
+    order = q.get("order")
+    if order:
+        keys = []
+        for key, d in order:
+            if key[0] == "var":
+                keys.append(f"?{key[1]}" if d == "asc"
+                            else f"DESC(?{key[1]})")
+            else:
+                kw = "ASC" if d == "asc" else "DESC"
+                keys.append(f"{kw}({r_expr(key[1])})")
+        text += " ORDER BY " + " ".join(keys)
+    if q.get("limit") is not None:
+        text += f" LIMIT {q['limit']}"
+    if q.get("offset") is not None:
+        text += f" OFFSET {q['offset']}"
     return text
 
 
@@ -492,6 +605,110 @@ def row_key(sol):
     return tuple(sorted((k, repr(canon(v))) for k, v in sol.items()))
 
 
+def _row_keys(ev, row, order):
+    """Sort-key terms of one result row for the ORDER BY key list.
+    Expression keys recompute over the row's bindings; an expression
+    error keys as unbound ([spec] leaves error placement open — the
+    caller treats any pair involving it as unconstrained)."""
+    out = []
+    for key, d in order:
+        if key[0] == "var":
+            out.append((row.get(key[1]), d))
+        else:
+            sol = {k: v for k, v in row.items() if v is not None}
+            try:
+                out.append((ev._ev(key[1], sol), d))
+            except Exception:
+                out.append((_ERRKEY, d))
+    return out
+
+
+_ERRKEY = ("__errkey__",)
+
+
+def _pair_cmp(ka, kb):
+    """Composite three-way comparison of two key-term lists, or None
+    when the pair's relative order is implementation-defined."""
+    for (a, d), (b, _) in zip(ka, kb):
+        if a is _ERRKEY or b is _ERRKEY:
+            return None if a is not b else 0
+        c = ord_cmp(a, b)
+        if c is None:
+            return None
+        if c:
+            return -c if d == "desc" else c
+    return 0
+
+
+def _check_ordered(ev, q, oracle, engine, stats):
+    """Compare under ORDER BY / LIMIT / OFFSET.  Returns a detail dict
+    on divergence, None when consistent."""
+    order = q["order"] or []
+    off = q["offset"] or 0
+    lim = q["limit"]
+    co = Counter(map(row_key, oracle))
+    ce = Counter(map(row_key, engine))
+    total = sum(co.values())
+    expected = max(0, total - off)
+    if lim is not None:
+        expected = min(expected, lim)
+
+    if sum(ce.values()) != expected:
+        return {"why": "window size", "n_engine": sum(ce.values()),
+                "expected": expected, "n_oracle": total}
+    if (ce - co):
+        return {"why": "engine rows outside oracle multiset",
+                "engine_only": list((ce - co).items())[:6]}
+
+    ekeys = [_row_keys(ev, r, order) for r in engine] if order else []
+    for i in range(len(ekeys) - 1):
+        c = _pair_cmp(ekeys[i], ekeys[i + 1])
+        if c is not None and c > 0:
+            return {"why": "ORDER BY violated between output rows",
+                    "rows": (engine[i], engine[i + 1])}
+
+    if off == 0 and lim is None:
+        if co != ce:
+            return {"why": "result multiset",
+                    "oracle_only": list((co - ce).items())[:6],
+                    "engine_only": list((ce - co).items())[:6]}
+        stats["ok"] += 1
+        return None
+
+    # a LIMIT/OFFSET window is exactly checkable only when the oracle
+    # ordering is total (every pair decided) and no tie straddles a cut
+    if order and len(oracle) <= 200:
+        okeys = [_row_keys(ev, r, order) for r in oracle]
+        decided = True
+        for i in range(len(okeys)):
+            for j in range(i + 1, len(okeys)):
+                if _pair_cmp(okeys[i], okeys[j]) is None:
+                    decided = False
+                    break
+            if not decided:
+                break
+        if decided:
+            import functools
+            idx = sorted(range(len(oracle)),
+                         key=functools.cmp_to_key(
+                             lambda i, j: _pair_cmp(okeys[i], okeys[j])))
+            cuts = [c for c in (off, off + lim if lim is not None
+                                else None)
+                    if c is not None and 0 < c < len(idx)]
+            if not any(_pair_cmp(okeys[idx[c - 1]], okeys[idx[c]]) == 0
+                       for c in cuts):
+                window = idx[off:] if lim is None else idx[off:off + lim]
+                want = Counter(row_key(oracle[i]) for i in window)
+                if want != ce:
+                    return {"why": "window multiset",
+                            "want_only": list((want - ce).items())[:6],
+                            "engine_only": list((ce - want).items())[:6]}
+                stats["ok"] += 1
+                return None
+    stats["okweak"] += 1
+    return None
+
+
 def run_one(spark, seed, stats):
     rng = random.Random(seed)
     quads = gen_quads(rng)
@@ -507,7 +724,8 @@ def run_one(spark, seed, stats):
                                [("var", k) for k in keys]
                                + [("agg", a) for a in aggs],
                                group_by=([("var", k) for k in keys],
-                                         aggs))
+                                         aggs),
+                               having=q.get("having"))
             # ev.select handles ('agg', alias) via _group's output row
             oracle = [
                 {k: v for k, v in r.items()} for r in oracle]
@@ -516,6 +734,9 @@ def run_one(spark, seed, stats):
                                distinct=q["distinct"])
     except RecursionError:
         stats["skip"] += 1
+        return None
+    except ImplDefined:
+        stats["undef"] += 1
         return None
 
     if any(v is UNDEFINED or v == UNDEFINED
@@ -534,6 +755,14 @@ def run_one(spark, seed, stats):
     except Exception as e:
         return ("engine exception", text, quads,
                 f"{type(e).__name__}: {str(e)[:300]}", oracle)
+
+    if q.get("order") or q.get("limit") is not None \
+            or q.get("offset") is not None:
+        detail = _check_ordered(ev, q, oracle, engine, stats)
+        if detail is not None:
+            return ("ordered-result mismatch", text, quads, detail,
+                    oracle)
+        return None
 
     co, ce = Counter(map(row_key, oracle)), Counter(map(row_key, engine))
     if co != ce:
@@ -614,11 +843,11 @@ def main():
                 print(f"    oracle: {oracle}")
         if (seed - start + 1) % 100 == 0 and not repro:
             print(f"[{seed - start + 1}/{n}] ok={stats['ok']} "
-                  f"undef={stats['undef']} skip={stats['skip']} "
-                  f"div={fails}", flush=True)
+                  f"okweak={stats['okweak']} undef={stats['undef']} "
+                  f"skip={stats['skip']} div={fails}", flush=True)
     print(f"DONE n={len(list(seeds))} ok={stats['ok']} "
-          f"undef={stats['undef']} skip={stats['skip']} "
-          f"divergences={fails}")
+          f"okweak={stats['okweak']} undef={stats['undef']} "
+          f"skip={stats['skip']} divergences={fails}")
 
 
 if __name__ == "__main__":
