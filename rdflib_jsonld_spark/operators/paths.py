@@ -52,6 +52,8 @@ relations, same posture as transitive_closure.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 from .linking import transitive_closure
@@ -232,12 +234,92 @@ def _scoped(quads: DataFrame, graph: str | None) -> DataFrame:
     return quads.where(F.col("g") == graph)
 
 
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _enc_obj():
+    """Self-describing spelling of the OBJECT term for path edges:
+    literals as ``"esc"``, ``"esc"@lang`` (tag lowercased), or
+    ``"esc"^^dt`` (xsd:string ≡ plain); IRIs and ``_:`` bnodes stay
+    bare. Injective, so closure joins and distinct() operate on exact
+    TERMS — sweep 38: edges previously carried the bare lexical form,
+    so a path-bound ``"b"@fr`` leaked into solutions as plain ``"b"``
+    and distinct() merged differently-typed literals."""
+    esc = F.regexp_replace(F.col("o_value"), r'([\\"])', r'\\$1')
+    quoted = F.concat(F.lit('"'), esc, F.lit('"'))
+    lang = F.lower(F.col("o_lang"))
+    dt = F.expr(f"nullif(o_datatype, '{_XSD_STRING}')")
+    lit = (F.when(lang.isNotNull(), F.concat(quoted, F.lit("@"), lang))
+           .when(dt.isNotNull(), F.concat(quoted, F.lit("^^"), dt))
+           .otherwise(quoted))
+    return F.when(F.col("o_kind") == "literal", lit) \
+        .otherwise(F.col("o_value"))
+
+
+def _enc_const(value: str, lang: str | None = None,
+               dt: str | None = None) -> str:
+    """Python twin of :func:`_enc_obj` for constant literal
+    endpoints."""
+    body = value.replace("\\", "\\\\").replace('"', '\\"')
+    if lang:
+        return f'"{body}"@{lang.lower()}'
+    if dt and dt != _XSD_STRING:
+        return f'"{body}"^^{dt}'
+    return f'"{body}"'
+
+
+def _const_alts(term: str) -> list[str]:
+    """Spellings a constant endpoint may take in the edge relation.
+    An encoded literal (the text front-end encodes every literal,
+    sweep 37) maps to its exact edge spelling; an IRI-shaped or
+    ``_:`` bare constant stays bare; a bare NON-IRI-shaped constant
+    (kwargs surface's plain-literal convention) seeds both its bare
+    and plain-literal spellings."""
+    from .bgp import decode_literal
+    lit = decode_literal(term)
+    if lit is not None:
+        return [_enc_const(*lit)]
+    if term.startswith("_:") \
+            or re.match(r"[A-Za-z][A-Za-z0-9+.-]*:", term):
+        return [term]
+    return [term, _enc_const(term)]
+
+
+def _decode_term_out(df: DataFrame, name: str) -> DataFrame:
+    """Decode an edge-spelling output column back into the engine's
+    solution convention: lexical value + ``__typ_*`` companions +
+    ``__tk_`` term key."""
+    from .bgp import TK_PREFIX, TYPED_PREFIX, term_key_col
+    c = F.col(name)
+    is_lit = c.startswith('"')
+    raw = F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1)
+    val = F.regexp_replace(raw, r'\\(.)', r'$1')
+    lang_raw = F.regexp_extract(c, r'"@([A-Za-z0-9-]+)$', 1)
+    dt_raw = F.regexp_extract(c, r'"\^\^(\S+)$', 1)
+    kind = (F.when(is_lit, F.lit("literal"))
+            .when(c.startswith("_:"), F.lit("bnode"))
+            .otherwise(F.lit("iri")))
+    lang = F.when(is_lit & (F.length(lang_raw) > 0), lang_raw)
+    dt = F.when(is_lit & (F.length(dt_raw) > 0), dt_raw)
+    return (df
+            .withColumn(f"{TYPED_PREFIX}{name}__kind",
+                        F.when(c.isNotNull(), kind))
+            .withColumn(f"{TYPED_PREFIX}{name}__lang", lang)
+            .withColumn(f"{TYPED_PREFIX}{name}__datatype", dt)
+            .withColumn(TK_PREFIX + name,
+                        F.when(c.isNotNull(),
+                               term_key_col(kind, dt, lang)))
+            .withColumn(name, F.when(is_lit, val).otherwise(c)))
+
+
 def graph_nodes(quads: DataFrame, graph: str | None = None) -> DataFrame:
     """Distinct terms of the graph (subjects ∪ objects, literals
-    included) as one ``node`` column — the zero-length-path domain."""
+    included) as one ``node`` column — the zero-length-path domain.
+    Object literals carry the :func:`_enc_obj` spelling, like every
+    path edge."""
     q = _scoped(quads, graph)
     return (q.select(F.col("s").alias("node"))
-            .union(q.select(F.col("o_value").alias("node")))
+            .union(q.select(_enc_obj().alias("node")))
             .distinct())
 
 
@@ -254,10 +336,10 @@ def eval_path(quads: DataFrame, path: tuple,
     kind = path[0]
     if kind == "link":
         return _pairs(q.where(F.col("p") == path[1]).select(
-            F.col("s").alias("src"), F.col("o_value").alias("dst"))).distinct()
+            F.col("s").alias("src"), _enc_obj().alias("dst"))).distinct()
     if kind == "nps":
         return _pairs(q.where(~F.col("p").isin(*path[1])).select(
-            F.col("s").alias("src"), F.col("o_value").alias("dst"))).distinct()
+            F.col("s").alias("src"), _enc_obj().alias("dst"))).distinct()
     if kind == "inv":
         inner = eval_path(quads, path[1], graph, max_iter)
         return inner.select(F.col("dst").alias("src"),
@@ -440,19 +522,19 @@ def match_path(quads: DataFrame, subj: str, path: tuple | str, obj: str,
     if isinstance(path, str):
         path = parse_path(path)
     s_var, o_var = _is_var(subj), _is_var(obj)
-    if not o_var:
-        # encoded lang/datatype literal endpoint (bgp.encode_literal):
-        # path edges carry lexical forms, so seed with the bare value
-        # (documented narrowing: path endpoints match lexically)
-        from .bgp import decode_literal
-        lit = decode_literal(obj)
-        if lit is not None:
-            obj = lit[0]
+    # constant endpoints seed with their EDGE spellings (sweep 38:
+    # exact-term matching — an encoded "x"@en endpoint now matches
+    # only the tagged literal; a bare constant seeds both its IRI and
+    # plain-literal spellings for kwargs-surface compatibility)
+    subj_alts = None if s_var else _const_alts(subj)
+    obj_alts = None if o_var else _const_alts(obj)
     if not s_var:
-        seeds = quads.sparkSession.createDataFrame([(subj,)], ["src"])
+        seeds = quads.sparkSession.createDataFrame(
+            [(a,) for a in subj_alts], ["src"])
         pairs = eval_path_from(quads, path, seeds, graph, max_iter)
     elif not o_var:
-        seeds = quads.sparkSession.createDataFrame([(obj,)], ["src"])
+        seeds = quads.sparkSession.createDataFrame(
+            [(a,) for a in obj_alts], ["src"])
         pairs = eval_path_from(quads, inv(path), seeds, graph, max_iter) \
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     else:
@@ -466,12 +548,18 @@ def match_path(quads: DataFrame, subj: str, path: tuple | str, obj: str,
             out = pairs.select(F.col("src").alias(subj[1:]),
                                F.col("dst").alias(obj[1:]))
     elif s_var:
-        out = pairs.where(F.col("dst") == obj) \
+        out = pairs.where(F.col("dst").isin(obj_alts)) \
             .select(F.col("src").alias(subj[1:]))
     elif o_var:
-        out = pairs.where(F.col("src") == subj) \
+        out = pairs.where(F.col("src").isin(subj_alts)) \
             .select(F.col("dst").alias(obj[1:]))
     else:  # ASK shape: both constant → 0/1 row existence
-        out = pairs.where((F.col("src") == subj) & (F.col("dst") == obj)) \
+        out = pairs.where(F.col("src").isin(subj_alts)
+                          & F.col("dst").isin(obj_alts)) \
             .select(F.lit(1).alias("_exists"))
-    return out.distinct() if distinct else out
+    out = out.distinct() if distinct else out
+    # decode edge spellings into the solution convention (lexical
+    # value + typing companions + term key)
+    for v in dict.fromkeys([subj[1:]] * s_var + [obj[1:]] * o_var):
+        out = _decode_term_out(out, v)
+    return out

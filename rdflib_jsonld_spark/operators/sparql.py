@@ -1107,7 +1107,15 @@ class _Parser:
             v = _uncol(node[1])
             if v is None:
                 return None
-            return (_qcol(v), self._typ(v, "kind"),
+            # the value rides as CAST(... AS STRING): solution columns
+            # are usually strings (no-op), but typed computed columns
+            # (boolean/numeric BIND aliases, aggregate outputs) reach
+            # comparisons/EBV too, and the generated SQL's
+            # length()/try_cast(... AS TIMESTAMP)/codepoint branches
+            # are only analyzable on strings (sweep 38: ORDER BY
+            # (?f <= ?bool_alias) crashed at analysis time)
+            return (f"CAST({_qcol(v)} AS STRING)",
+                    self._typ(v, "kind"),
                     self._typ(v, "lang"), self._typ(v, "datatype"))
         if node[0] == "termr":
             return node[1], node[2], node[3], node[4]

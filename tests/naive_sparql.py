@@ -746,9 +746,30 @@ class Evaluator:
         rdflib-ConjunctiveGraph-parity convention (a pattern with no
         GRAPH keyword sees every quad; tests/test_sparql_text.py's
         fixed-graph expectations pin it).  graph=term restricts to that
-        named graph."""
+        named graph.  A predicate position may hold a property-path
+        AST (kind in _PATH_KINDS) instead of a term."""
         sols = [{}]
         for pat in triples:
+            if pat[1][0] in _PATH_KINDS:
+                pairs = self.eval_path(pat[1], graph)
+                if _path_nullable(pat[1]):
+                    # zero-length over a CONSTANT endpoint matches the
+                    # constant unconditionally, graph membership not
+                    # required ([spec] §18.4 ZeroLengthPath; engine
+                    # sweep 21)
+                    for c in (pat[0], pat[2]):
+                        if c[0] != "var":
+                            pairs = pairs | {(_canon_term(c),
+                                              _canon_term(c))}
+                nxt = []
+                for sol in sols:
+                    for x, y in pairs:
+                        m = _match_triple((pat[0], None, pat[2]),
+                                          (None, x, None, y), sol)
+                        if m is not None:
+                            nxt.append(m)
+                sols = nxt
+                continue
             nxt = []
             for sol in sols:
                 for q in self.quads:
@@ -761,6 +782,75 @@ class Evaluator:
                         nxt.append(m)
             sols = nxt
         return sols
+
+    # --- property paths ([spec] §9 / §18.4) ---------------------------
+
+    def _graph_quads(self, graph):
+        return [q for q in self.quads
+                if graph is None or (q[0] is not None
+                                     and same_term(q[0], graph))]
+
+    def _graph_nodes(self, graph):
+        """All subject/object terms of the active graph(s) — the
+        zero-length path universe (engine convention: literals
+        included)."""
+        out = set()
+        for q in self._graph_quads(graph):
+            out.add(_canon_term(q[1]))
+            out.add(_canon_term(q[3]))
+        return out
+
+    def eval_path(self, path, graph):
+        """DISTINCT set of (src, dst) canonical term pairs the path
+        connects — mirroring the engine's documented set-based path
+        evaluation (operators/paths.py header: no duplicate solutions
+        from multiple routes; closures per [spec] §18.4 ALP)."""
+        k = path[0]
+        if k == "link":
+            return {(_canon_term(q[1]), _canon_term(q[3]))
+                    for q in self._graph_quads(graph)
+                    if q[2] == ("iri", path[1])}
+        if k == "inv":
+            return {(y, x) for x, y in self.eval_path(path[1], graph)}
+        if k == "seq":
+            acc = self.eval_path(path[1], graph)
+            for part in path[2:]:
+                nx = self.eval_path(part, graph)
+                acc = {(x, z) for x, y1 in acc for y2, z in nx
+                       if y1 == y2}
+            return acc
+        if k == "alt":
+            out = set()
+            for part in path[1:]:
+                out |= self.eval_path(part, graph)
+            return out
+        if k == "zom":
+            return _pairs_closure(self.eval_path(path[1], graph)) \
+                | {(t, t) for t in self._graph_nodes(graph)}
+        if k == "oom":
+            return _pairs_closure(self.eval_path(path[1], graph))
+        if k == "zoo":
+            return self.eval_path(path[1], graph) \
+                | {(t, t) for t in self._graph_nodes(graph)}
+        if k == "nps":
+            banned = set(path[1])
+            return {(_canon_term(q[1]), _canon_term(q[3]))
+                    for q in self._graph_quads(graph)
+                    if q[2][1] not in banned}
+        if k == "npsx":
+            # surface negated property set with mixed members:
+            # !(a|^b) ≡ alt(nps({a}), inv(nps({b}))) — the spec's own
+            # algebra translation ([spec] §18.2.2.3); a group with only
+            # inverse members has no forward component
+            fwd, rev = path[1], path[2]
+            out = set()
+            if fwd:
+                out |= self.eval_path(("nps", fwd), graph)
+            if rev:
+                out |= {(y, x) for x, y
+                        in self.eval_path(("nps", rev), graph)}
+            return out
+        raise AssertionError(path)
 
     # --- SELECT ------------------------------------------------------
 
@@ -969,6 +1059,43 @@ def _term_str(t):
     if t[0] == "bnode":
         return "_:" + t[1]
     return t[1]
+
+
+_PATH_KINDS = {"link", "inv", "seq", "alt", "zom", "oom", "zoo", "nps",
+               "npsx"}
+
+
+def _path_nullable(path):
+    """Can the path match a zero-length walk?"""
+    k = path[0]
+    if k in ("zom", "zoo"):
+        return True
+    if k == "inv":
+        return _path_nullable(path[1])
+    if k == "seq":
+        return all(_path_nullable(p) for p in path[1:])
+    if k == "alt":
+        return any(_path_nullable(p) for p in path[1:])
+    return False
+
+
+def _pairs_closure(pairs):
+    """Transitive closure of a pair set (BFS per distinct source)."""
+    adj = {}
+    for x, y in pairs:
+        adj.setdefault(x, set()).add(y)
+    out = set()
+    for x in adj:
+        seen = set()
+        stack = list(adj[x])
+        while stack:
+            y = stack.pop()
+            if y in seen:
+                continue
+            seen.add(y)
+            stack.extend(adj.get(y, ()))
+        out |= {(x, y) for y in seen}
+    return out
 
 
 _KIND_RANK = {"bnode": 1, "iri": 2, "lit": 3}

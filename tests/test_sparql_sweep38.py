@@ -92,6 +92,46 @@ def test_join_on_union_branch_missing_var(quads):
     assert rows == [(E + "m", "t"), (E + "m", "t")]
 
 
+def test_path_bound_literal_keeps_typing(spark):
+    # a var bound THROUGH a property path carries the literal's
+    # lang/datatype — edges previously held bare lexical forms, so
+    # "b"@fr leaked into solutions as plain "b" (and distinct()
+    # merged differently-typed literals of one lexical form)
+    rows = [
+        (None, E + "a", False, P + "p", "literal", "b", None, "fr"),
+        (None, E + "b", False, P + "q", "literal", "b", None, None),
+        (None, E + "c", False, P + "q", "literal", "5",
+         XSD + "integer", None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql(df, f'SELECT ?v WHERE {{ ?s (<{P}p>|<{P}q>) ?v . '
+                 f'FILTER(LANG(?v) = "fr") }}')
+    assert [r["v"] for r in out.collect()] == ["b"]
+    out2 = sparql(df, f'SELECT ?s WHERE {{ ?s (<{P}p>|<{P}q>) ?v . '
+                 f'FILTER(DATATYPE(?v) = <{XSD}integer>) }}')
+    assert [r["s"] for r in out2.collect()] == [E + "c"]
+    # exact-term constant endpoint through a path: "b" (plain) must
+    # not match "b"@fr
+    out3 = sparql(df, f'SELECT ?s WHERE {{ ?s (<{P}p>|<{P}q>) "b" }}')
+    assert [r["s"] for r in out3.collect()] == [E + "b"]
+
+
+def test_order_by_comparison_with_boolean_alias(quads):
+    # ORDER BY (?v <= ?b) where ?b is a BOOLEAN-typed computed column:
+    # the §17.3 comparison SQL's timestamp/length branches must stay
+    # analyzable (previously TRY_CAST(boolean AS TIMESTAMP) failed at
+    # analysis time)
+    q = (f'SELECT ?v ?b WHERE {{ ?s <{P}n> ?v . '
+         f'BIND((?v > 9) AS ?b) }} ORDER BY DESC(?b) ?v')
+    vals = [r["v"] for r in sparql(quads, q).collect()]
+    assert vals == ["10", "9"]
+    # and the comparison-expression key itself must stay analyzable
+    q2 = (f'SELECT ?v ?b WHERE {{ ?s <{P}n> ?v . '
+          f'BIND((?v > 9) AS ?b) }} ORDER BY DESC((?v <= ?b)) ?v')
+    vals2 = [r["v"] for r in sparql(quads, q2).collect()]
+    assert vals2 == ["9", "10"]
+
+
 def test_union_aligns_typed_bind_column_with_lexical(quads):
     # branch 1 binds ?b to a BOOLEAN-typed computed column, branch 2
     # to IRI subjects — unionByName's implicit cast crashed with

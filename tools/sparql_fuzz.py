@@ -201,6 +201,56 @@ def gen_expr(rng, scope, depth=0, want="any"):
 
 # --- algebra generator ---------------------------------------------------
 
+def gen_path(rng, depth=0):
+    """Random property-path AST ([spec] §9): link / ^ / seq / alt /
+    * + ? / negated property sets with mixed members."""
+    if depth >= 2 or rng.random() < 0.45:
+        if rng.random() < 0.15:
+            fwd = rng.sample(PREDS, rng.randint(0, 2))
+            rev = rng.sample(PREDS, rng.randint(0, 1)) \
+                if rng.random() < 0.5 else []
+            if not fwd and not rev:
+                fwd = [rng.choice(PREDS)]
+            return ("npsx", fwd, rev)
+        p = ("link", rng.choice(PREDS))
+        return ("inv", p) if rng.random() < 0.25 else p
+    r = rng.random()
+    a = gen_path(rng, depth + 1)
+    if r < 0.3:
+        return ("seq", a, gen_path(rng, depth + 1))
+    if r < 0.55:
+        return ("alt", a, gen_path(rng, depth + 1))
+    if r < 0.7:
+        return ("zom", a)
+    if r < 0.85:
+        return ("oom", a)
+    if r < 0.95:
+        return ("zoo", a)
+    return ("inv", a)
+
+
+def r_path(p):
+    k = p[0]
+    if k == "link":
+        return f"<{p[1]}>"
+    if k == "inv":
+        return f"(^{r_path(p[1])})"
+    if k == "seq":
+        return "(" + "/".join(r_path(x) for x in p[1:]) + ")"
+    if k == "alt":
+        return "(" + "|".join(r_path(x) for x in p[1:]) + ")"
+    if k == "zom":
+        return f"({r_path(p[1])}*)"
+    if k == "oom":
+        return f"({r_path(p[1])}+)"
+    if k == "zoo":
+        return f"({r_path(p[1])}?)"
+    if k == "npsx":
+        members = [f"<{i}>" for i in p[1]] + [f"^<{i}>" for i in p[2]]
+        return "!(" + "|".join(members) + ")"
+    raise AssertionError(p)
+
+
 def gen_bgp(rng, scope):
     n = rng.randint(1, 3)
     triples = []
@@ -214,7 +264,15 @@ def gen_bgp(rng, scope):
         s = pos("ii", 0.7)
         p = pos("i", 0.35)
         if p[0] != "var":
-            p = ("iri", rng.choice(PREDS))
+            if rng.random() < 0.3:
+                p = gen_path(rng)
+                # a bare link would RENDER as a plain predicate, which
+                # the engine evaluates bag-semantics while the path
+                # walk is distinct — only emit real path shapes
+                while p[0] == "link":
+                    p = gen_path(rng)
+            else:
+                p = ("iri", rng.choice(PREDS))
         o = pos("illl", 0.6)
         triples.append((s, p, o))
     return ("bgp", triples)
@@ -446,8 +504,12 @@ def r_inline(node):
 def r_group(node):
     k = node[0]
     if k == "bgp":
+        from naive_sparql import _PATH_KINDS
+
+        def r_pred(p):
+            return r_path(p) if p[0] in _PATH_KINDS else r_term(p)
         return " . ".join(
-            f"{r_term(s)} {r_term(p)} {r_term(o)}"
+            f"{r_term(s)} {r_pred(p)} {r_term(o)}"
             for s, p, o in node[1]) + " ."
     if k == "join":
         return r_inline(node[1]) + " " + r_inline(node[2])
@@ -751,6 +813,9 @@ def run_one(spark, seed, stats):
         out = sparql(df, text, keep_types=True)
         engine = decode_engine(out)
     except SparqlError as e:
+        if "property paths inside GRAPH ?var" in str(e):
+            stats["skip"] += 1   # documented v1 narrowing, loud error
+            return None
         return ("parse/eval SparqlError", text, quads, str(e), oracle)
     except Exception as e:
         return ("engine exception", text, quads,
