@@ -247,6 +247,7 @@ def select_solutions(sol: DataFrame, *,
         sol = sol.withColumn(
             _v(var), F.expr(patch_companion_refs(expr, sol.columns)))
     if aggregates:
+        _typed_mode = any(c.startswith("__typ_") for c in sol.columns)
         dtypes = {n: t for n, t in sol.dtypes
                   if not n.startswith("__typ_")}
         aggs = [_agg_col(fn,
@@ -316,6 +317,21 @@ def select_solutions(sol: DataFrame, *,
                                       term_key_col(s["k"], s["d"],
                                                    s["lg"])))
                    .drop(f"__mm_{alias}"))
+        if _typed_mode:
+            # GROUP_CONCAT returns a plain string LITERAL ([spec]
+            # §18.5.1.7) — without companions the downstream shape
+            # heuristic misread a result starting '_:' as a bnode
+            # (sweep 38)
+            null_s = F.lit(None).cast("string")
+            for fn, _arg, alias in aggregates:
+                if fn.startswith("group_concat"):
+                    sol = (sol
+                           .withColumn(f"__typ_{alias}__kind",
+                                       F.when(F.col(alias).isNotNull(),
+                                              F.lit("literal")))
+                           .withColumn(f"__typ_{alias}__lang", null_s)
+                           .withColumn(f"__typ_{alias}__datatype",
+                                       null_s))
     elif group_by:
         raise ValueError("group_by requires at least one aggregate")
     for expr in having or []:

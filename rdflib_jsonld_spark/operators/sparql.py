@@ -1807,6 +1807,15 @@ class _Parser:
 
     def _compile_call(self, up: str, args: list[tuple]):
         def a(i: int) -> str:
+            # var-like operands flow in as their comps VALUE (a
+            # CAST-to-string of the column) so string/hash functions
+            # stay analyzable when the column is a typed computed one
+            # (sweep 38: sha2(boolean BIND alias) failed analysis —
+            # the companion guard was right, the operand SQL raw)
+            if args[i][0] in ("any", "termr"):
+                c = self._comps_of(args[i])
+                if c is not None:
+                    return c[0]
             return args[i][1]
 
         def need(n: int, alt: int | None = None):
@@ -1817,7 +1826,7 @@ class _Parser:
         if up in _TYPE_FNS:
             self.needs_types = True
             need(1)
-            var = _uncol(a(0)) if args[0][0] == "any" else None
+            var = _uncol(args[0][1]) if args[0][0] == "any" else None
             if var is None:
                 node = self._type_fn_const(up, args[0])
                 if node is not None:
@@ -3304,14 +3313,17 @@ def _eval_group(quads: DataFrame, group: Group, *, graph: str | None = None,
         elif kind == "subselect":
             # Bottom-up per spec: the subquery evaluates against the
             # dataset (inheriting any active GRAPH scope), its solution
-            # modifiers apply, and ONLY its projected variables join the
-            # enclosing group. Typed companions do not cross the
-            # boundary (outer LANG/DATATYPE on a subquery-projected var
-            # sees the plain lexical form — documented v1 narrowing).
+            # modifiers apply, and ONLY its projected variables join
+            # the enclosing group. Their typed companions cross the
+            # boundary with them (sweep 38: they used to be dropped,
+            # so a subquery-projected "5"^^xsd:integer surfaced as a
+            # plain literal in the outer solutions).
             subq = el[1]
             sub_g = Group()
             sub_g.elements = [el]
             sc, sm = _group_var_sets(sub_g)
+            if with_types:
+                subq.keep_types = subq.needs_types = True
             ssols = _eval_group(quads, subq.where, graph=graph,
                                 with_types=with_types, stats=stats,
                                 max_iter=max_iter)

@@ -132,6 +132,42 @@ def test_order_by_comparison_with_boolean_alias(quads):
     assert vals2 == ["9", "10"]
 
 
+def test_subselect_projection_keeps_typing(quads):
+    # a subquery-projected typed literal crosses the boundary WITH its
+    # companions — previously they were dropped and "9"^^xsd:integer
+    # surfaced as a plain literal outside (DATATYPE saw xsd:string)
+    q = (f"SELECT ?v WHERE {{ {{ SELECT ?v WHERE {{ ?s <{P}n> ?v . }} }} "
+         f"FILTER(DATATYPE(?v) = <{XSD}integer>) }}")
+    assert sorted(r["v"] for r in sparql(quads, q).collect()) \
+        == ["10", "9"]
+
+
+def test_group_concat_result_is_plain_literal(spark):
+    # GROUP_CONCAT returns a string LITERAL ([spec] §18.5.1.7) — a
+    # result starting '_:' was shape-heuristically typed as a bnode
+    rows = [
+        (None, "_:b2", True, P + "p", "literal", "x", None, None),
+        (None, E + "a", False, P + "p", "literal", "y", None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sparql(df, f'SELECT (GROUP_CONCAT(?s; SEPARATOR="#") AS ?g) '
+                 f'WHERE {{ ?s <{P}p> ?v }}', keep_types=True)
+    row = out.collect()[0]
+    assert row["g"] == f"_:b2#{E}a"
+    assert row["__typ_g__kind"] == "literal"
+
+
+def test_hash_fn_over_typed_computed_column(quads):
+    # SHA256 of a BOOLEAN-typed BIND alias: the string-literal guard
+    # correctly errors it to unbound, but the operand SQL previously
+    # stayed the raw boolean column and sha2(boolean) failed analysis
+    q = (f"SELECT ?v ?z WHERE {{ ?s <{P}n> ?v . BIND((?v > 9) AS ?b) "
+         f"BIND(SHA256(?b) AS ?z) }}")
+    rows = sparql(quads, q).collect()
+    assert sorted(r["v"] for r in rows) == ["10", "9"]
+    assert all(r["z"] is None for r in rows)
+
+
 def test_union_aligns_typed_bind_column_with_lexical(quads):
     # branch 1 binds ?b to a BOOLEAN-typed computed column, branch 2
     # to IRI subjects — unionByName's implicit cast crashed with

@@ -1,9 +1,12 @@
-"""Replay an explicit (quads, query) pair through both the engine and
+"""Replay explicit (quads, query) pairs through both the engine and
 the naive evaluator — for diagnosing sparql_fuzz divergences whose
 generator-seed mapping has since changed (the generator evolves; the
 logged query/quads text is the stable repro).
 
-Usage: edit QUADS/QUERY below, then `python tools/fuzz_replay.py`.
+Usage: python tools/fuzz_replay.py CASES.py
+where CASES.py assigns ``CASES = [(name, quads, query), ...]``.
+Compares UNORDERED multisets (strip ORDER BY/LIMIT or eyeball ordered
+cases).
 """
 import os
 import sys
@@ -14,15 +17,12 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 from collections import Counter
 
-QUADS = [(('iri', 'urn:g1'), ('iri', 'http://e/s3'), ('iri', 'http://e/p'), ('lit', 'a', None, None)), (None, ('iri', 'http://e/q'), ('iri', 'http://e/q'), ('lit', 'b', None, 'fr')), (('iri', 'urn:g1'), ('iri', 'http://e/s2'), ('iri', 'http://e/r'), ('iri', 'http://e/s1')), (None, ('iri', 'http://e/s1'), ('iri', 'http://e/r'), ('lit', '5', 'http://www.w3.org/2001/XMLSchema#integer', None)), (('iri', 'urn:g1'), ('iri', 'http://e/s1'), ('iri', 'http://e/r'), ('lit', '', None, None)), (None, ('iri', 'http://e/p'), ('iri', 'http://e/p'), ('lit', '-3', 'http://www.w3.org/2001/XMLSchema#integer', None)), (None, ('iri', 'http://e/s1'), ('iri', 'http://e/p'), ('lit', 'v', 'http://e/dt', None)), (None, ('bnode', 'b1'), ('iri', 'http://e/q'), ('bnode', 'b2')), (('iri', 'urn:g1'), ('iri', 'http://e/s3'), ('iri', 'http://e/q'), ('bnode', 'b2')), (None, ('iri', 'http://e/q'), ('iri', 'http://e/r'), ('bnode', 'b1')), (('iri', 'urn:g1'), ('iri', 'http://e/q'), ('iri', 'http://e/p'), ('lit', 'v', 'http://e/dt', None)), (None, ('iri', 'http://e/p'), ('iri', 'http://e/p'), ('lit', 'false', 'http://www.w3.org/2001/XMLSchema#boolean', None)), (None, ('iri', 'http://e/s3'), ('iri', 'http://e/r'), ('iri', 'http://e/r')), (None, ('iri', 'http://e/r'), ('iri', 'http://e/p'), ('iri', 'http://e/p'))]
-
-QUERY = ("SELECT ?f (MIN(DISTINCT ?a) AS ?agg0) WHERE { "
-         "{ <http://e/q> ?d ?b . ?a ?f ?d . } "
-         "{ { ?d ?e <http://e/s1> . ?e <http://e/r> ?e . ?e ?f ?d . } "
-         "UNION { ?e <http://e/r> ?b . } } } GROUP BY ?f")
-
 
 def main():
+    ns: dict = {}
+    with open(sys.argv[1]) as f:
+        exec(f.read(), ns)
+
     from pyspark.sql import SparkSession
     from sparql_fuzz import decode_engine, quads_df, row_key
 
@@ -36,13 +36,18 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from rdflib_jsonld_spark.operators.sparql import sparql
-    df = quads_df(spark, QUADS)
-    out = sparql(df, QUERY, keep_types=True)
-    engine = decode_engine(out)
-    print("ENGINE rows:")
-    for r in engine:
-        print("   ", r)
-    print(Counter(map(row_key, engine)))
+
+    for name, quads, query in ns["CASES"]:
+        print(f"=== {name}")
+        df = quads_df(spark, quads)
+        try:
+            engine = decode_engine(sparql(df, query, keep_types=True))
+        except Exception as e:
+            print(f"  ENGINE ERROR: {type(e).__name__}: {str(e)[:400]}")
+            continue
+        ce = Counter(map(row_key, engine))
+        for r, n in sorted(ce.items()):
+            print(f"  engine {n}x {r}")
 
 
 if __name__ == "__main__":
