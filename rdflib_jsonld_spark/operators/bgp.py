@@ -754,6 +754,12 @@ def instantiate_template(sols: DataFrame,
             dt = F.when(~is_iri, F.lit(XSD_STRING)).otherwise(
                 F.lit(None).cast("string"))
             lang = F.lit(None).cast("string")
+        # positions cast to their lexical string form: a typed BIND
+        # alias (boolean/numeric column) in a template position would
+        # otherwise make this part's column typed and the cross-part
+        # unionByName insert a crashing ANSI string cast (sweep 39)
+        g_col, s_col, p_col, o_col = (c.cast("string") for c in
+                                      (g_col, s_col, p_col, o_col))
         row = sols.select(
             g_col.alias("g"),
             s_col.alias("s"),
@@ -764,8 +770,28 @@ def instantiate_template(sols: DataFrame,
             dt.alias("o_datatype"),
             lang.alias("o_lang"),
         ).where(s_col.isNotNull() & p_col.isNotNull() & o_col.isNotNull())
+        # [spec] CONSTRUCT §16.2 / Update §3.1.3: instantiations that
+        # would not be valid RDF are SKIPPED — a template var bound to
+        # a literal cannot take subject/predicate/graph position, and a
+        # bnode cannot be a predicate (sweep 39: a literal-bound ?s
+        # emitted a literal-subject quad spelled as an IRI)
+        for pos, require_iri in ((s, False), (p, True)):
+            if not (isinstance(pos, str) and _is_var(pos)):
+                continue
+            kc = f"{TYPED_PREFIX}{pos[1:]}__kind"
+            if kc in have:
+                k_ok = F.coalesce(F.col(kc), F.lit("iri")) \
+                    .isin(*(["iri"] if require_iri
+                            else ["iri", "bnode", "triple"]))
+                row = row.where(k_ok)
+            if require_iri:
+                row = row.where(~F.col("p").startswith("_:"))
         if graph is not None and _is_var(graph):
             row = row.where(F.col("g").isNotNull())
+            gkc = f"{TYPED_PREFIX}{graph[1:]}__kind"
+            if gkc in have:
+                row = row.where(F.coalesce(F.col(gkc), F.lit("iri"))
+                                .isin("iri", "bnode"))
         out = row if out is None else out.unionByName(row)
     return out.dropDuplicates(
         ["g", "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"])

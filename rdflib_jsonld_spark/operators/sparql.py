@@ -1094,9 +1094,23 @@ class _Parser:
     def _typ(self, var: str, which: str) -> str:
         """SQL for a variable's kind/datatype/lang companion column
         (forces typed capture; missing companions are patched to their
-        shape-derived fallbacks at evaluation time)."""
+        shape-derived fallbacks at evaluation time). The KIND companion
+        additionally falls back to the value's shape PER ROW: in a
+        UNION, a var bound companion-less in one branch (subject/
+        predicate position) rides a NULL cell of the other branch's
+        kind column, and a NULL kind must not poison term equality
+        (sweep 39: `?e != ?c` came back true for two identical IRIs).
+        Companion-less positions only ever bind IRIs/bnodes, so the
+        shape fallback is exact wherever the cell can be NULL with a
+        bound value."""
         self.needs_types = True
-        return _qcol(f"{TYPED_PREFIX}{var}__{which}")
+        col = _qcol(f"{TYPED_PREFIX}{var}__{which}")
+        if which != "kind":
+            return col
+        v = f"CAST({_qcol(var)} AS STRING)"
+        return (f"coalesce({col}, CASE WHEN {v} IS NULL THEN NULL "
+                f"WHEN startswith({v}, '_:') THEN 'bnode' "
+                f"ELSE 'iri' END)")
 
     def _comps_of(self, node):
         """``(value, kind, lang, datatype)`` SQL of a VAR-LIKE node —

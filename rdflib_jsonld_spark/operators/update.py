@@ -385,6 +385,26 @@ def _conform(df: DataFrame, like: DataFrame) -> DataFrame:
     return df.select(*[f.name for f in like.schema.fields])
 
 
+_RDF_LANGSTRING = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                   "langString")
+
+
+def _key_col(df: DataFrame, c: str):
+    """Quad-identity expression for one key column — RDF 1.1 TERM
+    identity, not storage spelling (sweep 39): a plain literal ≡
+    explicit ``xsd:string``, a language tag normalizes case and
+    implies ``rdf:langString``. The text front-end's DATA parser
+    spells plain literals with explicit xsd:string while the store
+    convention is NULL — the raw key silently missed those deletes."""
+    col = df[c]
+    if c.endswith("o_datatype"):
+        return F.nullif(F.nullif(col, F.lit(XSD + "string")),
+                        F.lit(_RDF_LANGSTRING))
+    if c.endswith("o_lang"):
+        return F.lower(col)
+    return col
+
+
 def _anti_on_key(base: DataFrame, other: DataFrame) -> DataFrame:
     """base ∖ other on the quad identity key — null-safe equi-join
     (still a hash join), right side deduped and renamed so the anti
@@ -392,7 +412,8 @@ def _anti_on_key(base: DataFrame, other: DataFrame) -> DataFrame:
     d = other.select(
         *[F.col(c).alias(f"__u_{c}") for c in QUAD_KEY]).dropDuplicates()
     cond = reduce(lambda a, b: a & b,
-                  [base[c].eqNullSafe(F.col(f"__u_{c}")) for c in QUAD_KEY])
+                  [_key_col(base, c).eqNullSafe(
+                      _key_col(d, f"__u_{c}")) for c in QUAD_KEY])
     return base.join(d, cond, "left_anti")
 
 

@@ -156,8 +156,10 @@ def _canon_term(t):
     if is_lit(t) and t[3] is None and t[2] == XSD + "string":
         return ("lit", t[1], None, None)
     if is_lit(t) and t[3] is not None:
-        # lang tags are case-insensitive (RDF 1.1 Concepts §3.3)
-        return ("lit", t[1], t[2], t[3].lower())
+        # lang tags are case-insensitive (RDF 1.1 Concepts §3.3); a
+        # tagged literal's datatype IS rdf:langString — the explicit
+        # and implicit spellings are one term (sweep 39)
+        return ("lit", t[1], None, t[3].lower())
     return t
 
 
