@@ -1177,7 +1177,12 @@ class _Parser:
             return (lex, f"if(({sql}) IS NOT NULL, 'literal', NULL)",
                     null, f"if(({sql}) IS NOT NULL, {d}, NULL)")
         if tag == "bool":
-            return (f"if({sql}, 'true', 'false')", g("'literal'"),
+            # CASE (not if): an error (NULL) boolean must stay NULL —
+            # if(NULL, 'true', 'false') takes the else arm, so an
+            # errored COALESCE/IF branch won as 'false' (sweep 39)
+            lex = (f"(CASE WHEN ({sql}) THEN 'true' "
+                   f"WHEN NOT ({sql}) THEN 'false' END)")
+            return (lex, g("'literal'"),
                     null, g(_sql_str(XSD + "boolean")))
         if tag == "str":
             return (sql, g("'literal'"), null, null)
@@ -1474,8 +1479,10 @@ class _Parser:
                             _num_cls(rhs, self._typ),
                             _num_cls(nxt, self._typ),
                             div=(op2 == "/"))
-                        rhs = ("num", f"({rhs[1]} {op2} "
-                               f"{_as_num(nxt, self._typ)})", rcls)
+                        rhs = ("num",
+                               _arith_sql(rhs[1], op2,
+                                          _as_num(nxt, self._typ),
+                                          rcls), rcls)
                 else:
                     break
             cls = _cls_promote(_num_cls(node, self._typ),
@@ -1492,8 +1499,9 @@ class _Parser:
             cls = _cls_promote(_num_cls(node, self._typ),
                                _num_cls(rhs, self._typ),
                                div=(op == "/"))
-            node = ("num", f"({_as_num(node, self._typ)} {op} "
-                    f"{_as_num(rhs, self._typ)})", cls)
+            node = ("num",
+                    _arith_sql(_as_num(node, self._typ), op,
+                               _as_num(rhs, self._typ), cls), cls)
         return node
 
     def _expr_unary(self):
@@ -2706,6 +2714,30 @@ def _num_cls(node, typ=None):
                 f"WHEN {d} = {_sql_str(XSD + 'float')} THEN 2 "
                 f"ELSE 3 END)")
     return 3
+
+
+def _arith_sql(x: str, op: str, y: str, cls) -> str:
+    """Binary numeric op SQL. Division follows XPath op:numeric-divide
+    (sweep 39): float/double operands use IEEE semantics (x/0 → ±INF,
+    0/0 → NaN), integer/decimal division by zero is a TYPE ERROR
+    (NULL) — a raw ``/`` raised Spark's ANSI DIVIDE_BY_ZERO at
+    runtime for both classes. ``cls`` is the promoted class (int
+    constant or runtime SQL)."""
+    if op != "/":
+        return f"({x} {op} {y})"
+    xd, yd = f"CAST(({x}) AS DOUBLE)", f"CAST(({y}) AS DOUBLE)"
+    ieee = (f"(CASE WHEN {yd} = 0.0D THEN "
+            f"(CASE WHEN {xd} = 0.0D OR isnan({xd}) "
+            f"THEN CAST('NaN' AS DOUBLE) "
+            f"WHEN ({xd} < 0.0D) != (CAST(({y}) AS STRING) LIKE '-%') "
+            f"THEN CAST('-Infinity' AS DOUBLE) "
+            f"ELSE CAST('Infinity' AS DOUBLE) END) "
+            f"ELSE {xd} / {yd} END)")
+    err0 = (f"(CASE WHEN {yd} = 0.0D THEN CAST(NULL AS DOUBLE) "
+            f"ELSE {xd} / {yd} END)")
+    if isinstance(cls, int):
+        return ieee if cls >= 2 else err0
+    return f"(CASE WHEN ({cls}) >= 2 THEN {ieee} ELSE {err0} END)"
 
 
 def _cls_promote(a, b, div: bool = False):

@@ -168,6 +168,28 @@ def test_hash_fn_over_typed_computed_column(quads):
     assert all(r["z"] is None for r in rows)
 
 
+def test_division_follows_xpath_semantics(quads):
+    # double/0 is IEEE (INF), integer/0 and decimal/0 are type errors
+    # (unbound) — a raw `/` raised Spark's ANSI DIVIDE_BY_ZERO
+    q = (f'SELECT ?v (("2e0"^^<{XSD}double> / "0"^^<{XSD}integer>) AS ?i)'
+         f' (("2"^^<{XSD}integer> / "0"^^<{XSD}integer>) AS ?e)'
+         f' (("0e0"^^<{XSD}double> / "0"^^<{XSD}integer>) AS ?n)'
+         f' WHERE {{ ?s <{P}n> ?v }}')
+    rows = sparql(quads, q).collect()
+    assert all(r["i"] == float("inf") for r in rows)
+    assert all(r["e"] is None for r in rows)
+    assert all(r["n"] != r["n"] for r in rows)  # NaN
+
+
+def test_errored_boolean_branch_stays_error_in_coalesce(quads):
+    # EBV of an IRI is a type error; COALESCE must move PAST the
+    # errored boolean branch instead of materializing it as 'false'
+    q = (f'SELECT ?s (COALESCE((?s || ?s), "fallback") AS ?z) '
+         f'WHERE {{ ?s <{P}n> ?v }}')
+    rows = sparql(quads, q).collect()
+    assert all(r["z"] == "fallback" for r in rows)
+
+
 def test_union_aligns_typed_bind_column_with_lexical(quads):
     # branch 1 binds ?b to a BOOLEAN-typed computed column, branch 2
     # to IRI subjects — unionByName's implicit cast crashed with
