@@ -2546,14 +2546,18 @@ class _Parser:
                         # [spec] §15.1 OrderCondition admits any
                         # bracketted expression (sweep 13)
                         q.order_by.append(
-                            ("expr", self._parse_expr()[1], d))
+                            ("expr",
+                             self._order_key_sql(self._parse_expr()),
+                             d))
                     self.expect_op(")")
                 elif self.peek() is not None and self.peek().kind == "VAR":
                     q.order_by.append("?" + self.take().text)
                 elif self._is_op("("):
                     self.take()
                     q.order_by.append(
-                        ("expr", self._parse_expr()[1], "asc"))
+                        ("expr",
+                         self._order_key_sql(self._parse_expr()),
+                         "asc"))
                     self.expect_op(")")
                 else:
                     break
@@ -2573,6 +2577,26 @@ class _Parser:
                 if t.kind != "NUMBER":
                     raise SparqlError("OFFSET needs an integer")
                 q.offset = int(t.text)
+
+    def _order_key_sql(self, node) -> str:
+        """ORDER BY key SQL for a parsed expression node. Var-like and
+        runtime-term nodes (IF/COALESCE over heterogeneous branches)
+        sort per [spec] §15.1 term-kind order — unbound < bnode < IRI <
+        literal, numeric literals by value — via the same struct shape
+        as solutions._term_sort_sql (sweep 39: an expression key mixing
+        bnodes and literals sorted lexically, so bnodes interleaved
+        with literals). Statically-classed nodes keep their raw SQL
+        (uniform kind — relative order unchanged)."""
+        comps = self._comps_of(node)
+        if comps is None:
+            return node[1]
+        val, kind, lang, dt = comps
+        kindflag = (f"CASE WHEN {val} IS NULL THEN 0 "
+                    f"WHEN {kind} = 'bnode' THEN 1 "
+                    f"WHEN {kind} = 'iri' THEN 2 ELSE 3 END")
+        cast = f"try_cast({val} AS DOUBLE)"
+        numflag = f"CASE WHEN {cast} IS NOT NULL THEN 0 ELSE 1 END"
+        return f"struct({kindflag}, {numflag}, {cast}, {val})"
 
     def _parse_having_constraint(self) -> tuple:
         """HAVING constraint: either an aggregate comparison

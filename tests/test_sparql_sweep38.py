@@ -190,6 +190,23 @@ def test_errored_boolean_branch_stays_error_in_coalesce(quads):
     assert all(r["z"] == "fallback" for r in rows)
 
 
+def test_expression_order_key_uses_term_kind_order(spark):
+    # ORDER BY over a COALESCE mixing bnodes and literals: §15.1 kind
+    # order applies to expression keys too (bnode < IRI < literal) —
+    # previously the runtime-term's VALUE sorted lexically
+    rows = [
+        (None, E + "a", False, P + "p", "literal", "5",
+         XSD + "integer", None),
+        (None, E + "b", False, P + "p", "bnode", "_:zz", None, None),
+        (None, E + "c", False, P + "p", "iri", E + "m", None, None),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    q = (f"SELECT ?s WHERE {{ ?s <{P}p> ?v }} "
+         f"ORDER BY (COALESCE(?v, ?s))")
+    assert [r["s"] for r in sparql(df, q).collect()] \
+        == [E + "b", E + "c", E + "a"]
+
+
 def test_union_aligns_typed_bind_column_with_lexical(quads):
     # branch 1 binds ?b to a BOOLEAN-typed computed column, branch 2
     # to IRI subjects — unionByName's implicit cast crashed with

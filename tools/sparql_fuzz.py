@@ -410,10 +410,34 @@ def _gen_agg_spec(rng, i, scope):
     return (fn, distinct, expr)
 
 
+def gen_construct_template(rng, scope):
+    """CONSTRUCT template triples over scope vars + constants (no
+    bnode labels — fresh-bnode minting defeats set comparison)."""
+    trips = []
+    for _ in range(rng.randint(1, 3)):
+        def pos(kinds, var_p):
+            if scope and rng.random() < var_p:
+                return ("var", rng.choice(scope))
+            return gen_term(rng, kinds)
+        s = pos("ii", 0.6)
+        p = pos("i", 0.3)
+        if p[0] not in ("var", "iri"):
+            p = ("iri", rng.choice(PREDS))
+        o = pos("illl", 0.6)
+        trips.append((s, p, o))
+    return trips
+
+
 def gen_query(rng):
     """Returns a query dict (see r_query for the rendered shape)."""
     where, scope = gen_algebra(rng)
     scope = sorted(scope)
+    form = rng.random()
+    if form < 0.08:
+        return {"form": "ask", "where": where}
+    if form < 0.18:
+        return {"form": "construct", "where": where,
+                "template": gen_construct_template(rng, scope)}
     use_agg = scope and rng.random() < 0.25
     if use_agg:
         keys = rng.sample(scope, rng.randint(0, min(2, len(scope))))
@@ -555,6 +579,13 @@ def r_agg(fn, distinct, expr, sep=None):
 
 
 def r_query(q):
+    if q.get("form") == "ask":
+        return "ASK { " + r_group(q["where"]) + " }"
+    if q.get("form") == "construct":
+        tmpl = " . ".join(f"{r_term(s)} {r_term(p)} {r_term(o)}"
+                          for s, p, o in q["template"]) + " ."
+        return ("CONSTRUCT { " + tmpl + " } WHERE { "
+                + r_group(q["where"]) + " }")
     parts = []
     for item in q["project"]:
         if item[0] == "var":
@@ -771,11 +802,89 @@ def _check_ordered(ev, q, oracle, engine, stats):
     return None
 
 
+def _run_form(spark, df, q, text, quads, stats):
+    """ASK / CONSTRUCT comparison: boolean, or the constructed graph
+    as a SET of canonical triples ([spec] §16.2 — CONSTRUCT output is
+    a graph; invalid instantiations are skipped)."""
+    from rdflib_jsonld_spark.operators.sparql import SparqlError, sparql
+    ev = Evaluator(quads)
+    try:
+        sols = ev.eval(q["where"], None)
+    except RecursionError:
+        stats["skip"] += 1
+        return None
+    except ImplDefined:
+        stats["undef"] += 1
+        return None
+    if q["form"] == "ask":
+        want = bool(sols)
+    else:
+        want = set()
+        for sol in sols:
+            for s, p, o in q["template"]:
+                def res(pos):
+                    if pos[0] == "var":
+                        return sol.get(pos[1])
+                    from naive_sparql import _canon_term
+                    return _canon_term(pos)
+                sv, pv, ov = res(s), res(p), res(o)
+                if sv is None or pv is None or ov is None:
+                    continue
+                if sv[0] not in ("iri", "bnode") or pv[0] != "iri":
+                    continue
+                from naive_sparql import _canon_term
+                want.add((_canon_term(sv), _canon_term(pv),
+                          _canon_term(ov)))
+    try:
+        out = sparql(df, text)
+        if q["form"] == "ask":
+            got = bool(out.collect()[0]["ask"])
+        else:
+            got = set()
+            for r in out.select("s", "o_kind", "o_value", "o_datatype",
+                                "o_lang", "p").collect():
+                st = ("bnode", r["s"][2:]) if r["s"].startswith("_:") \
+                    else ("iri", r["s"])
+                if r["o_kind"] == "literal":
+                    ot = ("lit", r["o_value"], r["o_datatype"],
+                          r["o_lang"])
+                elif r["o_kind"] == "bnode":
+                    ot = ("bnode", r["o_value"][2:]
+                          if r["o_value"].startswith("_:")
+                          else r["o_value"])
+                else:
+                    ot = ("iri", r["o_value"])
+                from naive_sparql import _canon_term
+                got.add((_canon_term(st), ("iri", r["p"]),
+                         _canon_term(ot)))
+    except SparqlError as e:
+        if "property paths inside GRAPH ?var" in str(e):
+            stats["skip"] += 1
+            return None
+        return ("parse/eval SparqlError", text, quads, str(e), want)
+    except Exception as e:
+        return ("engine exception", text, quads,
+                f"{type(e).__name__}: {str(e)[:300]}", want)
+    if got != want:
+        if q["form"] == "ask":
+            return ("ask mismatch", text, quads,
+                    {"engine": got, "oracle": want}, want)
+        return ("construct mismatch", text, quads,
+                {"engine_only": sorted(map(repr, got - want))[:6],
+                 "oracle_only": sorted(map(repr, want - got))[:6]},
+                want)
+    stats["ok"] += 1
+    return None
+
+
 def run_one(spark, seed, stats):
     rng = random.Random(seed)
     quads = gen_quads(rng)
     q = gen_query(rng)
     text = r_query(q)
+    if q.get("form") in ("ask", "construct"):
+        df = quads_df(spark, quads)
+        return _run_form(spark, df, q, text, quads, stats)
 
     # --- oracle
     ev = Evaluator(quads)
