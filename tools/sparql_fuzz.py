@@ -993,7 +993,7 @@ def main():
         .config("spark.default.parallelism", "1")
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "8g")
         .appName("sparql-fuzz").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 

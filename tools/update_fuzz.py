@@ -334,7 +334,11 @@ def run_one(spark, seed, stats):
     from rdflib_jsonld_spark.operators.update import update
     df = quads_df(spark, store)
     try:
-        got = decode_store(update(df, text, materialize="none"))
+        # default materialize (checkpoint): the lazy ;-sequence plan
+        # multiplies each op's subtree (documented in update.py) and a
+        # 3-op request over a monster FILTER blew past Janino codegen
+        # limits — the production path is the checkpointed one
+        got = decode_store(update(df, text))
     except SparqlError as e:
         if "property paths inside GRAPH ?var" in str(e):
             stats["skip"] += 1   # documented v1 narrowing, loud error
@@ -365,7 +369,7 @@ def main():
         .config("spark.default.parallelism", "1")
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "8g")
         .appName("update-fuzz").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
