@@ -26,12 +26,14 @@ https://www.w3.org/TR/sparql11-update/):
   N-Quads source (``file:`` IRIs or plain paths; INTO GRAPH overrides
   every loaded label). ``SILENT`` parses and is ignored — no failure
   modes exist for absent graphs.
-- ``[WITH <g>] [DELETE { t }] [INSERT { t }] WHERE { pattern }`` — the
-  full modify form. Per spec, both templates are instantiated from the
-  SAME solution set evaluated against the pre-operation store; the
-  result is ``(G ∖ deletes) ∪ inserts``. ``WITH`` scopes the WHERE and
-  any template quad outside an explicit ``GRAPH`` block. ``USING`` is
-  rejected (pass the dataset as the input DataFrame instead).
+- ``[WITH <g>] [DELETE { t }] [INSERT { t }] [USING [NAMED] <g>]*
+  WHERE { pattern }`` — the full modify form. Per spec, both templates
+  are instantiated from the SAME solution set evaluated against the
+  pre-operation store; the result is ``(G ∖ deletes) ∪ inserts``.
+  ``WITH`` scopes the WHERE and any template quad outside an explicit
+  ``GRAPH`` block; ``USING``/``USING NAMED`` re-scope the WHERE
+  dataset (default := union of USING graphs, named := the USING NAMED
+  set) and override WITH for the WHERE only.
 
 Quad identity is the 7-column key (g s p o_kind o_value o_datatype
 o_lang) — lineage columns (conv_id, turn_idx) ride along unchanged on
