@@ -1200,6 +1200,19 @@ class _Parser:
         xsd_str = _sql_str(XSD + "string")
 
         def lit_guard(c, n) -> str:
+            body = _lit_guard_body(c, n)
+            # a COMPUTED literal operand (termx / runtime-tagged
+            # string-fn result) may be NULL = a propagated type error —
+            # it must error the comparison, never fall into the
+            # 'non-literal → false' conjunct (sweep 39: LCASE(?bnode)
+            # = ?bnode came back false instead of unbound)
+            if n[0] == "termx" or isinstance(n[2], SqlTag) \
+                    or isinstance(n[3], SqlTag):
+                return (f"(CASE WHEN ({n[1]}) IS NULL "
+                        f"THEN CAST(NULL AS BOOLEAN) ELSE {body} END)")
+            return body
+
+        def _lit_guard_body(c, n) -> str:
             cvs, ck, clg, cd = c
             _, vsql, lang, dt = n
             if value_eq and not lang and dt in _NUMERIC_DATATYPES:

@@ -190,6 +190,15 @@ def test_errored_boolean_branch_stays_error_in_coalesce(quads):
     assert all(r["z"] == "fallback" for r in rows)
 
 
+def test_errored_string_fn_equality_is_error_not_false(quads):
+    # LCASE of a non-literal is a type error; comparing the errored
+    # result with = must stay an error (row dropped / var unbound),
+    # not evaluate the non-literal conjunct to false
+    q = (f'SELECT ?s ((LCASE(?s) = ?s) AS ?z) WHERE {{ ?s <{P}p> ?v }}')
+    rows = sparql(quads, q).collect()
+    assert rows and all(r["z"] is None for r in rows)
+
+
 def test_expression_order_key_uses_term_kind_order(spark):
     # ORDER BY over a COALESCE mixing bnodes and literals: §15.1 kind
     # order applies to expression keys too (bnode < IRI < literal) —
