@@ -695,6 +695,24 @@ def instantiate_template(sols: DataFrame,
     (rows where it is unbound are skipped, mirroring s/p/o) — used by
     SPARQL Update's ``GRAPH {}`` template blocks."""
     have = set(sols.columns)
+    dtypes = dict(sols.dtypes)
+    # a TYPED solution column (numeric aggregate alias, boolean BIND)
+    # is statically a literal — valid in object position only
+    # (sweep 39: a COUNT-valued subquery alias in subject position
+    # emitted an 'iri'-spelled literal subject)
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    _NUM_DTS = {"bigint": xsd + "integer", "int": xsd + "integer",
+                "double": xsd + "double", "float": xsd + "double",
+                "boolean": xsd + "boolean"}
+
+    def _typed_lit(var: str) -> str | None:
+        t = dtypes.get(var)
+        if t is None or t == "string":
+            return None
+        if t.startswith("decimal"):
+            return xsd + "decimal"
+        return _NUM_DTS.get(t, XSD_STRING)
+
     if graph is None:
         g_col = F.lit(None).cast("string")
     elif _is_var(graph):
@@ -704,6 +722,11 @@ def instantiate_template(sols: DataFrame,
 
     out = None
     for s, p, o in template:
+        if any(isinstance(pos, str) and _is_var(pos)
+               and _typed_lit(pos[1:]) is not None for pos in (s, p)) \
+                or (graph is not None and _is_var(graph)
+                    and _typed_lit(graph[1:]) is not None):
+            continue    # literal subject/predicate/graph — never valid
         def _subj(pos):
             if isinstance(pos, tuple) and pos[0] == "qt":
                 # quoted-triple template term (annotation blocks /
@@ -717,6 +740,14 @@ def instantiate_template(sols: DataFrame,
             o_col = _qt_template_col(o, have)
             kind = F.lit("triple")
             dt = F.lit(None).cast("string")
+            lang = F.lit(None).cast("string")
+        elif _is_var(o) and _typed_lit(o[1:]) is not None:
+            # typed computed column in object position: a literal of
+            # the column's promoted datatype, value as its lexical form
+            var = o[1:]
+            o_col = F.col(var).cast("string")
+            kind = F.when(o_col.isNotNull(), F.lit("literal"))
+            dt = F.when(o_col.isNotNull(), F.lit(_typed_lit(var)))
             lang = F.lit(None).cast("string")
         elif _is_var(o):
             var = o[1:]
@@ -793,5 +824,12 @@ def instantiate_template(sols: DataFrame,
                 row = row.where(F.coalesce(F.col(gkc), F.lit("iri"))
                                 .isin("iri", "bnode"))
         out = row if out is None else out.unionByName(row)
+    if out is None:
+        # every template triple was statically invalid (typed-literal
+        # subject/predicate) — an empty quad table
+        return sols.sparkSession.createDataFrame(
+            [], schema="g string, s string, s_is_bnode boolean, "
+                       "p string, o_kind string, o_value string, "
+                       "o_datatype string, o_lang string")
     return out.dropDuplicates(
         ["g", "s", "p", "o_kind", "o_value", "o_datatype", "o_lang"])

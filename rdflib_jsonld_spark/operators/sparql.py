@@ -3481,6 +3481,15 @@ def sparql(quads: DataFrame, query: str, *, stats: dict | None = None,
         # companion captured so select_solutions can sort term-aware
         # (sweep 20); expression keys compile their own guards.
         q.needs_types = True
+    if q.form == "construct" and any(
+            isinstance(pos, str) and pos.startswith("?")
+            for t in (q.template or []) for pos in t):
+        # CONSTRUCT templates skip instantiations that are not valid
+        # RDF and type their objects exactly ([spec] §16.2) — both
+        # need the vars' kind companions (sweep 39: a COUNT-valued
+        # subquery alias in subject position emitted an 'iri'-spelled
+        # literal subject)
+        q.needs_types = True
     sols = _eval_group(quads, q.where, with_types=q.needs_types,
                        stats=stats, max_iter=max_iter)
     if q.post_values is not None:

@@ -83,6 +83,25 @@ def test_template_with_typed_bind_alias_position(store):
     assert len(row) == 1 and row[0]["o_value"] == "true"
 
 
+def test_construct_skips_numeric_alias_subject(spark):
+    # a COUNT-valued subquery alias is statically a literal — as a
+    # CONSTRUCT subject the instantiation is invalid RDF and skipped
+    # (previously emitted an 'iri'-spelled literal subject); as an
+    # object it lands as a typed literal
+    rows = [(None, E + "a", False, P + "p", "literal", "x", None, None),
+            (None, E + "a", False, P + "p", "literal", "y", None, None)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    q = (f"CONSTRUCT {{ ?n <{P}q> <{E}m> . <{E}m> <{P}total> ?n . }} "
+         f"WHERE {{ SELECT (COUNT(?v) AS ?n) WHERE {{ "
+         f"<{E}a> <{P}p> ?v }} }}")
+    out = sparql(df, q).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["s"], r["p"], r["o_kind"], r["o_value"]) == \
+        (E + "m", P + "total", "literal", "2")
+    assert r["o_datatype"].endswith("integer")
+
+
 def test_union_null_kind_cell_keeps_term_equality(spark):
     # ?c is bound companion-less (predicate position) in one branch
     # while the other branch's path output materializes kind columns —
