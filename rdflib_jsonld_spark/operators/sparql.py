@@ -1349,9 +1349,36 @@ class _Parser:
                 return "false"
             if a[0] == "iri":
                 return "true" if a[1] == b[1] else "false"
-            same = (a[1] == b[1] and (a[2] or None) == (b[2] or None)
-                    and (a[3] or XSD + "string") == (b[3] or XSD + "string"))
-            return "true" if same else "false"
+            la, lb = a[2] or None, b[2] or None
+            da = a[3] or XSD + "string"
+            db = b[3] or XSD + "string"
+            if a[1] == b[1] and la == lb and da == db:
+                return "true"
+            if not value_eq:
+                return "false"          # sameTerm: exact identity only
+            # [spec] §17.4.1.7 RDFterm-equal (sweep 39): two literal
+            # constants that are NOT the same term compare by value
+            # where a §17.3 mapping row applies — numeric/boolean by
+            # value, simple/xsd:string by codepoint — and are a TYPE
+            # ERROR otherwise (different lang tags, unknown datatypes,
+            # numeric vs tagged: previously folded to false, so
+            # `1 != "a"@en` was true instead of an error)
+            if la is None and lb is None:
+                if da == db == XSD + "string":
+                    return "false"      # different lexicals, string row
+                if da in _NUMERIC_DATATYPES and db in _NUMERIC_DATATYPES:
+                    return (f"(try_cast({a[1]} AS DOUBLE) = "
+                            f"try_cast({b[1]} AS DOUBLE))")
+                if da == db == XSD + "boolean":
+                    def bv(lex_sql):
+                        return f"(CASE WHEN {lex_sql} IN ('true', '1') " \
+                               f"THEN true WHEN {lex_sql} IN " \
+                               f"('false', '0') THEN false END)"
+                    return f"({bv(a[1])} = {bv(b[1])})"
+                if da == db == XSD + "dateTime":
+                    return (f"(try_cast({a[1]} AS TIMESTAMP) = "
+                            f"try_cast({b[1]} AS TIMESTAMP))")
+            return "CAST(NULL AS BOOLEAN)"
         return None
 
     def _term_companions(self, node, var: str) -> list[tuple[str, str]]:

@@ -199,6 +199,19 @@ def test_errored_string_fn_equality_is_error_not_false(quads):
     assert rows and all(r["z"] is None for r in rows)
 
 
+def test_constant_literal_equality_errors_outside_mapping(quads):
+    # RDFterm-equal §17.4.1.7: two non-identical literal CONSTANTS with
+    # no §17.3 value row (numeric vs lang-tagged) are a type error —
+    # the fold previously said false, so the != filtered rows IN
+    q1 = (f'SELECT ?v WHERE {{ ?s <{P}n> ?v . '
+          f'FILTER(("1"^^<{XSD}integer> != "a"@en)) }}')
+    assert sparql(quads, q1).count() == 0
+    # value rows still fold: numeric constants compare by VALUE
+    q2 = (f'SELECT ?v WHERE {{ ?s <{P}n> ?v . '
+          f'FILTER(("30"^^<{XSD}integer> = "30.0"^^<{XSD}decimal>)) }}')
+    assert sparql(quads, q2).count() == 2
+
+
 def test_expression_order_key_uses_term_kind_order(spark):
     # ORDER BY over a COALESCE mixing bnodes and literals: §15.1 kind
     # order applies to expression keys too (bnode < IRI < literal) —
